@@ -1,0 +1,51 @@
+"""Exact (order-independent) numeric aggregation helpers.
+
+Floating-point sums are order-dependent: Spark accumulates per
+partition in whatever order the shuffle delivers, DuckDB in its own
+order, so ``sum(double)`` differs in the last bits between engines —
+and between two Spark runs.  For money-like measures the engine
+instead aggregates exact integer cents (round half-away-from-zero is
+identical in Spark and DuckDB for non-tie doubles) and divides once
+at the end, giving bit-identical, run-stable results at any scale and
+any partitioning.  This is also the semantically honest treatment of
+currency.
+
+SQL-side mirror for the DuckDB oracle::
+
+    CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 100
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a money column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def sum_money(col: Column | str) -> Column:
+    """Order-independent SUM over a money column, as double dollars."""
+    return (F.sum(cents(col)).cast("double") / F.lit(100)).cast("double")
+
+
+def avg_money(col: Column | str) -> Column:
+    """Order-independent AVG over a money column, as double dollars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(c)).cast("double") / (F.count(c) * 100)).cast("double")
+
+
+def sql_sum_money(expr: str) -> str:
+    """DuckDB mirror of :func:`sum_money`."""
+    return f"CAST(SUM(CAST(round(({expr}) * 100) AS BIGINT)) AS DOUBLE) / 100"
+
+
+def sql_avg_money(expr: str) -> str:
+    """DuckDB mirror of :func:`avg_money`."""
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * 100) AS BIGINT)) AS DOUBLE)"
+        f" / (COUNT({expr}) * 100)"
+    )

@@ -1,0 +1,771 @@
+"""Relational core: scans, filters, projections, joins, aggregations,
+set operations (SURVEY.md §2.3 tables 1-3, 6).
+
+Scale notes baked into each query:
+- Filters/projections are plain Catalyst expressions → parquet
+  pushdown + column pruning for free (verified in tools/explain_audit).
+- Dimension joins broadcast explicitly (region/nation/supplier are
+  tiny at any SF); fact-fact joins shuffle on the join key and rely
+  on AQE for skew handling.
+- Money aggregates use exact integer-cents (functions/exact.py) so
+  results are partition-order independent — i.e. stable under any
+  cluster layout, not just bit-matching the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.exact import (
+    avg_money,
+    sql_avg_money,
+    sql_sum_money,
+    sum_money,
+)
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+
+# --------------------------------------------------------------- scans
+
+@query(
+    "scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with projection + predicate.
+
+    Both the filter and the 3-column projection reach the parquet
+    reader (PushedFilters / ReadSchema in the physical plan), so at
+    100 TB this scans only the row groups and columns it needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "proj_rename_nested",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           upper(c_name) AS name_upper,
+           CAST(length(c_mktsegment) AS INT) AS seg_len,
+           coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_or_na
+    FROM customer
+    """,
+)
+def proj_rename_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + sentinel null-coalesce (reference R5 style:
+    /root/reference/etl.py:192-215 defaults missing fields to 'N/A')."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_mktsegment").alias("seg_len"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias(
+            "seg_or_na"
+        ),
+    )
+
+
+@query(
+    "filter_in_set",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-set filter (reference R9 tuning-set semi-filter,
+    /root/reference/etl.py:366-378; broadcast semi-join at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@query(
+    "filter_range_bool",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31')
+      AND (o_orderstatus = 'F' OR o_totalprice > 150000.0)
+      AND NOT (o_orderpriority = '5-LOW')
+    """,
+)
+def filter_range_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive range + boolean combinators (Essie AREA[..]RANGE /
+    AND/OR/parentheses — SURVEY.md §2.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between("1994-01-01", "1995-12-31")
+        & ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 150000.0))
+        & ~(F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-f].*[0-9]$')
+    """,
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text containment + regex filter (Essie SEARCH[Study] baseline)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[a-f].*[0-9]$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "when_otherwise_buckets",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def when_otherwise_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression (reference R6 start_year guard style)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy(band.alias("qty_band")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "inline_values_table",
+    oracle="""
+    SELECT band, lo FROM (VALUES ('small', 0.0), ('mid', 50000.0), ('big', 150000.0))
+      AS t(band, lo)
+    """,
+)
+def inline_values_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory table from driver rows (reference R2 fallback path)."""
+    return spark.createDataFrame(
+        [("small", 0.0), ("mid", 50000.0), ("big", 150000.0)], "band string, lo double"
+    )
+
+
+# --------------------------------------------------------------- joins
+
+@query(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_sum_money('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi-join.
+
+    Shuffles both sides on the join key; AQE picks sort-merge vs
+    shuffled-hash at runtime and splits skewed partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            sum_money("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_big_orders,
+           {sql_sum_money('o.o_totalprice')} AS spend
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000.0) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no matching orders
+    (count over the null side = 0, sum = NULL)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            sum_money("o_totalprice").alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM customer c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey AND c.c_acctbal > 9000.0
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with a join-side predicate (kept in the ON
+    clause, so non-matching right rows survive with nulls)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000.0), "right"
+    ).select("o_orderkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+               FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY 1)
+    SELECT coalesce(s.nk, c.nk) AS nationkey, s.n_supp, c.n_cust
+    FROM s FULL JOIN c ON s.nk = c.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return s.join(c, s.nk == c.nk, "full").select(
+        F.coalesce(s.nk, c.nk).alias("nationkey"), "n_supp", "n_cust"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS; reference R9's isin at scale —
+    /root/reference/etl.py:372)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS; complement split of reference R9 —
+    /root/reference/etl.py:373)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny dims only — the similarity brute-force baseline
+    uses the same shape with pre-bucketing at scale)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_broadcast_star",
+    oracle=f"""
+    SELECT r_name,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact tables shuffle once on o_orderkey; the
+    three dimension hops are explicit broadcasts (customer/nation/
+    region are small at every SF), so no extra shuffle stages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            sum_money(revenue).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_range_nonequi",
+    oracle="""
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 100000.0),
+                 ('mid', 100000.0, 250000.0),
+                 ('big', 250000.0, 1e18)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join against a broadcast band table — the
+    broadcast-nested-loop stays cheap because the band side is tiny."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("big", 250000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user
+    at or before it.
+
+    Spark lacks a native ASOF join; the scalable formulation is a
+    single shuffle on user_id + one window pass (union trick): tag
+    both event kinds, sort within user by ts, and carry the last
+    click timestamp forward with last(ignorenulls) over a range frame
+    — O(n log n) per key, no range-join explosion.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "last_click_ts")
+    )
+
+
+# --------------------------------------------------------- aggregations
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_money('l_quantity')} AS sum_qty,
+           {sql_sum_money('l_extendedprice')} AS sum_base_price,
+           {sql_sum_money('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_sum_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_avg_money('l_quantity')} AS avg_qty,
+           {sql_avg_money('l_extendedprice')} AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate hash aggregation
+    with map-side partial aggregation (Spark does partial+final
+    automatically — the shuffle carries one row per group per task)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_money("l_quantity").alias("sum_qty"),
+        sum_money("l_extendedprice").alias("sum_base_price"),
+        sum_money(disc_price).alias("sum_disc_price"),
+        sum_money(charge).alias("sum_charge"),
+        avg_money("l_quantity").alias("avg_qty"),
+        avg_money("l_extendedprice").alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation (Catalyst expands
+    to a single multi-distinct plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only: approximate by
+    construction; the test asserts it within 5% of exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_sum_money('c_acctbal')} AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        sum_money("c_acctbal").alias("total_acctbal"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two grouping dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as
+    the DataFrame rollup/cube family)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           {sql_sum_money("CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0 END")} AS big_spend,
+           CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' THEN 1 END) AS BIGINT) AS n_recent
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (reference R16 counters —
+    /root/reference/etl.py:390-421 — as declarative aggregates)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        sum_money(
+            F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")).otherwise(0.0)
+        ).alias("big_spend"),
+        F.count(
+            F.when(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"), 1)
+        ).alias("n_recent"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set rendered order-stable (sorted, joined) so the result
+    is deterministic regardless of partition layout."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {sql_sum_money('l_extendedprice')} AS total_price,
+           {sql_avg_money('l_quantity')} AS avg_qty,
+           CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (keyless) aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        sum_money("l_extendedprice").alias("total_price"),
+        avg_money("l_quantity").alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# ------------------------------------------------- sorts / limits / sets
+
+@query(
+    "sort_limit_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def sort_limit_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K via global sort + limit (Spark plans TakeOrderedAndProject
+    — no full sort materialization). Tie-broken on the unique key so
+    the result is deterministic (SURVEY.md §7 'positional limit')."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(25)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT + OFFSET over a total order (reference R8's positional
+    slice semantics made deterministic — /root/reference/etl.py:355-364)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_orderdate").offset(40).limit(20)
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, band FROM (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS band
+      FROM customer
+    ) t
+    ORDER BY band ASC NULLS FIRST, c_custkey DESC
+    LIMIT 30
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("band")
+        )
+        .orderBy(F.col("band").asc_nulls_first(), F.col("c_custkey").desc())
+        .limit(30)
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey AS k, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey AS k, 'big' AS tag FROM orders WHERE o_totalprice > 250000.0
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (reference R4 page-concat / R15 processed∪remainder —
+    /root/reference/etl.py:131,409-414)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.lit("urgent").alias("tag")
+    )
+    b = o.filter(F.col("o_totalprice") > 250000.0).select(
+        F.col("o_orderkey").alias("k"), F.lit("big").alias("tag")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 250000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity-aware difference)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (exact dedup on all columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local-mode testing uses ``local[N]``; the same configuration keys are
+what you would set on a 1000-executor cluster — AQE (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow for
+every Python boundary, UTC session time so results are
+timezone-stable across engines, and a shuffle-partition count sized
+to the parallelism at hand rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "ctgov_ai_etl_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Every config here matters at scale:
+    - AQE re-plans joins at runtime (broadcast if a side turns out
+      small, split skewed partitions) — free insurance at 100 TB.
+    - ``shuffle.partitions`` sized to cores locally; on a cluster this
+      would be 2-3x total executor cores (AQE coalesces the excess).
+    - Arrow makes every pandas-UDF boundary a columnar batch transfer
+      instead of per-row pickling.
+    - UTC session timezone keeps timestamp semantics identical to the
+      DuckDB oracle and to any other engine reading the same parquet.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        # events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
+        # reader rejects; read the raw int64 nanos and convert at load
+        # (tables.load_table) — the values are µs-aligned, so exact.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
