@@ -1,1 +1,138 @@
-"""Placeholder — populated in a later milestone."""
+"""Reference-parity queries: the CTGov ETL rebuilt natively
+(SURVEY.md §7 M3) and the generalized ``llm_classify`` operator, each
+oracle-checked where SQL can express it.
+
+The flatten parity oracle inlines the deterministic fixture corpus as
+VALUES of JSON strings and re-derives every column with DuckDB's JSON
+functions — byte-level differential coverage of the 'N/A' default
+paths and the exact start_year rule (/root/reference/etl.py:188-229).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.fixtures import make_raw_studies_json
+from ctgov_ai_etl_spark.operators.flatten import FIELD_PATHS, flatten_studies
+from ctgov_ai_etl_spark.operators.llm import KeywordRuleClient, llm_classify
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.schemas import RAW_STUDY
+from ctgov_ai_etl_spark.tables import load_table
+
+_N_FIXTURE = 60
+_FIXTURE_JSON = make_raw_studies_json(_N_FIXTURE)
+
+
+def _fixture_df(spark: SparkSession) -> DataFrame:
+    raw = spark.createDataFrame([(s,) for s in _FIXTURE_JSON], "raw_json string")
+    return raw.select(F.from_json("raw_json", RAW_STUDY).alias("study"))
+
+
+def _flatten_oracle_sql() -> str:
+    values = ",\n      ".join("('" + s.replace("'", "''") + "')" for s in _FIXTURE_JSON)
+    field_exprs = ",\n      ".join(
+        f"coalesce(json_extract_string(raw, '$.{path}'), 'N/A') AS {name}"
+        for name, path in FIELD_PATHS.items()
+    )
+    start_date = "coalesce(json_extract_string(raw, '$.protocolSection.statusModule.startDateStruct.date'), 'N/A')"
+    return f"""
+    SELECT
+      {field_exprs},
+      CASE WHEN {start_date} <> 'N/A' AND contains({start_date}, '-')
+           THEN split_part({start_date}, '-', 1) ELSE 'N/A' END AS start_year
+    FROM (VALUES
+      {values}
+    ) t(raw)
+    """
+
+
+@query("ctgov_flatten_parity", oracle=_flatten_oracle_sql())
+def ctgov_flatten_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5+R6 byte parity: nested-struct projection, 'N/A' sentinel
+    defaults for every individually-absent module, and the exact
+    start_year string rule — differentially checked against a DuckDB
+    JSON re-derivation of the same fixture corpus."""
+    return flatten_studies(_fixture_df(spark))
+
+
+# Engine-vocabulary rule set for classifying the documents table (the
+# operator is domain-agnostic; rules are config, reference's pregnancy
+# rules are just one instance).
+DOC_RULES = KeywordRuleClient(
+    rules=(
+        ("shuffle", "SHUFFLE"),
+        ("broadcast", "BROADCAST"),
+        ("join", "JOIN"),
+        ("aggregate", "AGG"),
+        ("scan", "SCAN"),
+    ),
+    default="OTHER",
+)
+
+
+@query(
+    "llm_classify_documents",
+    oracle=f"""
+    SELECT doc_id, text, {DOC_RULES.as_sql_case('text')} AS ai_label
+    FROM documents
+    """,
+)
+def llm_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_classify (R10-R14) over documents with the deterministic
+    keyword-rule client: Arrow-batched mapInPandas, per-task client
+    init, prompt templating, error→null→'N/A'. Oracle = the client's
+    own CASE WHEN rendering."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return llm_classify(
+        d,
+        prompt_template="{text}",
+        out_col="ai_label",
+        client_factory=lambda: DOC_RULES,
+    )
+
+
+@query(
+    "llm_classify_cost_cap",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id < 100 THEN {DOC_RULES.as_sql_case('text')}
+                ELSE 'N/A' END AS ai_label
+    FROM documents
+    """,
+)
+def llm_classify_cost_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_rows cost governor (R8) + remainder pass-through (R15):
+    only the first 100 docs (by doc_id) are classified; the remainder
+    survives with the 'N/A' sentinel. doc_id is dense from 0, so the
+    positional head under doc_id order == doc_id < 100."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = llm_classify(
+        d,
+        prompt_template="{text}",
+        out_col="ai_label",
+        client_factory=lambda: DOC_RULES,
+        max_rows=100,
+        order_cols=["doc_id"],
+    )
+    return out.select("doc_id", "ai_label")
+
+
+@query("ctgov_pipeline_e2e", oracle=None)
+def ctgov_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole reference pipeline (R19): mock-paginated REST source →
+    from_json → flatten → pregnancy-rule llm_classify → final frame
+    (rows-only: the REST source isn't SQL-visible; parity is asserted
+    byte-level in tests/test_parity.py)."""
+    from ctgov_ai_etl_spark.plans.pipeline import run_pipeline
+
+    cfg = {
+        "ctgov": {
+            "transport_factory": "ctgov_ai_etl_spark.fixtures:mock_ctgov_transport",
+            "transport_args": "[57, 10]",
+            "page_size": 10,
+        },
+        "gemini": {"row_prompt_template": "Criteria: {criteria}"},
+        "ai_processing": {"enabled": True, "column_name": "ai_determined_value"},
+    }
+    return run_pipeline(spark, cfg)

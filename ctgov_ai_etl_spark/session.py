@@ -11,10 +11,37 @@ to the parallelism at hand rather than the 200 default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``ctgov_ai_etl_spark`` importable on executor Python workers.
+
+    Code that executes on workers (mapInPandas stages, the Python
+    DataSource) references classes in this package; cloudpickle
+    serializes those by module reference, so workers must be able to
+    import the package.  The caller's session (e.g. the driver
+    harness's) won't have the repo on PYTHONPATH — shipping a zip via
+    ``addPyFile`` is the mechanism that works on any cluster, not
+    just local mode.  Idempotent per session.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="ctgov_pkg_")
+    zip_base = os.path.join(tmp, "ctgov_ai_etl_spark_pkg")
+    root = os.path.dirname(pkg_dir)
+    archive = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="ctgov_ai_etl_spark")
+    spark.sparkContext.addPyFile(archive)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def get_spark(app_name: str = "ctgov_ai_etl_spark", cpus: str | None = None) -> SparkSession:

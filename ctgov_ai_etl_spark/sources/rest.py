@@ -1,0 +1,203 @@
+"""Paginated REST study source as a Spark 4 Python DataSource
+(reference R2/R3/R4; /root/reference/etl.py:86-171).
+
+The reference fetches pages sequentially on the driver — GET with a
+60 s timeout, ``nextPageToken`` loop, hard cap of 100 pages
+(etl.py:115-157) — and pushes its conjunctive Essie filter to the
+server as ``filter.advanced`` (etl.py:97-105).  Here the same source
+is a ``DataSource`` so it participates in a Spark plan:
+
+- **partition planning = pagination.**  When the backend supports
+  numbered pages (``paging=indexed``), each page becomes an
+  ``InputPartition`` and executors fetch in parallel.  The public
+  CTGov v2 API only hands out opaque ``nextPageToken``s
+  (etl.py:146-152), which serializes page *discovery*; in that mode
+  the source walks tokens in one partition (documented limitation,
+  identical to the reference's behavior) — at scale you mirror the
+  API to storage once and scan parquet.
+- **filter pushdown.**  ``pushFilters`` translates supported Catalyst
+  filters on the flat columns into Essie conjuncts (AND-joined like
+  the reference's config list) and keeps the rest for Spark to
+  evaluate — the DSv2 contract, with the Essie grammar as the remote
+  dialect (SURVEY.md §2.2).
+- **fault semantics.**  Any page error aborts the read (the reference
+  aborts the whole extract on any non-200, etl.py:124-127,163-171);
+  timeout/page-cap are options with the reference's defaults.
+
+Rows come back as JSON strings (one per study) so the downstream plan
+is ``from_json(RAW_STUDY) → flatten_studies`` — schema application is
+Spark's, not the transport's.
+
+Transports are pluggable via a ``transport_factory`` option holding a
+``module:function`` path (importable in the Python workers); tests use
+the deterministic fixture transport in ``fixtures.mock_ctgov_transport``
+so no network is touched in CI.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNull,
+    LessThanOrEqual,
+    StringContains,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+DEFAULT_PAGE_SIZE = 1000  # reference default, etl.py:103
+DEFAULT_MAX_PAGES = 100  # reference hard cap, etl.py:156-157
+DEFAULT_TIMEOUT_S = 60.0  # reference timeout, etl.py:121
+
+# A transport takes (params, page_index_or_token) and returns the page
+# dict {"studies": [...], "nextPageToken": str|None}.
+Transport = Callable[[dict[str, Any], Any], dict[str, Any]]
+
+
+def resolve_transport_factory(dotted: str) -> Callable[..., Transport]:
+    """Resolve a ``module:function`` transport factory by import.
+
+    Python data source readers are constructed inside Spark's Python
+    worker processes, so the factory must be importable there (the
+    engine ships itself via addPyFile — session.ship_package); an
+    in-process registry would be invisible to the workers.
+    """
+    import importlib
+
+    mod_name, _, fn_name = dotted.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def _http_transport(url: str, timeout_s: float) -> Transport:
+    def fetch(params: dict[str, Any], token: Any) -> dict[str, Any]:
+        import requests  # gated: only the live path needs it
+
+        q = dict(params)
+        if token:
+            q["pageToken"] = token
+        resp = requests.get(url, params=q, timeout=timeout_s)
+        resp.raise_for_status()
+        return resp.json()
+
+    return fetch
+
+
+# --------------------------------------------------- filter translation
+
+def filters_to_essie(filters: list[Filter]) -> tuple[list[str], list[Filter]]:
+    """Translate Catalyst filters to Essie conjuncts; return
+    (conjuncts, unsupported) — unsupported stay with Spark (the DSv2
+    pushdown contract). Mirrors the grammar the reference ships
+    (config.example.yaml:4-12)."""
+    conjuncts: list[str] = []
+    unsupported: list[Filter] = []
+    for f in filters:
+        col = ".".join(f.attribute) if hasattr(f, "attribute") else None
+        area = col.split(".")[-1] if col else None
+        if isinstance(f, EqualTo):
+            conjuncts.append(f"AREA[{area}]{f.value}")
+        elif isinstance(f, GreaterThanOrEqual):
+            conjuncts.append(f"AREA[{area}]RANGE[{f.value},MAX]")
+        elif isinstance(f, LessThanOrEqual):
+            conjuncts.append(f"AREA[{area}]RANGE[MIN,{f.value}]")
+        elif isinstance(f, IsNull):
+            conjuncts.append(f"AREA[{area}]MISSING")
+        elif isinstance(f, StringContains):
+            conjuncts.append(f"SEARCH[{area}]{f.value}")
+        else:
+            unsupported.append(f)
+    return conjuncts, unsupported
+
+
+@dataclass
+class PagePartition(InputPartition):
+    page: int = 0
+
+
+class RestStudiesReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]):
+        self.options = options
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.max_pages = int(options.get("max_pages", DEFAULT_MAX_PAGES))
+        self.timeout_s = float(options.get("timeout_s", DEFAULT_TIMEOUT_S))
+        self.indexed = options.get("paging", "token") == "indexed"
+        self.url = options.get("url", "")
+        factory = options.get("transport_factory")
+        if factory:
+            import json as _json
+
+            args = _json.loads(options.get("transport_args", "[]"))
+            self.transport = resolve_transport_factory(factory)(*args)
+        else:
+            self.transport = _http_transport(self.url, self.timeout_s)
+        # filter.advanced starts from any config-provided conjuncts,
+        # exactly like the reference AND-joins its YAML list (etl.py:100)
+        adv = options.get("filter_advanced")
+        self.conjuncts: list[str] = [adv] if adv else []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        pushed, unsupported = filters_to_essie(list(filters))
+        self.conjuncts.extend(pushed)
+        return iter(unsupported)
+
+    def _params(self) -> dict[str, Any]:
+        params: dict[str, Any] = {"pageSize": self.page_size}
+        if self.conjuncts:
+            params["filter.advanced"] = " AND ".join(self.conjuncts)
+        return params
+
+    def partitions(self) -> list[InputPartition]:
+        if self.indexed:
+            # page count is discoverable → one partition per page,
+            # fetched in parallel by executors
+            return [PagePartition(i) for i in range(self.max_pages)]
+        return [PagePartition(0)]  # opaque-token mode: sequential walk
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        transport = self.transport
+        params = self._params()
+        if self.indexed:
+            page = transport(params, partition.page)
+            for study in page.get("studies", []):
+                yield (json.dumps(study, sort_keys=True),)
+            return
+        token: Any = None
+        for _ in range(self.max_pages):  # reference page cap, etl.py:156
+            page = transport(params, token)
+            for study in page.get("studies", []):
+                yield (json.dumps(study, sort_keys=True),)
+            token = page.get("nextPageToken")
+            if not token:  # etl.py:147-150
+                return
+
+
+class RestStudiesDataSource(DataSource):
+    """``spark.read.format("ctgov_rest")`` — paginated study source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ctgov_rest"
+
+    def schema(self) -> StructType:
+        return StructType([StructField("raw_json", StringType())])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RestStudiesReader(self.options)
+
+
+def register(spark) -> None:
+    from ctgov_ai_etl_spark.session import ship_package
+    from ctgov_ai_etl_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)  # enables Python-source filter pushdown
+    ship_package(spark)
+    spark.dataSource.register(RestStudiesDataSource)

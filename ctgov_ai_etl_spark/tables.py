@@ -29,6 +29,9 @@ _SESSION_CONFS = {
     # Read parquet isAdjustedToUTC=false timestamps as TimestampType
     # (not NTZ) so schemas match the oracle's TIMESTAMP.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # The REST data source translates Catalyst filters to Essie
+    # conjuncts (DSv2 pushdown); off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

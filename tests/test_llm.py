@@ -1,0 +1,86 @@
+"""llm_classify operator semantics (reference R10-R15)."""
+
+from __future__ import annotations
+
+import time
+
+from ctgov_ai_etl_spark.operators.llm import (
+    NA,
+    KeywordRuleClient,
+    PREGNANCY_RULES,
+    TokenBucket,
+    format_prompt,
+    llm_classify,
+)
+
+
+def test_keyword_rules_precedence():
+    c = PREGNANCY_RULES
+    assert c.classify("participants pregnant or postpartum") == "PREGNANT OR POSTPARTUM"
+    assert c.classify("POSTPARTUM women") == "POSTPARTUM"
+    assert c.classify("trying to get pregnant") == "FERTILITY"
+    assert c.classify("requires negative pregnancy test") == "EXCLUDE_PREGNANCY"
+    assert c.classify("all must be pregnant") == "ONLY_PREGNANCY"
+    assert c.classify("pregnancy welcome") == "INCLUDE_PREGNANCY"
+    assert c.classify("healthy adults") == "NOT MENTIONED"
+
+
+def test_format_prompt_missing_key_skips():
+    assert format_prompt("{a} {b}", {"a": 1}) is None  # KeyError → skip (R11)
+    assert format_prompt("{a}!", {"a": "x"}) == "x!"
+
+
+def test_classify_appends_column_and_fills_na(spark):
+    df = spark.createDataFrame(
+        [("1", "patients must be pregnant"), ("2", None)], "id string, criteria string"
+    )
+    out = llm_classify(df, "{criteria}", out_col="label")
+    got = {r.id: r.label for r in out.collect()}
+    assert got["1"] == "ONLY_PREGNANCY"
+    # None criteria → format works ("None") → NOT MENTIONED, not a crash
+    assert got["2"] == "NOT MENTIONED"
+
+
+def test_classify_error_to_na(spark):
+    class Exploding(KeywordRuleClient):
+        def classify(self, prompt):
+            raise RuntimeError("boom")
+
+    df = spark.createDataFrame([("1", "text")], "id string, criteria string")
+    out = llm_classify(
+        df, "{criteria}", out_col="label",
+        client_factory=lambda: Exploding(rules=()),
+    )
+    assert out.collect()[0].label == NA  # error → null → 'N/A' (R12/R14)
+
+
+def test_cost_cap_and_remainder_passthrough(spark):
+    df = spark.createDataFrame(
+        [(i, "must be pregnant") for i in range(20)], "id long, criteria string"
+    )
+    out = llm_classify(df, "{criteria}", out_col="label", max_rows=5, order_cols=["id"])
+    got = {r.id: r.label for r in out.collect()}
+    assert len(got) == 20  # remainder kept (R8/R15)
+    assert all(got[i] == "ONLY_PREGNANCY" for i in range(5))
+    assert all(got[i] == NA for i in range(5, 20))
+
+
+def test_only_ids_narrowing(spark):
+    df = spark.createDataFrame(
+        [(f"NCT{i}", "pregnancy") for i in range(6)], "nct_id string, criteria string"
+    )
+    out = llm_classify(
+        df, "{criteria}", out_col="label", only_ids=("nct_id", ["NCT2", "NCT4"])
+    )
+    got = {r.nct_id: r.label for r in out.collect()}
+    assert got["NCT2"] == got["NCT4"] == "INCLUDE_PREGNANCY"
+    assert all(v == NA for k, v in got.items() if k not in ("NCT2", "NCT4"))
+
+
+def test_token_bucket_rate():
+    bucket = TokenBucket(rate_per_sec=50, burst=1)
+    t0 = time.monotonic()
+    for _ in range(10):
+        bucket.acquire()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.15  # ~9 waits at 20ms
