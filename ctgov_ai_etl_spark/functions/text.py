@@ -1,0 +1,102 @@
+"""Text-analysis column expressions: tokenization, counting, quality
+scoring, language-ID heuristic, fingerprinting.
+
+All pure built-in expressions (codegen'd, UDF-free).  Each has an
+exact SQL mirror for the DuckDB oracle; ratios are rational
+arithmetic over integer counts, so results are bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (the corpus is space-separated; a BPE-ish
+    pre-tokenizer would swap in a regexp pattern here)."""
+    return F.split(text, TOKEN_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def unique_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Exact: total token chars / token count (integer counts, one
+    double division)."""
+    total = F.aggregate(
+        tokens(text), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / token_count(text)
+
+
+# Stopword markers per language. On real corpora these are the usual
+# high-frequency function words; the testdata vocabulary is English
+# word-soup, so the non-English lists are present for mechanism (and
+# return 0 scores) — the operator is the deterministic scoring shape,
+# not a trained model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def lang_marker_score(text: Column, lang: str) -> Column:
+    """Count of marker-token occurrences for ``lang``."""
+    toks = tokens(F.lower(text))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column, default: str = "en") -> Column:
+    """Argmax over marker scores; ties/zeros → ``default``.  Evaluated
+    as a deterministic CASE cascade in fixed language order."""
+    scores = {lang: lang_marker_score(text, lang) for lang in LANG_MARKERS}
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # fixed order → deterministic tie-break
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ("the", "a", "of")) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword
+    presence − punctuation excess.  Deliberately simple, exactly
+    SQL-mirrorable; weights are the operator's config surface."""
+    n = token_count(text)
+    length_ok = F.when((n >= 20) & (n <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_part = F.least(stopword_ratio(text) * 2, F.lit(0.3))
+    punct_penalty = F.least(punct_ratio(text), F.lit(0.2))
+    return F.round(length_ok + stop_part + F.lit(0.2) - punct_penalty, 9)
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Canonical-form document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text (identical hex in every
+    engine — exact-dup detection key)."""
+    normal = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normal)

@@ -1,0 +1,372 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Everything here is **pure DataFrame algebra** — shingling, minhash
+signatures, banding, simhash bit-vectors are all built-in higher-order
+/ hash functions (whole-stage codegen, no Python in the hot path).
+The scale story for every near-dup operator is the same LSH shape:
+
+    per-row signature (map-side, no shuffle)
+      → explode to (bucket_key, id)
+      → shuffle ONCE on bucket_key
+      → within-bucket self-join (bucket sizes are bounded w.h.p.)
+      → verify candidates exactly
+
+so the cross-join that would be O(n²) at 100 TB becomes
+O(Σ bucket²) with a single shuffle, the standard MinHash-LSH layout
+(Broder '97; Leskovec et al., MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: modulus for the universal-hash permutation
+# family h_j(x) = (a_j*x + b_j) mod P. With a, x < 2^31 the product
+# stays under 2^62 — inside signed-long range, so the expression is
+# ANSI-safe (Spark 4 enables ANSI overflow checking by default) while
+# the 31-bit hash space is still ≫ any shingle-set size.
+_P = (1 << 31) - 1
+_SEED = 42
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    rng = random.Random(_SEED)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of ``text`` (set semantics, as
+    MinHash requires).  Order-sensitive: near-dup under char shingles
+    means same words in (mostly) the same sequence."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, k)))
+
+
+def token_shingles(text: Column, n: int = 1) -> Column:
+    """Distinct word n-grams of ``text``.  With n=1 this is the token
+    set — the right notion when similarity should ignore word order
+    (bag-of-words near-dup); n≥2 re-introduces local order."""
+    toks = F.split(text, r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<long>: one universal-hash min per
+    permutation over the xxhash64 base hashes of the shingle set."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sigs = [
+        F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))))
+        for a, b in _hash_params(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    shingle: str = "char",
+) -> DataFrame:
+    """Near-duplicate candidate pairs with MinHash-estimated Jaccard
+    ≥ ``threshold``.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.  Banding:
+    ``bands`` bands of ``num_hashes/bands`` rows; a pair collides iff
+    some band matches exactly — P(collide) ≈ 1-(1-j^r)^b, tuned so the
+    curve's knee sits near ``threshold``.  ``shingle`` picks the
+    similarity notion: 'char' (order-sensitive k-char shingles) or
+    'token' (word n-grams; k=1 → bag-of-words).
+    """
+    rows = num_hashes // bands
+    mk = char_shingles if shingle == "char" else token_shingles
+    # Materialize the base-hash array as a real column FIRST: the 64
+    # permutation minimums all reference one attribute, so shingling +
+    # xxhash happen once per row. Inlining the whole tree would make
+    # Catalyst expand (and re-evaluate) the shingle scan per
+    # permutation — measured 100× slower.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(mk(F.col(text_col), shingle_k), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias(
+            "base_hashes"
+        ),
+    )
+    sigs = [
+        F.array_min(
+            F.transform(F.col("base_hashes"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)))
+        )
+        for a, b in _hash_params(num_hashes)
+    ]
+    with_sig = base.select("id", F.array(*sigs).alias("sig"))
+
+    # Dedup-first: duplicate-heavy corpora produce many identical
+    # signatures; collapsing them before banding turns m-doc cliques
+    # (m² candidate pairs, all est=1.0 by construction) into single
+    # signature rows. Intra-clique pairs are emitted directly.
+    sig_groups = with_sig.groupBy("sig").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    with_sig = sig_groups.select(
+        F.xxhash64(F.concat_ws(",", F.transform("sig", lambda s: s.cast("string")))).alias("id"),
+        "sig",
+        "ids",
+    )
+    intra = (
+        sig_groups.filter(F.size("ids") >= 2)
+        .select("ids", F.explode("ids").alias("id_a"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard"))
+    )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = with_sig.select("id", "sig", F.explode(band_structs).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    # Candidate generation over BARE ids: a near-dup clique collides in
+    # every band, so carrying the 64-long signatures through the join +
+    # dedup would shuffle O(pairs × bands × sig) bytes. Join ids only,
+    # dedup the 16-byte pairs, then re-attach signatures from the
+    # (small) signature table.
+    slim = buckets.select("id", "band", "bucket")
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
+    )
+    sig_a = with_sig.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("ids").alias("ids_a")
+    )
+    sig_b = with_sig.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("ids").alias("ids_b")
+    )
+    # no broadcast hint: the signature table is ~n_distinct_sigs rows
+    # (small for dup-heavy corpora, corpus-sized otherwise) — AQE
+    # promotes the join to broadcast at runtime when it fits.
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    est = (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
+    inter = (
+        pairs.select("ids_a", "ids_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "est_jaccard")
+        .select("ia", F.explode("ids_b").alias("ib"), "est_jaccard")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return intra.unionByName(inter)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens of ``text``: sum ±1 per
+    bit over token hashes, then reassemble the sign vector — all
+    array/bit built-ins, no UDF."""
+    tokens = F.array_distinct(F.split(text, r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # For each bit b: count of tokens with bit set minus count without.
+    bit_balance = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, bal in enumerate(bit_balance):
+        # shiftleft wraps at b=63 to Long.MIN_VALUE — exactly the bit we want
+        out = out + F.when(bal > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Chunk-banding: split the 64-bit hash into ``max_hamming+1`` chunks;
+    by pigeonhole any pair within distance ``max_hamming`` agrees on at
+    least one full chunk → equi-join per chunk, then verify exactly
+    with bit_count(xor).  One shuffle on (chunk_id, chunk_value).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sim = simhash64(F.col(text_col))
+    with_sim = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    b = with_sim.select("id", "simhash", F.explode(chunks).alias("cc")).select(
+        "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    left, right = b.alias("a"), b.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def jaccard_token_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs with similarity ≥ ``threshold``
+    via **prefix filtering** (PPJoin-style, Xiao et al. '08): order
+    each document's tokens rarest-first (global document frequency),
+    keep only the first ``⌊(1-t)·n⌋+1`` tokens as the join prefix —
+    any pair with Jaccard ≥ t MUST share a prefix token — then verify
+    candidates exactly with array_intersect.
+
+    Same results as the naive token self-join (the DuckDB oracle runs
+    the naive form), but the join explodes on rare prefix tokens
+    instead of the whole (skewed) vocabulary: at t=0.95 the prefix is
+    ~5% of each document, and ultra-common tokens never enter the
+    join — this is what keeps the shuffle bounded at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("toks"),
+    )
+    exploded = toks.select("id", F.explode("toks").alias("tok"))
+    # Dictionary-encode tokens as dense ints ordered rarest-first:
+    # integer-array set ops in the verify stage are several-fold
+    # cheaper than string arrays, and ascending tid order IS the
+    # prefix-filter canonical order.
+    dfreq = exploded.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dfreq.select(
+        "tok", F.row_number().over(W.orderBy("df", "tok")).alias("tid")
+    )
+    ranked = (
+        exploded.join(F.broadcast(vocab), "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("tid")).alias("sorted_toks"))
+    )
+    # ---- dedup-first: collapse identical token SETS before pairing.
+    # Duplicate-heavy corpora (the whole point of dedup) have far
+    # fewer distinct sets than documents; every identical-set clique
+    # of size m would otherwise re-verify m² candidate pairs that are
+    # all jaccard=1.0 by construction.
+    sets = ranked.groupBy(F.xxhash64(
+        F.concat_ws(",", F.transform("sorted_toks", lambda t: t.cast("string")))
+    ).alias("fp")).agg(
+        F.first("sorted_toks").alias("sorted_toks"),
+        F.sort_array(F.collect_list("id")).alias("ids"),
+    )
+    n = F.size("sorted_toks")
+    prefix_len = (n - F.ceil(n * F.lit(threshold)).cast("int") + 1).cast("int")
+    with_prefix = sets.select(
+        "fp", "sorted_toks", "ids", F.slice("sorted_toks", 1, prefix_len).alias("prefix")
+    )
+
+    # intra-clique pairs: jaccard = 1.0, no verification needed
+    intra = (
+        sets.filter(F.size("ids") >= 2)
+        .select("ids", F.explode("ids").alias("id_a"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+
+    # inter-set candidates via prefix filtering (PPJoin guarantee:
+    # jaccard ≥ t ⟹ the rarest-first prefixes intersect); join + dedup
+    # on bare set fingerprints, token arrays re-attach afterwards.
+    pre = with_prefix.select("fp", F.explode("prefix").alias("tok"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand_sets = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.fp") < F.col("b.fp")))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    pa = with_prefix.select(
+        F.col("fp").alias("fp_a"), F.col("sorted_toks").alias("ta"), F.col("ids").alias("ids_a")
+    )
+    pb = with_prefix.select(
+        F.col("fp").alias("fp_b"), F.col("sorted_toks").alias("tb"), F.col("ids").alias("ids_b")
+    )
+    n_inter = F.size(F.array_intersect("ta", "tb"))
+    jac = F.round(
+        n_inter.cast("double") / (F.size("ta") + F.size("tb") - n_inter).cast("double"), 9
+    )
+    inter = (
+        cand_sets.join(F.broadcast(pa), "fp_a")
+        .join(F.broadcast(pb), "fp_b")
+        .select("ids_a", "ids_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
+        .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(inter)
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic exact dedup: one survivor per key group, chosen by
+    min of the remaining columns (Spark's dropDuplicates keeps an
+    arbitrary row; min-aggregation makes the survivor stable under any
+    partitioning — required for oracle checks and for reproducible
+    pipelines)."""
+    others = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(*[F.min(c).alias(c) for c in others])

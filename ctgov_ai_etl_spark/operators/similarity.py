@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers behind one signature (SURVEY.md §7 'Top-k similarity at
+100 TB'):
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
+  one pass over the corpus, per-query window top-k.  O(|corpus|·|Q|),
+  correct baseline; right answer whenever |Q| is small enough to
+  broadcast (the common "find neighbors for these items" shape).
+- ``lsh_topk`` — random-hyperplane LSH (SimHash for cosine, Charikar
+  '02): sign-bit sketches bucket the corpus, candidates come only
+  from matching buckets across L tables, exact cosine re-ranks.
+  Sub-linear candidate generation; recall/probe count trade-off is
+  explicit (``n_tables`` × ``n_bits``).  The hyperplanes are
+  seed-deterministic literals compiled into the plan — no fitted
+  state, so the operator is a pure function of its input.
+
+All dot products / norms are ``zip_with`` + ``aggregate`` fold
+expressions — JVM codegen, no Python boundary.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SEED = 1337
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).  The query side
+    is broadcast (no shuffle of the corpus); ties broken by neighbor
+    id for determinism.  Self-matches are excluded.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:
+    rng = random.Random(_SEED)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``vec`` under one table's hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    Candidates = corpus rows sharing a (table, bucket) with the query
+    in any of ``n_tables`` tables; exact cosine re-ranks candidates.
+    One shuffle on (table, bucket); bucket occupancy ~ n/2^n_bits per
+    table keeps the within-bucket join bounded at scale.
+    """
+    tables = _hyperplanes(n_tables, n_bits, dim)
+
+    def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        v = _as_double(F.col(vecc))
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), lsh_bucket(v, planes).alias("bucket"))
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(idc), v.alias(vecc), F.explode(buckets).alias("tb")
+        ).select(idc, vecc, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    cb = bucketize(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "neighbor_id",
+        "cvec",
+    )
+    qb = bucketize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "query_id",
+        "qvec",
+    )
+    cands = (
+        cb.join(qb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

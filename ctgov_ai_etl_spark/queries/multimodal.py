@@ -1,1 +1,58 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column queries: binary plumbing (oracle-checked) and the
+decode/frame-sample stubs (rows-only — deterministic fakes behind real
+mapInPandas plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.multimodal import (
+    attach_blob,
+    decode_image_features,
+    frame_sample,
+)
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+
+@query(
+    "mm_binary_plumbing",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha_hex,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def mm_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + typed metadata struct: byte length and sha256
+    computed on the blob (engine-independent hex) — the storage shape
+    every media op builds on."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = attach_blob(d, "text")
+    return packed.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha_hex"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+@query("mm_decode_features", oracle=None)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched 'image decode' over the blob column (deterministic
+    fake kernel — the real codec drops into the same mapInPandas seam).
+    Rows-only: feature values come from the stub, not SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image_features(attach_blob(d, "text"), "doc_id")
+
+
+@query("mm_frame_sample", oracle=None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: one blob → N frame rows, exploded inside
+    the task so large media never materializes as single rows.
+    Rows-only (stub frames). Sampled on a 50-doc slice."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return frame_sample(attach_blob(d, "text"), "doc_id", every_n=40)

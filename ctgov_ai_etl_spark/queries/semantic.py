@@ -1,1 +1,308 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries: dedup family, similarity search, text
+analysis (SURVEY.md §2.3 'LLM-data-pipeline operators'; north-star
+mandate in BASELINE.json).
+
+Oracle SQL is generated from the same rule tables the Spark
+expressions use (language markers, thresholds), so the two sides
+cannot drift apart silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.text import (
+    LANG_MARKERS,
+    avg_token_len,
+    lang_id,
+    md5_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+    unique_token_count,
+)
+from ctgov_ai_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_token_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ctgov_ai_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+
+# ------------------------------------------------------- text analysis
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_tok_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting for training-data
+    curation): counts are exact integers, the average is one double
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        unique_token_count(t).alias("n_unique"),
+        avg_token_len(t).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle="""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-k (explode → hash agg → top-k; the
+    partial aggregation makes the shuffle carry one row per distinct
+    token per task, not one per token occurrence)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+def _sql_marker_count(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({markers})))"
+    )
+
+
+def _sql_lang_id(default: str = "en") -> str:
+    # same argmax-with-fixed-order semantics as functions.text.lang_id
+    expr_lang, expr_score = f"'{default}'", "0"
+    for lang in LANG_MARKERS:
+        s = _sql_marker_count(lang)
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+@query(
+    "text_langid_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_lang_id()} AS lang_guess,
+           round(
+             (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000
+                   THEN 0.5 ELSE 0.0 END)
+             + least(2 * len(list_filter(string_split(lower(text),' '),
+                                         t -> t IN ('the','a','of')))
+                       / CAST(len(string_split(text,' ')) AS DOUBLE), 0.3)
+             + 0.2
+             - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE), 0.2),
+             9) AS quality,
+           round(len(list_filter(string_split(lower(text),' '),
+                                 t -> t IN ('the','a','of')))
+                   / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS stop_ratio,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE), 9) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax) + composite quality
+    score + its component ratios — the curation trio for filtering web
+    text before training. Oracle generated from the same marker table."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        F.round(stopword_ratio(t), 9).alias("stop_ratio"),
+        F.round(punct_ratio(t), 9).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 document fingerprint (exact-dup key; engine-
+    independent hex)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------- dedup
+
+@query(
+    "dedup_exact_group",
+    oracle="""
+    SELECT fp,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS dups
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical fingerprint: deterministic keeper
+    (min id) per group — the survivor choice is stable under any
+    partitioning, unlike bare dropDuplicates."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fp")
+    )
+    keepers = exact_dedup(d, ["fp"]).select("fp", F.col("doc_id").alias("keeper"))
+    counts = d.groupBy("fp").agg(F.count("*").alias("dups"))
+    return keepers.join(counts, "fp")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 9) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 9) >= 0.95
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (≥0.95): the relational
+    formulation — explode distinct tokens, shuffle once on token,
+    count pair co-occurrences, set algebra. At 100 TB the same plan
+    runs after a document-frequency cap drops ultra-common tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_token_pairs(d, "doc_id", "text", threshold=0.95)
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (token shingles — bag-of-words
+    similarity, matching this corpus's duplication structure; 64
+    hashes × 16 bands, est. Jaccard ≥ 0.8). Deterministic given the
+    seeded permutation family; rows-only (the estimator is approximate
+    by construction — tests/test_semantic.py checks recall against the
+    exact Jaccard pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_k=1,
+        threshold=0.8, shingle="token",
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit token SimHash, Hamming ≤ 3 via
+    pigeonhole chunk-banding + exact bit_count verify). Deterministic;
+    rows-only (no tractable SQL mirror)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4). The correctness
+    tier is the exact pairwise form; the scale path is the LSH
+    bucketing used by sim_topk_lsh."""
+    from ctgov_ai_etl_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+# --------------------------------------------------- similarity search
+
+_SIM_ORACLE = """
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                   6) AS cosine_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+"""
+
+
+@query("sim_topk_bruteforce", oracle=_SIM_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 5 query vectors: broadcast the
+    query side over one corpus pass + per-query window top-k. The
+    correct-baseline tier of the ANN operator pair."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (12 tables × 4
+    bits — probe count sized to this corpus's weak clustering;
+    seed-deterministic hyperplane literals): bucket-join candidate
+    generation + exact re-rank. Rows-only (approximate); tests measure
+    recall vs the brute-force baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_tables=12, n_bits=4)

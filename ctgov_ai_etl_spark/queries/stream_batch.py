@@ -1,1 +1,151 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-operator queries.
+
+The windowed aggregations run in BATCH mode here (same expressions
+the streaming pipelines use — batch/stream duality is Structured
+Streaming's core contract) so DuckDB can oracle them exactly:
+tumbling = date_trunc, sliding = the two slide-offset buckets,
+session = gaps-and-islands.  The genuinely-streaming runs (memory
+sink, watermarks, streaming dedup) are rows-only entries driven by
+availableNow triggers; tests assert batch-equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — identical expression in
+    batch and streaming (streaming adds only the watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - k * 1800) AS BIGINT) * 1000000) AS w_start,
+           make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - k * 1800 + 3600) AS BIGINT) * 1000000) AS w_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h wide, 30 min slide): every event lands in
+    exactly 2 windows. Spark's window() aligns starts to epoch
+    multiples of the slide — the oracle reproduces that alignment."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1-hour gap) per user via the native
+    session_window operator; the oracle derives the same sessions with
+    gaps-and-islands SQL (lag + running sum). Spark defines session
+    end = last event + gap — mirrored in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_run_tumbling", oracle=None)
+def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming run: file micro-batch source →
+    watermark → tumbling count → memory sink (availableNow, complete
+    mode). Rows-only; tests assert equivalence with the batch window
+    aggregation."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, mode="complete")
+
+
+@query("stream_run_dedup", oracle=None)
+def stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — output restricted to the key columns so
+    the result is survivor-independent (deterministic across runs)."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = dedup_within_watermark(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, mode="append")

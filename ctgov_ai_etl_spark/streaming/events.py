@@ -1,0 +1,107 @@
+"""Structured Streaming pipelines over the events table
+(SURVEY.md §2.3 'Streaming'; the reference's paginated pull loop —
+/root/reference/etl.py:115-157 — is the degenerate ancestor: a
+pull-based page iterator consumed eagerly; here the same shape is a
+micro-batch source with watermarks and stateful operators).
+
+Batch/stream duality: every windowed aggregation here is the SAME
+DataFrame expression the batch catalog runs (queries/stream_batch.py)
+— Structured Streaming's incrementalization is the scale story, and
+batch-equivalence is the correctness story (run both, compare).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.schemas import EVENTS
+from ctgov_ai_etl_spark.tables import ensure_session_confs
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch stream over the events parquet.
+
+    The nanosecond-timestamp workaround matches tables.load_table:
+    read int64 nanos, convert to µs timestamps.
+    """
+    ensure_session_confs(spark)
+    import pyspark.sql.types as T
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # FileStreamSource requires a directory: stream the sf dir with a
+    # glob filter selecting just the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in EVENTS.fields]
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — identical
+    expression in batch and streaming."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup keyed on (user_id, event_type) within the
+    watermark horizon — the streaming analog of dropDuplicates."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str | None = None, mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion synchronously
+    (availableNow over the finite file source) and return the result
+    as a batch DataFrame from the memory sink.
+
+    Use ``mode='complete'`` for aggregations on finite sources: in
+    append mode a window is emitted only once the watermark passes its
+    end, and a finite stream's watermark never passes the last window
+    — the tail would be withheld forever.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,79 @@
+"""Dedup / similarity operator quality tests (the approximate
+operators have no SQL oracle; these tests pin their behavior against
+exact baselines — SURVEY.md §5 'rows-only checks')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.dedup import (
+    jaccard_token_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ctgov_ai_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from ctgov_ai_etl_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_recall_against_exact_jaccard(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_token_pairs(docs, "doc_id", "text", threshold=0.98).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16,
+            shingle_k=1, threshold=0.6, shingle="token",
+        ).collect()
+    }
+    assert exact, "fixture should contain near-identical documents"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} too low ({len(exact)} truth pairs)"
+
+
+def test_minhash_deterministic_across_runs(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(100)
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_identical_texts_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here entirely unrelated")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, queries, k=5, n_tables=12, n_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # The fixture vectors are weakly clustered (top cosine ≈ 0.39 →
+    # P(bit match) ≈ 0.61), so recall is bounded by 1-(1-0.61^bits)^tables
+    # ≈ 0.84 at 12×4 — the probe-count knob, not an implementation gap.
+    assert recall >= 0.5, f"lsh recall {recall:.2f}"
+
+
+def test_bruteforce_topk_is_ranked_and_excludes_self(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert 1 <= r.rank <= 5
+        assert -1.0 <= r.cosine_sim <= 1.0

@@ -1,0 +1,81 @@
+"""Batch-equivalence tests for the streaming pipelines (SURVEY.md §5:
+'run the same agg in batch and streaming and compare') plus a
+stateful per-key operator check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_stream_to_memory,
+    tumbling_counts,
+)
+from ctgov_ai_etl_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream_out = run_stream_to_memory(
+        tumbling_counts(read_events_stream(spark, SF_SMALL)), mode="complete"
+    )
+    batch = load_table(spark, SF_SMALL, "events")
+    batch_out = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+    )
+    cols = ["w_start", "w_end", "event_type", "n"]
+    assert _rows(stream_out, cols) == _rows(batch_out, cols)
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    stream_out = run_stream_to_memory(
+        dedup_within_watermark(read_events_stream(spark, SF_SMALL)), mode="append"
+    )
+    batch_out = (
+        load_table(spark, SF_SMALL, "events").select("user_id", "event_type").distinct()
+    )
+    cols = ["user_id", "event_type"]
+    assert _rows(stream_out, cols) == _rows(batch_out, cols)
+
+
+def test_session_window_batch_matches_gaps_and_islands(spark):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF_SMALL, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("s"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("s.start").alias("start"), F.col("n"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    manual = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts").cast("long") - F.col("prev").cast("long") > 3600)
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+        .select("user_id", "start", "n")
+    )
+    cols = ["user_id", "start", "n"]
+    assert _rows(native, cols) == _rows(manual, cols)
