@@ -18,6 +18,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         scalars,
         windows,
+        udfs,
         semantic,
         parity,
         stream_batch,

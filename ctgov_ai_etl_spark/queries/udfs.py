@@ -1,0 +1,215 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.3) plus the pivot family
+and exact percentiles.
+
+Python UDFs are the engine's escape hatch, never the default: each
+query here demonstrates one sanctioned boundary (vectorized pandas
+scalar, grouped-map applyInPandas, grouped-agg UDAF, UDTF lateral
+expansion) with a pure function so a SQL oracle can verify the
+results — service-backed UDFs live in operators/llm.py with the mock
+client.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.session import ship_package
+from ctgov_ai_etl_spark.tables import load_table
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, round(value * 1.1 + 7.0, 6) AS adjusted
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, ~10-100× the
+    row-at-a-time Python UDF). Pure arithmetic → SQL-verifiable."""
+    ev = load_table(spark, sf_dir, "events")
+
+    @F.pandas_udf("double")
+    def adjust(v: pd.Series) -> pd.Series:
+        return (v * 1.1 + 7.0).round(6)
+
+    return ev.select("event_id", adjust("value").alias("adjusted"))
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - avg(value) OVER (PARTITION BY user_id), 6) AS centered
+    FROM events
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-key pandas DataFrame in/out (the
+    shape for per-group model scoring). Centering vs the group mean is
+    pure → window-function oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ship_package(spark)
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["centered"] = (pdf["value"] - pdf["value"].mean()).round(6)
+        return pdf.drop(columns=["value"])
+
+    return ev.groupBy("user_id").applyInPandas(
+        center, schema="event_id long, user_id long, centered double"
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT user_id, round(avg(value), 6) AS mean_value
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via grouped-agg pandas UDF (Series → scalar per group)."""
+    ev = load_table(spark, sf_dir, "events")
+    ship_package(spark)
+
+    @F.pandas_udf("double")
+    def mean_udaf(v: pd.Series) -> float:
+        return round(float(v.mean()), 6)
+
+    return ev.groupBy("user_id").agg(mean_udaf("value").alias("mean_value"))
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, len(string_split(text, ' ')))) AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input row → N output rows (lateral expansion),
+    the table-function analog of the flatten operator. Tokenizes with
+    positions; oracle is a lateral generate_series."""
+    from pyspark.sql.functions import udtf
+
+    ship_package(spark)
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
+@query(
+    "pivot_status_matrix",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long → wide with an explicit value list (explicit lists
+    keep the schema static — at scale, implicit pivot means an extra
+    distinct-scan job)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer
+    )
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long) via the melt/unpivot operator."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.col("c_acctbal"), F.col("c_nationkey").cast("double")
+    ).unpivot(
+        "c_custkey",
+        [F.col("c_acctbal").alias("acctbal"), F.col("c_nationkey").alias("nationkey")],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based, deterministic; the
+    approximate tier is agg_approx_quantile)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@query("agg_approx_quantile", oracle=None)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx (GK sketch) —
+    rows-only; the test bounds its error against the exact quantile."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+    )
