@@ -45,6 +45,12 @@ def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
+    # Warm the JVM/codegen/file-index caches so timings measure the
+    # queries, not session startup (standard benchmark hygiene).
+    registry["join_inner_equi"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn

@@ -19,6 +19,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         windows,
         udfs,
+        scans,
         semantic,
         parity,
         stream_batch,

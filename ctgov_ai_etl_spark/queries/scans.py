@@ -1,0 +1,114 @@
+"""Source/sink format queries: CSV and JSON scan round-trips with
+explicit schemas (SURVEY.md §2.3 'Scans / sources / sinks').
+
+Each query writes a deterministic slice of testdata to a scratch
+directory in the query's own format, reads it back with an explicit
+schema (never inferSchema — a 100 TB inference pass is a bug), and
+aggregates.  The oracle computes the same aggregate straight from the
+parquet view: the round-trip must be lossless, so the results match
+exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+
+@query(
+    "csv_scan_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV scan with explicit schema and header (reference
+    R17's format, generalized to directory output at scale), proven
+    lossless against the parquet-direct oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "customer_csv")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / 100).alias("total_bal"),
+    )
+
+
+@query(
+    "json_scan_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines sink → JSON scan with explicit schema (reference R5
+    consumes raw JSON; this is the file-shaped version), timestamps
+    carried as microseconds to survive the round-trip exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="json_rt_"), "events_json")
+    ev.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("ts_us").alias("max_ts_us")
+    )
+
+
+@query(
+    "essie_search_nested_struct",
+    oracle="""
+    SELECT user_id, CAST(max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                                  THEN 1 ELSE 0 END) AS BOOLEAN) AS has_big_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def essie_search_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH[Location](expr) semantics on an array of structs: build
+    each user's event history as array<struct> (the locations-array
+    shape from the CTGov record, FIXTURES.md §B1) and evaluate ∃
+    element satisfying a struct predicate with F.exists."""
+    from ctgov_ai_etl_spark.functions.essie import search_nested
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "value")).alias("history")
+    )
+    pred = lambda e: (e["event_type"] == "purchase") & (e["value"] > 150.0)  # noqa: E731
+    return nested.select(
+        "user_id", search_nested("history", pred).alias("has_big_purchase")
+    )

@@ -136,6 +136,31 @@ def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, mode="complete")
 
 
+@query("stream_run_stateful", oracle=None)
+def stream_run_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stateful streaming: applyInPandasWithState per-user
+    running (count, max) — custom state logic the declarative agg
+    can't express. Rows-only; tests assert the final state equals the
+    batch groupBy answer."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_stats,
+    )
+
+    stream = stateful_user_stats(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(stream, mode="update")
+    # update-mode emits one row per key per batch; keep the final state
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @query("stream_run_dedup", oracle=None)
 def stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL streaming dedup: dropDuplicatesWithinWatermark on

@@ -43,20 +43,26 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_map",
     oracle="""
     SELECT event_id, user_id,
-           round(value - avg(value) OVER (PARTITION BY user_id), 6) AS centered
+           value - (CAST(sum(CAST(round(value * 1e6) AS BIGINT))
+                         OVER (PARTITION BY user_id) AS DOUBLE)
+                    / (1e6 * count(*) OVER (PARTITION BY user_id))) AS centered
     FROM events
     """,
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-key pandas DataFrame in/out (the
-    shape for per-group model scoring). Centering vs the group mean is
-    pure → window-function oracle."""
+    shape for per-group model scoring). The group mean is computed
+    over exact integer micros so the result is independent of pandas'
+    pairwise-summation order (matches the SQL mirror bit-for-bit)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ship_package(spark)
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        pdf["centered"] = (pdf["value"] - pdf["value"].mean()).round(6)
+        mean = float((pdf["value"] * 1e6).round().astype("int64").sum()) / (
+            1e6 * len(pdf)
+        )
+        pdf["centered"] = pdf["value"] - mean
         return pdf.drop(columns=["value"])
 
     return ev.groupBy("user_id").applyInPandas(
@@ -67,18 +73,21 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udf_grouped_agg",
     oracle="""
-    SELECT user_id, round(avg(value), 6) AS mean_value
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+             / (1e6 * count(*)) AS mean_value
     FROM events GROUP BY user_id
     """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UDAF via grouped-agg pandas UDF (Series → scalar per group)."""
+    """UDAF via grouped-agg pandas UDF (Series → scalar per group);
+    integer-micro mean for summation-order independence."""
     ev = load_table(spark, sf_dir, "events")
     ship_package(spark)
 
     @F.pandas_udf("double")
     def mean_udaf(v: pd.Series) -> float:
-        return round(float(v.mean()), 6)
+        return float((v * 1e6).round().astype("int64").sum()) / (1e6 * len(v))
 
     return ev.groupBy("user_id").agg(mean_udaf("value").alias("mean_value"))
 

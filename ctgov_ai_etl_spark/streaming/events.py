@@ -81,6 +81,44 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful per-key streaming operator
+    (applyInPandasWithState): running event count and max value per
+    user, state carried across micro-batches.  The streaming analog
+    of a groupBy agg when the aggregation logic can't be expressed
+    declaratively (e.g. per-key model state, the reference's per-row
+    AI loop made incremental)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 6)]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="n long, vmax double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str | None = None, mode: str = "append"
 ) -> DataFrame:

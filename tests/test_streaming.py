@@ -50,6 +50,42 @@ def test_streaming_dedup_equals_batch_distinct(spark):
     assert _rows(stream_out, cols) == _rows(batch_out, cols)
 
 
+def test_stateful_user_stats_equals_batch_agg(spark):
+    from ctgov_ai_etl_spark.streaming.events import stateful_user_stats
+    from pyspark.sql import Window as W
+
+    out = run_stream_to_memory(
+        stateful_user_stats(read_events_stream(spark, SF_SMALL)), mode="update"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.max("value"), 6).alias("max_value"))
+    )
+    cols = ["user_id", "n_events", "max_value"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_observe_metrics_r16(spark):
+    """Run-metric counters (reference R16, etl.py:390-421) as
+    df.observe aggregates — collected without a second pass."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, SF_SMALL, "events")
+    obs = Observation("run_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["n_errors"] == ev.filter(F.col("event_type") == "error").count()
+
+
 def test_session_window_batch_matches_gaps_and_islands(spark):
     from pyspark.sql import Window as W
 
