@@ -53,10 +53,33 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_marker_score(text: Column, lang: str) -> Column:
-    """Count of marker-token occurrences for ``lang``."""
+    """Count of marker-token occurrences for ``lang``.
+
+    NOTE: inlines a tokenize per call — fine standalone; queries that
+    score several languages should tokenize ONCE into a column and use
+    :func:`lang_id_from_tokens` (Catalyst does not CSE repeated
+    subexpression trees across projection items, so five inlined
+    scores mean five splits of the text per row).
+    """
     toks = tokens(F.lower(text))
     markers = LANG_MARKERS[lang]
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id_from_tokens(toks: Column, default: str = "en") -> Column:
+    """Argmax over marker scores from a pre-tokenized (lower-cased)
+    array column; ties/zeros → ``default``, fixed language order."""
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+        for lang in LANG_MARKERS
+    }
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
 
 
 def lang_id(text: Column, default: str = "en") -> Column:

@@ -311,11 +311,25 @@ def jaccard_token_pairs(
         F.first("sorted_toks").alias("sorted_toks"),
         F.sort_array(F.collect_list("id")).alias("ids"),
     )
+    # Vocabulary size is known (dictionary encoding above); when it
+    # fits a few thousand bits, represent each token set as a packed
+    # bitmap (array of 64-bit words) so the verify stage is popcounts
+    # over ANDed longs instead of hash-set intersections — ~10× per
+    # candidate pair. The dictionary count is a tiny driver job.
+    n_vocab = vocab.count()
+    use_bitmap = n_vocab <= 4096
+    nwords = (n_vocab + 63) // 64
     n = F.size("sorted_toks")
     prefix_len = (n - F.ceil(n * F.lit(threshold)).cast("int") + 1).cast("int")
-    with_prefix = sets.select(
-        "fp", "sorted_toks", "ids", F.slice("sorted_toks", 1, prefix_len).alias("prefix")
-    )
+    cols = ["fp", "sorted_toks", "ids", F.slice("sorted_toks", 1, prefix_len).alias("prefix")]
+    if use_bitmap:
+        mask = F.expr(
+            f"transform(sequence(0, {nwords - 1}), w -> "
+            "aggregate(filter(sorted_toks, t -> (t - 1) div 64 = w), 0L, "
+            "(acc, t) -> acc | shiftleft(1L, int((t - 1) % 64))))"
+        )
+        cols.append(mask.alias("mask"))
+    with_prefix = sets.select(*cols)
 
     # intra-clique pairs: jaccard = 1.0, no verification needed
     intra = (
@@ -336,16 +350,33 @@ def jaccard_token_pairs(
         .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .dropDuplicates(["fp_a", "fp_b"])
     )
-    pa = with_prefix.select(
-        F.col("fp").alias("fp_a"), F.col("sorted_toks").alias("ta"), F.col("ids").alias("ids_a")
-    )
-    pb = with_prefix.select(
-        F.col("fp").alias("fp_b"), F.col("sorted_toks").alias("tb"), F.col("ids").alias("ids_b")
-    )
-    n_inter = F.size(F.array_intersect("ta", "tb"))
-    jac = F.round(
-        n_inter.cast("double") / (F.size("ta") + F.size("tb") - n_inter).cast("double"), 9
-    )
+    if use_bitmap:
+        pa = with_prefix.select(
+            F.col("fp").alias("fp_a"), F.col("mask").alias("ma"),
+            F.size("sorted_toks").alias("n_a"), F.col("ids").alias("ids_a"),
+        )
+        pb = with_prefix.select(
+            F.col("fp").alias("fp_b"), F.col("mask").alias("mb"),
+            F.size("sorted_toks").alias("n_b"), F.col("ids").alias("ids_b"),
+        )
+        n_inter = F.expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
+        )
+        jac = F.round(
+            n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter).cast("double"),
+            9,
+        )
+    else:
+        pa = with_prefix.select(
+            F.col("fp").alias("fp_a"), F.col("sorted_toks").alias("ta"), F.col("ids").alias("ids_a")
+        )
+        pb = with_prefix.select(
+            F.col("fp").alias("fp_b"), F.col("sorted_toks").alias("tb"), F.col("ids").alias("ids_b")
+        )
+        n_inter = F.size(F.array_intersect("ta", "tb"))
+        jac = F.round(
+            n_inter.cast("double") / (F.size("ta") + F.size("tb") - n_inter).cast("double"), 9
+        )
     inter = (
         cand_sets.join(F.broadcast(pa), "fp_a")
         .join(F.broadcast(pb), "fp_b")

@@ -132,12 +132,44 @@ def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     text before training. Oracle generated from the same marker table."""
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    # Tokenize ONCE into a column; Catalyst doesn't CSE repeated
+    # expression trees across projection items, so the inlined form
+    # would re-split the text ~8× per row (measured 5s → 1s here).
+    low_toks = d.withColumn("lt", tokens(F.lower(t)))
+    # Marker scores as real columns: the argmax cascade references each
+    # score twice per level, so inlined score trees double per level
+    # (2^5 filter scans by the last language) — attributes don't.
+    from ctgov_ai_etl_spark.functions.text import LANG_MARKERS
+
+    def _marker_score(markers):
+        return F.size(F.filter(F.col("lt"), lambda x: x.isin(*markers)))
+
+    for lang in LANG_MARKERS:
+        low_toks = low_toks.withColumn(f"score_{lang}", _marker_score(LANG_MARKERS[lang]))
+    best_lang, best_score = F.lit("en"), F.lit(0)
+    for lang in LANG_MARKERS:
+        is_better = F.col(f"score_{lang}") > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, F.col(f"score_{lang}")).otherwise(best_score)
+    n_tok = F.size("lt")
+    n_stop = F.size(F.filter(F.col("lt"), lambda x: x.isin("the", "a", "of")))
+    stop_ratio = n_stop.cast("double") / n_tok
+    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    p_ratio = (F.length(t) - F.length(stripped)).cast("double") / F.length(t)
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+    quality = F.round(
+        length_ok
+        + F.least(stop_ratio * 2, F.lit(0.3))
+        + F.lit(0.2)
+        - F.least(p_ratio, F.lit(0.2)),
+        9,
+    )
+    return low_toks.select(
         "doc_id",
-        lang_id(t).alias("lang_guess"),
-        quality_score(t).alias("quality"),
-        F.round(stopword_ratio(t), 9).alias("stop_ratio"),
-        F.round(punct_ratio(t), 9).alias("punct_ratio"),
+        best_lang.alias("lang_guess"),
+        quality.alias("quality"),
+        F.round(stop_ratio, 9).alias("stop_ratio"),
+        F.round(p_ratio, 9).alias("punct_ratio"),
     )
 
 
