@@ -20,6 +20,7 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
         udfs,
         scans,
+        scale,
         semantic,
         parity,
         stream_batch,

@@ -1,0 +1,93 @@
+"""Scale-mechanics queries: skew salting, partition-pruned scans.
+
+The salted operators must be result-identical to their naive forms —
+the oracles run the NAIVE form, so any salting bug is a hash
+mismatch, and the plans (PLANS.md) show the redistributed shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.skew import salted_agg_sum_count, salted_join
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_measure,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a 3-value (maximally hot) key
+    — result-identical to the plain GROUP BY the oracle runs; the hot
+    key's rows spread over 8 reducers instead of 1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return salted_agg_sum_count(
+        li, "l_returnflag", cents, unique_col="l_orderkey", n_salts=8
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, flag_name
+    FROM lineitem
+    JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+      AS d(l_returnflag, flag_name)
+      USING (l_returnflag)
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join against a hot-keyed dimension (every lineitem row
+    hits one of 3 dimension keys): dimension replicated ×8, join on
+    (key, salt) — identical rows to the naive join in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        "l_returnflag string, flag_name string",
+    )
+    out = salted_join(li, dim, "l_returnflag", unique_col="l_orderkey", n_salts=8)
+    return out.select("l_orderkey", "l_linenumber", "flag_name")
+
+
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: write orders
+    partitioned by order year, then aggregate one year — the scan
+    reads ONLY that year's directory (PartitionFilters in PLANS.md),
+    the mechanism that turns a 100 TB table into a 1-partition read."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="part_"), "orders_by_year")
+    o.withColumn("o_year", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "o_year"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / 100).alias("total"),
+    )

@@ -1,0 +1,64 @@
+"""Scale-mechanics tests: salted ops equal naive ops; bucketed joins
+co-locate without a shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.skew import salted_agg_sum_count, salted_join
+from ctgov_ai_etl_spark.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    salted = salted_agg_sum_count(li, "l_returnflag", cents, "l_orderkey", n_salts=8)
+    plain = li.groupBy("l_returnflag").agg(
+        (F.sum(cents).cast("double") / 100).alias("sum_measure"),
+        F.count("*").alias("n_rows"),
+    )
+    key = lambda r: r["l_returnflag"]  # noqa: E731
+    assert sorted(map(tuple, salted.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, plain.collect()), key=lambda t: t[0]
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        "l_returnflag string, flag_name string",
+    )
+    salted = salted_join(li, dim, "l_returnflag", "l_orderkey", n_salts=4).select(
+        "l_orderkey", "l_linenumber", "flag_name"
+    )
+    plain = li.join(dim, "l_returnflag").select("l_orderkey", "l_linenumber", "flag_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: two tables bucketed on the join key join
+    with NO Exchange on either side — the pre-shuffled layout that
+    amortizes one write-time shuffle across every later join."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("o_b")
+    joined = spark.table("li_b").join(
+        spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    # disable broadcast so the join strategy is sort-merge over buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
