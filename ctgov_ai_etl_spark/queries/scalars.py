@@ -27,7 +27,9 @@ from ctgov_ai_etl_spark.tables import load_table
            regexp_extract(text, '([a-z]+)', 1) AS first_word,
            regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
            CAST(instr(text, 'data') AS INT) AS data_pos,
-           lower(reverse(substring(text, 1, 8))) AS rev_head
+           lower(reverse(substring(text, 1, 8))) AS rev_head,
+           printf('doc %d [%s] %s', doc_id, lang, substring(text, 1, 10)) AS header,
+           lpad(lang, 5, '.') AS lang_padded
     FROM documents
     """,
 )
@@ -46,6 +48,10 @@ def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled"),
         F.instr(F.col("text"), "data").alias("data_pos"),
         F.lower(F.reverse(F.substring("text", 1, 8))).alias("rev_head"),
+        F.format_string(
+            "doc %d [%s] %s", F.col("doc_id"), F.col("lang"), F.substring("text", 1, 10)
+        ).alias("header"),
+        F.lpad("lang", 5, ".").alias("lang_padded"),
     )
 
 
@@ -59,7 +65,8 @@ def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
-           CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS unix_sec
+           CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS unix_sec,
+           round(CAST(date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375, 4) AS months_since_94
     FROM orders
     """,
 )
@@ -79,6 +86,12 @@ def fn_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3mo"),
         F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.round(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1994-01-01").cast("date"))
+            .cast("double")
+            / 30.4375,
+            4,
+        ).alias("months_since_94"),
     )
 
 

@@ -188,6 +188,101 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
 
 
+@query(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok,
+             round(tf * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tfc JOIN df USING (tok)
+    )
+    SELECT doc_id, tok AS top_term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-lite: per-document top term by tf·ln(N/df). Composition
+    of explode → double aggregation → broadcast df join → window
+    top-1; the df table is vocabulary-sized (broadcast side)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tfc = tf.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # tiny driver scalar, folded into the plan as a literal
+    scored = tfc.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sx,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(sx AS DOUBLE) / (100 * n) AS mean_price,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) / 100, 4)
+             AS stddev_price
+    FROM m
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent statistical aggregates from exact integer
+    moments (Σx, Σx² over cents): mean and sample stddev derived in
+    one double step at the end. The built-in stddev/corr stream
+    doubles and drift with partition order — the moment formulation
+    is how the engine keeps holistic stats deterministic at scale
+    (tests assert it matches F.stddev within float tolerance)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # Σx² over cents exceeds int64 at larger SFs (ANSI would raise);
+    # decimal keeps it exact — DuckDB's BIGINT sum widens to HUGEINT
+    # automatically, same values.
+    cents_dec = cents.cast("decimal(20,0)")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents_dec * cents_dec).alias("sxx"),
+    )
+    mean = m["sx"].cast("double") / (100 * m["n"])
+    var_cents = (m["sxx"].cast("double") - m["sx"].cast("double") * m["sx"] / m["n"]) / (
+        m["n"] - 1
+    )
+    return m.select(
+        "o_orderpriority",
+        mean.alias("mean_price"),
+        F.round(F.sqrt(var_cents) / 100, 4).alias("stddev_price"),
+    )
+
+
 # --------------------------------------------------------------- dedup
 
 @query(
