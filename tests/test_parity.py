@@ -117,6 +117,45 @@ def test_csv_sink_column_order_and_phantoms(spark, tmp_path):
     assert all(r["minimum_age"] == "" and r["maximum_age"] == "" for r in rows)
 
 
+def test_extended_flatten_extracts_ages(spark):
+    """The extended engine actually extracts minimum/maximum age from
+    eligibilityModule (the columns the reference declares but never
+    fills — SURVEY R18)."""
+    raw = spark.createDataFrame(
+        [(s,) for s in make_raw_studies_json(40)], "raw_json string"
+    ).select(F.from_json("raw_json", RAW_STUDY).alias("study"))
+    flat = flatten_studies(raw, extended=True)
+    assert "minimum_age" in flat.columns and "maximum_age" in flat.columns
+    rows = {r["nct_id"]: r for r in flat.collect()}
+    for i in range(40):
+        s = make_raw_study(i)
+        elig = s.get("protocolSection", {}).get("eligibilityModule")
+        nct = s.get("protocolSection", {}).get("identificationModule", {}).get("nctId")
+        if nct is None or nct not in rows:
+            continue
+        expected_min = (elig or {}).get("minimumAge", "N/A")
+        assert rows[nct]["minimum_age"] == expected_min
+
+
+def test_yaml_config_drop_in(spark, tmp_path):
+    """A reference-shaped YAML config drives the whole pipeline (R1:
+    same keys as the reference's config.example.yaml)."""
+    import os
+
+    from ctgov_ai_etl_spark.config import load_config
+    from ctgov_ai_etl_spark.plans.pipeline import run_pipeline
+
+    cfg = load_config("examples/pipeline_config.yaml")
+    assert cfg["ctgov"]["page_size"] == 10
+    out_csv = os.path.join(tmp_path, "out.csv")
+    df = run_pipeline(spark, cfg, csv_path=out_csv)
+    rows = df.collect()
+    assert len(rows) == 57
+    labeled = [r for r in rows if r["ai_determined_value"] != "N/A"]
+    assert len(labeled) == 30  # max_rows cost cap
+    assert os.path.exists(out_csv)
+
+
 def test_csv_sink_empty_input_no_write(spark, tmp_path):
     flat = _flat(spark, 5).filter(F.lit(False))
     path = os.path.join(tmp_path, "never.csv")
