@@ -5,9 +5,15 @@ The reference slices the in-memory list positionally
 /root/reference/etl.py:355-364) and splits on a tuning-ID set
 (etl.py:366-378).  Positional semantics are meaningless on a
 distributed collection without an order, so the engine requires an
-explicit ordering column (SURVEY.md §7 'positional limit') and uses a
-window rank — one shuffle, then both halves derive from the same
-ranked frame (Spark reuses the exchange, so this is NOT two jobs).
+explicit ordering column (SURVEY.md §7 'positional limit').
+
+Scale note: the naive formulation — ``row_number()`` over an
+unpartitioned window — funnels every row through ONE reducer.  This
+module instead computes the global rank in two parallel phases
+(range-partition on the order key → per-partition local rank → add
+per-partition row-count offsets), the standard distributed ranking
+layout.  The only driver-side data is one (partition_id, count) row
+per partition.
 """
 
 from __future__ import annotations
@@ -18,6 +24,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _RANK_COL = "__pos"
+_PID_COL = "__pid"
+
+
+def global_rank(df: DataFrame, order_cols: Iterable[str]) -> DataFrame:
+    """``df`` plus a 1-based global rank column ``__pos`` under
+    ``order_cols`` (which should be a unique key — with ties the rank
+    of tied rows is partitioning-dependent, exactly as it is for an
+    unpartitioned window).
+
+    No single-reducer stage: range-partition by the key (parallel
+    sample + shuffle), rank locally per partition, then shift each
+    partition's ranks by the total row count of the partitions before
+    it.  The offsets come from a tiny (num_partitions)-row aggregate
+    collected to the driver.
+    """
+    spark = df.sparkSession
+    cols = [F.col(c) for c in order_cols]
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(nparts, *cols).withColumn(
+        _PID_COL, F.spark_partition_id()
+    )
+    counts = {
+        r[_PID_COL]: r["cnt"]
+        for r in ranged.groupBy(_PID_COL).agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(nparts):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets, f"{_PID_COL} int, __off long")
+    w = Window.partitionBy(_PID_COL).orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), _PID_COL)
+        .withColumn(_RANK_COL, F.row_number().over(w).cast("long") + F.col("__off"))
+        .drop(_PID_COL, "__off")
+    )
 
 
 def deterministic_split(
@@ -27,10 +69,12 @@ def deterministic_split(
 
     The remainder is KEPT, matching the reference's pass-through of
     unprocessed rows (etl.py:364, 411-414) — a cost governor, not a
-    filter.
+    filter.  Both halves derive from the same ranked frame; cache the
+    input if recomputing its lineage is expensive (the split itself
+    adds one counts job plus the rank shuffles, all parallel).
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    ranked = df.withColumn(_RANK_COL, F.row_number().over(w))
+    order_cols = list(order_cols)
+    ranked = global_rank(df, order_cols)
     head = ranked.filter(F.col(_RANK_COL) <= n).drop(_RANK_COL)
     rest = ranked.filter(F.col(_RANK_COL) > n).drop(_RANK_COL)
     return head, rest

@@ -91,6 +91,24 @@ def test_deterministic_split_positional(spark):
     assert head.count() + rest.count() == 100
 
 
+def test_deterministic_split_no_single_reducer(spark):
+    """The global rank must not funnel the data through one reducer:
+    no unpartitioned-window SinglePartition exchange in the plan."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    plan = global_rank(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_deterministic_split_edges(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    head, rest = deterministic_split(df, 50, ["k"])
+    assert head.count() == 10 and rest.count() == 0
+    head, rest = deterministic_split(df.filter(F.lit(False)), 5, ["k"])
+    assert head.count() == 0 and rest.count() == 0
+
+
 def test_id_set_split(spark):
     df = spark.createDataFrame([(f"NCT{i}",) for i in range(10)], "nct_id string")
     hit, miss = id_set_split(df, "nct_id", ["NCT1", "NCT5", "NCTx"])
