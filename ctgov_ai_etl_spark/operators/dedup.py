@@ -280,7 +280,7 @@ def jaccard_token_pairs(
     ~5% of each document, and ultra-common tokens never enter the
     join — this is what keeps the shuffle bounded at 100 TB.
     """
-    from pyspark.sql import Window as W
+    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
 
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -290,13 +290,21 @@ def jaccard_token_pairs(
     # Dictionary-encode tokens as dense ints ordered rarest-first:
     # integer-array set ops in the verify stage are several-fold
     # cheaper than string arrays, and ascending tid order IS the
-    # prefix-filter canonical order.
+    # prefix-filter canonical order.  The dense rank comes from
+    # ``global_rank`` (range-partition → local rank → count offsets),
+    # NOT an unpartitioned row_number window — the vocabulary of a
+    # 100 TB corpus is itself a large distributed table and must not
+    # funnel through one reducer.  2^31 distinct tokens is far above
+    # any real vocabulary, so the rank fits an int.
     dfreq = exploded.groupBy("tok").agg(F.count("*").alias("df"))
-    vocab = dfreq.select(
-        "tok", F.row_number().over(W.orderBy("df", "tok")).alias("tid")
-    )
+    ranked_vocab, n_vocab = global_rank_with_count(dfreq, ["df", "tok"])
+    vocab = ranked_vocab.select("tok", F.col("__pos").cast("int").alias("tid"))
+    # Broadcast the dictionary only while it plausibly fits executor
+    # memory; a web-scale vocabulary falls back to a shuffle join on
+    # the token key (both sides already shuffle-sized).
+    vocab_side = F.broadcast(vocab) if n_vocab <= 5_000_000 else vocab
     ranked = (
-        exploded.join(F.broadcast(vocab), "tok")
+        exploded.join(vocab_side, "tok")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("tid")).alias("sorted_toks"))
     )
@@ -316,7 +324,6 @@ def jaccard_token_pairs(
     # bitmap (array of 64-bit words) so the verify stage is popcounts
     # over ANDed longs instead of hash-set intersections — ~10× per
     # candidate pair. The dictionary count is a tiny driver job.
-    n_vocab = vocab.count()
     use_bitmap = n_vocab <= 4096
     nwords = (n_vocab + 63) // 64
     n = F.size("sorted_toks")

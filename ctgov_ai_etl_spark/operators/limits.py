@@ -29,9 +29,20 @@ _PID_COL = "__pid"
 
 def global_rank(df: DataFrame, order_cols: Iterable[str]) -> DataFrame:
     """``df`` plus a 1-based global rank column ``__pos`` under
+    ``order_cols``; see :func:`global_rank_with_count`."""
+    return global_rank_with_count(df, order_cols)[0]
+
+
+def global_rank_with_count(
+    df: DataFrame, order_cols: Iterable[str]
+) -> tuple[DataFrame, int]:
+    """``df`` plus a 1-based global rank column ``__pos`` under
     ``order_cols`` (which should be a unique key — with ties the rank
     of tied rows is partitioning-dependent, exactly as it is for an
-    unpartitioned window).
+    unpartitioned window), and the total row count — free, since the
+    offset pass already counts every partition; callers that need
+    both (e.g. dictionary encoding sized by the vocabulary) save a
+    whole job over a separate ``.count()``.
 
     No single-reducer stage: range-partition by the key (parallel
     sample + shuffle), rank locally per partition, then shift each
@@ -55,11 +66,12 @@ def global_rank(df: DataFrame, order_cols: Iterable[str]) -> DataFrame:
         acc += counts.get(pid, 0)
     off_df = spark.createDataFrame(offsets, f"{_PID_COL} int, __off long")
     w = Window.partitionBy(_PID_COL).orderBy(*cols)
-    return (
+    ranked = (
         ranged.join(F.broadcast(off_df), _PID_COL)
         .withColumn(_RANK_COL, F.row_number().over(w).cast("long") + F.col("__off"))
         .drop(_PID_COL, "__off")
     )
+    return ranked, acc
 
 
 def deterministic_split(
