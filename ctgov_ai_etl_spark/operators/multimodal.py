@@ -48,9 +48,11 @@ def decode_image_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 def _fake_decode(data: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for an image decoder: derives (width,
-    height, mean_luma) from the payload's sha1 — stable across runs,
-    engines, and partitionings."""
-    h = hashlib.sha1(data).digest()
+    height, mean_luma) from the payload's sha256 — stable across runs,
+    engines, and partitionings, and SQL-mirrorable (DuckDB ships
+    sha256 but not sha1), which is what lets mm_decode_features be a
+    full hash-checked oracle query instead of rows-only."""
+    h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     mean_luma = round(h[2] / 255.0, 6)
@@ -106,7 +108,7 @@ def frame_sample(
                     chunk = bytes(data[i * every_n : (i + 1) * every_n])
                     out_ids.append(rid)
                     out_idx.append(i)
-                    out_hash.append(hashlib.sha1(chunk).hexdigest()[:16])
+                    out_hash.append(hashlib.sha256(chunk).hexdigest()[:16])
             yield pd.DataFrame(
                 {id_col: out_ids, "frame_idx": out_idx, "frame_sig": out_hash}
             )

@@ -40,19 +40,42 @@ def mm_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_features", oracle=None)
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) % 192 AS INT) AS width,
+           CAST(64 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS INT) AS height,
+           round(CAST(concat('0x', substr(sha256(text), 5, 2)) AS INT) / 255.0, 6) AS mean_luma
+    FROM documents
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched 'image decode' over the blob column (deterministic
     fake kernel — the real codec drops into the same mapInPandas seam).
-    Rows-only: feature values come from the stub, not SQL."""
+    The fake derives features from the payload's sha256, so the oracle
+    replays it in SQL and the whole mapInPandas path — schema, Arrow
+    batching, worker-side package import — is hash-checked."""
     d = load_table(spark, sf_dir, "documents")
     return decode_image_features(attach_blob(d, "text"), "doc_id")
 
 
-@query("mm_frame_sample", oracle=None)
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           substr(sha256(substr(text, CAST(i * 40 + 1 AS INT), 40)), 1, 16) AS frame_sig
+    FROM documents,
+         unnest(range(greatest(1, CAST(octet_length(encode(text)) // 40 AS BIGINT)))) AS t(i)
+    WHERE doc_id < 50
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: one blob → N frame rows, exploded inside
-    the task so large media never materializes as single rows.
-    Rows-only (stub frames). Sampled on a 50-doc slice."""
+    the task so large media never materializes as single rows.  Stub
+    frames are sha256 slices of the byte chunks, so the SQL oracle
+    replays them exactly (documents.text is ASCII: char positions ==
+    byte positions). Sampled on a 50-doc slice."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return frame_sample(attach_blob(d, "text"), "doc_id", every_n=40)

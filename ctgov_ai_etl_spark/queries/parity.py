@@ -29,8 +29,8 @@ def _fixture_df(spark: SparkSession) -> DataFrame:
     return raw.select(F.from_json("raw_json", RAW_STUDY).alias("study"))
 
 
-def _flatten_oracle_sql() -> str:
-    values = ",\n      ".join("('" + s.replace("'", "''") + "')" for s in _FIXTURE_JSON)
+def _flatten_oracle_sql(corpus: list[str] = _FIXTURE_JSON) -> str:
+    values = ",\n      ".join("('" + s.replace("'", "''") + "')" for s in corpus)
     field_exprs = ",\n      ".join(
         f"coalesce(json_extract_string(raw, '$.{path}'), 'N/A') AS {name}"
         for name, path in FIELD_PATHS.items()
@@ -118,12 +118,26 @@ def llm_classify_cost_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "ai_label")
 
 
-@query("ctgov_pipeline_e2e", oracle=None)
+def _e2e_oracle_sql() -> str:
+    """The mock transport serves make_raw_study(0..56) — the same
+    deterministic corpus as make_raw_studies_json(57) — so the whole
+    pipeline replays in SQL: inline the 57 JSON strings, re-derive the
+    flatten columns, apply the pregnancy-rule CASE to the rendered
+    prompt ('Criteria: ' || criteria)."""
+    from ctgov_ai_etl_spark.operators.llm import PREGNANCY_RULES
+
+    inner = _flatten_oracle_sql(make_raw_studies_json(57))
+    case = PREGNANCY_RULES.as_sql_case("concat('Criteria: ', criteria)")
+    return f"SELECT *, {case} AS ai_determined_value FROM ({inner})"
+
+
+@query("ctgov_pipeline_e2e", oracle=_e2e_oracle_sql())
 def ctgov_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole reference pipeline (R19): mock-paginated REST source →
-    from_json → flatten → pregnancy-rule llm_classify → final frame
-    (rows-only: the REST source isn't SQL-visible; parity is asserted
-    byte-level in tests/test_parity.py)."""
+    from_json → flatten → pregnancy-rule llm_classify → final frame,
+    hash-checked end to end against a pure-SQL replay of the fixture
+    corpus (the REST scan itself is exercised by the Spark side; the
+    oracle inlines the same 57 studies as VALUES)."""
     from ctgov_ai_etl_spark.plans.pipeline import run_pipeline
 
     cfg = {

@@ -482,14 +482,30 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", oracle=None)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (rows-only: approximate by
-    construction; the test asserts it within 5% of exact)."""
+    """HyperLogLog++ approximate distinct.  The sketch value itself has
+    no SQL mirror, so the hash-checked contract is (exact distinct,
+    approx-within-3·rsd boolean): the oracle recomputes the exact count
+    and asserts the bound held — deterministic because Spark's HLL++ is
+    seed-fixed for a given input."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    rsd = 0.02
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select(
+        "l_returnflag", "exact_parts", (err <= 3 * rsd).alias("within_3rsd")
     )
 
 

@@ -120,12 +120,22 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_run_tumbling", oracle=None)
+@query(
+    "stream_run_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL Structured Streaming run: file micro-batch source →
     watermark → tumbling count → memory sink (availableNow, complete
-    mode). Rows-only; tests assert equivalence with the batch window
-    aggregation."""
+    mode).  Hash-checked: the finite single-file source yields one
+    micro-batch, so the watermark drops nothing and the complete-mode
+    result equals the batch window aggregation the oracle computes."""
     from ctgov_ai_etl_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -136,12 +146,21 @@ def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, mode="complete")
 
 
-@query("stream_run_stateful", oracle=None)
+@query(
+    "stream_run_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_run_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL stateful streaming: applyInPandasWithState per-user
     running (count, max) — custom state logic the declarative agg
-    can't express. Rows-only; tests assert the final state equals the
-    batch groupBy answer."""
+    can't express.  Hash-checked: the final state of the finite stream
+    equals the batch groupBy answer the oracle computes (rounding done
+    Spark-side with F.round, never Python round)."""
     from ctgov_ai_etl_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -158,14 +177,20 @@ def stream_run_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("max_value", F.round("max_value", 6))
     )
 
 
-@query("stream_run_dedup", oracle=None)
+@query(
+    "stream_run_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL streaming dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) — output restricted to the key columns so
-    the result is survivor-independent (deterministic across runs)."""
+    the result is survivor-independent.  Hash-checked: one micro-batch
+    means no watermark eviction, so the append-mode output is exactly
+    the distinct key set."""
     from ctgov_ai_etl_spark.streaming.events import (
         dedup_within_watermark,
         read_events_stream,

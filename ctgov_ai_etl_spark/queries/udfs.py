@@ -213,12 +213,32 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile", oracle=None)
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           true AS rank_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via percentile_approx (GK sketch) —
-    rows-only; the test bounds its error against the exact quantile."""
+    """Approximate median via percentile_approx (GK sketch,
+    accuracy=1000 → rank error ≤ n/1000).  The sketch value has no SQL
+    mirror, so the hash-checked contract is (exact median, rank-bound
+    boolean): the returned element's rank fraction must sit within
+    0.5 ± 2/1000 — verified by re-aggregating against the broadcast
+    sketch output, all map-side after the one groupBy shuffle."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+    ap = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("p50a")
     )
+    j = o.join(F.broadcast(ap), "o_orderpriority")
+    price = F.col("o_totalprice")
+    chk = j.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_exact"),
+        (F.sum((price <= F.col("p50a")).cast("long")) / F.count("*")).alias("frac_le"),
+        (F.sum((price < F.col("p50a")).cast("long")) / F.count("*")).alias("frac_lt"),
+    )
+    rank_ok = (F.col("frac_le") >= 0.5 - 0.002) & (F.col("frac_lt") <= 0.5 + 0.002)
+    return chk.select("o_orderpriority", "p50_exact", rank_ok.alias("rank_ok"))

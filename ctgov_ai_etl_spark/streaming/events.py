@@ -102,8 +102,11 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             if len(pdf):
                 vmax = max(vmax, float(pdf["value"].max()))
         state.update((n, vmax))
+        # raw max — rounding (when wanted) happens downstream with
+        # F.round: Python round() is banker's, SQL round is half-away,
+        # and mixing the two is a known 1-ulp oracle flake.
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 6)]}
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
         )
 
     return (

@@ -58,7 +58,11 @@ def test_stateful_user_stats_equals_batch_agg(spark):
         stateful_user_stats(read_events_stream(spark, SF_SMALL)), mode="update"
     )
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    final = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("max_value", F.round("max_value", 6))
+    )
     batch = (
         load_table(spark, SF_SMALL, "events")
         .groupBy("user_id")
