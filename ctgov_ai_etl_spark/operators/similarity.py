@@ -214,3 +214,141 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+def seeded_centroids(k: int, dim: int, seed: int = _SEED) -> list[list[float]]:
+    """Deterministic Gaussian centroids — the untrained coarse
+    quantizer.  Constant (data-independent), so an IVF query built on
+    them is SQL-replayable end to end; trade recall for that by
+    raising ``nprobe``, or fit real centroids with
+    :func:`ivf_fit_centroids`."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 5,
+    seed: int = _SEED,
+) -> list[list[float]]:
+    """Spherical k-means on a deterministic hash-selected sample.
+
+    The sample is rows with the smallest ``xxhash64(id)`` — a seeded,
+    partitioning-independent choice — capped at ``sample_cap`` and
+    collected to the driver: quantizer training is O(sample · k ·
+    iters) numpy work on constant-bounded data, the standard IVF
+    layout (train small, assign big).  Assignment of the full corpus
+    stays distributed in :func:`ivf_topk`."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(sample_cap)
+        .select("v")
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted file):
+    every corpus vector is assigned map-side to its max-cosine
+    centroid; each query probes its ``nprobe`` best clusters; exact
+    cosine re-ranks the candidates.  ONE shuffle — the cluster-id
+    join — on narrow (id, cid) rows; vectors re-attach after.
+
+    Cluster similarities are rounded to ``round_digits`` BEFORE the
+    argmax/probe ranking, with ties broken by lowest cluster id —
+    the exact rule a differential SQL oracle can replay.
+    """
+    ncent = len(centroids)
+    cent_lit = _planes_literal(centroids)
+
+    def cluster_sims(vecc: str) -> Column:
+        v = _as_double(F.col(vecc))
+        return F.transform(cent_lit, lambda c: F.round(cosine(v, c), round_digits))
+
+    # corpus side: argmax assignment (first max => lowest cid on ties);
+    # __sims is a real column first — Catalyst does not CSE the
+    # transform between array_max and array_position.
+    asg = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("__sims", cluster_sims("cvec"))
+        .select(
+            "neighbor_id",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    # query side: top-nprobe clusters by (sim desc, cid asc) — sort
+    # (-sim, cid) structs ascending, slice, explode.
+    probe_pairs = F.zip_with(
+        F.col("__sims"),
+        F.sequence(F.lit(0), F.lit(ncent - 1)),
+        lambda s, c: F.struct((-s).alias("negsim"), c.alias("cid")),
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("__sims", cluster_sims("qvec"))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_pairs), 1, nprobe), lambda p: p["cid"]
+                )
+            ).alias("cid"),
+        )
+    )
+    # each neighbor lives in exactly one cluster and a query's probes
+    # are distinct, so (query, neighbor) appears at most once: no dedup.
+    cands = (
+        asg.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    pairs = cands.join(cvecs, "neighbor_id").join(F.broadcast(qvecs), "query_id")
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

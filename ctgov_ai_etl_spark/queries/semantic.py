@@ -30,7 +30,12 @@ from ctgov_ai_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from ctgov_ai_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from ctgov_ai_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    seeded_centroids,
+)
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
 
@@ -438,3 +443,76 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the brute-force baseline."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_tables=12, n_bits=4)
+
+
+_IVF_CENTROIDS = seeded_centroids(k=16, dim=64)
+_IVF_NPROBE = 6
+
+
+def _ivf_oracle_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
+    """SQL replay of ivf_topk over the SAME centroid constants: both
+    sides round cluster similarities to 6 dp before the argmax/probe
+    ranking and break ties on lowest cluster id, so assignment, probe
+    set, candidates, and re-rank all match exactly."""
+    rows = ",\n      ".join(
+        f"({cid}, [" + ",".join(repr(x) for x in c) + "])"
+        for cid, c in enumerate(centroids)
+    )
+    ccos = (
+        "round(list_dot_product(e.v, c.cvec)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    qncos = (
+        "round(list_dot_product(q.v, n.v)"
+        " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT cid, CAST(cvec AS DOUBLE[]) AS cvec
+      FROM (VALUES
+      {rows}
+      ) c(cid, cvec)
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {ccos} DESC, c.cid ASC) AS rn
+      FROM corpus e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM ranked
+               WHERE rn <= {nprobe} AND vec_id < 5),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN asg a USING (cid)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id, {qncos} AS cosine_sim,
+             CAST(row_number() OVER (PARTITION BY cand.query_id
+                    ORDER BY {qncos} DESC, cand.neighbor_id ASC) AS INT) AS rank
+      FROM cand
+      JOIN corpus q ON q.vec_id = cand.query_id
+      JOIN corpus n ON n.vec_id = cand.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_topk_ivf", oracle=_ivf_oracle_sql(_IVF_CENTROIDS, _IVF_NPROBE, 5))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: map-side max-cosine assignment to 16
+    seeded centroids, 6-cluster probes per query, exact re-rank — one
+    narrow shuffle on cluster id.  The centroids are deterministic
+    constants, so the full pipeline (assignment → probe → candidates →
+    re-rank) is hash-checked against a SQL replay; ivf_fit_centroids
+    supplies trained centroids for real deployments (recall test in
+    tests/test_semantic.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        centroids=_IVF_CENTROIDS,
+        k=5,
+        nprobe=_IVF_NPROBE,
+    )

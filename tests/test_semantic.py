@@ -11,7 +11,12 @@ from ctgov_ai_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from ctgov_ai_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from ctgov_ai_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_fit_centroids,
+    ivf_topk,
+    lsh_topk,
+)
 from ctgov_ai_etl_spark.tables import load_table
 from tests.conftest import SF_SMALL
 
@@ -67,6 +72,31 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     # P(bit match) ≈ 0.61), so recall is bounded by 1-(1-0.61^bits)^tables
     # ≈ 0.84 at 12×4 — the probe-count knob, not an implementation gap.
     assert recall >= 0.5, f"lsh recall {recall:.2f}"
+
+
+def test_ivf_trained_centroids_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = ivf_fit_centroids(emb, k=8, iters=5)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, centroids=cents, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the clusters of a trained 8-way quantizer over the
+    # weakly-clustered fixture should still catch most true neighbors
+    assert recall >= 0.6, f"ivf recall {recall:.2f}"
+
+
+def test_ivf_deterministic_across_runs(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = sorted(map(tuple, ivf_fit_centroids(emb, k=4, iters=2)))
+    b = sorted(map(tuple, ivf_fit_centroids(emb, k=4, iters=2)))
+    assert a == b
 
 
 def test_bruteforce_topk_is_ranked_and_excludes_self(spark):
