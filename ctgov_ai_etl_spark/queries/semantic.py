@@ -25,6 +25,7 @@ from ctgov_ai_etl_spark.functions.text import (
     unique_token_count,
 )
 from ctgov_ai_etl_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_token_pairs,
     minhash_lsh_pairs,
@@ -443,6 +444,57 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the brute-force baseline."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_tables=12, n_bits=4)
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+      WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 9) >= 0.95
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+    csizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+    SELECT doc_id, component, csize FROM comp JOIN csizes USING (component)
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: exact Jaccard pairs (≥0.95) →
+    connected components via iterative min-label propagation → every
+    document labeled with its cluster's min doc_id (the deterministic
+    canonical keeper) and cluster size. Pairwise near-dup is not
+    transitive; this is the step that makes keep-one-per-cluster
+    well-defined. Oracle replays the transitive closure with a
+    recursive CTE over the same pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    csizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return comp.join(csizes, "component").select("doc_id", "component", "csize")
 
 
 _IVF_CENTROIDS = seeded_centroids(k=16, dim=64)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.operators.dedup import (
+    connected_components,
     jaccard_token_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -72,6 +73,17 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     # P(bit match) ≈ 0.61), so recall is bounded by 1-(1-0.61^bits)^tables
     # ≈ 0.84 at 12×4 — the probe-count knob, not an implementation gap.
     assert recall >= 0.5, f"lsh recall {recall:.2f}"
+
+
+def test_connected_components_transitive_chain_and_singleton(spark):
+    # path 1-2-3-4 needs multi-round propagation (diameter 3); 10-11 is
+    # a separate pair; 99 has no edges and must survive as a singleton
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.component for r in connected_components(verts, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
 def test_ivf_trained_centroids_recall_vs_bruteforce(spark):
