@@ -33,6 +33,23 @@ _P = (1 << 31) - 1
 _SEED = 42
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist a small reused intermediate (the deduped signature/set
+    table): downstream, FOUR branches reference it (bucket explode,
+    both join sides' payload re-attach, intra-clique pairs) and the
+    physical plan showed zero ReusedExchange — without caching each
+    branch re-runs the full scan → shingle → hash pipeline.  Measured
+    cold at sf0.1: minhash 14.4 → 9.7 s, jaccard 10.4 → 7.1 s.
+    ``persist`` beat localCheckpoint (9.7 vs 10.4) because the first
+    computing job populates blocks that same-job sibling stages reuse.
+    MEMORY_AND_DISK default spills rather than OOMs; the table is
+    n_distinct × ~0.5 KB — what you'd cache on a cluster anyway.
+    Entries live in the CacheManager until session end (identical
+    re-invocations share them); callers running many corpora through
+    one session can clear with spark.catalog.clearCache()."""
+    return df.persist()
+
+
 def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
     rng = random.Random(_SEED)
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
@@ -115,7 +132,9 @@ def minhash_lsh_pairs(
     # signatures; collapsing them before banding turns m-doc cliques
     # (m² candidate pairs, all est=1.0 by construction) into single
     # signature rows. Intra-clique pairs are emitted directly.
-    sig_groups = with_sig.groupBy("sig").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    sig_groups = _materialize(
+        with_sig.groupBy("sig").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
     with_sig = sig_groups.select(
         F.xxhash64(F.concat_ws(",", F.transform("sig", lambda s: s.cast("string")))).alias("id"),
         "sig",
@@ -313,12 +332,12 @@ def jaccard_token_pairs(
     # fewer distinct sets than documents; every identical-set clique
     # of size m would otherwise re-verify m² candidate pairs that are
     # all jaccard=1.0 by construction.
-    sets = ranked.groupBy(F.xxhash64(
+    sets = _materialize(ranked.groupBy(F.xxhash64(
         F.concat_ws(",", F.transform("sorted_toks", lambda t: t.cast("string")))
     ).alias("fp")).agg(
         F.first("sorted_toks").alias("sorted_toks"),
         F.sort_array(F.collect_list("id")).alias("ids"),
-    )
+    ))
     # Vocabulary size is known (dictionary encoding above); when it
     # fits a few thousand bits, represent each token set as a packed
     # bitmap (array of 64-bit words) so the verify stage is popcounts
