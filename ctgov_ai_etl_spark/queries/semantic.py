@@ -435,13 +435,67 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
-@query("sim_topk_lsh", oracle=None)
+def _lsh_oracle_sql(n_tables: int, n_bits: int, k: int, dim: int = 64) -> str:
+    """SQL replay of lsh_topk's ENTIRE pipeline over the same seeded
+    hyperplane constants: sign bit = dot(v, plane) >= 0, bucket of
+    table t packs bits [t·n_bits, (t+1)·n_bits) with weight 2^i,
+    candidates join on (table, bucket), exact cosine (rounded 6 dp,
+    ties by neighbor id) re-ranks. 'Approximate' means approximate to
+    the true top-k — not nondeterministic: given the planes the
+    operator is a pure function, so it hash-checks end to end."""
+    from ctgov_ai_etl_spark.operators.similarity import _hyperplanes
+
+    tables = _hyperplanes(n_tables, n_bits, dim)
+    rows = ",\n      ".join(
+        f"({t}, {1 << i}, [" + ",".join(repr(x) for x in plane) + "])"
+        for t, planes in enumerate(tables)
+        for i, plane in enumerate(planes)
+    )
+    qncos = (
+        "round(list_dot_product(q.v, n.v)"
+        " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT tbl, w, CAST(pvec AS DOUBLE[]) AS pvec
+      FROM (VALUES
+      {rows}
+      ) p(tbl, w, pvec)
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    buckets AS (
+      SELECT e.vec_id, p.tbl,
+             sum(CASE WHEN list_dot_product(e.v, p.pvec) >= 0 THEN p.w ELSE 0 END)
+               AS bucket
+      FROM corpus e CROSS JOIN planes p
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets c
+      JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id, {qncos} AS cosine_sim,
+             CAST(row_number() OVER (PARTITION BY cand.query_id
+                    ORDER BY {qncos} DESC, cand.neighbor_id ASC) AS INT) AS rank
+      FROM cand
+      JOIN corpus q ON q.vec_id = cand.query_id
+      JOIN corpus n ON n.vec_id = cand.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@query("sim_topk_lsh", oracle=_lsh_oracle_sql(12, 4, 5))
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (12 tables × 4
     bits — probe count sized to this corpus's weak clustering;
     seed-deterministic hyperplane literals): bucket-join candidate
-    generation + exact re-rank. Rows-only (approximate); tests measure
-    recall vs the brute-force baseline."""
+    generation + exact re-rank. Approximate to the TRUE top-k but a
+    pure function of its input given the planes, so the whole pipeline
+    (sign bits → bucket pack → candidate join → re-rank) hash-checks
+    against a SQL replay; tests measure recall vs brute force."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_tables=12, n_bits=4)
 
