@@ -105,3 +105,46 @@ def id_set_split(
     ids = list(ids)
     member = F.col(id_col).isin(ids)
     return df.filter(member), df.filter(~member)
+
+
+def hash_bucket(key: "F.Column", n_buckets: int = 10_000) -> "F.Column":
+    """Deterministic uniform bucket in [0, n_buckets) from the md5 of
+    ``key``.  md5 (unlike xxhash64) is byte-identical across engines
+    and languages, so a sampling decision is reproducible by any
+    downstream system — and it depends only on the row's key: stable
+    under repartitioning, cluster resizes, and re-runs, which
+    ``df.sample`` (partition-seeded RNG) is not.  8 hex chars = 32
+    uniform bits, ample for any practical rate resolution."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 0.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket falls below its stratum's rate — how a training pipeline
+    rebalances by language/source/quality tier.  The fractions table
+    rides in as a broadcast dimension join (no shuffle of the fact
+    side; the filter stays map-side), strata absent from ``fractions``
+    default to ``default``.  Exactly reproducible: same rows survive
+    on any cluster, any partitioning, any engine that can compute md5.
+    """
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        f"{strata_col} string, __frac double",
+    )
+    return (
+        df.join(F.broadcast(frac_df), strata_col, "left")
+        .withColumn("__frac", F.coalesce("__frac", F.lit(float(default))))
+        .filter(hash_bucket(F.col(key_col), n_buckets) < F.col("__frac") * n_buckets)
+        .select(*df.columns)
+    )

@@ -37,6 +37,7 @@ from ctgov_ai_etl_spark.operators.similarity import (
     lsh_topk,
     seeded_centroids,
 )
+from ctgov_ai_etl_spark.operators.limits import stratified_sample
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
 
@@ -286,6 +287,33 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         mean.alias("mean_price"),
         F.round(F.sqrt(var_cents) / 100, 4).alias("stddev_price"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents d
+    LEFT JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 1.0)) f(lang, frac)
+      USING (lang)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000
+          < coalesce(frac, 0.1) * 10000
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — rebalance a corpus by
+    language (en 50%, de 25%, zh 100%, others 10%): md5-bucket the
+    stable row key, keep rows under the stratum's rate. The fractions
+    dimension broadcasts; the filter is map-side, no shuffle. Unlike
+    df.sample (partition-seeded RNG), the surviving set is a pure
+    function of the keys — identical on any cluster layout and
+    replayable by any engine with md5, which is what makes training
+    mixtures auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25, "zh": 1.0}, key_col="doc_id", default=0.1
     )
 
 

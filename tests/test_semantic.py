@@ -75,6 +75,25 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"lsh recall {recall:.2f}"
 
 
+def test_stratified_sample_rates_and_determinism(spark):
+    from ctgov_ai_etl_spark.operators.limits import stratified_sample
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    frac = {"en": 0.5, "de": 0.25}
+    a = stratified_sample(docs, "lang", frac, key_col="doc_id", default=0.0)
+    b = stratified_sample(
+        docs.repartition(7), "lang", frac, key_col="doc_id", default=0.0
+    )
+    rows_a = sorted(r.doc_id for r in a.collect())
+    # identical survivors under a different partitioning (df.sample isn't)
+    assert rows_a == sorted(r.doc_id for r in b.collect())
+    by_lang = {r.lang: r.n for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(by_lang) <= {"en", "de"}  # default=0.0 drops other strata
+    # md5 buckets are uniform: realized rate tracks the target loosely
+    assert abs(by_lang["en"] / totals["en"] - 0.5) < 0.2
+
+
 def test_connected_components_transitive_chain_and_singleton(spark):
     # path 1-2-3-4 needs multi-round propagation (diameter 3); 10-11 is
     # a separate pair; 99 has no edges and must survive as a singleton
