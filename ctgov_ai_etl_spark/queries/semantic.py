@@ -16,6 +16,7 @@ from ctgov_ai_etl_spark.functions.text import (
     LANG_MARKERS,
     avg_token_len,
     lang_id,
+    lang_id_from_tokens,
     md5_fingerprint,
     punct_ratio,
     quality_score,
@@ -287,6 +288,72 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         mean.alias("mean_price"),
         F.round(F.sqrt(var_cents) / 100, 4).alias("stddev_price"),
+    )
+
+
+# quality heuristic as a SQL fragment (mirrors functions.text.quality_score)
+_SQL_QUALITY = """round(
+             (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000
+                   THEN 0.5 ELSE 0.0 END)
+             + least(2 * len(list_filter(string_split(lower(text),' '),
+                                         t -> t IN ('the','a','of')))
+                       / CAST(len(string_split(text,' ')) AS DOUBLE), 0.3)
+             + 0.2
+             - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE), 0.2),
+             9)"""
+
+
+@query(
+    "pipeline_curate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, source,
+             {_sql_lang_id()} AS lang_guess,
+             {_SQL_QUALITY} AS quality,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.5
+    ),
+    keepers AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp)
+    SELECT f.doc_id, f.source, f.quality, f.fp
+    FROM filtered f JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.doc_id
+    WHERE CAST(('0x' || substring(md5(CAST(f.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000
+          < 0.5 * 10000
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition the individual
+    operators exist for: language-ID gate (en) → quality gate (≥0.5) →
+    exact dedup (min-id keeper per canonical fingerprint) → 50%
+    deterministic sample. One linear DataFrame chain: the scoring is
+    map-side, dedup is the only shuffle (hash agg on fingerprint),
+    the sample filter is map-side again — at 100 TB this runs as scan
+    → filter → one exchange → filter. The whole pipeline hash-checks
+    against the composed SQL replay of its stages."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # tokens/scores materialized as real columns (Catalyst-no-CSE lesson)
+    scored = (
+        d.withColumn("lt", tokens(F.lower(t)))
+        .select(
+            "doc_id",
+            "source",
+            lang_id_from_tokens(F.col("lt")).alias("lang_guess"),
+            quality_score(t).alias("quality"),
+            md5_fingerprint(t).alias("fp"),
+        )
+    )
+    filtered = scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.5))
+    keepers = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = filtered.join(keepers, ["fp", "doc_id"])
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    return kept.filter(hash_bucket(F.col("doc_id")) < F.lit(0.5) * 10_000).select(
+        "doc_id", "source", "quality", "fp"
     )
 
 
