@@ -284,7 +284,8 @@ def simhash_pairs(
 
 
 def jaccard_token_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
+    ngram: int = 1,
 ) -> DataFrame:
     """EXACT token-set Jaccard pairs with similarity ≥ ``threshold``
     via **prefix filtering** (PPJoin-style, Xiao et al. '08): order
@@ -301,9 +302,11 @@ def jaccard_token_pairs(
     """
     from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
 
+    # ngram=1 is the bag-of-words token set; ngram>=2 compares word
+    # n-gram sets, re-introducing local order sensitivity
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("toks"),
+        token_shingles(F.col(text_col), ngram).alias("toks"),
     )
     exploded = toks.select("id", F.explode("toks").alias("tok"))
     # Dictionary-encode tokens as dense ints ordered rarest-first:

@@ -440,6 +440,41 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_token_pairs(d, "doc_id", "text", threshold=0.95)
 
 
+@query(
+    "dedup_jaccard_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+             )) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 9) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 9) >= 0.9
+    """,
+)
+def dedup_jaccard_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-BIGRAM Jaccard pairs (≥0.9): n-gram sets
+    re-introduce local word order, so bag-of-words near-dups with
+    scrambled ordering fall out — the order-sensitive member of the
+    exact near-dup family. Same PPJoin prefix-filter plan as the
+    1-gram query; only the shingling expression changes."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_token_pairs(d, "doc_id", "text", threshold=0.9, ngram=2)
+
+
 @query("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (token shingles — bag-of-words
