@@ -286,6 +286,42 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 < 5
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 >= 95
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT t.* FROM orders t
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed merge (SCD-1 upsert): a derived update batch (5% status
+    overwrites + 5% key-shifted inserts) applied to orders via
+    anti-join ∪ updates — the copy-on-write MERGE INTO shape
+    (operators/merge.py; the reference has no incremental path, it
+    re-extracts the world per run, etl.py:505-518)."""
+    from ctgov_ai_etl_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    upd_mod = o.filter(F.col("o_orderkey") % 100 < 5).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    upd_new = o.filter(F.col("o_orderkey") % 100 >= 95).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1_000_000_000
+    )
+    return merge_upsert(o, upd_mod.unionByName(upd_new), ["o_orderkey"])
+
+
+@query(
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
