@@ -95,6 +95,36 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_history",
+    oracle="""
+    SELECT o_custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 historization: each per-customer status change
+    becomes an effective-dated interval [valid_from, valid_to) with an
+    is_current flag on the open row — the companion to SCD-1
+    `merge_upsert_orders` (overwrite) when history must be KEPT.
+    One shuffle (the per-key window); ties broken by order key so the
+    intervals are deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
     "win_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
