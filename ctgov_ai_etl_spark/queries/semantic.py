@@ -159,25 +159,38 @@ def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_better = F.col(f"score_{lang}") > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, F.col(f"score_{lang}")).otherwise(best_score)
+    # ratios as real columns too: quality references BOTH ratios and
+    # each is also an output — inlined, the regexp_replace strip and
+    # the stopword filter would run twice per row (no CSE)
     n_tok = F.size("lt")
     n_stop = F.size(F.filter(F.col("lt"), lambda x: x.isin("the", "a", "of")))
-    stop_ratio = n_stop.cast("double") / n_tok
     stripped = F.regexp_replace(t, r"[^\w\s]", "")
-    p_ratio = (F.length(t) - F.length(stripped)).cast("double") / F.length(t)
-    length_ok = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
-    quality = F.round(
-        length_ok
-        + F.least(stop_ratio * 2, F.lit(0.3))
-        + F.lit(0.2)
-        - F.least(p_ratio, F.lit(0.2)),
-        9,
-    )
-    return low_toks.select(
+    scored = low_toks.select(
         "doc_id",
         best_lang.alias("lang_guess"),
+        n_tok.alias("__n_tok"),
+        (n_stop.cast("double") / n_tok).alias("__stop_ratio"),
+        ((F.length(t) - F.length(stripped)).cast("double") / F.length(t)).alias(
+            "__p_ratio"
+        ),
+    )
+    length_ok = (
+        F.when((F.col("__n_tok") >= 20) & (F.col("__n_tok") <= 1000), F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    quality = F.round(
+        length_ok
+        + F.least(F.col("__stop_ratio") * 2, F.lit(0.3))
+        + F.lit(0.2)
+        - F.least(F.col("__p_ratio"), F.lit(0.2)),
+        9,
+    )
+    return scored.select(
+        "doc_id",
+        "lang_guess",
         quality.alias("quality"),
-        F.round(stop_ratio, 9).alias("stop_ratio"),
-        F.round(p_ratio, 9).alias("punct_ratio"),
+        F.round("__stop_ratio", 9).alias("stop_ratio"),
+        F.round("__p_ratio", 9).alias("punct_ratio"),
     )
 
 
