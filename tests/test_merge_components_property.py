@@ -1,0 +1,68 @@
+"""Property-based invariants for the table-maintenance and graph
+operators: hypothesis generates adversarial inputs (duplicate keys,
+self-loops, disconnected vertices, chains) and checks the operators
+against independent driver-side reimplementations of the documented
+semantics."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ctgov_ai_etl_spark.operators.dedup import connected_components
+from ctgov_ai_etl_spark.operators.merge import merge_upsert
+
+_ids = st.integers(min_value=0, max_value=20)
+
+
+def _python_components(vertices: set[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    # independent union-find oracle
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vertices=st.sets(_ids, min_size=1, max_size=12),
+    raw_edges=st.lists(st.tuples(_ids, _ids), max_size=15),
+)
+def test_connected_components_matches_union_find(spark, vertices, raw_edges):
+    # keep only edges between generated vertices; drop self-loops
+    edges = [(a, b) for a, b in raw_edges if a in vertices and b in vertices and a != b]
+    vdf = spark.createDataFrame([(v,) for v in sorted(vertices)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        edf = edf.limit(0)
+    got = {r.id: r.component for r in connected_components(vdf, edf).collect()}
+    assert got == _python_components(vertices, edges)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=st.dictionaries(_ids, st.integers(0, 99), min_size=0, max_size=10),
+    updates=st.dictionaries(_ids, st.integers(100, 199), min_size=0, max_size=10),
+)
+def test_merge_upsert_key_semantics(spark, target, updates):
+    tdf = spark.createDataFrame(
+        list(target.items()) or [(0, 0)], "k long, v long"
+    )
+    if not target:
+        tdf = tdf.limit(0)
+    udf_ = spark.createDataFrame(
+        list(updates.items()) or [(0, 0)], "k long, v long"
+    )
+    if not updates:
+        udf_ = udf_.limit(0)
+    got = {r.k: r.v for r in merge_upsert(tdf, udf_, ["k"]).collect()}
+    assert got == {**target, **updates}  # updates win; unmatched appended
