@@ -57,6 +57,32 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_scan_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan (the third columnar format Spark speaks
+    natively; same predicate-pushdown/column-pruning machinery as
+    parquet), proven lossless against the parquet-direct oracle."""
+    p = load_table(spark, sf_dir, "part")
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "part_orc")
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / 100).alias("total_price"),
+    )
+
+
+@query(
     "json_scan_roundtrip",
     oracle="""
     SELECT event_type,
