@@ -147,6 +147,34 @@ def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_run_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_run_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-static join: the event micro-batch stream enriched
+    against the static customer dimension (broadcast per micro-batch —
+    the standard streaming-enrichment shape; the dimension is re-read
+    each batch so slowly-changing dims stay fresh), then a streaming
+    count by segment. Complete-mode memory sink equals the batch
+    join+agg the oracle computes."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from ctgov_ai_etl_spark.tables import load_table as _lt
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = F.broadcast(_lt(spark, sf_dir, "customer"))
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
+    return run_stream_to_memory(agg, mode="complete")
+
+
+@query(
     "stream_run_stateful",
     oracle="""
     SELECT user_id,
