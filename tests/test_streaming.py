@@ -119,3 +119,35 @@ def test_session_window_batch_matches_gaps_and_islands(spark):
     )
     cols = ["user_id", "start", "n"]
     assert _rows(native, cols) == _rows(manual, cols)
+
+
+def test_foreach_batch_sink_writes_every_batch(spark, tmp_path):
+    """Real writeStream.foreachBatch: each micro-batch lands in a
+    parquet sink via custom writer logic; reading the sink back equals
+    the batch source (SURVEY §2.3 'foreachBatch sink', R17 analog)."""
+    from ctgov_ai_etl_spark.streaming.events import read_events_stream
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def write_batch(df, epoch_id):
+        seen.append(epoch_id)
+        df.write.mode("append").parquet(out)
+
+    q = (
+        read_events_stream(spark, SF_SMALL)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "foreachBatch never invoked"
+    back = spark.read.parquet(out)
+    src = load_table(spark, SF_SMALL, "events")
+    assert back.count() == src.count()
+    assert sorted(r.event_id for r in back.select("event_id").collect()) == sorted(
+        r.event_id for r in src.select("event_id").collect()
+    )
