@@ -352,3 +352,62 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, cid): map-side argmax-cosine assignment to ``centroids``
+    (similarities rounded to ``round_digits`` before the argmax, ties
+    to the lowest cluster id — the SQL-replayable rule shared with
+    :func:`ivf_topk`)."""
+    cent_lit = _planes_literal(centroids)
+    sims = F.transform(
+        cent_lit, lambda c: F.round(cosine(F.col("__v"), c), round_digits)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__sims", sims)
+        .select(
+            "id",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: centroid BLOCKING turns the
+    O(n²) all-pairs cosine into Σ block² — assign map-side, pair only
+    within a block (one shuffle on narrow (id, cid) rows), verify
+    exact cosine ≥ ``threshold``.  Trades recall (cross-block pairs
+    are unseen — raise k or add multi-assignment to tighten) for a
+    bounded join, the semantic-dedup analog of MinHash banding.
+    Deterministic given the centroids, so the whole pipeline is
+    SQL-replayable."""
+    asg = centroid_assign(df, centroids, id_col, vec_col, round_digits)
+    a, b = asg.alias("a"), asg.alias("b")
+    cand = a.join(
+        b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    va = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

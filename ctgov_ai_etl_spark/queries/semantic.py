@@ -696,6 +696,64 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CENTROIDS = seeded_centroids(k=16, dim=64)
 _IVF_NPROBE = 6
+_BLOCK_CENTROIDS = seeded_centroids(k=8, dim=64)
+
+
+def _blocked_pairs_oracle_sql(centroids: list[list[float]], threshold: float) -> str:
+    """SQL replay of blocked_cosine_pairs: same centroid constants,
+    same round-before-argmax assignment, pairs within a block, exact
+    cosine verify."""
+    rows = ",\n      ".join(
+        f"({cid}, [" + ",".join(repr(x) for x in c) + "])"
+        for cid, c in enumerate(centroids)
+    )
+    ccos = (
+        "round(list_dot_product(e.v, c.cvec)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    abcos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT cid, CAST(cvec AS DOUBLE[]) AS cvec
+      FROM (VALUES
+      {rows}
+      ) c(cid, cvec)
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {ccos} DESC, c.cid ASC) AS rn
+      FROM corpus e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {abcos} AS cos_sim
+    FROM asg a
+    JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN corpus x ON x.vec_id = a.vec_id
+    JOIN corpus y ON y.vec_id = b.vec_id
+    WHERE {abcos} >= {threshold}
+    """
+
+
+@query(
+    "dedup_embedding_blocked",
+    oracle=_blocked_pairs_oracle_sql(_BLOCK_CENTROIDS, 0.3),
+)
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: centroid blocking (8
+    seeded centroids) bounds the pair join to Σ block² instead of n²
+    — the semantic-dedup analog of MinHash banding; exact cosine
+    (≥0.3) verifies within blocks. Complements the exact
+    `dedup_embedding_cosine` tier; the full blocked pipeline is
+    SQL-replayed by the oracle."""
+    from ctgov_ai_etl_spark.operators.similarity import blocked_cosine_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(e, _BLOCK_CENTROIDS, threshold=0.3)
 
 
 def _ivf_oracle_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
