@@ -151,3 +151,58 @@ def test_foreach_batch_sink_writes_every_batch(spark, tmp_path):
     assert sorted(r.event_id for r in back.select("event_id").collect()) == sorted(
         r.event_id for r in src.select("event_id").collect()
     )
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """REAL watermark semantics need >1 micro-batch: run 1 processes
+    on-time events and advances the watermark (persisted in the
+    checkpoint); run 2 — same checkpoint — sees one hopelessly late
+    event (dropped by the restored watermark) and one on-time event
+    (kept). Also proves state/watermark recovery across restarts."""
+    from datetime import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_rows(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once(sink_name):
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .parquet(str(src) + "/*")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        # foreachBatch sink: unlike the memory sink it supports
+        # checkpoint RECOVERY, which this test depends on
+        got: dict = {}
+
+        def collect_batch(df, _epoch):
+            got.update({r.w_start: r.n for r in df.collect()})
+
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(collect_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    # run 1: events at 12:00 => watermark advances to 11:50
+    write_rows("b1", [(datetime(2024, 1, 1, 12, 0), 1), (datetime(2024, 1, 1, 12, 0), 2)])
+    got1 = run_once("wm_run1")
+    assert got1 == {datetime(2024, 1, 1, 12, 0): 2}
+
+    # run 2: a hopelessly late event (10:00 < 11:50) + an on-time one
+    write_rows("b2", [(datetime(2024, 1, 1, 10, 0), 3), (datetime(2024, 1, 1, 12, 1), 4)])
+    got2 = run_once("wm_run2")
+    assert datetime(2024, 1, 1, 10, 0) not in got2, "late event must be dropped"
+    assert got2.get(datetime(2024, 1, 1, 12, 0)) == 3  # on-time event merged
