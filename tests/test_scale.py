@@ -62,3 +62,28 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_nested_schema_pruning_reads_only_projected_leaf(spark, tmp_path):
+    """Projecting one struct leaf must prune the parquet ReadSchema to
+    that leaf — at 100 TB a nested-record scan that deserializes every
+    module to answer a one-field query is the difference between a
+    column read and a table read (reference R5's nested study record)."""
+    src = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+        ).alias("rec"),
+    )
+    out = str(tmp_path / "nested")
+    src.write.mode("overwrite").parquet(out)
+    q = spark.read.parquet(out).select(F.col("rec.meta.priority").alias("p"))
+    q.write.format("noop").mode("overwrite").save()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    schema_line = m[0]
+    assert "priority" in schema_line
+    assert "price" not in schema_line and "status" not in schema_line, schema_line
