@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "pipeline_curate",
     "stream_tumbling_window",
 ]
 

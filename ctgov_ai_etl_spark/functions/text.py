@@ -123,3 +123,32 @@ def md5_fingerprint(text: Column) -> Column:
     engine — exact-dup detection key)."""
     normal = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(normal)
+
+
+def add_lang_id(df, tok_col: str, out_col: str = "lang_guess", default: str = "en"):
+    """Language-ID over a pre-tokenized lower-cased array column with
+    the marker SCORES materialized as real columns first: the argmax
+    cascade references each score twice per level, so inline score
+    trees double per level (2^n_langs filter scans by the last
+    language) — attribute references don't (the no-CSE lesson).
+    Returns ``df`` with ``out_col`` appended; score columns dropped."""
+    from pyspark.sql import functions as F
+
+    def _marker_pred(markers):
+        # factory, not a default-arg lambda: F.filter treats a 2-param
+        # lambda as (element, index) and would bind the index to it
+        return lambda t: t.isin(*markers)
+
+    for lang in LANG_MARKERS:
+        df = df.withColumn(
+            f"__score_{lang}",
+            F.size(F.filter(F.col(tok_col), _marker_pred(LANG_MARKERS[lang]))),
+        )
+    best_lang, best_score = F.lit(default), F.lit(0)
+    for lang in LANG_MARKERS:
+        is_better = F.col(f"__score_{lang}") > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, F.col(f"__score_{lang}")).otherwise(best_score)
+    return df.withColumn(out_col, best_lang).drop(
+        *[f"__score_{lang}" for lang in LANG_MARKERS]
+    )
