@@ -138,3 +138,54 @@ def test_bruteforce_topk_is_ranked_and_excludes_self(spark):
         assert r.query_id != r.neighbor_id
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.cosine_sim <= 1.0
+
+
+def _planted_corpus(n_base: int, vocab: list[str], seed: int = 7):
+    """Deterministic corpus: base docs + one near-dup each (90% token
+    overlap) — ground truth is brute-force pairwise Jaccard."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        toks = rng.sample(vocab, 20)
+        rows.append((2 * i, " ".join(toks)))
+        mutated = list(toks)
+        for j in rng.sample(range(20), 2):  # 10% mutation
+            mutated[j] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mutated)))
+    return rows
+
+
+def _brute_jaccard(rows, threshold):
+    sets = {i: set(t.split()) for i, t in rows}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def _check_jaccard_matches_bruteforce(spark, vocab_size):
+    vocab = [f"w{i:05d}" for i in range(vocab_size)]
+    rows = _planted_corpus(40, vocab)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_token_pairs(df, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert got == _brute_jaccard(rows, 0.7)
+
+
+def test_jaccard_bitmap_verify_path_matches_bruteforce(spark):
+    # vocab 2000 <= 4096 -> packed-bitmap verify branch
+    _check_jaccard_matches_bruteforce(spark, 2000)
+
+
+def test_jaccard_string_verify_path_matches_bruteforce(spark):
+    # vocab 6000 > 4096 -> array_intersect fallback branch, otherwise
+    # untested: the driver fixture's 31-token vocab never reaches it
+    _check_jaccard_matches_bruteforce(spark, 6000)
