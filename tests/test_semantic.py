@@ -189,3 +189,29 @@ def test_jaccard_string_verify_path_matches_bruteforce(spark):
     # vocab 6000 > 4096 -> array_intersect fallback branch, otherwise
     # untested: the driver fixture's 31-token vocab never reaches it
     _check_jaccard_matches_bruteforce(spark, 6000)
+
+
+def test_minhash_recall_on_planted_corpus(spark):
+    """Planted near-dups (true Jaccard ≈ 0.8) on a rich vocabulary —
+    the driver fixture's 31-token vocab makes everything collide, so
+    this is the recall evidence on realistic data."""
+    vocab = [f"w{i:05d}" for i in range(3000)]
+    rows = _planted_corpus(40, vocab)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = _brute_jaccard(rows, 0.7)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=64, bands=16,
+            shingle_k=1, threshold=0.7, shingle="token",
+        ).collect()
+    }
+    assert truth, "corpus must contain planted pairs"
+    recall = len(truth & got) / len(truth)
+    # 16 bands × 4 rows: P(candidate) at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9997
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} planted pairs"
+    # and no wild false positives: everything returned is ≥ threshold-ish
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16,
+        shingle_k=1, threshold=0.7, shingle="token").collect()}
+    assert all(v >= 0.7 for v in est.values())
