@@ -215,3 +215,31 @@ def test_minhash_recall_on_planted_corpus(spark):
         df, "doc_id", "text", num_hashes=64, bands=16,
         shingle_k=1, threshold=0.7, shingle="token").collect()}
     assert all(v >= 0.7 for v in est.values())
+
+
+def test_simhash_chunk_join_finds_all_hamming_pairs(spark):
+    """The pigeonhole chunk join must find EVERY pair within
+    max_hamming — verified against brute-force Hamming over the
+    operator's own hash values on the planted corpus."""
+    from ctgov_ai_etl_spark.operators.dedup import simhash64
+
+    vocab = [f"w{i:05d}" for i in range(3000)]
+    rows = _planted_corpus(30, vocab)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    }
+    max_h = 6
+    truth = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1") <= max_h:
+                truth.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=max_h).collect()
+    }
+    assert truth, "planted corpus must contain close simhashes"
+    assert got == truth
