@@ -152,3 +152,30 @@ def add_lang_id(df, tok_col: str, out_col: str = "lang_guess", default: str = "e
     return df.withColumn(out_col, best_lang).drop(
         *[f"__score_{lang}" for lang in LANG_MARKERS]
     )
+
+
+def chunk_tokens(
+    text, size: int, overlap: int = 0
+):
+    """Split ``text`` into token windows of ``size`` with ``overlap``
+    (stride = size - overlap) — the context-length chunking step of a
+    training pipeline, as one array expression: chunk i covers tokens
+    [i·stride, i·stride + size). The tail keeps its partial window.
+    Returns array<struct<chunk_id int, chunk string>>; explode it for
+    one-row-per-chunk. Pure map-side — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("chunk"),
+        ),
+    )

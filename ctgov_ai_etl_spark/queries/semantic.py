@@ -195,6 +195,33 @@ def text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunked",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, i*8 + 1, i*8 + 10), ' ') AS chunk
+    FROM (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(CAST(ceil((len(toks) - 2) / 8.0) AS BIGINT), 1)))
+               AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def text_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: overlapping token windows (size 10,
+    overlap 2) — the step that shapes documents into model-sized
+    training rows. One map-side array expression + explode; at 100 TB
+    the chunk explode multiplies rows ~n_tokens/stride with zero
+    shuffle, and the chunker composes before tokenize/pack stages."""
+    from ctgov_ai_etl_spark.functions.text import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(chunk_tokens(F.col("text"), 10, 2)).alias("c")
+    ).select("doc_id", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -243,3 +243,26 @@ def test_simhash_chunk_join_finds_all_hamming_pairs(spark):
     }
     assert truth, "planted corpus must contain close simhashes"
     assert got == truth
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    from ctgov_ai_etl_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "id long, text string")
+    out = [
+        (r.c.chunk_id, r.c.chunk)
+        for r in df.select(F.explode(chunk_tokens(F.col("text"), 3, 1)).alias("c")).collect()
+    ]
+    # stride 2: windows [a b c] [c d e] [e f g]; tail exactly covered
+    assert out == [(0, "a b c"), (1, "c d e"), (2, "e f g")]
+    # short doc -> single partial window
+    df2 = spark.createDataFrame([(1, "x y")], "id long, text string")
+    out2 = [
+        (r.c.chunk_id, r.c.chunk)
+        for r in df2.select(F.explode(chunk_tokens(F.col("text"), 5)).alias("c")).collect()
+    ]
+    assert out2 == [(0, "x y")]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_tokens(F.col("text"), 3, 3)
