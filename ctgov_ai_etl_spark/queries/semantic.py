@@ -222,6 +222,43 @@ def text_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pack_sequences",
+    oracle="""
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+           CAST(floor((cum - n_tok) / 512.0) AS INT) AS seq_id
+    FROM (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+            FROM documents)
+    )
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING: assign documents to fixed token-budget
+    training sequences (512 tokens) per source — each doc's sequence
+    id is its pre-cumulative token count ÷ budget under the
+    deterministic doc_id order. The distributable form of greedy
+    packing: one window shuffle per source partition, no global order,
+    no driver loop; downstream `groupBy(seq_id)` + concat materializes
+    the packed rows. Composes after `text_chunked` when docs exceed
+    the budget."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens(F.col("text")))
+    w = W.partitionBy("source").orderBy("doc_id")
+    base = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    cum = F.sum("n_tok").over(w)
+    return base.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.floor((cum - F.col("n_tok")) / 512.0).cast("int").alias("seq_id"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
