@@ -258,6 +258,74 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("data", "model", "training")
+
+
+@query(
+    "search_bm25",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents)
+    SELECT doc_id,
+           round(sum(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scores (k1=1.2, b=0.75) for a fixed term
+    set — the inverted-index half of a retrieval stack beside the
+    embedding top-k operators. Pure relational: explode → tf, one
+    broadcast of the (tiny) per-term document frequencies and global
+    (n_docs, avgdl) scalars, score map-side, sum per doc. At 100 TB
+    the term filter prunes the explode before the only wide shuffle
+    (tf groupBy)."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""
