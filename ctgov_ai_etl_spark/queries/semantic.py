@@ -327,6 +327,90 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    bm25 AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS s
+      FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS r
+      FROM bm25
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sem AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                 DESC, c.vec_id ASC) AS INT) AS r
+      FROM corpus c JOIN corpus q ON q.vec_id = 0
+      WHERE c.vec_id <> 0
+    )
+    SELECT doc_id,
+           round(coalesce(1.0 / (60 + lex.r), 0) + coalesce(1.0 / (60 + sem.r), 0), 9)
+             AS rrf
+    FROM lex FULL JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (k=60) of the BM25
+    lexical ranking and the embedding-cosine ranking against query
+    vector 0 — the standard two-tower search composition, built
+    entirely from this engine's existing operators. Rankings are
+    deterministic (score desc, id asc); the fused top-10 hash-checks
+    against the SQL replay of both towers."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bm = search_bm25(spark, sf_dir)  # the decorator returns the fn itself
+    lex = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r_lex"),
+    )
+    from ctgov_ai_etl_spark.operators.similarity import brute_force_topk
+
+    sem_full = brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=10**9)
+    sem = sem_full.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lex.join(sem, "doc_id", "full")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
