@@ -297,8 +297,6 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_docs, avgdl) scalars, score map-side, sum per doc. At 100 TB
     the term filter prunes the explode before the only wide shuffle
     (tf groupBy)."""
-    from pyspark.sql import Window as W  # noqa: F401
-
     d = load_table(spark, sf_dir, "documents")
     terms = list(_BM25_TERMS)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
