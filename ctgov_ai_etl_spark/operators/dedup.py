@@ -135,8 +135,12 @@ def minhash_lsh_pairs(
     sig_groups = _materialize(
         with_sig.groupBy("sig").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
+    # 128-bit md5 group key: at 100 TB there are billions of distinct
+    # signatures, where a 64-bit key has birthday-bound collisions that
+    # would silently merge unrelated groups; 128 bits pushes the
+    # collision probability below any practical concern.
     with_sig = sig_groups.select(
-        F.xxhash64(F.concat_ws(",", F.transform("sig", lambda s: s.cast("string")))).alias("id"),
+        F.md5(F.concat_ws(",", F.transform("sig", lambda s: s.cast("string")))).alias("id"),
         "sig",
         "ids",
     )
@@ -211,29 +215,60 @@ def minhash_lsh_pairs(
     return intra.unionByName(inter)
 
 
+def token_hashes(text: Column) -> Column:
+    """xxhash64 of each distinct whitespace token of ``text``."""
+    return F.transform(F.array_distinct(F.split(text, r"\s+")), lambda t: F.xxhash64(t))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a token-hash array: sum ±1 per bit over the
+    hashes, then reassemble the sign vector — all array/bit built-ins,
+    no UDF.
+
+    ONE fold with an array-of-64-counters state, not 64 separate
+    per-bit folds: the unrolled form re-walked the hash array 64× and,
+    worse, its ~64-aggregate expression tree cost seconds of Janino
+    codegen compile per query (the dominant cost of a short-running
+    job; measured 27.7 s → <0.1 s warm, ~1 s cold at sf0.01).  The
+    input is referenced exactly once, so the expression is safe to
+    inline — no CSE hazard.
+    """
+    bits = F.sequence(F.lit(0), F.lit(63))
+    # balances[b] = (#hashes with bit b set) - (#hashes without)
+    balances = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bits,
+                lambda b: F.when(
+                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # Pack sign bits; shiftleft wraps at b=63 to Long.MIN_VALUE —
+    # exactly the sign bit we want, and bitwise OR cannot overflow.
+    return F.aggregate(
+        F.zip_with(
+            balances,
+            bits,
+            lambda bal, b: F.when(
+                bal > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc.bitwiseOR(w),
+    )
+
+
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the whitespace tokens of ``text``: sum ±1 per
-    bit over token hashes, then reassemble the sign vector — all
-    array/bit built-ins, no UDF."""
-    tokens = F.array_distinct(F.split(text, r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # For each bit b: count of tokens with bit set minus count without.
-    bit_balance = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for b, bal in enumerate(bit_balance):
-        # shiftleft wraps at b=63 to Long.MIN_VALUE — exactly the bit we want
-        out = out + F.when(bal > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    """SimHash of the whitespace tokens of ``text`` — a single
+    expression (each sub-result is referenced once, so inlining is
+    CSE-safe, unlike the minhash signature family)."""
+    return simhash_from_hashes(token_hashes(text))
 
 
 def simhash_pairs(
@@ -248,8 +283,9 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sim = simhash64(F.col(text_col))
-    with_sim = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    with_sim = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+    )
 
     chunks = F.array(
         *[
@@ -335,7 +371,9 @@ def jaccard_token_pairs(
     # fewer distinct sets than documents; every identical-set clique
     # of size m would otherwise re-verify m² candidate pairs that are
     # all jaccard=1.0 by construction.
-    sets = _materialize(ranked.groupBy(F.xxhash64(
+    # md5 (128-bit) set fingerprint, not xxhash64: collision-safe at
+    # billions of distinct sets (see the minhash group-key note).
+    sets = _materialize(ranked.groupBy(F.md5(
         F.concat_ws(",", F.transform("sorted_toks", lambda t: t.cast("string")))
     ).alias("fp")).agg(
         F.first("sorted_toks").alias("sorted_toks"),
@@ -424,9 +462,13 @@ def jaccard_token_pairs(
         jac = F.round(
             n_inter.cast("double") / (F.size("ta") + F.size("tb") - n_inter).cast("double"), 9
         )
+    # no broadcast hint on the payload re-attach: the distinct-set table
+    # is corpus-sized for low-duplication corpora (arrays/bitmaps in
+    # tow), so a forced broadcast risks driver/executor OOM — AQE
+    # promotes to broadcast at runtime when it actually fits.
     inter = (
-        cand_sets.join(F.broadcast(pa), "fp_a")
-        .join(F.broadcast(pb), "fp_b")
+        cand_sets.join(pa, "fp_a")
+        .join(pb, "fp_b")
         .select("ids_a", "ids_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")

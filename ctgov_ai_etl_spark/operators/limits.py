@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,12 +50,25 @@ def global_rank_with_count(
     partition's ranks by the total row count of the partitions before
     it.  The offsets come from a tiny (num_partitions)-row aggregate
     collected to the driver.
+
+    The ranged frame is persisted (memory-and-disk) before the counts
+    collect: ``repartitionByRange`` samples its boundaries per
+    execution, so without a materialization barrier the counts job and
+    the downstream ranking job could range-partition rows differently
+    once boundary sampling is partial at scale, and the collected
+    offsets would no longer describe the partitioning the ranks are
+    computed on (duplicate/skipped global ranks).  The persist pins ONE
+    partitioning for both jobs; the blocks are released to LRU — at
+    most one extra pass of ``df`` on disk, the price of a
+    deterministic distributed rank.
     """
     spark = df.sparkSession
     cols = [F.col(c) for c in order_cols]
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(nparts, *cols).withColumn(
-        _PID_COL, F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn(_PID_COL, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {
         r[_PID_COL]: r["cnt"]

@@ -68,16 +68,29 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     )
     sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
+    scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
+    order = (F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    # Two-phase top-k: per (query, input-partition) local top-k first —
+    # map-side-sized exchange keyed by (query_id, pid), parallelism =
+    # |Q| × partitions — then the per-query global window sees only
+    # ≤ k·partitions candidate rows per query instead of the whole
+    # corpus.  Pruning is safe under any partition assignment: a row
+    # outside its partition's local top-k is beaten by k rows in the
+    # same partition, so it cannot be in the query's global top-k (the
+    # (sim, id) order is total, so ties cut deterministically).
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> list[list[list[float]]]:

@@ -324,6 +324,9 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_TOWER_K = 100  # per-tower ranking depth for reciprocal-rank fusion
+
+
 @query(
     "search_hybrid_rrf",
     oracle=f"""
@@ -350,19 +353,23 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     ),
     lex AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS r
-      FROM bm25
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS r
+        FROM bm25
+      ) WHERE r <= {_RRF_TOWER_K}
     ),
     corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     sem AS (
-      SELECT c.vec_id AS doc_id,
-             CAST(row_number() OVER (
-               ORDER BY round(list_dot_product(q.v, c.v)
-                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
-                 DESC, c.vec_id ASC) AS INT) AS r
-      FROM corpus c JOIN corpus q ON q.vec_id = 0
-      WHERE c.vec_id <> 0
+      SELECT doc_id, r FROM (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+                   DESC, c.vec_id ASC) AS INT) AS r
+        FROM corpus c JOIN corpus q ON q.vec_id = 0
+        WHERE c.vec_id <> 0
+      ) WHERE r <= {_RRF_TOWER_K}
     )
     SELECT doc_id,
            round(coalesce(1.0 / (60 + lex.r), 0) + coalesce(1.0 / (60 + sem.r), 0), 9)
@@ -376,23 +383,38 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: reciprocal-rank fusion (k=60) of the BM25
     lexical ranking and the embedding-cosine ranking against query
     vector 0 — the standard two-tower search composition, built
-    entirely from this engine's existing operators. Rankings are
-    deterministic (score desc, id asc); the fused top-10 hash-checks
-    against the SQL replay of both towers."""
-    from pyspark.sql import Window as W
+    entirely from this engine's existing operators.
 
+    Capped-``K`` RRF (K=100 per tower): 1/(60+r) is negligible past a
+    few hundred, so a doc outside a tower's top-K contributes exactly 0
+    from that tower — the standard production formulation, and the one
+    that scales: each tower produces K rows via distributed top-k
+    (``TakeOrderedAndProject`` / two-phase pruned window), so NO
+    full-corpus ranking ever funnels through one reducer (the round-1
+    formulation ranked every scored doc through a single unpartitioned
+    window).  The lexical K rows are ranked by a broadcast self-join
+    count (rank = 1 + #better rows) — no Window node, no
+    exchange-to-one.  Rankings are deterministic (score desc, id asc);
+    the fused top-10 hash-checks against the SQL replay of both towers.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     bm = search_bm25(spark, sf_dir)  # the decorator returns the fn itself
-    lex = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
-        .alias("r_lex"),
+    topk = bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(_RRF_TOWER_K)
+    other = topk.select(
+        F.col("doc_id").alias("o_id"), F.col("bm25").alias("o_score")
+    )
+    beats = (F.col("o_score") > F.col("bm25")) | (
+        (F.col("o_score") == F.col("bm25")) & (F.col("o_id") < F.col("doc_id"))
+    )
+    lex = (
+        topk.join(F.broadcast(other), beats, "left")
+        .groupBy("doc_id")
+        .agg((F.count("o_id") + 1).cast("int").alias("r_lex"))
     )
     from ctgov_ai_etl_spark.operators.similarity import brute_force_topk
 
-    sem_full = brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=10**9)
-    sem = sem_full.select(
+    sem_topk = brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=_RRF_TOWER_K)
+    sem = sem_topk.select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
     )
     rrf = F.round(

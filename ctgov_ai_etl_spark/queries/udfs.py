@@ -11,6 +11,7 @@ client.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,14 +30,17 @@ from ctgov_ai_etl_spark.tables import load_table
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas UDF (Arrow batches, ~10-100× the
-    row-at-a-time Python UDF). Pure arithmetic → SQL-verifiable."""
+    row-at-a-time Python UDF). Pure arithmetic → SQL-verifiable.
+    Rounding happens Spark-side (``F.round`` = half-away-from-zero,
+    matching DuckDB) — pandas ``.round()`` is half-to-even and would
+    diverge on exact .5 ties."""
     ev = load_table(spark, sf_dir, "events")
 
     @F.pandas_udf("double")
     def adjust(v: pd.Series) -> pd.Series:
-        return (v * 1.1 + 7.0).round(6)
+        return v * 1.1 + 7.0
 
-    return ev.select("event_id", adjust("value").alias("adjusted"))
+    return ev.select("event_id", F.round(adjust("value"), 6).alias("adjusted"))
 
 
 @query(
@@ -53,15 +57,17 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-key pandas DataFrame in/out (the
     shape for per-group model scoring). The group mean is computed
     over exact integer micros so the result is independent of pandas'
-    pairwise-summation order (matches the SQL mirror bit-for-bit)."""
+    pairwise-summation order (matches the SQL mirror bit-for-bit);
+    micros are rounded half-away-from-zero like SQL ``round``, not
+    pandas' half-to-even."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ship_package(spark)
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        mean = float((pdf["value"] * 1e6).round().astype("int64").sum()) / (
-            1e6 * len(pdf)
-        )
+        micros = pdf["value"].to_numpy() * 1e6
+        micros = np.sign(micros) * np.floor(np.abs(micros) + 0.5)
+        mean = float(micros.astype("int64").sum()) / (1e6 * len(pdf))
         pdf["centered"] = pdf["value"] - mean
         return pdf.drop(columns=["value"])
 
@@ -87,7 +93,9 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def mean_udaf(v: pd.Series) -> float:
-        return float((v * 1e6).round().astype("int64").sum()) / (1e6 * len(v))
+        micros = v.to_numpy() * 1e6
+        micros = np.sign(micros) * np.floor(np.abs(micros) + 0.5)
+        return float(micros.astype("int64").sum()) / (1e6 * len(v))
 
     return ev.groupBy("user_id").agg(mean_udaf("value").alias("mean_value"))
 

@@ -56,7 +56,13 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / percent_rank / ntile over one ordering."""
+    """rank / dense_rank / percent_rank / ntile over one ordering.
+
+    SMALL-DIMENSION ONLY: the unpartitioned window funnels the input
+    through one reducer — fine for the 100-row supplier table it runs
+    on, wrong for a fact table.  The fact-table formulation is
+    ``win_rank_distributed`` (range-partition → local rank → offsets);
+    copy THAT shape when ranking anything large."""
     s = load_table(spark, sf_dir, "supplier")
     w = W.orderBy(F.col("s_acctbal").desc())
     return s.select(
@@ -65,6 +71,35 @@ def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.round(F.percent_rank().over(w), 9).alias("prnk"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_rank_distributed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                AS BIGINT) AS global_rank
+    FROM orders
+    """,
+)
+def win_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL ranking of a fact table with NO single-reducer window:
+    ``operators.limits.global_rank`` range-partitions on the order key
+    (parallel sampled shuffle), ranks locally per partition, then
+    shifts by broadcast per-partition row-count offsets.  Same result
+    as ``row_number() OVER (ORDER BY ...)`` — the oracle replays
+    exactly that — but every stage is parallel, so the shape survives a
+    fact table 1000× this size.  Descending keys rank by their negation
+    (range partitioning is ascending)."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", (-F.col("o_totalprice")).alias("__neg_price")
+    )
+    ranked = global_rank(o, ["__neg_price", "o_orderkey"])
+    return ranked.select(
+        "o_orderkey", "o_totalprice", F.col("__pos").alias("global_rank")
     )
 
 

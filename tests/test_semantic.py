@@ -266,3 +266,42 @@ def test_chunk_tokens_windows_and_tail(spark):
 
     with pytest.raises(ValueError):
         chunk_tokens(F.col("text"), 3, 3)
+
+
+def test_rrf_capped_tower_semantics(spark, monkeypatch):
+    """Capped-K RRF: a doc outside a tower's top-K contributes exactly 0
+    from that tower (coalesce-0), and every fused score equals the sum
+    of its per-tower reciprocal terms recomputed independently.  K is
+    shrunk to 5 so the fused top-10 must include single-tower docs."""
+    import ctgov_ai_etl_spark.queries.semantic as sem_mod
+    from ctgov_ai_etl_spark.queries.semantic import search_bm25, search_hybrid_rrf
+
+    monkeypatch.setattr(sem_mod, "_RRF_TOWER_K", 5)
+    K = 5
+
+    fused = {r.doc_id: r.rrf for r in search_hybrid_rrf(spark, SF_SMALL).collect()}
+    assert len(fused) == 10
+
+    bm = search_bm25(spark, SF_SMALL)
+    lex_rows = (
+        bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(K)
+        .collect()
+    )
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex_rows)}
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sem_rank = {
+        r.neighbor_id: r.rank
+        for r in brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=K
+        ).collect()
+    }
+    for doc_id, rrf in fused.items():
+        expected = round(
+            (1.0 / (60 + lex_rank[doc_id]) if doc_id in lex_rank else 0.0)
+            + (1.0 / (60 + sem_rank[doc_id]) if doc_id in sem_rank else 0.0),
+            9,
+        )
+        assert abs(rrf - expected) < 1e-9, (doc_id, rrf, expected)
+    single_tower = [d for d in fused if (d in lex_rank) != (d in sem_rank)]
+    assert single_tower, "fixture should exercise the coalesce-0 path"

@@ -93,6 +93,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("tf partial agg before its shuffle", r"HashAggregate"),
         ("df + stats broadcast", r"BroadcastExchange"),
     ],
+    "search_hybrid_rrf": [
+        ("no exchange-to-one window (capped-K towers)",
+         r"^(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+        ("two-phase semantic top-k: local prune keyed (query, pid)",
+         r"hashpartitioning\(query_id[^)]*__pid"),
+        ("lexical rank via broadcast self-join (no Window node)",
+         r"BroadcastNestedLoopJoin"),
+    ],
+    "win_rank_distributed": [
+        ("range-partitioned rank (parallel, no single reducer)",
+         r"rangepartitioning\("),
+        ("no exchange-to-one window",
+         r"^(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+        ("offsets broadcast", r"BroadcastExchange|BroadcastHashJoin"),
+    ],
 }
 
 
