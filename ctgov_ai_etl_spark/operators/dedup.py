@@ -357,6 +357,16 @@ def jaccard_token_pairs(
     dfreq = exploded.groupBy("tok").agg(F.count("*").alias("df"))
     ranked_vocab, n_vocab = global_rank_with_count(dfreq, ["df", "tok"])
     vocab = ranked_vocab.select("tok", F.col("__pos").cast("int").alias("tid"))
+    # Singleton (df=1) tokens can never witness a cross-set candidate:
+    # a prefix token shared by two DISTINCT sets occurs in ≥2 documents,
+    # so df ≥ 2 — a df=1 token joins with nothing but its own set
+    # (excluded by fp_a < fp_b).  The (df, tok)-ascending rank puts the
+    # singletons at exactly tids 1..n_singletons, so one literal
+    # comparison drops them from the prefix-explode shuffle — for
+    # n-gram vocabularies (~n² tokens, long singleton tail) this
+    # removes most of the candidate-join input.  The count reuses the
+    # frame global_rank_with_count already persisted — a tiny job.
+    n_singletons = ranked_vocab.filter(F.col("df") == 1).count()
     # Broadcast the dictionary only while it plausibly fits executor
     # memory; a web-scale vocabulary falls back to a shuffle join on
     # the token key (both sides already shuffle-sized).
@@ -422,7 +432,9 @@ def jaccard_token_pairs(
     # the guard that keeps tiny-set × huge-set pairs out of the
     # shuffle at 100 TB). Join + dedup on bare set fingerprints,
     # token arrays re-attach afterwards.
-    pre = with_prefix.select("fp", "n", F.explode("prefix").alias("tok"))
+    pre = with_prefix.select("fp", "n", F.explode("prefix").alias("tok")).filter(
+        F.col("tok") > n_singletons
+    )
     a, b = pre.alias("a"), pre.alias("b")
     cand_sets = (
         a.join(
@@ -550,6 +562,109 @@ def connected_components(
             break
         prev = cur
     return labels.select(F.col("v").alias(id_col), "component")
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Both directions of an undirected edge list (u, v), no self-loops."""
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _neighborhood_min(sym: DataFrame) -> DataFrame:
+    """(u, m) where m = min(Γ(u) ∪ {u}) over the symmetric edge list."""
+    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al. '14, "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round formulation that
+    :func:`connected_components` documents as its deep-graph fallback.
+
+    Min-label propagation needs graph-DIAMETER rounds: fine for the
+    dense near-dup cliques dedup produces, painful for chain-shaped
+    graphs (a 10k-link chain = 10k shuffles).  The star operations
+    instead rewire the graph itself toward a forest of stars rooted at
+    component minima, roughly halving component height per alternation:
+
+    - large-star(u): for every neighbor v > u, replace (u, v) with
+      (v, m(u)) where m(u) = min(Γ(u) ∪ {u});
+    - small-star(u): for every neighbor v < u, emit (v, m(u)) and
+      (u, m(u)).
+
+    Both are ONE groupBy (neighborhood min, narrow (u, m) rows) plus
+    ONE equi-join per round — the same per-round dataflow cost as label
+    propagation, just O(log n) rounds instead of O(diameter).
+    Convergence check: the cheap (count, decimal-sum) signature of the
+    edge list first, then — only on a signature match — an exact
+    ``exceptAll`` confirmation (small-star can both shrink sums and
+    duplicate edges, so the signature alone is a filter, not a proof);
+    ``localCheckpoint`` truncates lineage per round as usual.  At the
+    fixpoint every edge points a node at its component minimum.
+
+    Returns (``id_col``, component), component = min vertex id —
+    identical contract (and property-tested against the same
+    union-find oracle) as :func:`connected_components`; singletons
+    label themselves.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    chk = [
+        F.count("*").alias("cnt"),
+        F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
+    ]
+    prev = tuple(e.agg(*chk).collect()[0])
+    prev_e = e
+    for _ in range(max_iters):
+        # -------- large-star: larger neighbors re-point at the min
+        sym = _symmetrize(e)
+        mn = _neighborhood_min(sym)
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        # -------- small-star: u and its smaller neighbors join the min
+        sym = _symmetrize(e)
+        mn = _neighborhood_min(sym)
+        adj = sym.filter(F.col("v") < F.col("u")).join(mn, "u")
+        e = (
+            adj.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(adj.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        cur = tuple(e.agg(*chk).collect()[0])
+        if cur == prev and e.exceptAll(prev_e).limit(1).count() == 0:
+            break
+        prev, prev_e = cur, e
+    # Fixpoint edges point nodes at component minima; nodes absent from
+    # the edge list (singletons, and the minima themselves) label self.
+    labels = _neighborhood_min(_symmetrize(e)).select(
+        F.col("u").alias(id_col), F.col("m").alias("component")
+    )
+    v = vertices.select(F.col(id_col))
+    return (
+        v.join(labels, id_col, "left")
+        .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+    )
 
 
 def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -91,6 +91,40 @@ PREGNANCY_RULES = KeywordRuleClient(
 )
 
 
+def resolve_client_factory(dotted: str) -> Callable[..., LLMClient]:
+    """Resolve a ``module:function`` LLM-client factory by import —
+    the same pluggability seam as ``rest.resolve_transport_factory``.
+
+    The reference swaps in its live client purely via config
+    (etl.py:236-273; config.example.yaml ``gemini.model`` /
+    ``api_key_env``); here ``gemini.client_factory`` names a callable
+    ``(gemini_cfg: dict) -> LLMClient``.  The factory runs INSIDE each
+    Spark task (client init is per-task, R10), so it must be
+    importable in the worker processes — the engine ships itself via
+    addPyFile (session.ship_package), so any callable in this package
+    or an installed module qualifies; an in-process registry would
+    not.
+    """
+    import importlib
+
+    mod_name, _, fn_name = dotted.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def keyword_rule_client_factory(gem_cfg: dict) -> LLMClient:
+    """Config-driven mock factory (the CI default, explicitly named):
+    ``gemini.rules`` as [[substring, label], ...] with optional
+    ``gemini.default_label``; no ``rules`` → the reference's pregnancy
+    category set."""
+    rules = gem_cfg.get("rules")
+    if not rules:
+        return PREGNANCY_RULES
+    return KeywordRuleClient(
+        rules=tuple((str(k), str(v)) for k, v in rules),
+        default=str(gem_cfg.get("default_label", "NOT MENTIONED")),
+    )
+
+
 class TokenBucket:
     """Per-task rate limiter. The reference sleeps a flat
     ``api_delay`` after every call (etl.py:328-331); a token bucket

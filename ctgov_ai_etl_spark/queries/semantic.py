@@ -39,7 +39,7 @@ from ctgov_ai_etl_spark.operators.similarity import (
     seeded_centroids,
 )
 from ctgov_ai_etl_spark.operators.limits import stratified_sample
-from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.queries.registry import REGISTRY, query
 from ctgov_ai_etl_spark.tables import load_table
 
 
@@ -933,6 +933,28 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    csizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return comp.join(csizes, "component").select("doc_id", "component", "csize")
+
+
+_COMPONENTS_ORACLE = REGISTRY["dedup_components"].oracle
+
+
+@query("dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster-resolution contract as ``dedup_components`` but via
+    alternating large-star/small-star rounds (Kiveris et al. '14) —
+    O(log n) rounds instead of O(diameter), the formulation for
+    adversarially deep dup-graphs (chains of pairwise-similar
+    revisions).  Identical oracle: the two CC algorithms must agree
+    exactly."""
+    from ctgov_ai_etl_spark.operators.dedup import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components_star(d.select("doc_id"), pairs, id_col="doc_id")
     csizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
     return comp.join(csizes, "component").select("doc_id", "component", "csize")
 

@@ -84,3 +84,30 @@ def test_token_bucket_rate():
         bucket.acquire()
     elapsed = time.monotonic() - t0
     assert elapsed >= 0.15  # ~9 waits at 20ms
+
+
+def test_config_pluggable_client_factory(spark):
+    """gemini.client_factory resolves a module:function factory (the
+    reference's config-swappable live client, etl.py:236-273) and the
+    resolved client — not the default mock — runs inside the worker
+    tasks: custom rules relabel every classified row."""
+    from ctgov_ai_etl_spark.plans.pipeline import run_pipeline
+
+    cfg = {
+        "ctgov": {
+            "api_url": "https://example.invalid/api/v2/studies",
+            "page_size": 10,
+            "transport_factory": "ctgov_ai_etl_spark.fixtures:mock_ctgov_transport",
+            "transport_args": "[20, 10]",
+        },
+        "gemini": {
+            "client_factory": "ctgov_ai_etl_spark.operators.llm:keyword_rule_client_factory",
+            "rules": [["pregnan", "CUSTOM_LABEL"]],
+            "default_label": "CUSTOM_DEFAULT",
+            "row_prompt_template": "Criteria: {criteria}",
+        },
+        "ai_processing": {"enabled": True, "column_name": "ai_determined_value"},
+    }
+    labels = {r["ai_determined_value"] for r in run_pipeline(spark, cfg).collect()}
+    assert labels <= {"CUSTOM_LABEL", "CUSTOM_DEFAULT", "N/A"}
+    assert "CUSTOM_LABEL" in labels or "CUSTOM_DEFAULT" in labels

@@ -9,7 +9,10 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from ctgov_ai_etl_spark.operators.dedup import connected_components
+from ctgov_ai_etl_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 from ctgov_ai_etl_spark.operators.merge import merge_upsert
 
 _ids = st.integers(min_value=0, max_value=20)
@@ -46,6 +49,36 @@ def test_connected_components_matches_union_find(spark, vertices, raw_edges):
         edf = edf.limit(0)
     got = {r.id: r.component for r in connected_components(vdf, edf).collect()}
     assert got == _python_components(vertices, edges)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vertices=st.sets(_ids, min_size=1, max_size=12),
+    raw_edges=st.lists(st.tuples(_ids, _ids), max_size=15),
+)
+def test_star_components_matches_union_find(spark, vertices, raw_edges):
+    edges = [(a, b) for a, b in raw_edges if a in vertices and b in vertices and a != b]
+    vdf = spark.createDataFrame([(v,) for v in sorted(vertices)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        edf = edf.limit(0)
+    got = {r.id: r.component for r in connected_components_star(vdf, edf).collect()}
+    assert got == _python_components(vertices, edges)
+
+
+def test_star_components_deep_chain_logarithmic_rounds(spark):
+    """A 1024-link chain (diameter 1024) must resolve within the
+    default max_iters=30 alternations — the O(log n) property that
+    min-label propagation (diameter-many rounds) lacks.  Correctness
+    of every label IS the convergence proof: an unconverged run
+    leaves interior nodes pointing at non-minimum labels."""
+    n = 1024
+    vdf = spark.createDataFrame([(v,) for v in range(n + 1)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components_star(vdf, edf).collect()}
+    assert got == {v: 0 for v in range(n + 1)}
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
