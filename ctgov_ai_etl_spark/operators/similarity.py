@@ -394,6 +394,48 @@ def centroid_assign(
     )
 
 
+def centroid_assign_multi(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_assign: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, cid) rows for each vector's ``n_assign`` CLOSEST centroids
+    (cosine desc, centroid id asc on rounded ties) — the multi-
+    assignment recall knob for centroid blocking: a near-dup pair
+    split across two blocks is recovered whenever the blocks overlap
+    in either vector's top-``n_assign`` assignment.  Still map-side:
+    one sort of a k-element array per row."""
+    cent_lit = _planes_literal(centroids)
+    sims = F.transform(
+        cent_lit, lambda c: F.round(cosine(F.col("__v"), c), round_digits)
+    )
+    # (-sim, cid) structs: array_sort orders field-wise ascending =
+    # similarity desc, centroid id asc — the deterministic tie rule.
+    ranked = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    F.col("__sims"),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda s, i: F.struct((-s).alias("negs"), i.alias("cid")),
+                )
+            ),
+            lambda x: x["cid"],
+        ),
+        1,
+        n_assign,
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__sims", sims)
+        .select("id", F.explode(ranked).alias("cid"))
+        .select("id", F.col("cid").cast("int").alias("cid"))
+    )
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     centroids: list[list[float]],
@@ -401,20 +443,30 @@ def blocked_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: centroid BLOCKING turns the
     O(n²) all-pairs cosine into Σ block² — assign map-side, pair only
     within a block (one shuffle on narrow (id, cid) rows), verify
     exact cosine ≥ ``threshold``.  Trades recall (cross-block pairs
-    are unseen — raise k or add multi-assignment to tighten) for a
-    bounded join, the semantic-dedup analog of MinHash banding.
-    Deterministic given the centroids, so the whole pipeline is
-    SQL-replayable."""
-    asg = centroid_assign(df, centroids, id_col, vec_col, round_digits)
+    are unseen) for a bounded join, the semantic-dedup analog of
+    MinHash banding; ``n_assign`` > 1 assigns each vector to its n
+    closest blocks (candidate volume ≈ ×n², recall strictly
+    non-decreasing — the knob tested in
+    test_blocked_multi_assign_recall).  Deterministic given the
+    centroids, so the whole pipeline is SQL-replayable."""
+    if n_assign == 1:
+        asg = centroid_assign(df, centroids, id_col, vec_col, round_digits)
+    else:
+        asg = centroid_assign_multi(
+            df, centroids, n_assign, id_col, vec_col, round_digits
+        )
     a, b = asg.alias("a"), asg.alias("b")
     cand = a.join(
         b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id"))
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if n_assign > 1:  # a pair can share several blocks under multi-assign
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     va = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)

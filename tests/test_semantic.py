@@ -305,3 +305,44 @@ def test_rrf_capped_tower_semantics(spark, monkeypatch):
         assert abs(rrf - expected) < 1e-9, (doc_id, rrf, expected)
     single_tower = [d for d in fused if (d in lex_rank) != (d in sem_rank)]
     assert single_tower, "fixture should exercise the coalesce-0 path"
+
+
+def test_blocked_multi_assign_recall(spark):
+    """Centroid-blocking recall knob: n_assign=2 must recover a
+    superset of the n_assign=1 pairs (monotone recall), every emitted
+    pair must be exact-correct (precision 1.0 — verification is exact
+    cosine), and the fixture must actually contain cross-block truth
+    pairs so the knob is exercised."""
+    from ctgov_ai_etl_spark.operators.similarity import blocked_cosine_pairs
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    from ctgov_ai_etl_spark.operators.similarity import cosine
+
+    threshold = 0.3
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .filter(F.col("s") >= threshold)
+        .collect()
+    }
+    got1 = {
+        (r.id_a, r.id_b)
+        for r in blocked_cosine_pairs(e, _BLOCK_CENTROIDS, threshold).collect()
+    }
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in blocked_cosine_pairs(
+            e, _BLOCK_CENTROIDS, threshold, n_assign=2
+        ).collect()
+    }
+    assert truth, "fixture must contain near-dup embedding pairs"
+    assert got1 <= truth and got2 <= truth  # exact verify => precision 1.0
+    assert got1 <= got2  # monotone recall in n_assign
+    missed1 = truth - got1
+    assert missed1, "fixture must contain cross-block pairs (knob exercised)"
+    recovered = missed1 & got2
+    assert recovered, "n_assign=2 should recover some cross-block pairs"
