@@ -52,6 +52,9 @@ _DEFERRED = (
     # round-2 additions
     "win_rank_distributed",
     "dedup_components_star",
+    "stream_run_stream_join",
+    "binary_file_scan",
+    "text_scan_roundtrip",
 )
 
 

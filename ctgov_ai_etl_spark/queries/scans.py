@@ -138,3 +138,73 @@ def essie_search_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "user_id", search_nested("history", pred).alias("has_big_purchase")
     )
+
+
+@query(
+    "binary_file_scan",
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS meta_bytes,
+           CAST(size AS BIGINT) AS content_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion seam for multimodal
+    assets (images/audio/video as opaque bytes + typed metadata;
+    operators/multimodal.py consumes this shape).  Emits the basename,
+    the source's length metadata, and the ACTUAL byte count of the
+    loaded content column — proving the bytes were read, not just
+    listed.  Oracle replays with DuckDB read_blob (content hashes
+    can't cross the engines: DuckDB's blob→varchar cast escapes
+    non-UTF8 bytes).  The oracle bakes the driver gate's fixed sf0.01
+    path — oracle_sql() strings are static and the differential
+    contract runs at sf0.01; compare this query at that sf only."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").alias("meta_bytes"),
+        F.length("content").cast("long").alias("content_bytes"),
+    )
+
+
+@query(
+    "text_scan_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text`` sink → ``text`` scan: documents serialized one-per-line
+    as ``doc_id<TAB>lang<TAB>text`` (the raw-corpus interchange shape),
+    read back as unstructured lines and re-parsed with split/limit —
+    proven lossless against the parquet-direct oracle (id sums and
+    exact character counts survive the round trip).  The fixture text
+    is tab/newline-free; a production writer would escape or frame
+    (JSONL) instead."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="text_rt_"), "documents_txt")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = back.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -227,3 +227,66 @@ def stream_run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = dedup_within_watermark(read_events_stream(spark, sf_dir))
     return run_stream_to_memory(stream, mode="append")
+
+
+@query(
+    "stream_run_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS us_to_purchase
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_run_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream inner join: click events joined to the
+    purchase events of the same user within [ts, ts + 30 min] — the
+    attribution-window shape.  Both sides carry watermarks (1 h) so
+    the join state is evictable: at scale the state store holds only
+    one watermark-plus-range window of each stream, not history.
+    Inner-join matches emit as they arrive, so the append-mode result
+    of the finite single-batch source equals the batch range self-join
+    the oracle replays (time delta in exact integer micros)."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = run_stream_to_memory(joined, mode="append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("long").alias(
+            "us_to_purchase"
+        ),
+    )
