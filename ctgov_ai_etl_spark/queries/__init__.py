@@ -58,12 +58,41 @@ _DEFERRED = (
 )
 
 
+# The 50 headline unverified queries, FASTEST FIRST (sf0.1 bench
+# timings): if the driver's correctness window is a count cap the
+# order inside the window is irrelevant, but if it is a time budget,
+# cheapest-first maximizes how many convert to verified this round.
+_UNVERIFIED_ORDER = (
+    "text_fingerprint", "text_token_stats", "mm_binary_plumbing",
+    "text_pack_sequences", "essie_search_nested_struct",
+    "udf_pandas_scalar", "udtf_tokenize", "dedup_exact_group",
+    "agg_stats_moments", "stream_tumbling_window",
+    "stream_sliding_window", "sample_stratified", "text_top_tokens",
+    "skew_salted_agg", "ctgov_flatten_parity",
+    "mm_decode_features", "csv_scan_roundtrip", "search_bm25",
+    "mm_frame_sample", "text_chunked",
+    "orc_scan_roundtrip", "stream_session_window",
+    "json_scan_roundtrip", "agg_percentiles", "agg_approx_quantile",
+    "sim_topk_bruteforce", "udf_grouped_agg", "text_tfidf_top_term",
+    "skew_salted_join", "search_hybrid_rrf",
+    "pipeline_curate", "partition_pruned_scan", "llm_classify_cost_cap",
+    "stream_run_static_join", "llm_classify_documents",
+    "sim_topk_ivf", "sim_topk_lsh", "stream_run_tumbling",
+    "text_langid_quality", "dedup_simhash",
+    "stream_run_stateful", "udf_grouped_map", "stream_run_dedup",
+    "ctgov_pipeline_e2e", "dedup_minhash_lsh",
+    "dedup_jaccard_pairs", "dedup_embedding_blocked", "dedup_components",
+    "dedup_jaccard_bigram", "dedup_embedding_cosine",
+)
+_UNVERIFIED_POS = {n: i for i, n in enumerate(_UNVERIFIED_ORDER)}
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module, then order the registry driver-first.
 
-    Order: unverified headline families -> unverified variants -> the 50
-    round-1 driver-verified queries (kept last; they already have green
-    CORRECTNESS_r01 rows).
+    Order: unverified headline families (fastest first) -> unverified
+    variants and round-2+ additions -> the 50 round-1 driver-verified
+    queries (kept last; they already have green CORRECTNESS_r01 rows).
     """
     from ctgov_ai_etl_spark.queries import (  # noqa: F401
         relational,
@@ -78,12 +107,12 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
     )
 
-    def rank(name: str) -> int:
+    def rank(name: str) -> tuple[int, int]:
         if name in _DEFERRED:
-            return 1
+            return (1, 0)
         if name in _R01_VERIFIED:
-            return 2
-        return 0
+            return (2, 0)
+        return (0, _UNVERIFIED_POS.get(name, len(_UNVERIFIED_ORDER)))
 
     ordered = sorted(REGISTRY, key=lambda n: rank(n))
     if list(REGISTRY) != ordered:

@@ -101,6 +101,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("lexical rank via broadcast self-join (no Window node)",
          r"BroadcastNestedLoopJoin"),
     ],
+    "dedup_minhash_lsh": [
+        ("deduped signature table persisted and reused across branches",
+         r"InMemoryTableScan"),
+        ("band join keyed on (band, bucket), not signatures",
+         r"HashJoin \[band#\d+, bucket#\d+L?\]"),
+    ],
+    "dedup_jaccard_pairs": [
+        ("distinct token-set table persisted and reused", r"InMemoryTableScan"),
+        ("prefix-filter candidate join on dictionary-encoded token ids",
+         r"hashpartitioning\(tok"),
+    ],
     "win_rank_distributed": [
         ("range-partitioned rank (parallel, no single reducer)",
          r"rangepartitioning\("),
