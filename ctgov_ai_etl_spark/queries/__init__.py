@@ -55,6 +55,7 @@ _DEFERRED = (
     "stream_run_stream_join",
     "binary_file_scan",
     "text_scan_roundtrip",
+    "join_bloom_semi",
 )
 
 

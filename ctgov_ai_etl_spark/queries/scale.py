@@ -91,3 +91,32 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(cents).cast("double") / 100).alias("total"),
     )
+
+
+@query(
+    "join_bloom_semi",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join: the urgent-order keys build a bloom
+    filter (distributed bit_or aggregation, 128 KB of words to the
+    driver) that prunes the lineitem side MAP-SIDE — before any
+    exchange — so the semi-join shuffle carries ~matches only; the
+    exact semi-join then kills bloom false positives.  Byte-identical
+    to the plain IN-subquery semi-join the oracle replays (bloom
+    filters have no false negatives)."""
+    from ctgov_ai_etl_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "l_quantity",
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")

@@ -87,3 +87,33 @@ def test_nested_schema_pruning_reads_only_projected_leaf(spark, tmp_path):
     schema_line = m[0]
     assert "priority" in schema_line
     assert "price" not in schema_line and "status" not in schema_line, schema_line
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """The bloom pre-filter must pass EVERY true match (no false
+    negatives ⇒ exact semi-join results) while pruning most
+    non-members map-side (the point of the runtime filter)."""
+    from ctgov_ai_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    urgent = load_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    words = bloom_build(urgent.select("o_orderkey"), "o_orderkey", 1 << 17, 5)
+    n_fact = li.count()
+    n_pass = li.filter(
+        bloom_might_contain(F.col("l_orderkey"), words, 5)
+    ).count()
+    n_true = li.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    assert n_true <= n_pass  # no false negatives
+    assert n_pass < n_fact  # actually prunes
+    # false-positive volume stays a small fraction of the pruned mass
+    assert (n_pass - n_true) <= 0.01 * n_fact + 50
