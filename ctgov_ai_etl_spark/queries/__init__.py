@@ -56,6 +56,7 @@ _DEFERRED = (
     "binary_file_scan",
     "text_scan_roundtrip",
     "join_bloom_semi",
+    "agg_approx_top_k",
 )
 
 

@@ -1103,3 +1103,51 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=_IVF_NPROBE,
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt, true AS sketch_exact FROM (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY cnt DESC, tok ASC
+      LIMIT 10
+    )
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (SPACE-bounded
+    frequent-items tracking — the 100 TB shape for 'top URLs/tokens/
+    entities' where an exact groupBy's key space won't fit).  Sketch
+    output has no stable SQL mirror, so the hash-checked contract is
+    the agg_approx_quantile pattern: exact deterministic top-10
+    (count desc, token asc) joined against the sketch's counts, with
+    a boolean asserting the sketch agreed exactly — guaranteed here
+    because maxItemsTracked (10000) exceeds the corpus vocabulary, a
+    fixture-verified property, so the sketch is operating in its
+    exact regime."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+    sketch = toks.select(
+        F.expr("approx_top_k(tok, 100, 10000)").alias("top")
+    ).select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("tok"), F.col("e.count").alias("sk_cnt")
+    )
+    return (
+        exact.join(sketch, "tok", "left")
+        .select(
+            "tok",
+            "cnt",
+            F.coalesce(F.col("sk_cnt") == F.col("cnt"), F.lit(False)).alias(
+                "sketch_exact"
+            ),
+        )
+    )

@@ -99,3 +99,29 @@ def test_merge_upsert_key_semantics(spark, target, updates):
         udf_ = udf_.limit(0)
     got = {r.k: r.v for r in merge_upsert(tdf, udf_, ["k"]).collect()}
     assert got == {**target, **updates}  # updates win; unmatched appended
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_global_rank_is_exact_permutation(spark, vals):
+    """global_rank must equal the rank from a driver-side sort under
+    the same (key, id) order — exactly once per row, no duplicates or
+    gaps — regardless of how rows spread across range partitions
+    (the ADVICE-flagged double-exchange hazard)."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
+
+    df = spark.createDataFrame(vals, "k long, id long")
+    ranked, total = global_rank_with_count(df, ["k", "id"])
+    got = {(r["k"], r["id"]): r["__pos"] for r in ranked.collect()}
+    expected = {
+        kv: i + 1 for i, kv in enumerate(sorted(vals, key=lambda t: (t[0], t[1])))
+    }
+    assert total == len(vals)
+    assert got == expected
