@@ -57,6 +57,10 @@ _DEFERRED = (
     "text_scan_roundtrip",
     "join_bloom_semi",
     "agg_approx_top_k",
+    "fn_variant_family",
+    "fn_try_family",
+    "agg_hll_sketch_merge",
+    "udf_map_in_arrow",
 )
 
 

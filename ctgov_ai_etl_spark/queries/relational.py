@@ -821,3 +821,36 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection (exact dedup on all columns)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS within_5pct
+    FROM lineitem
+    """,
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    each half of the fact table builds its own hll_sketch_agg, the
+    binary sketches union with hll_union_agg, and the merged estimate
+    is checked against the exact global distinct — the pre-aggregate-
+    per-partition / merge-at-query-time pattern that lets a 100 TB
+    pipeline keep per-day sketches and answer any date-range distinct
+    count without rescanning (approx_count_distinct's HLL++ can't be
+    re-merged once finalized).  Oracle contract mirrors
+    agg_approx_count_distinct: (exact, bound-held boolean)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    halves = li.withColumn("half", (F.col("l_linenumber") % 2).cast("int"))
+    sketches = halves.groupBy("half").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    err = F.abs(F.col("est") - F.col("exact_parts")) / F.col("exact_parts")
+    return exact.crossJoin(merged).select(
+        "exact_parts", (err <= 0.05).alias("within_5pct")
+    )

@@ -304,3 +304,73 @@ def essie_search_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(search_text("text", "join") | search_text("text", "shuffle")).select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "fn_variant_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           CAST(NULL AS INT) AS missing_int,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events
+    """,
+)
+def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json → binary
+    variant, typed path extraction with variant_get (missing path →
+    NULL, not error), schema_of_variant introspection.  Variant is the
+    100 TB answer to schema-drifting JSON columns: shredded binary
+    beats per-query string re-parsing.  Oracle replays the same
+    extractions with DuckDB JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'int')").alias(
+            "missing_int"
+        ),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+
+
+@query(
+    "fn_try_family",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS INT)
+                ELSE NULL END AS prio_int,
+           CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_custkey % 3), 6) END AS per_bucket,
+           CAST(NULL AS BIGINT) AS overflowed,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'x' ELSE NULL END AS maybe_elem
+    FROM orders
+    """,
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: under Spark 4's default ANSI mode,
+    bad casts / division by zero / overflow THROW — the try_* family
+    returns NULL instead, the right semantics for dirty data at scale
+    (one malformed row must not kill a 100 TB job).  try_cast on a
+    non-numeric string, try_divide by a sometimes-zero denominator,
+    try_add at long-overflow, try_element_at past the array end; the
+    oracle replays each NULL-producing branch explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.array(F.lit("x"))
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS STRING) "
+            "ELSE concat('p', o_orderpriority) END AS int)"
+        ).alias("prio_int"),
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 6
+        ).alias("per_bucket"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"), F.col("o_orderkey") + 1
+        ).alias("overflowed"),
+        F.try_element_at(
+            arr, ((F.col("o_orderkey") % 2) + 1).cast("int")
+        ).alias("maybe_elem"),
+    )

@@ -250,3 +250,34 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rank_ok = (F.col("frac_le") >= 0.5 - 0.002) & (F.col("frac_lt") <= 0.5 + 0.002)
     return chk.select("o_orderpriority", "p50_exact", rank_ok.alias("rank_ok"))
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id, round(value * 1.1 + 7.0, 6) AS adjusted_arrow
+    FROM events
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python boundary — raw Arrow
+    RecordBatches in and out, no pandas conversion at all (the shape
+    for calling Arrow-native libraries: tokenizers, polars, DataFusion
+    kernels).  Same arithmetic as udf_pandas_scalar; rounding stays
+    Spark-side (half-away, matches SQL round)."""
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ship_package(spark)
+
+    def adjust(batches):
+        for batch in batches:
+            import pyarrow.compute as pc
+
+            adjusted = pc.add(pc.multiply(batch.column("value"), 1.1), 7.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), adjusted], ["event_id", "adjusted_arrow"]
+            )
+
+    out = ev.mapInArrow(adjust, schema="event_id long, adjusted_arrow double")
+    return out.select("event_id", F.round("adjusted_arrow", 6).alias("adjusted_arrow"))
