@@ -40,28 +40,32 @@ _R01_VERIFIED = frozenset(
     }
 )
 
-# Queries registered BEHIND the 50 headline unverified ones: low-value
-# variants of already-verified siblings, plus round-2+ additions.  A
-# hard ~50-query driver window then drops these, not the headline
-# families it must convert this round.
+# Queries registered BEHIND the 50 headline unverified ones, in THIS
+# order (a driver window that extends past 50 picks them up front to
+# back): round-2 additions first — new operators with no verification
+# history — then low-value variants of already-verified siblings.  A
+# hard ~50-query window drops these, not the headline families this
+# round must convert.
 _DEFERRED = (
+    # round-2 additions (cheap first)
+    "fn_try_family",
+    "fn_variant_family",
+    "udf_map_in_arrow",
+    "agg_approx_top_k",
+    "agg_hll_sketch_merge",
+    "binary_file_scan",
+    "text_scan_roundtrip",
+    "join_bloom_semi",
+    "win_rank_distributed",
+    "stream_run_stream_join",
+    "dedup_components_star",
+    # variants of r01-verified siblings
     "win_first_last",
     "set_intersect_all",
     "pivot_status_matrix",
     "unpivot_stack",
-    # round-2 additions
-    "win_rank_distributed",
-    "dedup_components_star",
-    "stream_run_stream_join",
-    "binary_file_scan",
-    "text_scan_roundtrip",
-    "join_bloom_semi",
-    "agg_approx_top_k",
-    "fn_variant_family",
-    "fn_try_family",
-    "agg_hll_sketch_merge",
-    "udf_map_in_arrow",
 )
+_DEFERRED_POS = {n: i for i, n in enumerate(_DEFERRED)}
 
 
 # The 50 headline unverified queries, FASTEST FIRST (sf0.1 bench
@@ -114,8 +118,8 @@ def load_all() -> dict[str, QuerySpec]:
     )
 
     def rank(name: str) -> tuple[int, int]:
-        if name in _DEFERRED:
-            return (1, 0)
+        if name in _DEFERRED_POS:
+            return (1, _DEFERRED_POS[name])
         if name in _R01_VERIFIED:
             return (2, 0)
         return (0, _UNVERIFIED_POS.get(name, len(_UNVERIFIED_ORDER)))
