@@ -1151,3 +1151,33 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BPE_PRETOKEN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@query(
+    "text_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '{_BPE_PRETOKEN}')) AS INT) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both tiers the brief names: whitespace tokens
+    and a BPE-style pretokenizer count (GPT-2-shaped alternation —
+    letter runs / digit runs / punctuation runs with leading-space
+    attachment — restricted to RE2-safe syntax so Spark's Java regex
+    and DuckDB's RE2 count identically; no lookahead).  The pretoken
+    count is the budgeting proxy for subword tokenizers: sequence
+    packing and cost caps need it BEFORE any real tokenizer runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{_BPE_PRETOKEN}', 0)")
+        ).alias("n_bpe"),
+    )
