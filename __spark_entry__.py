@@ -40,9 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
-    operators (approximate, service-backed, streaming-stateful) are
-    omitted per the driver contract."""
+    """DuckDB-equivalent SQL for EVERY registered query — since round
+    2 the whole catalog is hash-checkable (the md5-hashed minhash and
+    simhash pipelines closed the last two rows-only entries)."""
     return {
         name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
     }

@@ -55,6 +55,30 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
 
 
+def base_hash31(col: Column, method: str = "xxhash64") -> Column:
+    """Shingle base hash in [0, P).  ``xxhash64`` is the fast internal
+    default; ``md5`` (first 8 hex chars → 32-bit int, mod P) is
+    byte-identical across engines — DuckDB replays it as
+    ``CAST(('0x'||substring(md5(s),1,8)) AS BIGINT) % P`` — which is
+    what makes the registered minhash query fully oracle-checkable
+    instead of rows-only."""
+    if method == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(_P)
+        )
+    return F.pmod(F.xxhash64(col), F.lit(_P))
+
+
+def hash64_signed(col: Column, method: str = "xxhash64") -> Column:
+    """Full-width signed 64-bit hash.  ``md5`` = first 16 hex chars
+    interpreted as a signed long (``conv(..., 16, -10)``), replayable
+    in DuckDB from the two 8-hex halves with HUGEINT wrap-around —
+    verified bit-equal including negatives."""
+    if method == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 16), 16, -10).cast("long")
+    return F.xxhash64(col)
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-character shingles of ``text`` (set semantics, as
     MinHash requires).  Order-sensitive: near-dup under char shingles
@@ -78,8 +102,8 @@ def token_shingles(text: Column, n: int = 1) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as array<long>: one universal-hash min per
-    permutation over the xxhash64 base hashes of the shingle set."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    permutation over the base hashes of the shingle set."""
+    base = F.transform(shingles, lambda s: base_hash31(s))
     sigs = [
         F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))))
         for a, b in _hash_params(num_hashes)
@@ -96,6 +120,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     shingle: str = "char",
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs with MinHash-estimated Jaccard
     ≥ ``threshold``.
@@ -105,18 +130,24 @@ def minhash_lsh_pairs(
     some band matches exactly — P(collide) ≈ 1-(1-j^r)^b, tuned so the
     curve's knee sits near ``threshold``.  ``shingle`` picks the
     similarity notion: 'char' (order-sensitive k-char shingles) or
-    'token' (word n-grams; k=1 → bag-of-words).
+    'token' (word n-grams; k=1 → bag-of-words).  ``hash_method='md5'``
+    makes the whole pipeline engine-replayable (see
+    :func:`base_hash31`): base hashes come from md5 and band buckets
+    use the exact band value instead of a 64-bit hash, so the DuckDB
+    oracle can reproduce candidate membership exactly (a hashed bucket
+    could collide two different band values and emit a pair no exact
+    replay would produce).
     """
     rows = num_hashes // bands
     mk = char_shingles if shingle == "char" else token_shingles
     # Materialize the base-hash array as a real column FIRST: the 64
     # permutation minimums all reference one attribute, so shingling +
-    # xxhash happen once per row. Inlining the whole tree would make
+    # hashing happen once per row. Inlining the whole tree would make
     # Catalyst expand (and re-evaluate) the shingle scan per
     # permutation — measured 100× slower.
     base = df.select(
         F.col(id_col).alias("id"),
-        F.transform(mk(F.col(text_col), shingle_k), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias(
+        F.transform(mk(F.col(text_col), shingle_k), lambda s: base_hash31(s, hash_method)).alias(
             "base_hashes"
         ),
     )
@@ -152,14 +183,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard"))
     )
 
+    def band_value(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+        )
+        # md5 mode keys buckets on the EXACT band value (string) so the
+        # oracle's band-equality replay matches candidate membership
+        # 1:1; default mode keeps the narrower 64-bit hashed key.
+        return joined if hash_method == "md5" else F.xxhash64(joined)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), band_value(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -215,9 +250,13 @@ def minhash_lsh_pairs(
     return intra.unionByName(inter)
 
 
-def token_hashes(text: Column) -> Column:
-    """xxhash64 of each distinct whitespace token of ``text``."""
-    return F.transform(F.array_distinct(F.split(text, r"\s+")), lambda t: F.xxhash64(t))
+def token_hashes(text: Column, hash_method: str = "xxhash64") -> Column:
+    """64-bit hash of each distinct whitespace token of ``text``
+    (``md5`` method = engine-replayable, see :func:`hash64_signed`)."""
+    return F.transform(
+        F.array_distinct(F.split(text, r"\s+")),
+        lambda t: hash64_signed(t, hash_method),
+    )
 
 
 def simhash_from_hashes(hashes: Column) -> Column:
@@ -264,15 +303,19 @@ def simhash_from_hashes(hashes: Column) -> Column:
     )
 
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, hash_method: str = "xxhash64") -> Column:
     """SimHash of the whitespace tokens of ``text`` — a single
     expression (each sub-result is referenced once, so inlining is
     CSE-safe, unlike the minhash signature family)."""
-    return simhash_from_hashes(token_hashes(text))
+    return simhash_from_hashes(token_hashes(text, hash_method))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -280,11 +323,17 @@ def simhash_pairs(
     by pigeonhole any pair within distance ``max_hamming`` agrees on at
     least one full chunk → equi-join per chunk, then verify exactly
     with bit_count(xor).  One shuffle on (chunk_id, chunk_value).
+    The chunk join is EXHAUSTIVE for distance ≤ ``max_hamming``
+    (pigeonhole; proven by the planted-corpus test), so the output
+    equals the all-pairs Hamming filter — which is exactly what the
+    DuckDB oracle replays when ``hash_method='md5'`` makes the
+    signatures engine-reproducible.
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     with_sim = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), hash_method).alias("simhash"),
     )
 
     chunks = F.array(

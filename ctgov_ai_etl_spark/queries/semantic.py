@@ -731,7 +731,48 @@ def dedup_jaccard_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_token_pairs(d, "doc_id", "text", threshold=0.9, ngram=2)
 
 
-@query("dedup_minhash_lsh", oracle=None)
+def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """Full SQL replay of the md5-hashed MinHash-LSH pipeline: same
+    base hashes (md5 32-bit mod P), same seeded permutation constants,
+    same banding decision (∃ band with every row equal) — feasible as
+    a naive all-pairs join at oracle scale."""
+    from ctgov_ai_etl_spark.operators.dedup import _P, _hash_params
+
+    rows = num_hashes // bands
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {_P}))"
+        for a, b in _hash_params(num_hashes)
+    )
+    band_conds = "\n        OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig[{band * rows + r + 1}] = b.sig[{band * rows + r + 1}]"
+            for r in range(rows)
+        )
+        + ")"
+        for band in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents
+    ),
+    base AS (
+      SELECT id, list_transform(ts, s ->
+        CAST(('0x'||substring(md5(s),1,8)) AS BIGINT) % {_P}) AS hs
+      FROM toks
+    ),
+    sigs AS (SELECT id, [{sig_items}] AS sig FROM base)
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_filter(range(1, {num_hashes + 1}), i -> a.sig[i] = b.sig[i]))
+               / {num_hashes}.0 AS est_jaccard
+      FROM sigs a JOIN sigs b ON a.id < b.id AND ({band_conds})
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle_sql(64, 8, 0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (token shingles — bag-of-words
     similarity, matching this corpus's duplication structure; 64
@@ -741,23 +782,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     become candidates — at 16×4 the knee is 0.5 and every mid-
     similarity pair costs a full 64-hash verify it can never pass
     (measured 1.6× slower for 2.6% extra borderline pairs).
-    Deterministic given the seeded permutation family; rows-only (the
-    estimator is approximate by construction — tests/test_semantic.py
-    checks recall against the exact Jaccard pairs)."""
+    FULLY oracle-checked since round 2: md5-derived base hashes and
+    exact band-value buckets make every stage engine-replayable, so
+    the DuckDB all-pairs replay reproduces candidate membership AND
+    estimates bit-for-bit (was rows-only with xxhash64; recall vs
+    exact Jaccard is additionally pinned in tests/test_semantic.py)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=64, bands=8, shingle_k=1,
-        threshold=0.8, shingle="token",
+        threshold=0.8, shingle="token", hash_method="md5",
     )
 
 
-@query("dedup_simhash", oracle=None)
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """SQL replay of md5-token SimHash + all-pairs Hamming filter (the
+    chunk join is exhaustive by pigeonhole, so all-pairs IS the same
+    result).  Bits come from the unsigned 64-bit md5 value (HUGEINT
+    arithmetic); the packed signature wraps to a signed BIGINT so
+    xor/bit_count agree with Spark's two's-complement longs."""
+    uh = (
+        "CAST(CAST(('0x'||substring(md5(t),1,8)) AS BIGINT) AS HUGEINT)"
+        "*4294967296 + CAST(('0x'||substring(md5(t),9,8)) AS BIGINT)"
+    )
+    bal_terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hu, h -> (h // {1 << b}) % 2 = 1)) - len(hu) > 0"
+        f" THEN CAST('{1 << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents
+    ),
+    hs AS (
+      SELECT id, list_transform(ts, t -> {uh}) AS hu FROM toks
+    ),
+    packed AS (
+      SELECT id, {bal_terms} AS sim_u FROM hs
+    ),
+    sh AS (
+      SELECT id,
+             CAST(CASE WHEN sim_u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN sim_u - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE sim_u END AS BIGINT) AS sim
+      FROM packed
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle_sql(3))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit token SimHash, Hamming ≤ 3 via
-    pigeonhole chunk-banding + exact bit_count verify). Deterministic;
-    rows-only (no tractable SQL mirror)."""
+    pigeonhole chunk-banding + exact bit_count verify).  FULLY
+    oracle-checked since round 2: md5 token hashes are
+    engine-replayable and the chunk join is provably exhaustive at
+    distance ≤ 3, so the DuckDB all-pairs Hamming replay is the exact
+    same pair set (was rows-only with xxhash64)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_method="md5")
 
 
 @query(
