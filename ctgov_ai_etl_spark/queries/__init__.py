@@ -48,6 +48,7 @@ _R01_VERIFIED = frozenset(
 # round must convert.
 _DEFERRED = (
     # round-2 additions (cheap first)
+    "text_pii_redact",
     "text_token_bpe",
     "fn_try_family",
     "fn_variant_family",

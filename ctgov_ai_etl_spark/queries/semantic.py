@@ -1267,3 +1267,110 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"regexp_extract_all(text, '{_BPE_PRETOKEN}', 0)")
         ).alias("n_bpe"),
     )
+
+
+# ------------------------------------------------------- PII redaction
+
+def _pii_oracle() -> str:
+    """DuckDB oracle generated from the same ``PII_PATTERNS`` table the
+    Spark expressions use (functions/pii.py keeps patterns inside the
+    Java-regex ∩ RE2 common syntax so both engines match identically)."""
+    from ctgov_ai_etl_spark.functions.pii import PII_PATTERNS
+
+    pats = {kind: pat for kind, pat, _ in PII_PATTERNS}
+    red = "s"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+    WITH synth AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact ' || source || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END
+             AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, s,
+             len(regexp_extract_all(s, '{pats["email"]}')) AS n_email,
+             len(regexp_extract_all(s, '{pats["phone"]}')) AS n_phone,
+             len(regexp_extract_all(s, '{pats["ipv4"]}')) AS n_ipv4,
+             {red} AS red
+      FROM synth
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS sum_email,
+           CAST(sum(n_phone) AS BIGINT) AS sum_phone,
+           CAST(sum(n_ipv4) AS BIGINT) AS sum_ip,
+           CAST(sum(CASE WHEN red <> s THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           min(md5(red)) AS redact_probe
+    FROM scored
+    GROUP BY source
+    """
+
+
+@query("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents corpus (curation
+    pass the reference lacks; see functions/pii.py).  The synthetic
+    corpus has no PII, so the query deterministically injects
+    emails/phones/IPs derived from (doc_id, source) — identically on
+    both engines — then counts and redacts with pure built-in regexp
+    expressions: map-side, codegen'd, UDF-free; the only shuffle is
+    the final per-source partial agg on ~20 groups.  ``min(md5(red))``
+    probes the redacted TEXT cross-engine, not just the counts."""
+    from ctgov_ai_etl_spark.functions.pii import pii_counts, pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact "), F.col("source"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +1-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(synth)
+    scored = d.select(
+        "source",
+        synth.alias("s"),
+        pii_redact(synth).alias("red"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("sum_email"),
+        F.sum("n_phone").cast("long").alias("sum_phone"),
+        F.sum("n_ipv4").cast("long").alias("sum_ip"),
+        F.sum(F.when(F.col("red") != F.col("s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_redacted"),
+        F.min(F.md5(F.col("red"))).alias("redact_probe"),
+    )

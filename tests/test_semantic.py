@@ -346,3 +346,42 @@ def test_blocked_multi_assign_recall(spark):
     assert missed1, "fixture must contain cross-block pairs (knob exercised)"
     recovered = missed1 & got2
     assert recovered, "n_assign=2 should recover some cross-block pairs"
+
+
+def test_pii_count_and_redact(spark):
+    from ctgov_ai_etl_spark.functions.pii import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org call +1-555-0100 ip 10.0.0.1 end"),
+            (2, "no pii here, just 1234 and example dot com"),
+        ],
+        "id int, t string",
+    )
+    t = F.col("t")
+    counts = pii_counts(t)
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            "t",
+            pii_redact(t).alias("red"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (2, 1, 1)
+    assert rows[1].red == "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP> end"
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
+    assert rows[2].red == rows[2].t
+
+
+def test_pii_redact_idempotent(spark):
+    # tags contain no @, digits, or dots -> redacting twice is a no-op
+    from ctgov_ai_etl_spark.functions.pii import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "x a@b.co +1-555-0100 10.0.0.1 y")], "id int, t string"
+    )
+    once = df.select(pii_redact(F.col("t")).alias("r"))
+    twice = once.select(pii_redact(F.col("r")).alias("r"))
+    assert once.collect() == twice.collect()
