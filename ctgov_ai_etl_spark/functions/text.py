@@ -179,3 +179,40 @@ def chunk_tokens(
             F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("chunk"),
         ),
     )
+
+
+def top_token_ratio(toks: Column) -> Column:
+    """Most-frequent-token share of the document (Gopher-style
+    repetition signal).  Pure HOF expression: O(distinct × n) per row
+    with a small distinct set — map-side, no explode, no shuffle."""
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    return F.array_max(counts) / F.size(toks).cast("double")
+
+
+def bigram_strings(toks: Column) -> Column:
+    """Adjacent-token bigrams joined with one space; empty for docs
+    shorter than 2 tokens (negative ``sequence`` spans count down)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bg = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(F.size(toks) >= 2, bg).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_bigram_frac(toks: Column) -> Column:
+    """Fraction of bigram occurrences that are repeats of an earlier
+    bigram in the same document (1 - distinct/total); 0.0 for docs
+    with <2 tokens."""
+    bg = bigram_strings(toks)
+    return F.when(
+        F.size(bg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg).cast("double"),
+    ).otherwise(F.lit(0.0))

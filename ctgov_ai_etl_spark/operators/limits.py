@@ -162,3 +162,49 @@ def stratified_sample(
         .filter(hash_bucket(F.col(key_col), n_buckets) < F.col("__frac") * n_buckets)
         .select(*df.columns)
     )
+
+
+def mixture_fractions(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    out_rows: int,
+) -> dict[str, float]:
+    """Per-stratum acceptance rates that steer the sampled output
+    toward the target mixture ``weights`` at ~``out_rows`` total:
+    rate_s = min(1, w_s * out_rows / n_s).  Strata too small to supply
+    their share saturate at 1.0 (their deficit is NOT redistributed —
+    deterministic and engine-replayable beats exactly-sized here).
+    The per-stratum counts are a bounded driver scalar collect
+    (|strata| rows), the same convention as IVF centroid training.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        s: min(1.0, w * out_rows / counts[s])
+        for s, w in weights.items()
+        if s in counts and counts[s] > 0
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    out_rows: int,
+    key_col: str,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic domain-mixing sampler: resample a corpus so the
+    output approximates a target stratum mixture (e.g. rebalancing
+    languages or sources for a training run).  Composition of
+    ``mixture_fractions`` + ``stratified_sample``: one tiny count agg,
+    then a broadcast-joined map-side md5-bucket filter — the fact side
+    is never shuffled, and the same rows survive on any cluster or
+    engine (see ``hash_bucket``)."""
+    fracs = mixture_fractions(df, strata_col, weights, out_rows)
+    return stratified_sample(
+        df, strata_col, fracs, key_col, default=0.0, n_buckets=n_buckets
+    )

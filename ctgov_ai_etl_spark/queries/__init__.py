@@ -49,6 +49,9 @@ _R01_VERIFIED = frozenset(
 _DEFERRED = (
     # round-2 additions (cheap first)
     "text_pii_redact",
+    "text_repetition",
+    "sample_mixture",
+    "decontam_ngram",
     "text_token_bpe",
     "fn_try_family",
     "fn_variant_family",

@@ -1374,3 +1374,153 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redacted"),
         F.min(F.md5(F.col("red"))).alias("redact_probe"),
     )
+
+
+# ------------------------------------------ decontamination / mixing
+
+@query(
+    "decontam_ngram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                  FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(l) - 6),
+                                   i -> array_to_string(list_slice(l, i, i + 7), ' ')))
+               AS s
+      FROM toks WHERE len(l) >= 8
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    train AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+    SELECT doc_id, CAST(count(DISTINCT t.s) AS INT) AS n_hits
+    FROM train t JOIN bench b USING (s)
+    GROUP BY doc_id
+    """,
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): flag every
+    training document (source != src0) sharing an 8-token shingle
+    with the held-out benchmark slice (source = src0).  The benchmark
+    shingle set is BROADCAST — eval sets are tiny next to a 100 TB
+    corpus — so the contamination probe is map-side over the exploded
+    training shingles and only true matches reach the one per-doc
+    aggregation shuffle.  Anti-join on the result = the clean corpus."""
+    from ctgov_ai_etl_spark.operators.decontam import flag_contaminated
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return flag_contaminated(train, bench, id_col="doc_id", text_col="text", n=8)
+
+
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.25, "es": 0.2, "fr": 0.1, "zh": 0.05}
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+)
+_MIX_LANGS = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+
+
+@query(
+    "sample_mixture",
+    oracle=f"""
+    WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) // 2 AS out_n FROM documents),
+    rates AS (
+      SELECT lang, n_s,
+             least(1.0, (CASE lang {_MIX_CASE} ELSE 0.0 END)
+                          * (SELECT out_n FROM tot) / n_s) AS rate
+      FROM n WHERE lang IN ({_MIX_LANGS})
+    ),
+    sampled AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r USING (lang)
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < r.rate * 10000
+    )
+    SELECT r.lang, CAST(r.n_s AS BIGINT) AS n_in,
+           CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+           round(r.rate, 9) AS rate
+    FROM rates r
+    LEFT JOIN (SELECT lang, count(*) AS n_out FROM sampled GROUP BY lang) o
+      USING (lang)
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler (operators/limits.mixture_sample):
+    resample the corpus toward a target language mixture at half the
+    corpus size.  rate_s = min(1, w_s·out/n_s) from one tiny count
+    agg; the sampling filter itself is the map-side md5 bucket —
+    deterministic across engines, clusters, and partitionings, which
+    is what makes this oracle (and a reproducible training corpus)
+    possible.  Output is the per-stratum audit (in/out/rate)."""
+    from ctgov_ai_etl_spark.operators.limits import (
+        mixture_fractions,
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()  # bounded driver scalar, same convention as BM25 n_docs
+    fracs = mixture_fractions(d, "lang", _MIX_WEIGHTS, total // 2)
+    samp = stratified_sample(d, "lang", fracs, "doc_id")
+    n_in = d.groupBy("lang").agg(F.count("*").alias("n_in"))
+    n_out = samp.groupBy("lang").agg(F.count("*").alias("n_out"))
+    rates = spark.createDataFrame(
+        [(s, float(r)) for s, r in fracs.items()], "lang string, rate_raw double"
+    )
+    return (
+        n_in.join(n_out, "lang", "left")
+        .join(F.broadcast(rates), "lang", "inner")
+        .select(
+            "lang",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.round("rate_raw", 9).alias("rate"),
+        )
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    b AS (SELECT doc_id, l,
+                 CASE WHEN len(l) >= 2
+                      THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                      ELSE [] END AS bg
+          FROM t),
+    s AS (SELECT doc_id,
+                 CAST(len(l) AS INT) AS n_tokens,
+                 round(list_max(list_transform(list_distinct(l),
+                                               tk -> len(list_filter(l, x -> x = tk))))
+                         / CAST(len(l) AS DOUBLE), 9) AS top_tok_ratio,
+                 round(CASE WHEN len(bg) > 0
+                            THEN 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+                            ELSE 0.0 END, 9) AS dup_bigram_frac
+          FROM b)
+    SELECT doc_id, n_tokens, top_tok_ratio, dup_bigram_frac,
+           CAST(top_tok_ratio <= 0.2 AND dup_bigram_frac <= 0.5 AS INT) AS keep
+    FROM s
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document most-frequent-token
+    share and duplicate-bigram fraction, plus the keep/drop decision at
+    (0.2, 0.5) thresholds.  Pure HOF expressions over one materialized
+    token array — map-side, no explode, no shuffle; the thresholds are
+    compared on the ROUNDED columns so both engines decide from
+    identical doubles."""
+    from ctgov_ai_etl_spark.functions.text import (
+        dup_bigram_frac,
+        top_token_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("l"))
+    scored = base.select(
+        "doc_id",
+        F.size("l").cast("int").alias("n_tokens"),
+        F.round(top_token_ratio(F.col("l")), 9).alias("top_tok_ratio"),
+        F.round(dup_bigram_frac(F.col("l")), 9).alias("dup_bigram_frac"),
+    )
+    keep = (F.col("top_tok_ratio") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5)
+    return scored.withColumn("keep", keep.cast("int"))

@@ -385,3 +385,70 @@ def test_pii_redact_idempotent(spark):
     once = df.select(pii_redact(F.col("t")).alias("r"))
     twice = once.select(pii_redact(F.col("r")).alias("r"))
     assert once.collect() == twice.collect()
+
+
+def test_decontam_flags_planted_overlap(spark):
+    from ctgov_ai_etl_spark.operators.decontam import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram "beta gamma delta epsilon"
+            (1, "x beta gamma delta epsilon y"),
+            # same words, different order -> clean
+            (2, "epsilon delta gamma beta x y"),
+            # shorter than n -> clean (guard path)
+            (3, "beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in flag_contaminated(train, bench, n=4).collect()}
+    assert got == {1: 1}
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from ctgov_ai_etl_spark.operators.limits import mixture_fractions, mixture_sample
+
+    rows = [(i, "en" if i % 4 else "de") for i in range(400)]  # 300 en / 100 de
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"en": 0.5, "de": 0.5}
+    fracs = mixture_fractions(df, "lang", weights, 100)
+    assert fracs["en"] == 0.5 * 100 / 300
+    assert fracs["de"] == 0.5 * 100 / 100  # exactly its share
+    s1 = sorted(r.doc_id for r in mixture_sample(df, "lang", weights, 100, "doc_id").collect())
+    s2 = sorted(r.doc_id for r in mixture_sample(df, "lang", weights, 100, "doc_id").collect())
+    assert s1 == s2 and s1  # deterministic, non-empty
+    # saturation: a stratum too small for its share keeps everything
+    fr = mixture_fractions(df, "lang", {"en": 0.1, "de": 0.9}, 400)
+    assert fr["de"] == 1.0
+
+
+def test_text_repetition_known_values(spark):
+    from ctgov_ai_etl_spark.functions.text import (
+        dup_bigram_frac,
+        tokens,
+        top_token_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # top ratio 1.0; bigrams all "a a" -> dup 2/3
+            (2, "a b c d"),          # all unique
+            (3, "solo"),             # <2 tokens -> dup frac 0.0
+        ],
+        "id int, t string",
+    )
+    l = tokens(F.col("t"))
+    got = {
+        r.id: (r.top, r.dup)
+        for r in df.select(
+            "id",
+            top_token_ratio(l).alias("top"),
+            dup_bigram_frac(l).alias("dup"),
+        ).collect()
+    }
+    assert got[1][0] == 1.0 and abs(got[1][1] - (1 - 1 / 3)) < 1e-12
+    assert got[2] == (0.25, 0.0)
+    assert got[3] == (1.0, 0.0)
