@@ -26,16 +26,25 @@ from ctgov_ai_etl_spark.tables import ensure_session_confs
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source micro-batch stream over the events parquet.
 
-    The nanosecond-timestamp workaround matches tables.load_table:
-    read int64 nanos, convert to µs timestamps.
+    The storage dtype of ``ts`` is NOT assumed: a one-off batch schema
+    read (footer only, no data scan) reveals what the reader actually
+    produces for this file — int64 nanos (legacy nanosAsLong) or a
+    native timestamp — and the stream schema + conversion are derived
+    from that. Hardcoding either branch has silently corrupted
+    timestamps before (µs values divided as if nanos → epoch-1970
+    windows); see tables._normalize_events_ts for the batch twin.
     """
     ensure_session_confs(spark)
+    import os as _os
+
     import pyspark.sql.types as T
 
+    path = _os.path.join(sf_dir, "events.parquet")
+    batch_ts_type = spark.read.parquet(path).schema["ts"].dataType
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+            T.StructField("ts", batch_ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -50,9 +59,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        *[f.name for f in EVENTS.fields]
-    )
+    if isinstance(batch_ts_type, T.LongType):
+        # nanos-as-long storage: µs-aligned, exact integer division.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(batch_ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream.select(*[f.name for f in EVENTS.fields])
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -23,8 +23,9 @@ _SESSION_CONFS = {
     # UTC so timestamp values equal the parquet wall-clock (and the
     # DuckDB oracle's naive timestamps) regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet stores TIMESTAMP(NANOS); read as int64 nanos and
-    # convert (µs-aligned values, exact).
+    # If events.parquet stores TIMESTAMP(NANOS), read as int64 nanos
+    # (load_table converts adaptively). Harmless when the file stores
+    # µs timestamps — the reader then yields TimestampType directly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Read parquet isAdjustedToUTC=false timestamps as TimestampType
     # (not NTZ) so schemas match the oracle's TIMESTAMP.
@@ -52,14 +53,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives
-        # as int64 nanoseconds. The values are µs-aligned (ns % 1000 == 0),
-        # so integer-dividing to µs is exact and matches DuckDB's read.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType, adapting to
+    how the file was physically stored.
+
+    The storage format has changed under the engine before (TIMESTAMP
+    with nanos → timestamp[us]), so never assume a conf applied — branch
+    on the dtype the reader actually produced:
+
+    - LongType: nanosAsLong fired (file stores nanos). Values are
+      µs-aligned, so integer-dividing to µs is exact.
+    - TimestampType / TimestampNTZType: already what we want.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # Session tz is pinned to UTC, so this relabel is value-exact.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(f"events.ts has unsupported storage dtype {dt}")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
