@@ -11,43 +11,22 @@ or rounded coarsely enough that both engines agree bit-for-bit.
 
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 
-# Names the round-1 driver already hash-verified (CORRECTNESS_r01.json).
-# The driver walks ``queries()`` in registration order and only the first
-# ~50 made it into the round-1 artifact, so ``load_all`` re-orders the
-# registry to put not-yet-driver-verified queries first.  Within that
-# block, the families the round-1 verdict called out (parity, LLM
-# pipeline, UDFs, streaming, dedup/similarity, multimodal) lead, and
-# redundant relational variants absorb any spill-over past the window.
-_R01_VERIFIED = frozenset(
-    {
-        "scan_project_filter", "proj_rename_nested", "filter_in_set",
-        "filter_range_bool", "filter_like_regex", "when_otherwise_buckets",
-        "inline_values_table", "join_inner_equi", "join_left_outer",
-        "join_right_outer", "join_full_outer", "join_semi",
-        "merge_upsert_orders", "join_anti", "join_cross",
-        "join_broadcast_star", "join_range_nonequi", "join_asof",
-        "agg_pricing_summary", "agg_count_distinct",
-        "agg_approx_count_distinct", "agg_rollup", "agg_cube",
-        "agg_grouping_sets", "agg_filtered_conditional", "agg_collect_set",
-        "agg_global", "sort_limit_deterministic", "limit_offset",
-        "sort_nulls_ordering", "set_union_all", "set_union_distinct",
-        "set_intersect", "set_except_all", "distinct_rows",
-        "fn_string_family", "fn_datetime_family", "fn_partial_date_normalize",
-        "fn_math_family", "fn_array_family", "fn_json_map_family",
-        "fn_null_family", "essie_predicates", "essie_search_text",
-        "win_topk_per_group", "win_rank_family", "win_lag_lead",
-        "scd2_history", "win_running_sum", "win_sliding_frame",
-    }
-)
-
-# Queries registered BEHIND the 50 headline unverified ones, in THIS
-# order (a driver window that extends past 50 picks them up front to
-# back): round-2 additions first — new operators with no verification
-# history — then low-value variants of already-verified siblings.  A
-# hard ~50-query window drops these, not the headline families this
-# round must convert.
-_DEFERRED = (
-    # round-2 additions (cheap first)
+# The driver walks ``queries()`` in registration order and checks the
+# first ~50 per round (CORRECTNESS_r01 = first 50, _r02 = next 50), so
+# ``load_all`` re-orders the registry each round to put queries with no
+# (or stale) driver evidence first.
+#
+# Round-3 priority, per VERDICT.md r2 items 3 and 5:
+#   block 0 — 20 queries that have NEVER had a CORRECTNESS row (all
+#     round-2 additions), cheapest first;
+#   block 1 — the 9 rows red in CORRECTNESS_r02 (events-loader
+#     AnalysisException / corrupted stream timestamps), now fixed by the
+#     dtype-adaptive loader and needing green evidence;
+#   block 2 — the 4 r1-green queries that load events and silently
+#     regressed when the storage dtype changed (green-on-paper only);
+#   block 3 — everything with green r1/r2 evidence that still holds.
+_PRIORITY = (
+    # -- block 0: never driver-checked ------------------------------
     "text_pii_redact",
     "text_repetition",
     "sample_mixture",
@@ -64,50 +43,43 @@ _DEFERRED = (
     "win_rank_distributed",
     "stream_run_stream_join",
     "dedup_components_star",
-    # variants of r01-verified siblings
     "win_first_last",
     "set_intersect_all",
     "pivot_status_matrix",
     "unpivot_stack",
+    # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
+    "essie_search_nested_struct",
+    "json_scan_roundtrip",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_run_tumbling",
+    # -- block 2: r1-green but events-loading (silent regression) ---
+    "join_asof",
+    "fn_json_map_family",
+    "win_lag_lead",
+    "win_sliding_frame",
+    # -- window filler: events-adjacent queries whose r2 green rows
+    #    predate the dtype fix on some code paths (cheap re-confirms)
+    "stream_run_dedup",
+    "stream_run_stateful",
+    "stream_run_static_join",
+    "win_running_sum",
+    "scd2_history",
 )
-_DEFERRED_POS = {n: i for i, n in enumerate(_DEFERRED)}
-
-
-# The 50 headline unverified queries, FASTEST FIRST (sf0.1 bench
-# timings): if the driver's correctness window is a count cap the
-# order inside the window is irrelevant, but if it is a time budget,
-# cheapest-first maximizes how many convert to verified this round.
-_UNVERIFIED_ORDER = (
-    "text_fingerprint", "text_token_stats", "mm_binary_plumbing",
-    "text_pack_sequences", "essie_search_nested_struct",
-    "udf_pandas_scalar", "udtf_tokenize", "dedup_exact_group",
-    "agg_stats_moments", "stream_tumbling_window",
-    "stream_sliding_window", "sample_stratified", "text_top_tokens",
-    "skew_salted_agg", "ctgov_flatten_parity",
-    "mm_decode_features", "csv_scan_roundtrip", "search_bm25",
-    "mm_frame_sample", "text_chunked",
-    "orc_scan_roundtrip", "stream_session_window",
-    "json_scan_roundtrip", "agg_percentiles", "agg_approx_quantile",
-    "sim_topk_bruteforce", "udf_grouped_agg", "text_tfidf_top_term",
-    "skew_salted_join", "search_hybrid_rrf",
-    "pipeline_curate", "partition_pruned_scan", "llm_classify_cost_cap",
-    "stream_run_static_join", "llm_classify_documents",
-    "sim_topk_ivf", "sim_topk_lsh", "stream_run_tumbling",
-    "text_langid_quality", "dedup_simhash",
-    "stream_run_stateful", "udf_grouped_map", "stream_run_dedup",
-    "ctgov_pipeline_e2e", "dedup_minhash_lsh",
-    "dedup_jaccard_pairs", "dedup_embedding_blocked", "dedup_components",
-    "dedup_jaccard_bigram", "dedup_embedding_cosine",
-)
-_UNVERIFIED_POS = {n: i for i, n in enumerate(_UNVERIFIED_ORDER)}
+_PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module, then order the registry driver-first.
 
-    Order: unverified headline families (fastest first) -> unverified
-    variants and round-2+ additions -> the 50 round-1 driver-verified
-    queries (kept last; they already have green CORRECTNESS_r01 rows).
+    Order: never-driver-checked round-2 additions -> queries red in
+    CORRECTNESS_r02 (events loader, fixed this round) -> silently
+    regressed r1-green events queries -> the rest (green evidence
+    already on file).
     """
     from ctgov_ai_etl_spark.queries import (  # noqa: F401
         relational,
@@ -122,12 +94,11 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
     )
 
-    def rank(name: str) -> tuple[int, int]:
-        if name in _DEFERRED_POS:
-            return (1, _DEFERRED_POS[name])
-        if name in _R01_VERIFIED:
-            return (2, 0)
-        return (0, _UNVERIFIED_POS.get(name, len(_UNVERIFIED_ORDER)))
+    def rank(name: str) -> tuple[int, str]:
+        pos = _PRIORITY_POS.get(name)
+        if pos is not None:
+            return (pos, "")
+        return (len(_PRIORITY), name)
 
     ordered = sorted(REGISTRY, key=lambda n: rank(n))
     if list(REGISTRY) != ordered:
