@@ -367,6 +367,99 @@ def ivf_topk(
     )
 
 
+def ivf_topk_partitioned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    path: str | None = None,
+) -> DataFrame:
+    """IVF with the inverted file PERSISTED as a cluster-partitioned
+    parquet layout (the SCALE.md IVF note made concrete): corpus
+    vectors are assigned map-side and written ``partitionBy(cid)``;
+    the union of the queries' probe clusters then becomes a
+    PartitionFilter on the read-back, so at 100 TB a probe scan
+    touches ~nprobe/ncentroids of the bytes instead of all of them —
+    and repeated query batches amortize the one-time assignment write.
+
+    Result-identical to :func:`ivf_topk` (same rounding and
+    lowest-cid tie rules on both the argmax and the probe ranking),
+    so the same SQL oracle replays it.  The collected probe-cid set
+    is bounded by ``|queries| * nprobe`` — a driver-side constant.
+    """
+    import os
+    import tempfile
+
+    ncent = len(centroids)
+    cent_lit = _planes_literal(centroids)
+
+    def cluster_sims(v: Column) -> Column:
+        return F.transform(cent_lit, lambda c: F.round(cosine(v, c), round_digits))
+
+    path = path or os.path.join(tempfile.mkdtemp(prefix="ivf_inv_"), "inverted")
+    inv = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
+        )
+        .withColumn("__sims", cluster_sims(F.col("cvec")))
+        .select(
+            "neighbor_id",
+            "cvec",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    inv.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+    probe_pairs = F.zip_with(
+        F.col("__sims"),
+        F.sequence(F.lit(0), F.lit(ncent - 1)),
+        lambda s, c: F.struct((-s).alias("negsim"), c.alias("cid")),
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("__sims", cluster_sims(_as_double(F.col("qvec"))))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_pairs), 1, nprobe),
+                    lambda p: p["cid"].cast("int"),
+                )
+            ).alias("cid"),
+        )
+    )
+    probed_cids = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
+    spark = corpus.sparkSession
+    # The isin over the partition column is what prunes: the scan's
+    # PartitionFilters lists it and only the probed directories are read
+    # (asserted in PLANS.md for sim_topk_ivf_partitioned).
+    inverted = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
+    cands = (
+        inverted.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cvec")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    pairs = cands.join(F.broadcast(qvecs), "query_id")
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def centroid_assign(
     df: DataFrame,
     centroids: list[list[float]],

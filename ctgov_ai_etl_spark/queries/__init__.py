@@ -47,6 +47,8 @@ _PRIORITY = (
     "set_intersect_all",
     "pivot_status_matrix",
     "unpivot_stack",
+    "sim_topk_ivf_partitioned",  # new in r3
+    "stream_run_stateful_auto",  # new in r3
     # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
     "essie_search_nested_struct",
     "json_scan_roundtrip",

@@ -35,6 +35,7 @@ from ctgov_ai_etl_spark.operators.dedup import (
 from ctgov_ai_etl_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    ivf_topk_partitioned,
     lsh_topk,
     seeded_centroids,
 )
@@ -1183,6 +1184,28 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_semantic.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        centroids=_IVF_CENTROIDS,
+        k=5,
+        nprobe=_IVF_NPROBE,
+    )
+
+
+@query(
+    "sim_topk_ivf_partitioned",
+    oracle=_ivf_oracle_sql(_IVF_CENTROIDS, _IVF_NPROBE, 5),
+)
+def sim_topk_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF where the inverted file is PERSISTED partitioned by cluster
+    id: the probe set becomes a PartitionFilter on the read-back, so
+    the candidate scan touches only nprobe/16 of the stored bytes —
+    the 100 TB serving layout SCALE.md's IVF row describes (write the
+    assignment once, amortize across query batches).  Same centroids,
+    rounding, and tie rules as sim_topk_ivf, so the identical SQL
+    oracle hash-checks it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_partitioned(
         e,
         e.filter(F.col("vec_id") < 5),
         centroids=_IVF_CENTROIDS,

@@ -72,9 +72,10 @@ def get_spark(app_name: str = "ctgov_ai_etl_spark", cpus: str | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
-        # events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
-        # reader rejects; read the raw int64 nanos and convert at load
-        # (tables.load_table) — the values are µs-aligned, so exact.
+        # If events.parquet carries TIMESTAMP(NANOS) (as it did in some
+        # environments), read raw int64 nanos instead of erroring;
+        # tables._normalize_events_ts converts adaptively. Harmless for
+        # µs-stored files, which arrive as native timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

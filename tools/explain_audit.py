@@ -70,6 +70,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("probe set broadcast (shuffle stays on narrow rows)", r"BroadcastHashJoin"),
         ("exact re-rank window keyed per query", r"hashpartitioning\(query_id"),
     ],
+    "sim_topk_ivf_partitioned": [
+        ("probe clusters pruned at the partition level",
+         r"PartitionFilters: \[[^\]]*cid"),
+        ("probe set broadcast", r"BroadcastHashJoin"),
+    ],
     "merge_upsert_orders": [
         ("updates broadcast into anti-join (target never shuffles)",
          r"BroadcastHashJoin [^\n]*LeftAnti"),
