@@ -1,0 +1,137 @@
+"""Corpus-quality curation operators: Gopher-style heuristic rules and
+inter-document repeated-substring detection.
+
+Extends the curation family (dedup / decontam / PII / repetition /
+mixture) with two more standard training-data hygiene passes the
+reference has no equivalent for:
+
+- **Gopher rules** (Rae et al. 2021, "Scaling Language Models" — the
+  published quality-filter heuristics): per-document word count, mean
+  word length, alphabetic-word fraction, and stop-word presence, each
+  with the paper's pass bounds.  Pure built-in expressions — one
+  map-side pass, no shuffle, no UDF; a 100 TB corpus filters at scan
+  speed.
+- **Repeated spans** (the distributed approximation of suffix-array
+  substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+  Language Models Better"): find every ``n``-token span occurring in
+  two or more distinct documents.  Exact suffix arrays don't
+  distribute; sliding shingles hashed to fixed-width keys recover the
+  same "long span shared verbatim" signal with equi-join mechanics.
+
+Scale shape of ``repeated_spans``: explode is map-side; the (doc,
+span-hash) set is dropped to DISTINCT before any aggregation (intra-doc
+repeats collapse early); both following aggregations key on the
+16-byte md5 (narrow shuffle — never the span text); and the
+span-cardinality join reuses the hash partitioning AQE already built
+for the count.  md5 (not xxhash64) so a differential engine replays
+candidate membership bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.text import tokens
+from ctgov_ai_etl_spark.operators.decontam import ngram_shingles
+
+# Gopher bounds (Rae et al. 2021, Appendix A1.1) — word-count range,
+# mean-word-length range, minimum fraction of words with an alphabetic
+# character, and minimum distinct stop words present.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """The Gopher rule metrics as named column expressions over a text
+    column.  Ratios are exact rational arithmetic over integer counts
+    (cast once to double at the end), so any engine computing the same
+    counts agrees bit-for-bit."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    # mean word length over the words themselves (whitespace excluded).
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda s, v: s + v
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    return {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": (total_chars.cast("double") / n_words),
+        "alpha_frac": (n_alpha.cast("double") / n_words),
+        "n_stop": n_stop.cast("int"),
+    }
+
+
+def gopher_pass(m: dict[str, Column]) -> Column:
+    """The conjunctive pass flag over :func:`gopher_metrics` output."""
+    return (
+        m["n_words"].between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & m["mean_word_len"].between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (m["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC)
+        & (m["n_stop"] >= GOPHER_MIN_STOP_HITS)
+    )
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, metrics..., gopher_pass) for every document — one map-side
+    projection; downstream `.filter("gopher_pass")` is the curation
+    step.  Mean/fraction columns are rounded to 6 dp for cross-engine
+    hash stability (the underlying counts are exact integers)."""
+    m = gopher_metrics(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["alpha_frac"], 6).alias("alpha_frac"),
+        m["n_stop"].alias("n_stop"),
+        gopher_pass(m).alias("gopher_pass"),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+) -> DataFrame:
+    """(id, n_dup_spans) for every document owning >=1 distinct
+    ``n``-token span that also appears verbatim in another document —
+    the corpus-internal twin of benchmark decontamination
+    (:func:`~ctgov_ai_etl_spark.operators.decontam.flag_contaminated`:
+    there the reference set is external; here it is the corpus itself).
+
+    Anti-joining ``df`` against the result drops every document that
+    shares a long verbatim span; keeping the lowest id per span group
+    instead (a one-line change downstream) reproduces the paper's
+    keep-one policy.
+    """
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.explode(ngram_shingles(tokens(F.col(text_col)), n)).alias("s"),
+        )
+        .select(id_col, F.md5("s").alias("h"))
+        .distinct()
+    )
+    multi = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("nd"))  # post-distinct: count == distinct docs
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        spans.join(multi, "h")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_dup_spans"))
+    )

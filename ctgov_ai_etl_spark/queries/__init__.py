@@ -49,6 +49,9 @@ _PRIORITY = (
     "unpivot_stack",
     "sim_topk_ivf_partitioned",  # new in r3
     "stream_run_stateful_auto",  # new in r3
+    "text_gopher_rules",  # new in r3
+    "dedup_substring_spans",  # new in r3
+    "shuffle_training_order",  # new in r3
     # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
     "essie_search_nested_struct",
     "json_scan_roundtrip",

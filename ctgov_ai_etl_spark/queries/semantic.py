@@ -1436,6 +1436,102 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(train, bench, id_col="doc_id", text_col="text", n=8)
 
 
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(l) AS INT) AS n_words,
+             round(CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+                   / len(l), 6) AS mean_word_len,
+             round(CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(l), 6) AS alpha_frac,
+             CAST(len(list_intersect(list_distinct(l), {_GOPHER_STOP_SQL}))
+                  AS INT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_frac >= 0.8
+            AND n_stop >= 2) AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter heuristics (Rae et al. 2021 App. A1.1):
+    word count, mean word length, alphabetic-word fraction, stop-word
+    presence, and the conjunctive pass flag — one map-side projection
+    of built-in HOFs (operators/quality.py), no shuffle, no UDF; the
+    100 TB corpus filters at scan speed.  Ratios are integer-count
+    rational arithmetic, so the SQL replay hash-matches exactly."""
+    from ctgov_ai_etl_spark.operators.quality import gopher_quality
+
+    return gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l) - 14),
+                    i -> array_to_string(list_slice(l, i, i + 15), ' '))) AS s
+      FROM toks WHERE len(l) >= 16
+    ),
+    sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh0),
+    multi AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans
+    FROM sh JOIN multi USING (h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed approximation of suffix-array substring dedup (Lee
+    et al. 2021): every 16-token span occurring verbatim in >=2
+    documents, counted per owning doc.  Spans hash to md5 BEFORE any
+    shuffle (16-byte keys, engine-replayable); intra-doc repeats
+    collapse in the map-side-combined distinct; the cardinality join
+    reuses the hash partitioning of the count.  Anti-join = the
+    span-deduplicated corpus (operators/quality.py)."""
+    from ctgov_ai_etl_spark.operators.quality import repeated_spans
+
+    return repeated_spans(load_table(spark, sf_dir, "documents"), n=16)
+
+
+@query(
+    "shuffle_training_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+                AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle: position = rank
+    under an md5 keyed by (id, seed) — any engine, any partitioning,
+    any run re-derives the identical epoch order (the data-loader
+    contract for resumable training).  Ranking is the distributed
+    global_rank (range-partition -> local rank -> broadcast offsets),
+    NEVER a single-reducer window; the oracle replays the
+    whole-corpus row_number to prove the parallel form exact."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.withColumn(
+        "__h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    )
+    ranked = global_rank(hashed, ["__h", "doc_id"])
+    return ranked.select("doc_id", F.col("__pos").cast("long").alias("pos"))
+
+
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.25, "es": 0.2, "fr": 0.1, "zh": 0.05}
 _MIX_CASE = " ".join(
     f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
