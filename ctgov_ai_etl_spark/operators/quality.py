@@ -51,8 +51,19 @@ def gopher_metrics(text: Column) -> dict[str, Column]:
     """The Gopher rule metrics as named column expressions over a text
     column.  Ratios are exact rational arithmetic over integer counts
     (cast once to double at the end), so any engine computing the same
-    counts agrees bit-for-bit."""
-    toks = tokens(text)
+    counts agrees bit-for-bit.
+
+    When composing with other per-row scoring, materialize the token
+    array once (``withColumn("lt", tokens(text))``) and call
+    :func:`gopher_metrics_from_tokens` — Catalyst does not CSE the
+    repeated splits inside filter conditions (the pipeline_curate
+    pushdown-explosion lesson)."""
+    return gopher_metrics_from_tokens(tokens(text))
+
+
+def gopher_metrics_from_tokens(toks: Column) -> dict[str, Column]:
+    """:func:`gopher_metrics` over an already-materialized token-array
+    column."""
     n_words = F.size(toks)
     # mean word length over the words themselves (whitespace excluded).
     total_chars = F.aggregate(

@@ -614,6 +614,169 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_full_oracle() -> str:
+    """SQL replay of the FULL curation pipeline: PII-inject+redact →
+    Gopher gates → lang gate → exact dedup on the redacted fingerprint
+    → benchmark decontamination → deterministic sample → reproducible
+    training order."""
+    from ctgov_ai_etl_spark.functions.pii import PII_PATTERNS
+
+    red = "s"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, source, lang, text,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact ' || source || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END
+             AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, lang,
+             string_split(text, ' ') AS l,
+             md5(regexp_replace(trim(lower({red})), '\\s+', ' ', 'g')) AS fp
+      FROM synth
+    ),
+    cur AS (
+      SELECT doc_id, source, fp FROM scored
+      WHERE len(l) BETWEEN 50 AND 100000
+        AND CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l)
+              BETWEEN 3.0 AND 10.0
+        AND CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / len(l) >= 0.8
+        AND lang = 'en'
+        AND source <> 'src0'
+    ),
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(l) - 6),
+                    i -> array_to_string(list_slice(l, i, i + 7), ' '))) AS s
+      FROM toks WHERE len(l) >= 8
+    ),
+    contam AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, s FROM sh WHERE source <> 'src0') t
+      JOIN (SELECT DISTINCT s FROM sh WHERE source = 'src0') b USING (s)
+    ),
+    keep AS (
+      SELECT c.doc_id, c.source, c.fp
+      FROM cur c
+      JOIN (SELECT fp, min(doc_id) AS doc_id FROM cur GROUP BY fp) k
+        ON c.fp = k.fp AND c.doc_id = k.doc_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+        AND CAST(('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < 0.8 * 10000
+    )
+    SELECT doc_id, source, fp,
+           CAST(row_number() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id)
+                AS BIGINT) AS pos
+    FROM keep
+    """
+
+
+@query("pipeline_curate_full", oracle=_curate_full_oracle())
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation pipeline, one DataFrame
+    chain: PII redaction (map) → Gopher quality gates (map; the
+    stop-word rule is omitted — fixture-verified to reject 100% of
+    this synthetic corpus, see text_gopher_rules for the full flag) →
+    language gate → exact dedup on the REDACTED fingerprint (shuffle 1,
+    hash agg on fp) → benchmark decontamination anti-join (benchmark
+    shingles broadcast, probe map-side) → 80% deterministic sample
+    (map) → reproducible training order (shuffle 2, distributed
+    range-partitioned rank).  At 100 TB: scan → maps → two narrow
+    exchanges → broadcast probe — every other stage is scan-speed.
+    Hash-checked end-to-end against the composed SQL replay."""
+    from ctgov_ai_etl_spark.functions.pii import pii_redact
+    from ctgov_ai_etl_spark.operators.decontam import flag_contaminated
+    from ctgov_ai_etl_spark.operators.limits import global_rank, hash_bucket
+    from ctgov_ai_etl_spark.operators.quality import gopher_metrics_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact "), F.col("source"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +1-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    # Token array + fingerprint as REAL columns, then persist: the
+    # optimizer barrier stops filter pushdown from re-substituting the
+    # scoring trees (the measured pipeline_curate lesson), and the
+    # curated table feeds two branches (keeper agg + re-join).
+    m = gopher_metrics_from_tokens(F.col("lt"))
+    scored = (
+        d.withColumn("lt", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            md5_fingerprint(pii_redact(synth)).alias("fp"),
+            m["n_words"].alias("n_words"),
+            m["mean_word_len"].alias("mwl"),
+            m["alpha_frac"].alias("af"),
+        )
+    )
+    cur = (
+        scored.filter(
+            F.col("n_words").between(50, 100_000)
+            & F.col("mwl").between(3.0, 10.0)
+            & (F.col("af") >= 0.8)
+            & (F.col("lang") == "en")
+            & (F.col("source") != "src0")
+        )
+        .select("doc_id", "source", "fp")
+        .persist()
+    )
+    keepers = cur.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = cur.join(keepers, ["fp", "doc_id"])
+    contam = flag_contaminated(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=8,
+    ).select("doc_id")
+    clean = kept.join(F.broadcast(contam), "doc_id", "left_anti")
+    sampled = clean.filter(hash_bucket(F.col("doc_id")) < F.lit(0.8) * 10_000)
+    hashed = sampled.withColumn(
+        "__h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7")))
+    )
+    ranked = global_rank(hashed, ["__h", "doc_id"])
+    return ranked.select(
+        "doc_id", "source", "fp", F.col("__pos").cast("long").alias("pos")
+    )
+
+
 @query(
     "sample_stratified",
     oracle="""
