@@ -1,0 +1,71 @@
+"""Unit tests for the corpus-quality operators (operators/quality.py):
+Gopher rule bounds on constructed texts and repeated-span detection on
+planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.quality import (
+    GOPHER_MIN_WORDS,
+    gopher_quality,
+    repeated_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rules_pass_and_fail_bounds(spark):
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * (GOPHER_MIN_WORDS - 5)
+    )
+    short = "too short to pass"
+    symbols = " ".join(["###", "$$$", "%%%"] * 20)  # no alphabetic words
+    df = _docs(spark, [(1, good), (2, short), (3, symbols)])
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["n_words"] == GOPHER_MIN_WORDS
+    assert out[1]["n_stop"] == 5
+    assert out[2]["gopher_pass"] is False  # word count below minimum
+    assert out[3]["gopher_pass"] is False
+    assert out[3]["alpha_frac"] == 0.0
+
+
+def test_gopher_mean_word_len_bounds(spark):
+    # 60 1-char words: mean length 1 < 3 -> fail despite the stop words.
+    thin = " ".join(["the", "of"] + ["a"] * 58)
+    # 60 12-char words: mean length ~11.7 > 10 -> fail.
+    fat = " ".join(["the", "of"] + ["x" * 12] * 58)
+    df = _docs(spark, [(1, thin), (2, fat)])
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"] is False
+    assert out[2]["gopher_pass"] is False
+
+
+def test_repeated_spans_finds_planted_duplicates(spark):
+    span = " ".join(f"tok{i}" for i in range(16))
+    a = "alpha " + span + " omega"
+    b = "beta prelude " + span  # shares the 16-token span with a
+    c = " ".join(f"uniq{i}" for i in range(40))  # long, no shared span
+    df = _docs(spark, [(1, a), (2, b), (3, c)])
+    out = {r["doc_id"]: r["n_dup_spans"] for r in repeated_spans(df, n=16).collect()}
+
+    assert set(out) == {1, 2}
+    # doc 1: spans starting at 'alpha' and at span start both cannot
+    # match doc 2 except the exact planted one; doc 2 symmetric.
+    assert out[1] >= 1 and out[2] >= 1
+    # anti-join = span-deduplicated corpus: only the unique doc remains
+    survivors = df.join(
+        repeated_spans(df, n=16), "doc_id", "left_anti"
+    ).select("doc_id")
+    assert [r["doc_id"] for r in survivors.collect()] == [3]
+
+
+def test_repeated_spans_ignores_intra_doc_repeats(spark):
+    # The same span twice INSIDE one doc is not a cross-doc duplicate.
+    span = " ".join(f"tok{i}" for i in range(16))
+    df = _docs(spark, [(1, span + " bridge " + span)])
+    assert repeated_spans(df, n=16).count() == 0

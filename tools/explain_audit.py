@@ -117,6 +117,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("prefix-filter candidate join on dictionary-encoded token ids",
          r"hashpartitioning\(tok"),
     ],
+    "text_gopher_rules": [
+        ("map-side only: no shuffle", r"^(?!.*hashpartitioning)"),
+        ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+    ],
+    "dedup_substring_spans": [
+        ("span aggregations keyed on the 16-byte md5, not span text",
+         r"hashpartitioning\(h#"),
+        ("map-side partial distinct before the exchange",
+         r"HashAggregate[^\n]*\n[^\n]*Exchange|Exchange[^\n]*\n[^\n]*HashAggregate"),
+    ],
+    "shuffle_training_order": [
+        ("rank via parallel range partitioning", r"rangepartitioning\(__h"),
+        ("no single-reducer window",
+         r"^(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+    ],
+    "pipeline_curate_full": [
+        ("gates pushed into the parquet scan",
+         r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)"),
+        ("decontam / keeper / anti joins broadcast", r"BroadcastHashJoin"),
+        ("training-order rank range-partitioned", r"rangepartitioning\(__h"),
+    ],
     "win_rank_distributed": [
         ("range-partitioned rank (parallel, no single reducer)",
          r"rangepartitioning\("),
