@@ -150,3 +150,58 @@ def ctgov_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ai_processing": {"enabled": True, "column_name": "ai_determined_value"},
     }
     return run_pipeline(spark, cfg)
+
+
+def _stream_rest_oracle_sql() -> str:
+    """SQL replay of the streamed fixture corpus (57 studies — the
+    same transport args the batch e2e uses): nct_id + overall_status
+    per study, re-derived from inline VALUES with DuckDB JSON paths."""
+    corpus = make_raw_studies_json(57)
+    values = ",\n      ".join("('" + s.replace("'", "''") + "')" for s in corpus)
+    return f"""
+    SELECT
+      coalesce(json_extract_string(raw,
+        '$.protocolSection.identificationModule.nctId'), 'N/A') AS nct_id,
+      coalesce(json_extract_string(raw,
+        '$.protocolSection.statusModule.overallStatus'), 'N/A') AS overall_status
+    FROM (VALUES
+      {values}
+    ) t(raw)
+    """
+
+
+@query("stream_run_rest_source", oracle=_stream_rest_oracle_sql())
+def stream_run_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming ingestion through the REST source
+    (sources/rest.py RestStudiesStreamReader): the reference's
+    token-pagination walk incrementalized to micro-batches (2 pages
+    per trigger over the 57-study / 6-page fixture transport → 3
+    batches), each batch from_json-parsed and projected, driven to
+    completion with availableNow.  Offsets = the page cursor, persisted
+    in the checkpoint — resumable ingestion the reference's one-shot
+    loop cannot do.  Hash-checked against the inline-VALUES JSON replay
+    of the same corpus."""
+    from ctgov_ai_etl_spark.sources.rest import register
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory_until_done
+
+    register(spark)
+    raw = (
+        spark.readStream.format("ctgov_rest")
+        .option(
+            "transport_factory", "ctgov_ai_etl_spark.fixtures:mock_ctgov_transport"
+        )
+        .option("transport_args", "[57, 10]")
+        .option("page_size", 10)
+        .option("pages_per_batch", 2)
+        .load()
+    )
+    study = F.from_json("raw_json", RAW_STUDY).alias("study")
+    flat = raw.select(study).select(
+        F.coalesce(
+            F.col("study.protocolSection.identificationModule.nctId"), F.lit("N/A")
+        ).alias("nct_id"),
+        F.coalesce(
+            F.col("study.protocolSection.statusModule.overallStatus"), F.lit("N/A")
+        ).alias("overall_status"),
+    )
+    return run_stream_to_memory_until_done(flat, mode="append")

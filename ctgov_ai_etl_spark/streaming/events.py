@@ -212,6 +212,32 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def run_stream_to_memory_until_done(
+    df: DataFrame, name: str | None = None, mode: str = "append"
+) -> DataFrame:
+    """Like :func:`run_stream_to_memory` but for PULL sources whose
+    offsets advance lazily (e.g. the REST page walk): ``availableNow``
+    snapshots only the data available at start — one micro-batch — so
+    instead run with an immediate trigger and block on
+    ``processAllAvailable()``, which loops micro-batches until the
+    source's offset stops advancing (the reader's ``done`` state)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str | None = None, mode: str = "append"
 ) -> DataFrame:

@@ -98,3 +98,69 @@ def echo_params_transport():
         return {"studies": [{"echo": params}]}
 
     return transport
+
+
+# ------------------------------------------------- streaming reader
+
+def test_stream_reader_pages_become_micro_batches(spark, tmp_path):
+    """The token walk incrementalized: 57 studies / 10-per-page / 2
+    pages-per-batch => 3 micro-batches whose union is the corpus."""
+    from ctgov_ai_etl_spark.sources.rest import register
+
+    register(spark)
+    raw = (
+        spark.readStream.format("ctgov_rest")
+        .option(
+            "transport_factory",
+            "ctgov_ai_etl_spark.fixtures:mock_ctgov_transport",
+        )
+        .option("transport_args", "[57, 10]")
+        .option("page_size", 10)
+        .option("pages_per_batch", 2)
+        .load()
+    )
+    batches: list[int] = []
+
+    def collect_batch(df, epoch_id):
+        n = df.count()
+        if n:
+            batches.append(n)
+
+    q = (
+        raw.writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(batches) == 57
+    assert len(batches) == 3  # 20 + 20 + 17
+    assert batches[-1] == 17
+
+
+def test_stream_reader_offset_replay_is_deterministic():
+    """readBetweenOffsets (the exactly-once replay path) returns the
+    identical rows a live read produced for the same offset range."""
+    from ctgov_ai_etl_spark.sources.rest import RestStudiesStreamReader
+
+    opts = {
+        "transport_factory": "ctgov_ai_etl_spark.fixtures:mock_ctgov_transport",
+        "transport_args": "[57, 10]",
+        "page_size": "10",
+        "pages_per_batch": "2",
+    }
+    live = RestStudiesStreamReader(opts)
+    start = live.initialOffset()
+    rows1, mid = live.read(start)
+    rows2, end = live.read(mid)
+    assert end["done"] is False  # 4 pages read, 6 exist
+    replayer = RestStudiesStreamReader(opts)
+    assert list(replayer.readBetweenOffsets(start, mid)) == list(rows1)
+    assert list(replayer.readBetweenOffsets(mid, end)) == list(rows2)
+    # exhaustion: offsets stop advancing, reads go empty
+    rows3, o = live.read(end)
+    rows4, o2 = live.read(o)
+    assert o["done"] and o2 == o and list(rows4) == []
