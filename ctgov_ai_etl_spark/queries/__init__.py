@@ -54,6 +54,8 @@ _PRIORITY = (
     "shuffle_training_order",  # new in r3
     "pipeline_curate_full",  # new in r3
     "stream_run_rest_source",  # new in r3
+    "xml_scan_roundtrip",  # new in r3
+    "json_corrupt_records",  # new in r3
     # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
     "essie_search_nested_struct",
     "json_scan_roundtrip",

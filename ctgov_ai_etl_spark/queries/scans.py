@@ -83,6 +83,101 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_scan_roundtrip",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML scan with explicit schema (Spark 4's built-in
+    XML source — the enterprise-interchange format joining
+    csv/json/orc/parquet/text/binary in the format matrix), proven
+    lossless against the parquet-direct oracle: supplier written as
+    row-tagged XML, read back, broadcast-joined to nation, exact-cents
+    aggregate."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.mkdtemp(prefix="xml_rt_"), "supplier_xml")
+    s.select("s_suppkey", "s_nationkey", "s_acctbal").write.mode(
+        "overwrite"
+    ).format("xml").option("rootTag", "suppliers").option("rowTag", "supplier").save(
+        out
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("rowTag", "supplier").format("xml").load(
+        out
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.sum(cents).cast("double") / 100).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "json_corrupt_records",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN doc_id % 5 <> 0 THEN 1 END) AS BIGINT) AS n_valid,
+           CAST(count(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN n_chars END) AS BIGINT)
+             AS sum_valid_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record handling — the production posture for
+    100 TB of third-party JSON where FAILFAST would kill a day-long
+    job on one bad byte: every doc_id % 5 == 0 row is deterministically
+    truncated into invalid JSON, ``from_json`` parses with a
+    ``_corrupt`` passthrough column, and the aggregate proves malformed
+    rows are QUARANTINED (counted, payload preserved for replay) while
+    valid rows parse completely.  The oracle replays the corruption
+    rule arithmetically."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 5 == 0, F.substring(payload, 1, 5)
+    ).otherwise(payload)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = d.select(
+        "source",
+        F.from_json(
+            corrupted, schema, {"columnNameOfCorruptRecord": "_corrupt"}
+        ).alias("j"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("j.doc_id")).alias("n_valid"),
+        F.count(F.col("j._corrupt")).alias("n_corrupt"),
+        F.sum(F.col("j.n_chars")).alias("sum_valid_chars"),
+    )
+
+
+@query(
     "json_scan_roundtrip",
     oracle="""
     SELECT event_type,
