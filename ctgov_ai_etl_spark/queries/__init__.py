@@ -78,6 +78,15 @@ _PRIORITY = (
     "stream_run_static_join",
     "win_running_sum",
     "scd2_history",
+    # -- window filler 2: the heavyweight headline family — green in
+    #    r2, listed so a ~50-query window refreshes their hash evidence
+    #    under this round's loader changes
+    "dedup_minhash_lsh",
+    "sim_topk_ivf",
+    "search_hybrid_rrf",
+    "pipeline_curate",
+    "llm_classify_documents",
+    "ctgov_pipeline_e2e",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 
