@@ -138,6 +138,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("decontam / keeper / anti joins broadcast", r"BroadcastHashJoin"),
         ("training-order rank range-partitioned", r"rangepartitioning\(__h"),
     ],
+    "json_corrupt_records": [
+        ("parse + quarantine map-side; only the agg shuffles",
+         r"hashpartitioning\(source"),
+        ("partial aggregation before the exchange", r"HashAggregate"),
+    ],
     "win_rank_distributed": [
         ("range-partitioned rank (parallel, no single reducer)",
          r"rangepartitioning\("),
