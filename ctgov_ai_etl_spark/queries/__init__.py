@@ -56,6 +56,7 @@ _PRIORITY = (
     "stream_run_rest_source",  # new in r3
     "xml_scan_roundtrip",  # new in r3
     "json_corrupt_records",  # new in r3
+    "text_perplexity_proxy",  # new in r3
     # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
     "essie_search_nested_struct",
     "json_scan_roundtrip",

@@ -1599,6 +1599,60 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(train, bench, id_col="doc_id", text_col="text", n=8)
 
 
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tf GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+      SELECT tok,
+             CAST(round(ln(cnt / (SELECT total FROM t)) * 1000000) AS BIGINT) AS u
+      FROM vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           round(CAST(sum(u) AS DOUBLE) / 1000000 / count(*), 6) AS avg_logprob
+    FROM tf JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet/Wenzek et al. 2020
+    signal, with the corpus's own unigram LM standing in for the
+    external KenLM): per-document mean token log-probability — low
+    scores mark gibberish / boilerplate for filtering.  Train-small/
+    score-big: the unigram table is ONE vocabulary-sized aggregate,
+    broadcast back; scoring is a map-side probe plus a per-doc
+    aggregate.  Token log-probs are fixed to integer MICRO-UNITS
+    before the per-doc sum, so the aggregation is exact integer
+    arithmetic — order-independent under any partitioning, replayable
+    by the oracle (the raw double sum would be neither)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tf.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]  # tiny driver scalar
+    lp = vocab.select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.lit(float(total))) * 1_000_000)
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        tf.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("u").alias("su"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(
+                F.col("su").cast("double") / 1_000_000 / F.col("n_toks"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 _GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
 
 
