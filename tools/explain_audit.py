@@ -138,6 +138,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("decontam / keeper / anti joins broadcast", r"BroadcastHashJoin"),
         ("training-order rank range-partitioned", r"rangepartitioning\(__h"),
     ],
+    "text_perplexity_proxy": [
+        ("unigram table broadcast back for the scoring probe",
+         r"BroadcastHashJoin"),
+        ("partial aggregation map-side", r"HashAggregate"),
+    ],
     "json_corrupt_records": [
         ("parse + quarantine map-side; only the agg shuffles",
          r"hashpartitioning\(source"),
