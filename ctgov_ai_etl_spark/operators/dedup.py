@@ -111,6 +111,115 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     return F.array(*sigs)
 
 
+def minhash_incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 1,
+    threshold: float = 0.8,
+    shingle: str = "token",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """STEADY-STATE dedup: match an INCOMING batch against an EXISTING
+    corpus — the production shape at 100 TB, where the corpus is
+    deduped once and every new crawl/delivery is checked against it
+    (never all-pairs over the union again).
+
+    Returns (``id_col`` [incoming], dup_of [min matching existing id],
+    est_jaccard [of that pair]) for every incoming doc whose estimated
+    Jaccard against some existing doc reaches ``threshold``;
+    anti-joining ``incoming`` on the result admits only novel docs.
+
+    Scale shape: signatures are map-side per side; the ONLY cross-side
+    work is the band-bucket equi-join on narrow (band, bucket) keys —
+    incoming batches are small next to the corpus, so the incoming
+    band table broadcasts and the EXISTING store is probed in place.
+    In production the existing side's (id, sig, band, bucket) table is
+    PERSISTED (partitioned by bucket — the signature-store analog of
+    `ivf_topk_partitioned`) and each increment pays only its own
+    signature pass; it is recomputed here because testdata is static.
+    Same md5-replayable pipeline as :func:`minhash_lsh_pairs`, so a
+    SQL oracle reproduces candidate membership exactly.
+    """
+    rows = num_hashes // bands
+    mk = char_shingles if shingle == "char" else token_shingles
+
+    def sigs_of(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                mk(F.col(text_col), shingle_k),
+                lambda s: base_hash31(s, hash_method),
+            ).alias("bh"),
+        )
+        sig = [
+            F.array_min(
+                F.transform(
+                    F.col("bh"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+                )
+            )
+            for a, b in _hash_params(num_hashes)
+        ]
+        return base.select("id", F.array(*sig).alias("sig"))
+
+    sig_e = _materialize(sigs_of(existing))
+    sig_i = _materialize(sigs_of(incoming))
+
+    def band_value(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+        )
+        return joined if hash_method == "md5" else F.xxhash64(joined)
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_value(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+
+    def bands_of(s: DataFrame, out: str) -> DataFrame:
+        return s.select(F.col("id").alias(out), F.explode(band_structs).alias("bb")).select(
+            out, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cand = (
+        bands_of(sig_i, "doc_id")
+        .join(bands_of(sig_e, "ex_id"), ["band", "bucket"])
+        .select("doc_id", "ex_id")
+        .distinct()
+    )
+    est = (
+        cand.join(sig_i.select(F.col("id").alias("doc_id"), F.col("sig").alias("si")), "doc_id")
+        .join(sig_e.select(F.col("id").alias("ex_id"), F.col("sig").alias("se")), "ex_id")
+        .select(
+            "doc_id",
+            "ex_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("si"), F.col("se"), lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    # min(struct) = lowest existing id (deterministic dup target) with
+    # ITS estimate — (doc_id, ex_id) is unique post-distinct.
+    best = est.groupBy("doc_id").agg(F.min(F.struct("ex_id", "est_jaccard")).alias("b"))
+    return best.select(
+        F.col("doc_id").alias(id_col),
+        F.col("b.ex_id").alias("dup_of"),
+        F.col("b.est_jaccard").alias("est_jaccard"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -936,6 +936,83 @@ def _minhash_oracle_sql(num_hashes: int, bands: int, threshold: float) -> str:
     """
 
 
+def _minhash_incremental_oracle_sql(
+    num_hashes: int, bands: int, threshold: float, split: int
+) -> str:
+    """SQL replay of the incremental pipeline: same signatures as
+    :func:`_minhash_oracle_sql`, corpus split by md5 bucket into
+    existing (< ``split``) and incoming, band-collision join across
+    the split only, min-existing-id dup target."""
+    from ctgov_ai_etl_spark.operators.dedup import _P, _hash_params
+
+    rows = num_hashes // bands
+    sig_items = ",\n        ".join(
+        f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {_P}))"
+        for a, b in _hash_params(num_hashes)
+    )
+    band_conds = "\n        OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig[{band * rows + r + 1}] = b.sig[{band * rows + r + 1}]"
+            for r in range(rows)
+        )
+        + ")"
+        for band in range(bands)
+    )
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents
+    ),
+    base AS (
+      SELECT id, list_transform(ts, s ->
+        CAST(('0x'||substring(md5(s),1,8)) AS BIGINT) % {_P}) AS hs
+      FROM toks
+    ),
+    sigs AS (SELECT id, [{sig_items}] AS sig FROM base),
+    ex AS (SELECT * FROM sigs WHERE {bucket} < {split}),
+    inc AS (SELECT * FROM sigs WHERE {bucket} >= {split}),
+    hit AS (
+      SELECT doc_id, ex_id, est_jaccard FROM (
+        SELECT a.id AS doc_id, b.id AS ex_id,
+               len(list_filter(range(1, {num_hashes + 1}),
+                               i -> a.sig[i] = b.sig[i]))
+                 / {num_hashes}.0 AS est_jaccard
+        FROM inc a JOIN ex b ON ({band_conds})
+      ) WHERE est_jaccard >= {threshold}
+    )
+    SELECT h.doc_id, h.ex_id AS dup_of, h.est_jaccard
+    FROM hit h
+    JOIN (SELECT doc_id, min(ex_id) AS m FROM hit GROUP BY doc_id) k
+      ON h.doc_id = k.doc_id AND h.ex_id = k.m
+    """
+
+
+@query("dedup_incremental", oracle=_minhash_incremental_oracle_sql(64, 8, 0.8, 8000))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the steady-state production
+    shape: the corpus is already deduped; each new batch (here the 20%
+    md5-bucket slice standing in for a fresh crawl) is checked against
+    the EXISTING signature store and only novel docs admitted
+    (operators/dedup.py minhash_incremental_dedup).  Cross-side work
+    is one band-bucket equi-join on narrow keys; the incoming band
+    table broadcasts.  md5-replayable end to end — the oracle
+    reproduces candidate membership and the min-id dup target
+    exactly."""
+    from ctgov_ai_etl_spark.operators.dedup import minhash_incremental_dedup
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.filter(hash_bucket(F.col("doc_id")) < 8000)
+    incoming = d.filter(hash_bucket(F.col("doc_id")) >= 8000)
+    return minhash_incremental_dedup(
+        existing, incoming, "doc_id", "text", num_hashes=64, bands=8, threshold=0.8
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle_sql(64, 8, 0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (token shingles — bag-of-words
