@@ -58,6 +58,7 @@ _PRIORITY = (
     "json_corrupt_records",  # new in r3
     "text_perplexity_proxy",  # new in r3
     "dedup_incremental",  # new in r3
+    "maintenance_compact_files",  # new in r3
     # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
     "essie_search_nested_struct",
     "json_scan_roundtrip",

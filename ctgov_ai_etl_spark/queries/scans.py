@@ -178,6 +178,41 @@ def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every 100 TB
+    lake needs (streaming sinks and incremental batches leave
+    thousands of KB-sized files; scan cost is then dominated by file
+    open/footer overhead, not bytes): explode documents into 64 tiny
+    parquet files, compact to a bounded file count with a single
+    repartition (on a cluster: AQE-coalesced or size-targeted via
+    maxRecordsPerFile), and prove content identity through the
+    compacted copy with the parquet-direct oracle.  The file-count
+    collapse itself is asserted in tests/test_scale.py."""
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="compact_")
+    frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "json_scan_roundtrip",
     oracle="""
     SELECT event_type,

@@ -51,3 +51,14 @@ def test_failfast_json_scan_raises_on_corruption(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+def test_every_registered_query_has_an_oracle():
+    """Full-oracle coverage is a shipped property (zero rows-only
+    entries since round 2); this pins it so a future query without a
+    DuckDB replay fails CI instead of silently weakening the gate."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    missing = [n for n in qs if n not in osql]
+    assert missing == [], f"queries without oracle SQL: {missing}"

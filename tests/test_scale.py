@@ -117,3 +117,32 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
     assert n_pass < n_fact  # actually prunes
     # false-positive volume stays a small fraction of the pruned mass
     assert (n_pass - n_true) <= 0.01 * n_fact + 50
+
+
+def test_compaction_collapses_file_count_and_preserves_rows(spark, tmp_path):
+    """Small-file compaction: 64 fragment files -> bounded file count,
+    zero row loss, identical content hash per row set."""
+    import glob
+    import os
+
+    from ctgov_ai_etl_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    frag = str(tmp_path / "frag")
+    compact = str(tmp_path / "compact")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) == 64
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    files = glob.glob(os.path.join(compact, "*.parquet"))
+    assert len(files) == 4
+    back = spark.read.parquet(compact)
+    assert back.count() == d.count()
+    from pyspark.sql import functions as F
+
+    def content_sum(df):
+        return (
+            df.select(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text"))).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    assert content_sum(back) == content_sum(d)
