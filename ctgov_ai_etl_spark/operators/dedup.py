@@ -90,14 +90,26 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 def token_shingles(text: Column, n: int = 1) -> Column:
     """Distinct word n-grams of ``text``.  With n=1 this is the token
     set — the right notion when similarity should ignore word order
-    (bag-of-words near-dup); n≥2 re-introduces local order."""
+    (bag-of-words near-dup); n≥2 re-introduces local order.
+
+    The n≥2 form binds the split ONCE as a lambda variable (the
+    single-element-array + transform trick): a lambda body that
+    referenced the ``split`` subtree directly would re-evaluate it per
+    position — Catalyst does not CSE across lambda invocations —
+    making tokenization O(words²) per document (measured: the bigram
+    document-frequency pass dropped ~5× at sf0.1 from this binding).
+    """
     toks = F.split(text, r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+
+    def ngrams(words: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        )
+
+    return F.element_at(F.transform(F.array(toks), ngrams), 1)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -186,8 +198,14 @@ def minhash_incremental_dedup(
             out, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
 
+    # The broadcast hint ENFORCES the stated shape (incoming batch is
+    # the small side; the existing store is probed in place without a
+    # shuffle) instead of hoping AQE promotes it — an incoming batch
+    # over the 10 MB autoBroadcast threshold would otherwise silently
+    # shuffle the whole signature store.  Batches too big to broadcast
+    # should be split by the caller, not shuffled against the corpus.
     cand = (
-        bands_of(sig_i, "doc_id")
+        F.broadcast(bands_of(sig_i, "doc_id"))
         .join(bands_of(sig_e, "ex_id"), ["band", "bucket"])
         .select("doc_id", "ex_id")
         .distinct()
@@ -502,6 +520,17 @@ def jaccard_token_pairs(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), ngram).alias("toks"),
     )
+    # Per-doc metadata is map-side: the TRUE set size (jaccard's union
+    # term needs it — singletons count toward |A∪B| even though they
+    # are dropped from the encoded arrays below) and the 128-bit set
+    # fingerprint over the RAW canonical token sequence (to_json is an
+    # unambiguous encoding; md5 is collision-safe at billions of
+    # distinct sets — see the minhash group-key note).
+    meta = toks.select(
+        "id",
+        F.md5(F.to_json(F.array_sort("toks"))).alias("fp"),
+        F.size("toks").alias("n"),
+    )
     exploded = toks.select("id", F.explode("toks").alias("tok"))
     # Dictionary-encode tokens as dense ints ordered rarest-first:
     # integer-array set ops in the verify stage are several-fold
@@ -512,56 +541,88 @@ def jaccard_token_pairs(
     # 100 TB corpus is itself a large distributed table and must not
     # funnel through one reducer.  2^31 distinct tokens is far above
     # any real vocabulary, so the rank fits an int.
+    #
+    # Singleton (df=1) tokens are excluded BEFORE the rank: a token
+    # shared by two DISTINCT sets occurs in ≥2 documents, so df ≥ 2 —
+    # a df=1 token can witness neither a candidate pair nor an
+    # intersection, only union size (tracked in ``meta.n``).  For
+    # n-gram vocabularies (~n² tokens, overwhelmingly singletons) this
+    # shrinks the expensive global rank, the dictionary broadcast, the
+    # encoded arrays, and the prefix explode all at once — the rank no
+    # longer pays for a tail it would immediately discard.
+    # The non-singleton vocabulary is materialized before ranking:
+    # global_rank's boundary-sampling and offset-count jobs would
+    # otherwise each re-run the full tokenize → explode → count
+    # lineage (the most expensive map-side pass in the operator); the
+    # persisted frame is one narrow (tok, df) row per surviving
+    # vocabulary entry — exactly the table you'd keep cached on a
+    # cluster between dedup runs.
     dfreq = exploded.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked_vocab, n_vocab = global_rank_with_count(dfreq, ["df", "tok"])
+    ranked_vocab, n_vocab = global_rank_with_count(
+        _materialize(dfreq.filter(F.col("df") >= 2)), ["df", "tok"]
+    )
     vocab = ranked_vocab.select("tok", F.col("__pos").cast("int").alias("tid"))
-    # Singleton (df=1) tokens can never witness a cross-set candidate:
-    # a prefix token shared by two DISTINCT sets occurs in ≥2 documents,
-    # so df ≥ 2 — a df=1 token joins with nothing but its own set
-    # (excluded by fp_a < fp_b).  The (df, tok)-ascending rank puts the
-    # singletons at exactly tids 1..n_singletons, so one literal
-    # comparison drops them from the prefix-explode shuffle — for
-    # n-gram vocabularies (~n² tokens, long singleton tail) this
-    # removes most of the candidate-join input.  The count reuses the
-    # frame global_rank_with_count already persisted — a tiny job.
-    n_singletons = ranked_vocab.filter(F.col("df") == 1).count()
     # Broadcast the dictionary only while it plausibly fits executor
     # memory; a web-scale vocabulary falls back to a shuffle join on
     # the token key (both sides already shuffle-sized).
     vocab_side = F.broadcast(vocab) if n_vocab <= 5_000_000 else vocab
-    ranked = (
+    # Inner join drops singleton tokens from the encoded arrays; docs
+    # made ENTIRELY of singletons disappear here and re-enter via the
+    # left join below with an empty array (they can only pair with an
+    # exact duplicate of themselves, which the fp grouping handles —
+    # and exact duplicates force df ≥ 2, so such docs are unique).
+    enc = (
         exploded.join(vocab_side, "tok")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("tid")).alias("sorted_toks"))
+    )
+    docs = meta.join(enc, "id", "left").select(
+        "id",
+        "fp",
+        "n",
+        F.coalesce("sorted_toks", F.array().cast("array<int>")).alias("sorted_toks"),
     )
     # ---- dedup-first: collapse identical token SETS before pairing.
     # Duplicate-heavy corpora (the whole point of dedup) have far
     # fewer distinct sets than documents; every identical-set clique
     # of size m would otherwise re-verify m² candidate pairs that are
     # all jaccard=1.0 by construction.
-    # md5 (128-bit) set fingerprint, not xxhash64: collision-safe at
-    # billions of distinct sets (see the minhash group-key note).
-    sets = _materialize(ranked.groupBy(F.md5(
-        F.concat_ws(",", F.transform("sorted_toks", lambda t: t.cast("string")))
-    ).alias("fp")).agg(
-        F.first("sorted_toks").alias("sorted_toks"),
-        F.sort_array(F.collect_list("id")).alias("ids"),
-    ))
+    sets = _materialize(
+        docs.groupBy("fp").agg(
+            F.first("sorted_toks").alias("sorted_toks"),
+            F.first("n").alias("n"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+    )
     # Vocabulary size is known (dictionary encoding above); when it
     # fits a few thousand bits, represent each token set as a packed
     # bitmap (array of 64-bit words) so the verify stage is popcounts
     # over ANDed longs instead of hash-set intersections — ~10× per
-    # candidate pair. The dictionary count is a tiny driver job.
+    # candidate pair. The singleton-free vocabulary makes this tier
+    # reachable for much larger corpora than the raw token count
+    # suggests. The dictionary count is free (global_rank_with_count).
     use_bitmap = n_vocab <= 4096
-    nwords = (n_vocab + 63) // 64
-    n = F.size("sorted_toks")
-    prefix_len = (n - F.ceil(n * F.lit(threshold)).cast("int") + 1).cast("int")
+    nwords = max((n_vocab + 63) // 64, 1)
+    n = F.col("n")
+    # PPJoin prefix under the FULL rarest-first canonical order, where
+    # the doc's singletons (rarest of all) occupy the first
+    # n - size(sorted_toks) positions: the encoded part of a
+    # prefix_len_full = n - ⌈t·n⌉ + 1 prefix is its last
+    # size(sorted_toks) - ⌈t·n⌉ + 1 elements.  Correctness: J ≥ t
+    # forces overlap ≥ ⌈t·n⌉, all overlap tokens are encoded (df≥2),
+    # and the encoded suffix beyond the prefix holds < ⌈t·n⌉ of them —
+    # so any qualifying pair still shares an encoded prefix token.  A
+    # non-positive length (possible when singletons dominate) means no
+    # pair over the threshold exists for that set: empty prefix.
+    prefix_len = (
+        F.size("sorted_toks") - F.ceil(n * F.lit(threshold)).cast("int") + 1
+    ).cast("int")
     cols = [
         "fp",
         "sorted_toks",
         "ids",
-        n.alias("n"),
-        F.slice("sorted_toks", 1, prefix_len).alias("prefix"),
+        "n",
+        F.slice("sorted_toks", 1, F.greatest(prefix_len, F.lit(0))).alias("prefix"),
     ]
     if use_bitmap:
         mask = F.expr(
@@ -589,10 +650,9 @@ def jaccard_token_pairs(
     # dedup shuffle (4.6× fewer candidates on the bench corpus, and
     # the guard that keeps tiny-set × huge-set pairs out of the
     # shuffle at 100 TB). Join + dedup on bare set fingerprints,
-    # token arrays re-attach afterwards.
-    pre = with_prefix.select("fp", "n", F.explode("prefix").alias("tok")).filter(
-        F.col("tok") > n_singletons
-    )
+    # token arrays re-attach afterwards.  Every encoded token has
+    # df ≥ 2 by construction, so the whole prefix enters the join.
+    pre = with_prefix.select("fp", "n", F.explode("prefix").alias("tok"))
     a, b = pre.alias("a"), pre.alias("b")
     cand_sets = (
         a.join(
@@ -605,14 +665,18 @@ def jaccard_token_pairs(
         .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .dropDuplicates(["fp_a", "fp_b"])
     )
+    # The verify denominators use the TRUE set sizes from ``meta.n``:
+    # the encoded arrays/bitmaps are singleton-free, which never
+    # changes |A∩B| (a singleton exists in exactly one document) but
+    # does change |A| and |B|.
     if use_bitmap:
         pa = with_prefix.select(
             F.col("fp").alias("fp_a"), F.col("mask").alias("ma"),
-            F.size("sorted_toks").alias("n_a"), F.col("ids").alias("ids_a"),
+            F.col("n").alias("n_a"), F.col("ids").alias("ids_a"),
         )
         pb = with_prefix.select(
             F.col("fp").alias("fp_b"), F.col("mask").alias("mb"),
-            F.size("sorted_toks").alias("n_b"), F.col("ids").alias("ids_b"),
+            F.col("n").alias("n_b"), F.col("ids").alias("ids_b"),
         )
         n_inter = F.expr(
             "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
@@ -623,14 +687,16 @@ def jaccard_token_pairs(
         )
     else:
         pa = with_prefix.select(
-            F.col("fp").alias("fp_a"), F.col("sorted_toks").alias("ta"), F.col("ids").alias("ids_a")
+            F.col("fp").alias("fp_a"), F.col("sorted_toks").alias("ta"),
+            F.col("n").alias("n_a"), F.col("ids").alias("ids_a"),
         )
         pb = with_prefix.select(
-            F.col("fp").alias("fp_b"), F.col("sorted_toks").alias("tb"), F.col("ids").alias("ids_b")
+            F.col("fp").alias("fp_b"), F.col("sorted_toks").alias("tb"),
+            F.col("n").alias("n_b"), F.col("ids").alias("ids_b"),
         )
         n_inter = F.size(F.array_intersect("ta", "tb"))
         jac = F.round(
-            n_inter.cast("double") / (F.size("ta") + F.size("tb") - n_inter).cast("double"), 9
+            n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter).cast("double"), 9
         )
     # no broadcast hint on the payload re-attach: the distinct-set table
     # is corpus-sized for low-duplication corpora (arrays/bitmaps in

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 _SEED = 1337
 
+# (applicationId, corpus semanticHash, quantizer hash) -> written
+# inverted-file path; see ivf_topk_partitioned's default-path contract.
+_IVF_LAYOUT_CACHE: dict[tuple, str] = {}
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -390,6 +394,18 @@ def ivf_topk_partitioned(
     lowest-cid tie rules on both the argmax and the probe ranking),
     so the same SQL oracle replays it.  The collected probe-cid set
     is bounded by ``|queries| * nprobe`` — a driver-side constant.
+
+    ``path`` is where the inverted file lives — the amortization
+    ("repeated query batches reuse the one-time assignment write")
+    only holds when the CALLER supplies a stable ``path`` and manages
+    its lifecycle.  With ``path=None`` the function is self-contained
+    for one call: it builds the layout in a session-scoped temp
+    directory that is re-USED across calls in the same SparkSession
+    (keyed by corpus+quantizer identity, so repeated identical calls
+    skip the rewrite) and removed at JVM exit.  Note the write +
+    probe-set collect are EAGER side effects of constructing the
+    returned DataFrame — callers embedding this in a lazy pipeline
+    should call it at plan-build time, not inside another job.
     """
     import os
     import tempfile
@@ -400,21 +416,44 @@ def ivf_topk_partitioned(
     def cluster_sims(v: Column) -> Column:
         return F.transform(cent_lit, lambda c: F.round(cosine(v, c), round_digits))
 
-    path = path or os.path.join(tempfile.mkdtemp(prefix="ivf_inv_"), "inverted")
-    inv = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
+    write_needed = True
+    if path is None:
+        # Session-scoped default layout: keyed by (app, corpus plan,
+        # quantizer), so repeated identical calls reuse the written
+        # inverted file instead of re-materializing it; the directory
+        # is removed at interpreter exit.
+        key = (
+            corpus.sparkSession.sparkContext.applicationId,
+            corpus.semanticHash(),
+            hash((repr(centroids), round_digits, id_col, vec_col)),
         )
-        .withColumn("__sims", cluster_sims(F.col("cvec")))
-        .select(
-            "neighbor_id",
-            "cvec",
-            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
-            .cast("int")
-            .alias("cid"),
+        cached = _IVF_LAYOUT_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached):
+            path, write_needed = cached, False
+        else:
+            import atexit
+            import shutil
+
+            tmp = tempfile.mkdtemp(prefix="ivf_inv_")
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+            path = os.path.join(tmp, "inverted")
+            _IVF_LAYOUT_CACHE[key] = path
+    if write_needed:
+        inv = (
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cvec"),
+            )
+            .withColumn("__sims", cluster_sims(F.col("cvec")))
+            .select(
+                "neighbor_id",
+                "cvec",
+                (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+                .cast("int")
+                .alias("cid"),
+            )
         )
-    )
-    inv.write.mode("overwrite").partitionBy("cid").parquet(path)
+        inv.write.mode("overwrite").partitionBy("cid").parquet(path)
 
     probe_pairs = F.zip_with(
         F.col("__sims"),

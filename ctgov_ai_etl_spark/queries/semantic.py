@@ -1705,7 +1705,18 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  Token log-probs are fixed to integer MICRO-UNITS
     before the per-doc sum, so the aggregation is exact integer
     arithmetic — order-independent under any partitioning, replayable
-    by the oracle (the raw double sum would be neither)."""
+    by the oracle (the raw double sum would be neither).
+
+    Known residual risk: the micro-unit fix removes ORDER dependence
+    but not cross-engine TRANSCENDENTAL divergence — Spark's
+    java.lang.Math.log and DuckDB's libm log may differ by 1 ulp, and
+    a log-prob landing within that ulp of a .5 micro-unit boundary
+    would round to different integers and fail the bit-exact hash.
+    Acceptable at 6-dp granularity (no observed flips over this
+    vocabulary); a fully replayable variant would derive log-probs
+    from the exact integer (cnt, total) pairs via a shared rational
+    approximation, or compare avg_logprob with a small tolerance
+    instead of hashing."""
     d = load_table(spark, sf_dir, "documents")
     tf = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     vocab = tf.groupBy("tok").agg(F.count("*").alias("cnt"))

@@ -20,11 +20,18 @@ from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 # query -> list of (property, regex that must match the plan)
+#
+# Negative properties ("no shuffle", "no single-reducer window") MUST
+# anchor with \A, not ^: patterns run under MULTILINE|DOTALL, where ^
+# matches every line start and a ^(?!...) lookahead trivially succeeds
+# on the last line even when the forbidden operator appears earlier —
+# a vacuous checkmark.  \A anchors exactly once, so with DOTALL the
+# (?!.*forbidden) lookahead scans the whole plan.
 CHECKS: dict[str, list[tuple[str, str]]] = {
     "scan_project_filter": [
         ("filter pushed to parquet", r"PushedFilters: \[.*(LessThan|GreaterThan)"),
         ("column-pruned ReadSchema", r"ReadSchema: [^\n]*l_orderkey[^\n]*l_extendedprice"),
-        ("no shuffle", r"^(?!.*Exchange)"),
+        ("no shuffle", r"\A(?!.*Exchange)"),
         ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
     ],
     "join_broadcast_star": [
@@ -82,13 +89,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     "sample_stratified": [
         ("fractions dim broadcast, filter map-side", r"BroadcastHashJoin"),
-        ("no shuffle", r"^(?!.*hashpartitioning)"),
+        ("no shuffle", r"\A(?!.*hashpartitioning)"),
     ],
     "pipeline_curate": [
         ("single exchange: fingerprint dedup keeper", r"hashpartitioning\(fp"),
     ],
     "text_chunked": [
-        ("map-side explode, no shuffle", r"^(?!.*hashpartitioning)"),
+        ("map-side explode, no shuffle", r"\A(?!.*hashpartitioning)"),
         ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
     ],
     "text_pack_sequences": [
@@ -100,7 +107,7 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     "search_hybrid_rrf": [
         ("no exchange-to-one window (capped-K towers)",
-         r"^(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+         r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
         ("two-phase semantic top-k: local prune keyed (query, pid)",
          r"hashpartitioning\(query_id[^)]*__pid"),
         ("lexical rank via broadcast self-join (no Window node)",
@@ -118,7 +125,7 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"hashpartitioning\(tok"),
     ],
     "text_gopher_rules": [
-        ("map-side only: no shuffle", r"^(?!.*hashpartitioning)"),
+        ("map-side only: no shuffle", r"\A(?!.*hashpartitioning)"),
         ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
     ],
     "dedup_substring_spans": [
@@ -130,7 +137,7 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "shuffle_training_order": [
         ("rank via parallel range partitioning", r"rangepartitioning\(__h"),
         ("no single-reducer window",
-         r"^(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+         r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
     ],
     "pipeline_curate_full": [
         ("gates pushed into the parquet scan",
@@ -152,7 +159,7 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("range-partitioned rank (parallel, no single reducer)",
          r"rangepartitioning\("),
         ("no exchange-to-one window",
-         r"^(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+         r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
         ("offsets broadcast", r"BroadcastExchange|BroadcastHashJoin"),
     ],
 }
