@@ -568,6 +568,128 @@ def centroid_assign_multi(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    allow_quadratic: bool = False,
+    quadratic_cap: int = 20_000,
+) -> DataFrame:
+    """ALL-PAIRS exact cosine near-dup pairs — the O(n²) correctness
+    tier, GUARDED: the self-join is a cartesian whose cost grows with
+    the square of the corpus, so unless ``allow_quadratic=True`` the
+    corpus row count must not exceed ``quadratic_cap`` (the size check
+    is one eager count at plan-build time — a metadata-speed job for
+    parquet sources).  A 100 TB corpus must use the blocked tier
+    (:func:`blocked_cosine_pairs` via :func:`embedding_near_dup`);
+    this form exists to verify it on capped slices.
+
+    Norms are precomputed per VECTOR (n sqrt-folds map-side), not per
+    pair: the pair stage then does one dot fold instead of three.
+    ``dot/(na*nb)`` evaluates the exact same double sequence as
+    ``dot/(sqrt(Σa²)·sqrt(Σb²))`` per pair, so a SQL oracle computing
+    the latter still hash-matches bit-for-bit."""
+    if not allow_quadratic:
+        n_rows = df.count()
+        if n_rows > quadratic_cap:
+            raise ValueError(
+                f"exact_cosine_pairs over {n_rows} rows is an O(n^2) cartesian "
+                f"(cap {quadratic_cap}); use embedding_near_dup(method='blocked') "
+                "or pass allow_quadratic=True if you really mean it"
+            )
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).select("id_a", "va", norm(F.col("va")).alias("na"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).select("id_b", "vb", norm(F.col("vb")).alias("nb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float,
+    centroids: list[list[float]] | None = None,
+    method: str = "blocked",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    n_assign: int = 1,
+    allow_quadratic: bool = False,
+    quadratic_cap: int = 20_000,
+) -> DataFrame:
+    """Embedding near-dup pairs behind ONE signature, blocked by
+    default (the 100 TB path: Σ block² candidate volume, see
+    :func:`blocked_cosine_pairs`).  ``method='exact'`` selects the
+    all-pairs tier, which refuses corpora beyond ``quadratic_cap``
+    rows unless ``allow_quadratic=True`` — the default can never
+    silently plan an unbounded cartesian.  ``centroids`` defaults to
+    √-scaled seeded centroids for the blocked tier; pass trained ones
+    (:func:`ivf_fit_centroids` / :func:`fit_centroids_offline`) for
+    balanced blocks on clustered corpora."""
+    if method == "exact":
+        return exact_cosine_pairs(
+            df, threshold, id_col, vec_col, round_digits,
+            allow_quadratic=allow_quadratic, quadratic_cap=quadratic_cap,
+        )
+    if method != "blocked":
+        raise ValueError(f"unknown embedding_near_dup method {method!r}")
+    if centroids is None:
+        dim = len(df.select(vec_col).first()[0])
+        centroids = seeded_centroids(k=64, dim=dim)
+    return blocked_cosine_pairs(
+        df, centroids, threshold, id_col, vec_col, round_digits, n_assign
+    )
+
+
+def fit_centroids_offline(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    sample_cap: int = 4096,
+    iters: int = 5,
+    seed: int = _SEED,
+) -> list[list[float]]:
+    """Spherical k-means WITHOUT a SparkSession: read a bounded,
+    deterministic sample (lowest ``id_col`` values) straight from
+    parquet with pyarrow and run the same numpy loop as
+    :func:`ivf_fit_centroids`.  This is the offline 'train the coarse
+    quantizer once' step of a production IVF layout: because it runs
+    at plan-AUTHORING time (e.g. module import), the fitted centroids
+    become literal constants shared verbatim by the Spark plan and
+    any SQL oracle replaying it — a trained quantizer with the same
+    replayability as a seeded one.  Falls back to the caller's
+    error-handling if the file is absent."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    order = np.argsort(t[id_col].to_numpy(), kind="stable")[:sample_cap]
+    x = np.array(
+        [t[vec_col][int(i)].as_py() for i in order], dtype=np.float64
+    )
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     centroids: list[list[float]],
@@ -593,15 +715,28 @@ def blocked_cosine_pairs(
         asg = centroid_assign_multi(
             df, centroids, n_assign, id_col, vec_col, round_digits
         )
+    # Both sides of the self-join reference the assignment: persist it
+    # so the k-centroid argmax pass (the map-side cost that grows with
+    # the centroid count) runs once, not once per side.  Narrow
+    # (id, cid) rows — the cheap thing to cache.
+    asg = asg.persist()
     a, b = asg.alias("a"), asg.alias("b")
     cand = a.join(
         b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id"))
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     if n_assign > 1:  # a pair can share several blocks under multi-assign
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    va = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    # Norms precomputed per vector (n sqrt-folds map-side): the pair
+    # stage does one dot fold instead of three; dot/(na*nb) evaluates
+    # the identical double sequence as the per-pair cosine, so SQL
+    # replays still hash-match (see exact_cosine_pairs).
+    va = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).select("id_a", "va", norm(F.col("va")).alias("na"))
+    vb = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).select("id_b", "vb", norm(F.col("vb")).alias("nb"))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -4,6 +4,7 @@ exact baselines — SURVEY.md §5 'rows-only checks')."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.operators.dedup import (
@@ -13,13 +14,81 @@ from ctgov_ai_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from ctgov_ai_etl_spark.operators.similarity import (
+    blocked_cosine_pairs,
     brute_force_topk,
+    embedding_near_dup,
+    exact_cosine_pairs,
     ivf_fit_centroids,
     ivf_topk,
     lsh_topk,
 )
 from ctgov_ai_etl_spark.tables import load_table
 from tests.conftest import SF_SMALL
+
+
+def test_exact_cosine_pairs_refuses_unguarded_quadratic(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        exact_cosine_pairs(emb, threshold=0.4, quadratic_cap=100)
+    # explicit opt-in still works (bounded fixture corpus)
+    opted = exact_cosine_pairs(
+        emb, threshold=0.9, quadratic_cap=100, allow_quadratic=True
+    )
+    assert opted.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_embedding_near_dup_default_is_blocked(spark):
+    """The one-signature operator must never plan the cartesian by
+    default: its default output equals the blocked tier's, and the
+    exact tier is reachable only through the guarded path."""
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(
+            emb, threshold=0.3, centroids=_BLOCK_CENTROIDS
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b)
+        for r in blocked_cosine_pairs(emb, _BLOCK_CENTROIDS, threshold=0.3).collect()
+    }
+    assert a == b
+
+
+def test_trained_ivf_recall_at_least_seeded(spark):
+    """The offline-trained quantizer must buy recall, not just parity:
+    at the same nprobe its recall vs brute force is >= the seeded
+    Gaussian quantizer's (VERDICT r3 item 6 done-condition).  Measured
+    on the canonical corpus the quantizer was fitted to serve
+    (sf0.01 — train-small/score-big trains on a sample OF the corpus;
+    the 10× smaller sf0.001 slice is a different distribution draw
+    where neither quantizer has a principled edge)."""
+    from ctgov_ai_etl_spark.queries.semantic import (
+        _IVF_CENTROIDS,
+        _IVF_NPROBE,
+        _IVF_TRAINED_CENTROIDS,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(cents):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, queries, centroids=cents, k=5, nprobe=_IVF_NPROBE
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_seeded, r_trained = recall(_IVF_CENTROIDS), recall(_IVF_TRAINED_CENTROIDS)
+    assert r_trained >= r_seeded, f"trained {r_trained:.2f} < seeded {r_seeded:.2f}"
 
 
 def test_minhash_recall_against_exact_jaccard(spark):
