@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNull,
     LessThanOrEqual,
@@ -92,6 +93,61 @@ def _http_transport(url: str, timeout_s: float) -> Transport:
     return fetch
 
 
+class TransientPageError(Exception):
+    """A page fetch failure worth retrying (transport-defined: custom
+    transports raise this to opt a failure into the retry policy)."""
+
+
+def _is_transient(exc: Exception) -> bool:
+    """Retryable = timeouts, connection drops, HTTP 5xx, or an explicit
+    :class:`TransientPageError`.  4xx/parse errors are NOT retried —
+    they abort the read exactly like the reference (etl.py:124-127,
+    163-171): retrying a request the server rejected is wasted quota."""
+    if isinstance(exc, TransientPageError):
+        return True
+    try:
+        import requests
+    except ImportError:  # fixture transports without the live dep
+        return False
+    if isinstance(exc, (requests.exceptions.Timeout, requests.exceptions.ConnectionError)):
+        return True
+    if isinstance(exc, requests.exceptions.HTTPError):
+        resp = exc.response
+        return resp is not None and resp.status_code >= 500
+    return False
+
+
+def with_retries(
+    transport: Transport, max_retries: int, backoff_s: float = 0.5
+) -> Transport:
+    """Wrap a transport with jittered exponential backoff on TRANSIENT
+    failures (see :func:`_is_transient`).  ``max_retries=0`` (the
+    default everywhere) returns the transport untouched — the
+    reference's abort-on-any-error semantics are preserved unless the
+    caller opts in.  At 100 pages a single transient 503 otherwise
+    kills the whole read; sleeps are ``backoff_s · 2^attempt`` with
+    ±50% jitter so a fleet of executors retrying the same flapping
+    endpoint doesn't stampede it in lockstep."""
+    if max_retries <= 0:
+        return transport
+
+    def fetch(params: dict[str, Any], token: Any) -> dict[str, Any]:
+        import random as _random
+        import time as _time
+
+        attempt = 0
+        while True:
+            try:
+                return transport(params, token)
+            except Exception as exc:
+                if attempt >= max_retries or not _is_transient(exc):
+                    raise
+                _time.sleep(backoff_s * (2**attempt) * (0.5 + _random.random()))
+                attempt += 1
+
+    return fetch
+
+
 # --------------------------------------------------- filter translation
 
 def filters_to_essie(filters: list[Filter]) -> tuple[list[str], list[Filter]]:
@@ -114,6 +170,15 @@ def filters_to_essie(filters: list[Filter]) -> tuple[list[str], list[Filter]]:
             conjuncts.append(f"AREA[{area}]MISSING")
         elif isinstance(f, StringContains):
             conjuncts.append(f"SEARCH[{area}]{f.value}")
+        elif isinstance(f, In):
+            # isin → Essie OR-group: the grammar the reference's own
+            # config exercises ((AREA[Sex]FEMALE OR AREA[Sex]ALL),
+            # config.example.yaml:8,12).  This is the R9 tuning-set
+            # narrowing done SERVER-side — without it an isin over
+            # nct_ids fetches the whole corpus over HTTP and filters
+            # client-side.
+            disj = " OR ".join(f"AREA[{area}]{v}" for v in f.value)
+            conjuncts.append(f"({disj})")
         else:
             unsupported.append(f)
     return conjuncts, unsupported
@@ -140,6 +205,11 @@ class RestStudiesReader(DataSourceReader):
             self.transport = resolve_transport_factory(factory)(*args)
         else:
             self.transport = _http_transport(self.url, self.timeout_s)
+        self.transport = with_retries(
+            self.transport,
+            int(options.get("max_retries", 0)),
+            float(options.get("backoff_s", 0.5)),
+        )
         # filter.advanced starts from any config-provided conjuncts,
         # exactly like the reference AND-joins its YAML list (etl.py:100)
         adv = options.get("filter_advanced")
@@ -212,6 +282,11 @@ class RestStudiesStreamReader(SimpleDataSourceStreamReader):
             self.transport = resolve_transport_factory(factory)(*args)
         else:
             self.transport = _http_transport(self.url, self.timeout_s)
+        self.transport = with_retries(
+            self.transport,
+            int(options.get("max_retries", 0)),
+            float(options.get("backoff_s", 0.5)),
+        )
         adv = options.get("filter_advanced")
         self._params: dict[str, Any] = {"pageSize": self.page_size}
         if adv:

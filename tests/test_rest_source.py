@@ -100,6 +100,155 @@ def echo_params_transport():
     return transport
 
 
+def test_in_filter_translates_to_essie_or_group():
+    from pyspark.sql.datasource import In
+
+    conjuncts, unsupported = rest.filters_to_essie(
+        [In(("OverallStatus",), ("RECRUITING", "COMPLETED"))]
+    )
+    assert conjuncts == ["(AREA[OverallStatus]RECRUITING OR AREA[OverallStatus]COMPLETED)"]
+    assert unsupported == []
+
+
+def essie_or_filtering_transport(n_studies: int = 57, page_size: int = 10):
+    """A transport that EVALUATES AREA[OverallStatus] constraints
+    server-side (single values and OR groups), like the live API: the
+    row-count shrink in the pushdown test is real server-side
+    narrowing, not client-side filtering."""
+    import re
+
+    from ctgov_ai_etl_spark.fixtures import make_raw_study
+
+    def transport(params, token):
+        adv = params.get("filter.advanced", "")
+        statuses = set(re.findall(r"AREA\[OverallStatus\](\w+)", adv))
+        corpus = [make_raw_study(i) for i in range(n_studies)]
+        if statuses:
+            corpus = [
+                s
+                for s in corpus
+                if s.get("protocolSection", {})
+                .get("statusModule", {})
+                .get("overallStatus")
+                in statuses
+            ]
+        size = int(params.get("pageSize", page_size))
+        start = int(token) if token else 0
+        out = {"studies": corpus[start : start + size]}
+        if start + size < len(corpus):
+            out["nextPageToken"] = str(start + size)
+        return out
+
+    return transport
+
+
+def test_in_filter_pushdown_shrinks_served_rows():
+    """R9's tuning-set narrowing server-side: an In filter lands in
+    filter.advanced as an Essie OR group and the source fetches only
+    the matching subset over the (mock) wire (VERDICT r3 item 4)."""
+    from pyspark.sql.datasource import In
+
+    opts = {
+        "transport_factory": "tests.test_rest_source:essie_or_filtering_transport",
+        "transport_args": "[]",
+        "page_size": "10",
+    }
+    full = rest.RestStudiesReader(dict(opts))
+    n_full = sum(1 for p in full.partitions() for _ in full.read(p))
+
+    narrowed = rest.RestStudiesReader(dict(opts))
+    leftover = list(
+        narrowed.pushFilters([In(("OverallStatus",), ("RECRUITING", "COMPLETED"))])
+    )
+    assert leftover == []  # fully pushed: nothing left for Spark
+    assert (
+        narrowed._params()["filter.advanced"]
+        == "(AREA[OverallStatus]RECRUITING OR AREA[OverallStatus]COMPLETED)"
+    )
+    n_narrow = sum(1 for p in narrowed.partitions() for _ in narrowed.read(p))
+    assert 0 < n_narrow < n_full
+    # the fixture assigns RECRUITING/COMPLETED to 2 of every 4 studies
+    # that carry a statusModule at all
+    rows = [
+        json.loads(r[0])
+        for p in rest.RestStudiesReader(dict(opts)).partitions()
+        for r in rest.RestStudiesReader(dict(opts)).read(p)
+    ]
+    expected = sum(
+        1
+        for s in rows
+        if s.get("protocolSection", {}).get("statusModule", {}).get("overallStatus")
+        in ("RECRUITING", "COMPLETED")
+    )
+    assert n_narrow == expected
+
+
+def flaky_transport_factory(fail_times: int = 2, n_studies: int = 57, page_size: int = 10):
+    """Fails the first ``fail_times`` fetches with a transient error,
+    then serves the fixture corpus — the retry-policy fixture."""
+    from ctgov_ai_etl_spark.fixtures import mock_ctgov_transport
+    from ctgov_ai_etl_spark.sources.rest import TransientPageError
+
+    inner = mock_ctgov_transport(n_studies, page_size)
+    state = {"fails": 0}
+
+    def transport(params, token):
+        if state["fails"] < fail_times:
+            state["fails"] += 1
+            raise TransientPageError("simulated 503")
+        return inner(params, token)
+
+    return transport
+
+
+def test_retry_backoff_completes_flaky_read(spark):
+    """max_retries: a read that hits two transient failures completes
+    on the third attempt (VERDICT r3 item 5); without opting in, the
+    same flaky transport aborts the read — the reference's
+    abort-on-error semantics stay the default."""
+    import pytest
+
+    df = _read(
+        spark,
+        transport_factory="tests.test_rest_source:flaky_transport_factory",
+        transport_args="[2]",
+        page_size="10",
+        max_retries="3",
+        backoff_s="0.01",
+    )
+    assert df.count() == 57
+
+    undefended = _read(
+        spark,
+        transport_factory="tests.test_rest_source:flaky_transport_factory",
+        transport_args="[2]",
+        page_size="10",
+    )
+    with pytest.raises(Exception):
+        undefended.count()
+
+
+def test_with_retries_gives_up_on_persistent_and_nontransient_errors():
+    from ctgov_ai_etl_spark.sources.rest import TransientPageError, with_retries
+
+    def always_503(params, token):
+        raise TransientPageError("503")
+
+    calls = {"n": 0}
+
+    def bad_request(params, token):
+        calls["n"] += 1
+        raise ValueError("400 bad essie expression")
+
+    import pytest
+
+    with pytest.raises(TransientPageError):
+        with_retries(always_503, max_retries=2, backoff_s=0.001)({}, None)
+    with pytest.raises(ValueError):
+        with_retries(bad_request, max_retries=5, backoff_s=0.001)({}, None)
+    assert calls["n"] == 1  # non-transient: no retry attempts burned
+
+
 # ------------------------------------------------- streaming reader
 
 def test_stream_reader_pages_become_micro_batches(spark, tmp_path):
