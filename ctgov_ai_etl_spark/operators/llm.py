@@ -166,12 +166,30 @@ def llm_classify(
     max_rows: int | None = None,
     order_cols: Iterable[str] | None = None,
     only_ids: tuple[str, Iterable[str]] | None = None,
+    per_bucket_cap: int | None = None,
+    bucket_key: str | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Append an LLM-classified column to ``df``.
 
     ``only_ids=(id_col, ids)`` reproduces the reference's
     debug_only_tuning_trials narrowing (R9): rows outside the set
     join the pass-through remainder.
+
+    Two alternative cost governors (SCALE.md 'llm_classify' note):
+
+    - ``max_rows`` + ``order_cols`` — the reference's EXACT positional
+      semantics (etl.py:355-364): a distributed global rank splits the
+      first N rows from the remainder.  The rank is parallel but still
+      a coordination point (range shuffle + offsets collect).
+    - ``per_bucket_cap`` + ``bucket_key`` + ``order_cols`` — the
+      extreme-scale form: rows are md5-bucketed by ``bucket_key`` into
+      ``n_buckets`` deterministic buckets, each bucket classifies only
+      its first ``per_bucket_cap`` rows under ``order_cols`` and passes
+      the rest through with 'N/A'.  Total spend ≤ cap × n_buckets with
+      NO global rank — one hash shuffle plus a within-partition sort,
+      and the classified set is a pure function of (key, order), so
+      any engine can replay it (row_number per bucket in SQL).
     """
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -209,6 +227,60 @@ def llm_classify(
         from ctgov_ai_etl_spark.operators.limits import id_set_split
 
         head, rest = id_set_split(head, id_col, ids)
+    if per_bucket_cap is not None:
+        if max_rows is not None:
+            raise ValueError(
+                "per_bucket_cap and max_rows are alternative cost governors; pick one"
+            )
+        if bucket_key is None or order_cols is None:
+            raise ValueError(
+                "per_bucket_cap needs bucket_key and order_cols for "
+                "deterministic, engine-replayable semantics"
+            )
+        from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+        order_cols = list(order_cols)
+        bucketed = (
+            head.withColumn("__bucket", hash_bucket(F.col(bucket_key), n_buckets))
+            .repartition(F.col("__bucket"))
+            .sortWithinPartitions("__bucket", *order_cols)
+        )
+
+        def run_capped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            client = client_factory()  # once per task (R10)
+            bucket = TokenBucket(rate_per_sec) if rate_per_sec else None
+            spent: dict[int, int] = {}  # bucket -> rows classified so far
+            for pdf in batches:
+                labels = []
+                for row in pdf.to_dict("records"):
+                    b = row["__bucket"]
+                    if spent.get(b, 0) >= per_bucket_cap:
+                        labels.append(NA)  # quota exhausted: pass-through
+                        continue
+                    spent[b] = spent.get(b, 0) + 1
+                    prompt = format_prompt(prompt_template, row)
+                    if prompt is None:
+                        labels.append(None)
+                        continue
+                    if bucket is not None:
+                        bucket.acquire()
+                    try:
+                        labels.append(client.classify(prompt))
+                    except Exception:
+                        labels.append(None)  # error → null (R12)
+                pdf = pdf.drop(columns=["__bucket"]).copy()
+                pdf[out_col] = pd.Series(labels, index=pdf.index, dtype="object")
+                yield pdf
+
+        classified = bucketed.mapInPandas(run_capped, schema=out_schema)
+        classified = classified.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(NA))
+        )
+        if rest is not None:
+            rest = rest.select(*in_cols).withColumn(out_col, F.lit(NA))
+            classified = classified.unionByName(rest)
+        return classified
+
     if max_rows is not None:
         if order_cols is None:
             raise ValueError("max_rows needs order_cols for deterministic semantics")

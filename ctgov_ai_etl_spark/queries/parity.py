@@ -118,6 +118,44 @@ def llm_classify_cost_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "ai_label")
 
 
+@query(
+    "llm_classify_bucket_cap",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN rn <= 40 THEN {DOC_RULES.as_sql_case('text')}
+                ELSE 'N/A' END AS ai_label
+    FROM (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 8
+               ORDER BY doc_id) AS rn
+      FROM documents)
+    """,
+)
+def llm_classify_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-BUCKET cost governor (new r4): md5-bucket the corpus
+    into 8 deterministic buckets and classify only the first 40 docs
+    of each (doc_id order) — total spend ≤ 320 with NO global rank
+    (one hash shuffle + within-partition sort, vs the range shuffle +
+    offsets collect the exact positional mode pays).  The classified
+    set is a pure function of (key, order), so the oracle replays it
+    as a per-bucket row_number — SCALE.md's 'rank-split becomes a
+    per-partition quota at extreme scale' made concrete."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = llm_classify(
+        d,
+        prompt_template="{text}",
+        out_col="ai_label",
+        client_factory=lambda: DOC_RULES,
+        per_bucket_cap=40,
+        bucket_key="doc_id",
+        n_buckets=8,
+        order_cols=["doc_id"],
+    )
+    return out.select("doc_id", "ai_label")
+
+
 def _e2e_oracle_sql() -> str:
     """The mock transport serves make_raw_study(0..56) — the same
     deterministic corpus as make_raw_studies_json(57) — so the whole

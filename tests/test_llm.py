@@ -65,6 +65,52 @@ def test_cost_cap_and_remainder_passthrough(spark):
     assert all(got[i] == NA for i in range(5, 20))
 
 
+def test_per_bucket_cap_quota_and_determinism(spark):
+    """Per-bucket governor: each md5 bucket classifies exactly its
+    first ``cap`` rows under the order, independent of the input's
+    physical partitioning (the engine-replayable contract)."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from pyspark.sql import functions as F
+
+    rows = [(i, "must be pregnant") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, criteria string")
+    kwargs = dict(
+        out_col="label", per_bucket_cap=3, bucket_key="id",
+        n_buckets=4, order_cols=["id"],
+    )
+    got = {r.id: r.label for r in llm_classify(df, "{criteria}", **kwargs).collect()}
+    assert len(got) == 60
+    assert sum(1 for v in got.values() if v == "ONLY_PREGNANCY") == 12  # 4 buckets × 3
+    # expected set: first 3 ids of each bucket, replayed driver-side
+    b = {
+        r.id: r.b
+        for r in df.select("id", hash_bucket(F.col("id"), 4).alias("b")).collect()
+    }
+    expected = set()
+    for bucket in range(4):
+        expected |= set(sorted(i for i in b if b[i] == bucket)[:3])
+    assert {i for i, v in got.items() if v == "ONLY_PREGNANCY"} == expected
+    # same answer from a differently-partitioned input
+    got2 = {
+        r.id: r.label
+        for r in llm_classify(df.repartition(7), "{criteria}", **kwargs).collect()
+    }
+    assert got2 == got
+
+
+def test_per_bucket_cap_parameter_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, criteria string")
+    with pytest.raises(ValueError, match="alternative cost governors"):
+        llm_classify(
+            df, "{criteria}", max_rows=1, order_cols=["id"],
+            per_bucket_cap=1, bucket_key="id",
+        )
+    with pytest.raises(ValueError, match="bucket_key and order_cols"):
+        llm_classify(df, "{criteria}", per_bucket_cap=1)
+
+
 def test_only_ids_narrowing(spark):
     df = spark.createDataFrame(
         [(f"NCT{i}", "pregnancy") for i in range(6)], "nct_id string, criteria string"
