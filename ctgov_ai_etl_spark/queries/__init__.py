@@ -12,84 +12,112 @@ or rounded coarsely enough that both engines agree bit-for-bit.
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 
 # The driver walks ``queries()`` in registration order and checks the
-# first ~50 per round (CORRECTNESS_r01 = first 50, _r02 = next 50), so
-# ``load_all`` re-orders the registry each round to put queries with no
-# (or stale) driver evidence first.
+# first ~40-50 per round (r1: 44, r2: 38, r3: 50), so ``load_all``
+# re-orders the registry each round to put queries with no (or stale)
+# driver evidence first.
 #
-# Round-3 priority, per VERDICT.md r2 items 3 and 5:
-#   block 0 — 20 queries that have NEVER had a CORRECTNESS row (all
-#     round-2 additions), cheapest first;
-#   block 1 — the 9 rows red in CORRECTNESS_r02 (events-loader
-#     AnalysisException / corrupted stream timestamps), now fixed by the
-#     dtype-adaptive loader and needing green evidence;
-#   block 2 — the 4 r1-green queries that load events and silently
-#     regressed when the storage dtype changed (green-on-paper only);
-#   block 3 — everything with green r1/r2 evidence that still holds.
+# Round-4 priority, per VERDICT.md r3 items 1 and 3 (rotate
+# oldest-verified-first; no query's latest evidence older than two
+# rounds):
+#   block 0 — queries NEW this round (never driver-checked);
+#   block 1 — queries whose implementation or oracle CHANGED this
+#     round (their older green rows no longer describe today's code:
+#     the embedding tier was re-registered/re-quantized, the jaccard
+#     family's dictionary encoding was rebuilt);
+#   block 2 — the 44 queries whose latest hash-check is round 1,
+#     cheapest first so a time-budgeted window re-greens the most
+#     (the r3 done-condition: ≥40 of these);
+#   block 3 — the remaining round-2-latest queries, cheapest first;
+#   everything else (r3-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    # -- block 0: never driver-checked ------------------------------
-    "text_pii_redact",
-    "text_repetition",
-    "sample_mixture",
-    "decontam_ngram",
-    "text_token_bpe",
-    "fn_try_family",
-    "fn_variant_family",
-    "udf_map_in_arrow",
-    "agg_approx_top_k",
-    "agg_hll_sketch_merge",
-    "binary_file_scan",
-    "text_scan_roundtrip",
-    "join_bloom_semi",
-    "win_rank_distributed",
-    "stream_run_stream_join",
-    "dedup_components_star",
-    "win_first_last",
-    "set_intersect_all",
-    "pivot_status_matrix",
-    "unpivot_stack",
-    "sim_topk_ivf_partitioned",  # new in r3
-    "stream_run_stateful_auto",  # new in r3
-    "text_gopher_rules",  # new in r3
-    "dedup_substring_spans",  # new in r3
-    "shuffle_training_order",  # new in r3
-    "pipeline_curate_full",  # new in r3
-    "stream_run_rest_source",  # new in r3
-    "xml_scan_roundtrip",  # new in r3
-    "json_corrupt_records",  # new in r3
-    "text_perplexity_proxy",  # new in r3
-    "dedup_incremental",  # new in r3
-    "maintenance_compact_files",  # new in r3
-    # -- block 1: red in CORRECTNESS_r02, fixed this round ----------
-    "essie_search_nested_struct",
-    "json_scan_roundtrip",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_run_tumbling",
-    # -- block 2: r1-green but events-loading (silent regression) ---
-    "join_asof",
-    "fn_json_map_family",
-    "win_lag_lead",
-    "win_sliding_frame",
-    # -- window filler: events-adjacent queries whose r2 green rows
-    #    predate the dtype fix on some code paths (cheap re-confirms)
-    "stream_run_dedup",
-    "stream_run_stateful",
-    "stream_run_static_join",
-    "win_running_sum",
-    "scd2_history",
-    # -- window filler 2: the heavyweight headline family — green in
-    #    r2, listed so a ~50-query window refreshes their hash evidence
-    #    under this round's loader changes
-    "dedup_minhash_lsh",
-    "sim_topk_ivf",
-    "search_hybrid_rrf",
-    "pipeline_curate",
-    "llm_classify_documents",
+    # -- block 0: new in r4, never driver-checked -------------------
+    "sim_topk_ivf_trained",
+    "llm_classify_bucket_cap",
+    # -- block 1: impl/oracle changed in r4 -------------------------
+    "dedup_embedding_cosine",  # re-registered over a bounded slice
+    "dedup_embedding_blocked",  # trained-64 quantizer constants
+    "dedup_jaccard_pairs",  # singleton-free dictionary encoding
+    "dedup_jaccard_bigram",  # singleton-free dictionary encoding
+    "dedup_components",  # built on the rewritten jaccard pairs
+    # -- block 2: latest evidence is round 1 (stalest), cheap first -
+    "essie_search_text",
+    "filter_in_set",
+    "sort_nulls_ordering",
+    "proj_rename_nested",
+    "filter_like_regex",
+    "fn_null_family",
+    "limit_offset",
+    "filter_range_bool",
+    "essie_predicates",
+    "sort_limit_deterministic",
+    "scan_project_filter",
+    "join_cross",
+    "set_union_all",
+    "fn_array_family",
+    "join_semi",
+    "join_right_outer",
+    "agg_grouping_sets",
+    "agg_collect_set",
+    "set_union_distinct",
+    "join_anti",
+    "win_rank_family",
+    "fn_math_family",
+    "distinct_rows",
+    "when_otherwise_buckets",
+    "fn_string_family",
+    "join_full_outer",
+    "agg_filtered_conditional",
+    "set_intersect",
+    "inline_values_table",
+    "set_except_all",
+    "agg_rollup",
+    "fn_partial_date_normalize",
+    "fn_datetime_family",
+    "agg_count_distinct",
+    "merge_upsert_orders",
+    "join_left_outer",
+    "agg_cube",
+    "join_range_nonequi",
+    "agg_global",
+    "agg_approx_count_distinct",
+    "agg_pricing_summary",
+    "join_broadcast_star",
+    "join_inner_equi",
+    "win_topk_per_group",
+    # -- block 3: latest evidence is round 2, cheap first -----------
+    "mm_binary_plumbing",
+    "text_fingerprint",
+    "text_token_stats",
+    "mm_frame_sample",
+    "text_pack_sequences",
+    "mm_decode_features",
+    "dedup_exact_group",
+    "udtf_tokenize",
+    "ctgov_flatten_parity",
+    "agg_stats_moments",
+    "csv_scan_roundtrip",
+    "sample_stratified",
+    "skew_salted_agg",
+    "agg_percentiles",
+    "text_chunked",
     "ctgov_pipeline_e2e",
+    "search_bm25",
+    "orc_scan_roundtrip",
+    "partition_pruned_scan",
+    "skew_salted_join",
+    "agg_approx_quantile",
+    "search_hybrid_rrf",
+    "text_tfidf_top_term",
+    "llm_classify_cost_cap",
+    "sim_topk_lsh",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "llm_classify_documents",
+    "pipeline_curate",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "text_langid_quality",
+    "text_top_tokens",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 
@@ -97,10 +125,9 @@ _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module, then order the registry driver-first.
 
-    Order: never-driver-checked round-2 additions -> queries red in
-    CORRECTNESS_r02 (events loader, fixed this round) -> silently
-    regressed r1-green events queries -> the rest (green evidence
-    already on file).
+    Order: new-this-round (never checked) -> changed-this-round (old
+    evidence stale by construction) -> round-1-latest evidence
+    (stalest, cheapest first) -> round-2-latest -> the r3-green rest.
     """
     from ctgov_ai_etl_spark.queries import (  # noqa: F401
         relational,
