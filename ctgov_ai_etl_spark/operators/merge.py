@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def merge_upsert(
@@ -35,3 +36,34 @@ def merge_upsert(
     keys = list(keys)
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def merge_upsert_versioned(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Iterable[str],
+    version_cols: Iterable[str],
+) -> DataFrame:
+    """Conflict-resolving merge: per key, the row with the GREATEST
+    ``version_cols`` tuple wins, whichever side it came from — the
+    precombine/ordering-field semantics lakehouse MERGEs use (Hudi's
+    preCombineField, Delta's conditional WHEN MATCHED) so that
+    out-of-order or replayed update batches converge to the same
+    table instead of last-write-wins drift.  ``version_cols`` must be
+    non-null and, together, unique per key (a (timestamp, sequence)
+    pair): ties would make the winner partition-dependent.
+
+    One hash aggregation on the key — max over a (version..., payload)
+    struct compares field-wise, so no window, no join, and the result
+    is identical under any batch arrival order (the property the
+    streaming upsert sink builds on)."""
+    keys, version_cols = list(keys), list(version_cols)
+    cols = target.columns
+    ordered = version_cols + [c for c in cols if c not in keys and c not in version_cols]
+    allr = target.unionByName(updates.select(*cols))
+    agg = allr.groupBy(*keys).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__v")
+    )
+    return agg.select(
+        *keys, *[F.col(f"__v.{c}").alias(c) for c in ordered]
+    ).select(*cols)

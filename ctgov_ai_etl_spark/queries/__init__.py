@@ -33,12 +33,18 @@ _PRIORITY = (
     # -- block 0: new in r4, never driver-checked -------------------
     "sim_topk_ivf_trained",
     "llm_classify_bucket_cap",
+    "parquet_schema_evolution",
+    "stream_run_upsert",
+    "dedup_keep_best",
     # -- block 1: impl/oracle changed in r4 -------------------------
+    # (dedup_components is omitted: its only change is inside
+    # jaccard_token_pairs, which dedup_jaccard_pairs verifies with the
+    # same pair set, and the identically-oracled dedup_components_star
+    # has round-3 evidence)
     "dedup_embedding_cosine",  # re-registered over a bounded slice
     "dedup_embedding_blocked",  # trained-64 quantizer constants
     "dedup_jaccard_pairs",  # singleton-free dictionary encoding
     "dedup_jaccard_bigram",  # singleton-free dictionary encoding
-    "dedup_components",  # built on the rewritten jaccard pairs
     # -- block 2: latest evidence is round 1 (stalest), cheap first -
     "essie_search_text",
     "filter_in_set",

@@ -83,6 +83,39 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'N/A' END AS lang
+    FROM documents
+    """,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION across parquet batches (new r4): batch v1
+    writes (doc_id, source); batch v2 adds a ``lang`` column — the
+    normal life of a long-lived 100 TB table whose producers upgrade
+    in place.  ``mergeSchema=true`` reconciles the footers at read
+    (schema union, by-name matching; absent columns read as null —
+    file-level metadata work, no data rewrite), and the engine's
+    sentinel convention coalesces the holes.  Hash-checked against a
+    single-table replay of the same evolution rule."""
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.parquet(
+        os.path.join(root, "batch=v1")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang").write.parquet(
+        os.path.join(root, "batch=v2")
+    )
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    return back.select(
+        "doc_id", "source", F.coalesce("lang", F.lit("N/A")).alias("lang")
+    )
+
+
+@query(
     "xml_scan_roundtrip",
     oracle="""
     SELECT n_name,

@@ -1289,6 +1289,49 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(csizes, "component").select("doc_id", "component", "csize")
 
 
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH base AS ({_COMPONENTS_ORACLE}),
+    scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality FROM documents),
+    j AS (SELECT b.doc_id, b.component, s.quality
+          FROM base b JOIN scored s USING (doc_id))
+    SELECT doc_id, component, quality FROM (
+      SELECT *, row_number() OVER (PARTITION BY component
+                    ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM j)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster (new r4): near-dup clusters resolved by
+    connected components, but the survivor is the HIGHEST-QUALITY
+    member (quality desc, doc_id asc on rounded ties), not the min-id
+    — what a real curation pipeline wants when a duplicate clique
+    mixes a clean original with mangled re-crawls.  One groupBy
+    (min over a (−quality, doc_id) struct — field-wise comparison, no
+    window) picks the keeper; singleton docs survive as their own
+    cluster.  Oracle = the recursive-CTE components replay joined to
+    the shared SQL quality fragment."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    joined = comp.join(scored, "doc_id")
+    best = joined.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("keep"))
+        ).alias("b")
+    )
+    return (
+        joined.join(best, "component")
+        .filter(F.col("doc_id") == F.col("b.keep"))
+        .select("doc_id", "component", "quality")
+    )
+
+
 _IVF_CENTROIDS = seeded_centroids(k=16, dim=64)
 _IVF_NPROBE = 6
 

@@ -244,6 +244,40 @@ def stream_run_stateful_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_run_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           round(value, 6) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_run_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming MERGE sink (new r4): the events table re-sharded
+    into 4 files streams as 4 micro-batches, each foreachBatch-merged
+    into a parquet snapshot with version-conflict resolution on
+    (ts, event_id) — per-user LATEST event state, the streaming-CDC
+    upsert every lakehouse table maintains.  Hash-checked: conflict
+    resolution makes the final snapshot independent of micro-batch
+    arrival order, so it equals the batch window-top-1 the oracle
+    computes."""
+    from ctgov_ai_etl_spark.streaming.events import stream_upsert_snapshot
+
+    snap = stream_upsert_snapshot(spark, sf_dir)
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+@query(
     "stream_run_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

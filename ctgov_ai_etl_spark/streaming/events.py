@@ -212,6 +212,68 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+) -> DataFrame:
+    """foreachBatch MERGE sink: maintain a per-user LATEST-event
+    snapshot table under a finite multi-batch stream — the streaming
+    half of the lakehouse upsert story (merge.merge_upsert_versioned
+    is the batch half).
+
+    The events table is re-sharded into ``n_shards`` files and
+    streamed with ``maxFilesPerTrigger=1``, so the query really runs
+    several micro-batches; each batch MERGEs into a parquet target
+    with version-conflict resolution on (ts, event_id) — the winner
+    per user is the globally-latest event NO MATTER which batch it
+    arrived in, so the final snapshot is independent of file order
+    (file-stream batch order is not a contract) and of replays.  The
+    merged frame is persisted + counted before the overwrite so the
+    read side of the self-referential write is materialized first.
+    """
+    from ctgov_ai_etl_spark.operators.merge import merge_upsert_versioned
+    from ctgov_ai_etl_spark.tables import load_table
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="upsert_stream_")
+    src_dir = os.path.join(work, "shards")
+    target_dir = os.path.join(work, "target")
+    ev.repartition(n_shards).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if os.path.isdir(target_dir):
+            target = sess.read.parquet(target_dir)
+        else:
+            target = sess.createDataFrame([], schema)
+        merged = merge_upsert_versioned(
+            target, batch_df, keys=["user_id"], version_cols=["ts", "event_id"]
+        ).persist()
+        merged.count()  # materialize before overwriting what we read
+        merged.write.mode("overwrite").parquet(target_dir)
+        merged.unpersist()
+
+    ckpt = os.path.join(work, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_dir)
+
+
 def run_stream_to_memory_until_done(
     df: DataFrame, name: str | None = None, mode: str = "append"
 ) -> DataFrame:

@@ -101,6 +101,44 @@ def test_merge_upsert_key_semantics(spark, target, updates):
     assert got == {**target, **updates}  # updates win; unmatched appended
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),  # (key, version) unique
+    ),
+    split=st.integers(0, 29),
+)
+def test_merge_upsert_versioned_is_arrival_order_independent(spark, rows, split):
+    """The versioned merge must converge to max-version-per-key no
+    matter how rows are split between target and updates — the
+    property the streaming upsert sink's correctness rests on."""
+    from ctgov_ai_etl_spark.operators.merge import merge_upsert_versioned
+
+    split = min(split, len(rows))
+    schema = "k long, ver long, payload long"
+
+    def df_of(part):
+        d = spark.createDataFrame(part or [(0, 0, 0)], schema)
+        return d if part else d.limit(0)
+
+    expected = {}
+    for k, ver, payload in rows:
+        if k not in expected or ver > expected[k][0]:
+            expected[k] = (ver, payload)
+
+    for a, b in ((rows[:split], rows[split:]), (rows[split:], rows[:split])):
+        got = {
+            r.k: (r.ver, r.payload)
+            for r in merge_upsert_versioned(
+                df_of(a), df_of(b), keys=["k"], version_cols=["ver"]
+            ).collect()
+        }
+        assert got == expected
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(
