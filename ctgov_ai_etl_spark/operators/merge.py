@@ -38,6 +38,60 @@ def merge_upsert(
     return kept.unionByName(updates)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Iterable[str],
+    compare_cols: Iterable[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per
+    inserted ('I'), deleted ('D'), or updated ('U') key, unchanged
+    keys dropped — the change feed a lakehouse CDF emits, computed
+    from plain snapshots with ONE full-outer join on the key.
+
+    Output schema: keys…, op, then ``old_<c>`` / ``new_<c>`` for each
+    compared column.  Update detection is null-safe equality over the
+    compared-column struct, so NULL→value and value→NULL transitions
+    count as updates.
+
+    Scale shape: both snapshots shuffle once on the key (or zero
+    times if the table is bucketed by it — the layout a 100 TB
+    snapshot store would use); everything downstream is map-side.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    old_probe = F.struct(*[F.col(f"old_{c}") for c in compare_cols])
+    new_probe = F.struct(*[F.col(f"new_{c}") for c in compare_cols])
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(~old_probe.eqNullSafe(new_probe), F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
 def merge_upsert_versioned(
     target: DataFrame,
     updates: DataFrame,

@@ -36,6 +36,11 @@ _PRIORITY = (
     "parquet_schema_evolution",
     "stream_run_upsert",
     "dedup_keep_best",
+    "graph_pagerank",
+    "cdc_snapshot_diff",
+    "cluster_kmeans",
+    "sim_topk_pq",
+    "maintenance_zorder",
     # -- block 1: impl/oracle changed in r4 -------------------------
     # (dedup_components is omitted: its only change is inside
     # jaccard_token_pairs, which dedup_jaccard_pairs verifies with the
@@ -146,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
         parity,
         stream_batch,
         multimodal,
+        graph,
     )
 
     def rank(name: str) -> tuple[int, str]:

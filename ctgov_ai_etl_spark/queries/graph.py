@@ -1,0 +1,113 @@
+"""Graph / clustering / vector-compression queries (round 4).
+
+Link analysis (PageRank), distributed k-means, and product-quantized
+ANN — the remaining large-scale curation primitives: rank documents
+by link mass, cluster a corpus for semantic dedup or mixture design,
+and serve similarity search from a compressed index.
+
+All three keep their arithmetic in exact 64-bit integers (micro-unit
+quantization + floor division), the repo's standard trick for making
+iterative / float-heavy operators bit-replayable in a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.clustering import (
+    kmeans_lloyd,
+    kmeans_oracle_sql,
+    pq_oracle_sql,
+    pq_topk,
+    pq_train_offline,
+)
+from ctgov_ai_etl_spark.operators.graph import pagerank, pagerank_oracle_sql
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+# Customer node ids are offset into a disjoint range so the supplier
+# and customer keyspaces cannot collide in one node column.
+_CUST_OFFSET = 1_000_000
+
+_EDGES_SQL = f"""SELECT DISTINCT l.l_suppkey AS src,
+           o.o_custkey + {_CUST_OFFSET} AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+
+@query("graph_pagerank", oracle=pagerank_oracle_sql(_EDGES_SQL, iters=3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer fulfilment graph, 3 exact
+    integer iterations (operators/graph.py).
+
+    Edge derivation is itself distributed (lineitem ⋈ orders on the
+    order key, then distinct) and each iteration is one join keyed by
+    src plus one partially-aggregated shuffle on dst — the per-round
+    cost a 100 TB link graph pays is O(edges) map-side with one
+    exchange, not an all-pairs anything.  Integer micro-unit ranks
+    make the result independent of partitioning and summation order,
+    so it hash-checks against the unrolled SQL oracle.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + _CUST_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=3)
+
+
+@query("cluster_kmeans", oracle=kmeans_oracle_sql(k=8, rounds=2))
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (k=8, two
+    assign+update rounds + final assignment), returning every
+    vector's cluster and exact squared distance in micro-units
+    (operators/clustering.py).
+
+    The 100 TB shape: centroids stay a k-row broadcast DataFrame for
+    assignment, and the update's posexplode shuffle partially
+    aggregates to ≤ k·dim rows per task — corpus size only ever flows
+    through map-side passes.  Integer micro-unit arithmetic makes the
+    whole iteration bit-replayable by the unrolled SQL oracle — the
+    clustering primitive under semantic dedup (cluster, then near-dup
+    within cells) and mixture design (per-cluster quotas)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=8, rounds=2)
+
+
+# PQ codebooks train offline on the canonical corpus sample at
+# plan-authoring time (the fit_centroids_offline pattern,
+# operators/similarity.py:652): constants shared verbatim by the
+# Spark plan and the oracle.
+_PQ_TRAIN_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
+try:
+    _PQ_BOOKS = pq_train_offline(_PQ_TRAIN_PARQUET, m=8, k=16)
+except Exception:  # canonical corpus absent: deterministic tiny grid
+    _PQ_BOOKS = [
+        [[(c - 8) * 125_000] * 8 for c in range(16)] for _ in range(8)
+    ]
+
+
+@query(
+    "sim_topk_pq", oracle=pq_oracle_sql(_PQ_BOOKS, topk=5, refine=50, n_queries=5)
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact refinement, top-5 for 5 query
+    vectors: vectors are encoded as 8 sub-codes against a trained
+    8×16 codebook (256 B float vector → 8 B — the compression that
+    lets a 100 TB corpus's ANN index live in cluster memory); ADC
+    (broadcast 8×16 query distance tables joined to corpus codes on
+    (subspace, code)) shortlists 50 candidates per query, and the
+    shortlist alone joins back to full-precision vectors for an exact
+    L2 re-rank — the IVF-PQ + refine serving pattern, where recall is
+    bought with the constant shortlist knob, not corpus passes.
+    Integer micro-unit arithmetic end to end, so the 'approximate'
+    index is a pure function of (corpus, codebook) and hash-checks
+    against the SQL replay (recall vs exact-L2 top-k asserted in
+    tests/test_graph_clustering.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(e, e.filter(F.col("vec_id") < 5), _PQ_BOOKS, topk=5, refine=50)

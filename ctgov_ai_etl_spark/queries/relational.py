@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.functions.exact import (
     avg_money,
+    cents,
     sql_avg_money,
     sql_sum_money,
     sum_money,
@@ -319,6 +320,60 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_orderkey") + 1_000_000_000
     )
     return merge_upsert(o, upd_mod.unionByName(upd_new), ["o_orderkey"])
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH oldsnap AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    newsnap AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 1000 ELSE 0 END AS price_cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 89 <> 7
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.price_cents AS old_price_cents, o.status AS old_status,
+           n.price_cents AS new_price_cents, n.status AS new_status
+    FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.price_cents IS DISTINCT FROM n.price_cents
+       OR o.status IS DISTINCT FROM n.status
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture feed between two derived snapshots of
+    ``orders`` (operators/merge.py:snapshot_diff): modulo-selected
+    inserts (keys absent from the old snapshot), deletes (absent from
+    the new), and price updates (+1000 cents on every 11th key) come
+    out as one I/D/U row each from a single full-outer join on the
+    key; unchanged keys are dropped.  The shape every
+    snapshot-to-snapshot incremental pipeline needs when the source
+    has no native change feed (the reference re-extracts the world
+    per run, etl.py:505-518)."""
+    from ctgov_ai_etl_spark.operators.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 3)
+    new = o.filter(F.col("o_orderkey") % 89 != 7).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 11 == 0, F.lit(1000)).otherwise(F.lit(0)),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["price_cents", "status"])
 
 
 @query(

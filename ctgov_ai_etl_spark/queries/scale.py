@@ -120,3 +120,48 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     return bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
+
+from ctgov_ai_etl_spark.functions.zorder import morton2, sql_morton2  # noqa: E402
+
+_Z_X = "o_custkey"
+_Z_DAY_SQL = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+_Z_SQL = sql_morton2(_Z_X, _Z_DAY_SQL)
+
+
+@query(
+    "maintenance_zorder",
+    oracle=f"""
+    SELECT zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min({_Z_DAY_SQL}) AS min_day, max({_Z_DAY_SQL}) AS max_day
+    FROM (SELECT o_custkey, o_orderdate, {_Z_SQL} >> 20 AS zbucket FROM orders)
+    GROUP BY zbucket
+    """,
+)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout maintenance (functions/zorder.py): Morton-
+    interleave (o_custkey, order epoch-day) and report, per z-bucket
+    (the would-be output file), row count and the min/max RECTANGLE in
+    both dimensions — the footer stats a zordered write hands to
+    data skipping, bounded in *every* clustered column at once where
+    a plain sort bounds only its leading key.  In production this
+    ordering feeds ``df.repartitionByRange(z).sortWithinPartitions(z)
+    .write`` — here the bucket id is the Morton prefix itself
+    (``z >> 20``), so the check is layout-deterministic and
+    hash-verifiable instead of depending on file-split boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    z = morton2(F.col(_Z_X), day)
+    return (
+        o.select(F.col(_Z_X), day.alias("day"), F.shiftright(z, 20).alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(_Z_X).alias("min_cust"),
+            F.max(_Z_X).alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )

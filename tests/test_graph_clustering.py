@@ -1,0 +1,216 @@
+"""Unit tests for round-4 operators: PageRank, CDC snapshot diff,
+distributed k-means, product quantization, Z-order interleave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node chain A→B, A→C, B→C; 1 iteration, exact integers.
+
+    outdeg A=2, B=1. After one round (scale 1e6, d=85%):
+      A: 150000                         (no in-edges)
+      B: 150000 + 85·(1e6 div 2) div 100 = 150000 + 425000 = 575000
+      C: 150000 + 85·(1e6 div 2 + 1e6) div 100 = 150000 + 1275000
+    """
+    from ctgov_ai_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], "src STRING, dst STRING"
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=1).collect()}
+    assert got == {"A": 150_000, "B": 575_000, "C": 1_425_000}
+
+
+def test_pagerank_matches_oracle_generator(spark):
+    """The unrolled SQL replays the Spark loop on the same edges."""
+    import duckdb
+
+    from ctgov_ai_etl_spark.operators.graph import pagerank, pagerank_oracle_sql
+
+    edges = [(i, (i * 7) % 5 + 10) for i in range(20)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    sql = pagerank_oracle_sql("SELECT DISTINCT src, dst FROM e", iters=3)
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+# ------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_classifies_idu(spark):
+    from ctgov_ai_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, None, "d")],
+        "k INT, x INT, s STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"), (2, 21, "b"), (5, 50, "e"), (4, 40, "d")],
+        "k INT, x INT, s STRING",
+    )
+    rows = {
+        r["k"]: (r["op"], r["old_x"], r["new_x"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert rows == {
+        2: ("U", 20, 21),  # value change
+        3: ("D", 30, None),  # only in old
+        5: ("I", None, 50),  # only in new
+        4: ("U", None, 40),  # NULL→value transition counts as update
+    }  # key 1 unchanged → dropped
+
+
+# ------------------------------------------------------------- k-means
+
+
+def test_kmeans_assignment_is_argmin(spark):
+    """Every vector's cluster is the true argmin distance among the
+    final centroids, replayed with numpy."""
+    import numpy as np
+
+    from ctgov_ai_etl_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_lloyd,
+        kmeans_update,
+        quantize,
+    )
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = {r["vec_id"]: r["cid"] for r in kmeans_lloyd(e, k=4, rounds=1).collect()}
+    assert set(out) == set(
+        r["vec_id"] for r in e.select("vec_id").collect()
+    )
+    # replay: quantized vectors, same seeding, 1 round
+    pts = {
+        r["vec_id"]: np.array(r["v"], dtype=np.int64)
+        for r in e.select(
+            "vec_id", quantize(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    cents = {cid: pts[cid].astype(np.float64) for cid in sorted(pts) if cid < 4}
+
+    def assign(c):
+        a = {}
+        for vid, v in pts.items():
+            dists = sorted(
+                (float(((v - cv) ** 2).sum()), cid) for cid, cv in c.items()
+            )
+            a[vid] = dists[0][1]
+        return a
+
+    a1 = assign(cents)
+    newc = {}
+    for cid in set(a1.values()):
+        members = np.stack([pts[v] for v, c in a1.items() if c == cid])
+        newc[cid] = np.floor(members.mean(axis=0))
+    want = assign(newc)
+    assert out == want
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def test_pq_recall_vs_exact_l2(spark):
+    """PQ+refine top-5 vs EXACT L2 top-5 (numpy replay on the same
+    quantized vectors — PQ approximates L2, so L2 is the honest
+    ground truth): with refine=50 the output recall equals shortlist
+    recall; measured 19/25 on the fixture, assert ≥ 0.6."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from ctgov_ai_etl_spark.operators.clustering import (
+        MICRO,
+        pq_topk,
+        pq_train_offline,
+    )
+
+    t = pa.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    qv = np.floor(vecs * MICRO).astype(np.int64)[order]
+    ids_s = ids[order]
+    truth: dict[int, set[int]] = {}
+    for qi in range(5):
+        d = ((qv - qv[qi]) ** 2).sum(axis=1)
+        mask = ids_s != qi
+        truth[qi] = set(
+            int(x) for x in ids_s[mask][np.argsort(d[mask], kind="stable")][:5]
+        )
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    books = pq_train_offline(f"{SF_SMALL}/embeddings.parquet", m=8, k=16)
+    got = pq_topk(
+        e, e.filter(F.col("vec_id") < 5), books, topk=5, refine=50
+    ).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[qi] & by_q.get(qi, set())) for qi in range(5))
+    assert hits / 25 >= 0.6
+
+
+def test_pq_encode_code_range(spark):
+    from ctgov_ai_etl_spark.operators.clustering import pq_encode, pq_train_offline
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    books = pq_train_offline(f"{SF_SMALL}/embeddings.parquet", m=8, k=16)
+    codes = pq_encode(e, books)
+    stats = codes.agg(
+        F.countDistinct("vec_id").alias("nv"),
+        F.count("*").alias("n"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    ).collect()[0]
+    n_vec = e.count()
+    assert stats["nv"] == n_vec and stats["n"] == n_vec * 8
+    assert 0 <= stats["lo"] and stats["hi"] <= 15
+
+
+# -------------------------------------------------------------- zorder
+
+
+def _py_spread(x: int) -> int:
+    x &= 0xFFFF
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = (x | (x << shift)) & mask
+    return x
+
+
+@pytest.mark.parametrize("x,y", [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)])
+def test_morton_matches_python_reference(spark, x, y):
+    from ctgov_ai_etl_spark.functions.zorder import morton2
+
+    df = spark.range(1).select(
+        morton2(F.lit(x), F.lit(y)).alias("z")
+    )
+    want = _py_spread(x) | (_py_spread(y) << 1)
+    assert df.collect()[0]["z"] == want
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """A z>>20 bucket fixes all custkey bits ≥10 and all day bits ≥10,
+    so each bucket's rectangle is < 1024 wide in BOTH dimensions —
+    the data-skipping property a lexicographic sort only gives its
+    leading column."""
+    from ctgov_ai_etl_spark.queries.scale import maintenance_zorder
+
+    rows = maintenance_zorder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["max_cust"] - r["min_cust"] < 1024
+        assert r["max_day"] - r["min_day"] < 1024
