@@ -756,9 +756,19 @@ def connected_components(
         .dropDuplicates(["v", "nbr"])
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY the active subgraph (vertices with ≥1 edge): an
+    # edge-less vertex can never change its label, so carrying the
+    # whole corpus's labels through every round's join+checkpoint is
+    # pure waste — near-dup graphs are tiny relative to the corpus
+    # (most documents are singletons), so this turns per-round cost
+    # from O(|corpus|) into O(|dup vertices|).  Singletons rejoin
+    # once, map-side, after the fixpoint.
+    labels = (
+        sym.select("v")
+        .distinct()
+        .select("v", F.col("v").alias("component"))
+        .localCheckpoint(eager=True)
+    )
     # decimal sum: overflow-proof at any vertex-id magnitude (ANSI mode)
     lbl_sum = F.sum(F.col("component").cast("decimal(38,0)"))
     prev = labels.agg(lbl_sum).collect()[0][0]
@@ -785,7 +795,12 @@ def connected_components(
         if cur == prev:  # monotone: unchanged sum ⟺ no label moved
             break
         prev = cur
-    return labels.select(F.col("v").alias(id_col), "component")
+    singles = (
+        vertices.select(F.col(id_col).alias("v"))
+        .join(labels.select("v"), "v", "left_anti")
+        .select("v", F.col("v").alias("component"))
+    )
+    return labels.unionByName(singles).select(F.col("v").alias(id_col), "component")
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:

@@ -41,6 +41,8 @@ _PRIORITY = (
     "cluster_kmeans",
     "sim_topk_pq",
     "maintenance_zorder",
+    "incremental_agg_refresh",
+    "join_bucket_colocated",
     # -- block 1: impl/oracle changed in r4 -------------------------
     # (dedup_components is omitted: its only change is inside
     # jaccard_token_pairs, which dedup_jaccard_pairs verifies with the

@@ -377,6 +377,61 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                    + CASE WHEN o_orderkey % 11 = 0 THEN 1000 ELSE 0 END)
+             AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 89 <> 7
+    GROUP BY o_custkey
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh
+    (operators/merge.py:refresh_count_sum): the per-customer
+    count+sum state computed on the OLD snapshot is advanced to the
+    new snapshot using ONLY the CDC feed (cdc_snapshot_diff's
+    snapshots) — retraction/addition deltas per changed key, one
+    aggregation of the feed, one keyed merge into state.  The oracle
+    recomputes the aggregate directly from the new snapshot, so a
+    hash match PROVES the delta algebra equals the full recompute —
+    while the incremental path's cost is delta-sized, not
+    base-table-sized (the 100 TB nightly-rollup shape)."""
+    from ctgov_ai_etl_spark.operators.merge import refresh_count_sum, snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        cents("o_totalprice").alias("price_cents"),
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 3)
+    new = o.filter(F.col("o_orderkey") % 89 != 7).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 11 == 0, F.lit(1000)).otherwise(F.lit(0)),
+    )
+    state = old.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n"), F.sum("price_cents").alias("s")
+    )
+    feed = snapshot_diff(old, new, ["o_orderkey"], ["price_cents", "o_custkey"])
+    refreshed = refresh_count_sum(
+        state,
+        feed,
+        old_key="old_o_custkey",
+        new_key="new_o_custkey",
+        old_val="old_price_cents",
+        new_val="new_price_cents",
+    )
+    return refreshed.select(
+        F.col("k").alias("o_custkey"),
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("sum_cents"),
+    )
+
+
+@query(
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -165,3 +165,58 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("max_day"),
         )
     )
+
+
+@query(
+    "join_bucket_colocated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are written
+    ``bucketBy(8, custkey).sortBy(custkey)`` and read back as bucketed
+    tables, so the join AND the downstream per-customer aggregation
+    reuse the storage partitioning — the executed plan contains NO
+    shuffle exchange at all (asserted in PLANS.md).  This is the
+    pre-shuffled layout a 100 TB fact⋈dim pipeline uses to pay the
+    exchange once at write time instead of on every query; the oracle
+    replays the plain (layout-free) join, proving bucketing changed
+    the plan, not the answer."""
+    import tempfile
+
+    from ctgov_ai_etl_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    root = tempfile.mkdtemp(prefix="bucketed_")
+    for name, df, key in (
+        ("bkt_orders", o, "o_custkey"),
+        ("bkt_customer", c, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name}")
+            .saveAsTable(name)
+        )
+    bo = spark.table("bkt_orders")
+    bc = spark.table("bkt_customer")
+    return (
+        bc.join(bo, bc.c_custkey == bo.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("sum_cents"),
+        )
+    )

@@ -214,3 +214,65 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     for r in rows:
         assert r["max_cust"] - r["min_cust"] < 1024
         assert r["max_day"] - r["min_day"] < 1024
+
+
+# ----------------------------------------------- incremental refresh
+
+
+def test_refresh_count_sum_key_migration(spark):
+    """A U row whose group key CHANGES splits into a retraction at the
+    old key and an addition at the new key; counts reaching zero drop
+    out; untouched keys pass through from state."""
+    from ctgov_ai_etl_spark.operators.merge import refresh_count_sum, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 200, 30)], "id INT, grp INT, val INT"
+    )
+    new = spark.createDataFrame(
+        [(1, 100, 10), (2, 300, 20), (4, 200, 40)], "id INT, grp INT, val INT"
+    )
+    state = old.groupBy(old.grp.alias("k")).agg(
+        F.count("*").alias("n"), F.sum("val").alias("s")
+    )
+    feed = snapshot_diff(old, new, ["id"], ["grp", "val"])
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in refresh_count_sum(
+            state, feed, "old_grp", "new_grp", "old_val", "new_val"
+        ).collect()
+    }
+    # grp 100: id2 migrated away -> (1, 10); grp 300: gained id2;
+    # grp 200: id3 deleted, id4 inserted -> (1, 40)
+    assert got == {100: (1, 10), 300: (1, 20), 200: (1, 40)}
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in new.groupBy(new.grp.alias("k"))
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == direct
+
+
+def test_bucketed_join_plan_has_no_shuffle(spark):
+    """Both sides bucketed on the join key: the executed plan must
+    contain no shuffle exchange (the write paid it once)."""
+    from ctgov_ai_etl_spark.queries.scale import join_bucket_colocated
+
+    df = join_bucket_colocated(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_components_singletons_survive_active_subgraph(spark):
+    """Edge-less vertices keep their own id as component (the
+    active-subgraph iteration must re-attach them)."""
+    from ctgov_ai_etl_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id BIGINT")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, edges, id_col="id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 3: 3, 4: 4, 7: 7, 8: 8, 9: 9}

@@ -162,6 +162,43 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
         ("offsets broadcast", r"BroadcastExchange|BroadcastHashJoin"),
     ],
+    "graph_pagerank": [
+        ("per-iteration partial aggregation on dst", r"HashAggregate"),
+        ("iteration shuffle keyed on the node id", r"hashpartitioning\(node"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+    ],
+    "cluster_kmeans": [
+        ("k-row centroid table broadcast for assignment",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("update shuffle keyed (cid, pos) — bounded at k*dim rows",
+         r"hashpartitioning\(cid[^)]*pos"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+    ],
+    "sim_topk_pq": [
+        ("codebook / query distance table broadcast", r"BroadcastHashJoin"),
+        ("ADC sum partially aggregated before its exchange", r"HashAggregate"),
+        ("exact re-rank window keyed per query", r"hashpartitioning\(query_id"),
+    ],
+    "cdc_snapshot_diff": [
+        ("one full-outer join on the key", r"FullOuter"),
+        ("snapshot filters pushed to parquet", r"PushedFilters: \[[^\]]*IsNotNull"),
+    ],
+    "maintenance_zorder": [
+        ("single partial-agg shuffle on the z-bucket",
+         r"hashpartitioning\(zbucket"),
+        ("whole-stage codegen (bit ladder stays JVM-side)",
+         r"(\*\(\d+\)|\[codegen id :)"),
+    ],
+    "join_bucket_colocated": [
+        ("no shuffle exchange anywhere (bucketed layout pre-paid it)",
+         r"\A(?!.*Exchange hashpartitioning)"),
+        ("bucketed scan selected", r"Bucketed: true|SelectedBucketsCount"),
+    ],
+    "incremental_agg_refresh": [
+        ("delta feed partially aggregated before the state merge",
+         r"HashAggregate"),
+        ("state merge is one keyed outer join", r"FullOuter"),
+    ],
 }
 
 
