@@ -43,6 +43,8 @@ _PRIORITY = (
     "maintenance_zorder",
     "incremental_agg_refresh",
     "join_bucket_colocated",
+    "ts_resample_ffill",
+    "curriculum_order",
     # -- block 1: impl/oracle changed in r4 -------------------------
     # (dedup_components is omitted: its only change is inside
     # jaccard_token_pairs, which dedup_jaccard_pairs verifies with the

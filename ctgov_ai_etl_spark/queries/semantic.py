@@ -1910,6 +1910,56 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", F.col("__pos").cast("long").alias("pos"))
 
 
+@query(
+    "curriculum_order",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, {_SQL_QUALITY} AS q FROM documents),
+    n AS (SELECT count(*) AS n FROM scored),
+    ranked AS (SELECT doc_id, q,
+                      row_number() OVER (ORDER BY q, doc_id) AS r FROM scored),
+    dec AS (SELECT doc_id,
+                   CAST(((r - 1) * 10) // (SELECT n FROM n) AS INT) AS decile
+            FROM ranked)
+    SELECT doc_id, decile,
+           CAST(row_number() OVER (
+                  ORDER BY -decile,
+                           md5(CAST(doc_id AS VARCHAR) || ':17'), doc_id)
+                AS BIGINT) AS pos
+    FROM dec
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: exact quality DECILES (distributed
+    rank → ``((r−1)·10) div n`` — integer arithmetic, no
+    approximation), then the epoch order starts at the cleanest
+    decile and md5-shuffles within each (seeded, so any engine and
+    any partitioning re-derive the identical order — the resumable
+    data-loader contract, same as ``shuffle_training_order``).  Both
+    ranks are the parallel global_rank (range partition + broadcast
+    offsets), never a single-reducer window; the count rides along
+    free with the first rank."""
+    from ctgov_ai_etl_spark.operators.limits import (
+        global_rank,
+        global_rank_with_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    ranked, n = global_rank_with_count(scored, ["q", "doc_id"])
+    dec = ranked.select(
+        "doc_id",
+        F.expr(f"cast(((__pos - 1) * 10) div {n} as int)").alias("decile"),
+    )
+    hashed = dec.select(
+        "doc_id",
+        "decile",
+        (-F.col("decile")).alias("__nd"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":17"))).alias("__h"),
+    )
+    pos = global_rank(hashed, ["__nd", "__h", "doc_id"])
+    return pos.select("doc_id", "decile", F.col("__pos").cast("long").alias("pos"))
+
+
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.25, "es": 0.2, "fr": 0.1, "zh": 0.05}
 _MIX_CASE = " ".join(
     f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()

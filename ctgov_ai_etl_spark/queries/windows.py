@@ -245,3 +245,76 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
     ).distinct()
+
+
+_TS_BUCKET_US = 21_600_000_000  # 6-hour resample grid
+
+
+@query(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH eb AS (
+      SELECT user_id, epoch_us(ts) // {_TS_BUCKET_US} AS b, ts, event_id, value
+      FROM events
+    ),
+    bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM eb),
+    grid AS (SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    cells AS (SELECT u.user_id, g.b FROM users u CROSS JOIN grid g),
+    lastv AS (
+      SELECT user_id, b, value FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM eb
+      ) WHERE rn = 1
+    )
+    SELECT c.user_id,
+           make_timestamp(c.b * {_TS_BUCKET_US}) AS bucket_ts,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           (l.b IS NULL) AS is_gap
+    FROM cells c LEFT JOIN lastv l ON l.user_id = c.user_id AND l.b = c.b
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable operation):
+    every user is projected onto a fixed 6-hour grid spanning the
+    corpus, each cell takes the LAST event value inside it
+    (deterministic (ts, event_id) tie-break via struct-max), and empty
+    cells forward-fill from the previous non-empty one (marked
+    ``is_gap``).  Scale shape: the grid derives from one 1-row bounds
+    aggregate and broadcasts against the user dimension; the per-cell
+    last-value is a partially-aggregated struct-max groupBy; the fill
+    is a per-user running window — everything shuffles on user_id
+    once, so a 100 TB event store resamples as wide as its entity
+    count.  Leading cells before a user's first event stay null, as
+    in the SQL replay."""
+    e = load_table(spark, sf_dir, "events")
+    eb = e.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_TS_BUCKET_US}").alias("b"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    bounds = eb.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("b"))
+    users = e.select("user_id").distinct()
+    cells = users.crossJoin(F.broadcast(grid))
+    last = eb.groupBy("user_id", "b").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    j = cells.join(last, ["user_id", "b"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.timestamp_micros(F.col("b") * _TS_BUCKET_US).alias("bucket_ts"),
+        F.last(F.col("m.value"), ignorenulls=True).over(w).alias("value_filled"),
+        F.col("m").isNull().alias("is_gap"),
+    )

@@ -276,3 +276,43 @@ def test_components_singletons_survive_active_subgraph(spark):
         for r in connected_components(verts, edges, id_col="id").collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 3: 3, 4: 4, 7: 7, 8: 8, 9: 9}
+
+
+# --------------------------------------------- resample / curriculum
+
+
+def test_ts_resample_grid_and_ffill(spark):
+    from ctgov_ai_etl_spark.queries.windows import ts_resample_ffill
+
+    rows = ts_resample_ffill(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    sizes = {len(v) for v in by_user.values()}
+    assert len(sizes) == 1  # every user covers the identical grid
+    for cells in by_user.values():
+        cells.sort(key=lambda r: r["bucket_ts"])
+        seen = None
+        for c in cells:
+            if not c["is_gap"]:
+                seen = c["value_filled"]
+                assert seen is not None
+            elif seen is not None:
+                # gap cells carry the previous non-gap value forward
+                assert c["value_filled"] == seen
+
+
+def test_curriculum_deciles_balanced_and_ordered(spark):
+    from ctgov_ai_etl_spark.queries.semantic import curriculum_order
+
+    rows = curriculum_order(spark, SF_SMALL).collect()
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(r["decile"] for r in rows)
+    assert set(c) == set(range(10))
+    assert max(c.values()) - min(c.values()) <= 1  # exact-rank deciles
+    ordered = sorted(rows, key=lambda r: r["pos"])
+    deciles = [r["decile"] for r in ordered]
+    assert deciles == sorted(deciles, reverse=True)  # cleanest first
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
