@@ -599,7 +599,13 @@ def exact_cosine_pairs(
                 f"(cap {quadratic_cap}); use embedding_near_dup(method='blocked') "
                 "or pass allow_quadratic=True if you really mean it"
             )
-    a = df.select(
+    # A filtered slice often collapses to one input split, and the
+    # broadcast NLJ inherits the stream side's partitioning — which
+    # would run the whole n² pair loop on ONE core.  Spread the
+    # stream side across the cluster first (round-robin: no keys, so
+    # no skew; the build side broadcasts regardless).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.repartition(par).select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     ).select("id_a", "va", norm(F.col("va")).alias("na"))
     b = df.select(

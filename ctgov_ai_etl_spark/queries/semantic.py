@@ -1092,7 +1092,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+    WITH sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -1107,7 +1107,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), EXACT tier over an
-    absolutely bounded slice (vec_id < 1000): the all-pairs join is
+    absolutely bounded slice (vec_id < 500): the all-pairs join is
     O(n²) by construction, so since round 4 the exact form is (a)
     registered only over a fixed-size slice whose cost cannot grow
     with the corpus, and (b) guarded inside ``exact_cosine_pairs`` —
@@ -1118,7 +1118,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to hash-verify the exact math end to end (VERDICT r3 item 1)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(
-        e.filter(F.col("vec_id") < 1000), threshold=0.4, method="exact"
+        e.filter(F.col("vec_id") < 500), threshold=0.4, method="exact"
     )
 
 
