@@ -199,6 +199,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"HashAggregate"),
         ("state merge is one keyed outer join", r"FullOuter"),
     ],
+    "ts_resample_ffill": [
+        ("resample grid broadcast against the user dimension",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("per-cell last-value partially aggregated", r"HashAggregate"),
+        ("fill window keyed per entity (no single-reducer)",
+         r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+    ],
+    "curriculum_order": [
+        ("decile + epoch ranks via parallel range partitioning",
+         r"rangepartitioning\("),
+        ("no exchange-to-one window",
+         r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+    ],
 }
 
 
