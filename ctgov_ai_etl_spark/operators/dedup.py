@@ -747,13 +747,25 @@ def connected_components(
 
     Returns (``id_col``, component) — component = min vertex id in the
     cluster, which doubles as the deterministic canonical keeper.
-    Vertices come from ``vertices`` (not the edge list), so singleton
-    documents appear as their own component.
+    Vertices come from ``vertices`` (not the edge list): singleton
+    documents appear as their own component, and edge endpoints
+    ABSENT from ``vertices`` are dropped up front (they neither
+    appear in the output nor win a component's min-label) — enforced
+    by the semi-join below, one extra pre-loop shuffle of the same
+    shape as the post-loop singleton anti-join.  Dedup pair
+    generators derive edges from the corpus, so the semi-join is a
+    no-op row-wise there; it exists so a caller passing a vertex
+    SUBSET (e.g. components of one shard) gets subset semantics
+    instead of labels leaking in from foreign endpoints.
     """
+    vset = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
     sym = (
         edges.select(F.col(src).alias("v"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("v"), F.col(src).alias("nbr")))
         .dropDuplicates(["v", "nbr"])
+        .join(vset, "v", "semi")
+        .join(vset.select(F.col("v").alias("nbr")), "nbr", "semi")
+        .select("v", "nbr")
         .localCheckpoint(eager=True)
     )
     # Iterate ONLY the active subgraph (vertices with ≥1 edge): an
@@ -854,12 +866,18 @@ def connected_components_star(
     Returns (``id_col``, component), component = min vertex id —
     identical contract (and property-tested against the same
     union-find oracle) as :func:`connected_components`; singletons
-    label themselves.
+    label themselves, and edge endpoints absent from ``vertices`` are
+    dropped up front (same semi-join contract as the label-prop
+    variant — a foreign endpoint must not win a component's min).
     """
+    vset = vertices.select(F.col(id_col).alias("u")).dropDuplicates(["u"])
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
+        .join(vset, "u", "semi")
+        .join(vset.select(F.col("u").alias("v")), "v", "semi")
+        .select("u", "v")
         .localCheckpoint(eager=True)
     )
     chk = [

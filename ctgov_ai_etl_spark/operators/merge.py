@@ -135,8 +135,18 @@ def refresh_count_sum(
         .groupBy(key_out)
         .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
     )
-    merged = state.join(deltas, key_out, "full_outer").select(
-        key_out,
+    # eqNullSafe on the merge key: a nullable group key's NULL row
+    # must net against the state's NULL-key row (a plain equi-join
+    # would keep them apart — NULL ≠ NULL — and the refreshed state
+    # would diverge from a full recompute; ADVICE r4).  Spark plans
+    # null-safe equality as an ordinary hash/sort-merge key via an
+    # internal coalesce, so the shuffle shape is unchanged.
+    st = state.select(F.col(key_out).alias("__k_st"), "n", "s")
+    dl = deltas.select(F.col(key_out).alias("__k_dl"), "dn", "ds")
+    merged = st.join(
+        dl, F.col("__k_st").eqNullSafe(F.col("__k_dl")), "full_outer"
+    ).select(
+        F.coalesce("__k_st", "__k_dl").alias(key_out),
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
         .cast("long")
         .alias("n"),

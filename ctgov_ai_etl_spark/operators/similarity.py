@@ -612,8 +612,12 @@ def exact_cosine_pairs(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
     ).select("id_b", "vb", norm(F.col("vb")).alias("nb"))
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
+    # Pin ``b`` as the broadcast build side: without the hint the
+    # planner may flip the BNLJ and stream the single-split ``b``,
+    # re-serializing the n² loop onto one core despite the
+    # repartition on ``a`` (ADVICE r4).
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

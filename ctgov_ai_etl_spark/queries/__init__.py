@@ -16,123 +16,77 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # re-orders the registry each round to put queries with no (or stale)
 # driver evidence first.
 #
-# Round-4 priority, per VERDICT.md r3 items 1 and 3 (rotate
-# oldest-verified-first; no query's latest evidence older than two
-# rounds):
-#   block 0 — queries NEW this round (never driver-checked);
-#   block 1 — queries whose implementation or oracle CHANGED this
-#     round (their older green rows no longer describe today's code:
-#     the embedding tier was re-registered/re-quantized, the jaccard
-#     family's dictionary encoding was rebuilt);
-#   block 2 — the 44 queries whose latest hash-check is round 1,
-#     cheapest first so a time-budgeted window re-greens the most
-#     (the r3 done-condition: ≥40 of these);
-#   block 3 — the remaining round-2-latest queries, cheapest first;
-#   everything else (r3-green, unchanged) follows alphabetically.
+# Round-5 priority, per VERDICT.md r4 item 1 (clear the last
+# verification debt: all 46 queries whose latest evidence is r1/r2
+# fit in ONE 50-query window):
+#   block 0 — queries NEW this round (never driver-checked):
+#     cdc_time_travel, sample_reservoir, graph_triangle_count;
+#   block 1 — queries whose OUTPUT changed this round:
+#     maintenance_zorder (Morton code widened from 16 to 32 bits per
+#     dimension per ADVICE.md, so bucket boundaries moved).  Plan-only
+#     or output-identical fixes stay out of this block on purpose:
+#     dedup_embedding_cosine (broadcast hint), join_bucket_colocated
+#     (unique metastore names), incremental_agg_refresh (eqNullSafe on
+#     a non-null shipped key) all produce byte-identical results, and
+#     dedup_components keeps the same components/oracle under the
+#     star-default switch — it is in block 2 below anyway;
+#   block 2 — the 46 stale queries (12 r1-latest + 34 r2-latest),
+#     cheapest first so a time-budgeted window re-greens the most;
+#   everything else (r3/r4-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    # -- block 0: new in r4, never driver-checked -------------------
-    "sim_topk_ivf_trained",
-    "llm_classify_bucket_cap",
-    "parquet_schema_evolution",
-    "stream_run_upsert",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "cdc_snapshot_diff",
-    "cluster_kmeans",
-    "sim_topk_pq",
+    # -- block 0: new in r5, never driver-checked -------------------
+    "cdc_time_travel",
+    "sample_reservoir",
+    "graph_triangle_count",
+    # -- block 1: output changed in r5 ------------------------------
     "maintenance_zorder",
-    "incremental_agg_refresh",
-    "join_bucket_colocated",
-    "ts_resample_ffill",
-    "curriculum_order",
-    # -- block 1: impl/oracle changed in r4 -------------------------
-    # (dedup_components is omitted: its only change is inside
-    # jaccard_token_pairs, which dedup_jaccard_pairs verifies with the
-    # same pair set, and the identically-oracled dedup_components_star
-    # has round-3 evidence)
-    "dedup_embedding_cosine",  # re-registered over a bounded slice
-    "dedup_embedding_blocked",  # trained-64 quantizer constants
-    "dedup_jaccard_pairs",  # singleton-free dictionary encoding
-    "dedup_jaccard_bigram",  # singleton-free dictionary encoding
-    # -- block 2: latest evidence is round 1 (stalest), cheap first -
-    "essie_search_text",
-    "filter_in_set",
-    "sort_nulls_ordering",
-    "proj_rename_nested",
-    "filter_like_regex",
-    "fn_null_family",
-    "limit_offset",
-    "filter_range_bool",
-    "essie_predicates",
-    "sort_limit_deterministic",
-    "scan_project_filter",
-    "join_cross",
-    "set_union_all",
-    "fn_array_family",
-    "join_semi",
-    "join_right_outer",
-    "agg_grouping_sets",
-    "agg_collect_set",
-    "set_union_distinct",
-    "join_anti",
-    "win_rank_family",
-    "fn_math_family",
-    "distinct_rows",
-    "when_otherwise_buckets",
-    "fn_string_family",
-    "join_full_outer",
-    "agg_filtered_conditional",
-    "set_intersect",
-    "inline_values_table",
-    "set_except_all",
-    "agg_rollup",
-    "fn_partial_date_normalize",
-    "fn_datetime_family",
-    "agg_count_distinct",
-    "merge_upsert_orders",
-    "join_left_outer",
-    "agg_cube",
-    "join_range_nonequi",
-    "agg_global",
-    "agg_approx_count_distinct",
-    "agg_pricing_summary",
-    "join_broadcast_star",
-    "join_inner_equi",
-    "win_topk_per_group",
-    # -- block 3: latest evidence is round 2, cheap first -----------
+    # -- block 2: the 46 stale queries, cheap first (BENCH_r04) -----
     "mm_binary_plumbing",
     "text_fingerprint",
     "text_token_stats",
     "mm_frame_sample",
     "text_pack_sequences",
     "mm_decode_features",
-    "dedup_exact_group",
-    "udtf_tokenize",
+    "fn_datetime_family",
+    "agg_count_distinct",
+    "merge_upsert_orders",
+    "join_left_outer",
     "ctgov_flatten_parity",
-    "agg_stats_moments",
-    "csv_scan_roundtrip",
     "sample_stratified",
+    "udtf_tokenize",
+    "agg_cube",
+    "dedup_exact_group",
+    "agg_stats_moments",
+    "join_range_nonequi",
     "skew_salted_agg",
-    "agg_percentiles",
-    "text_chunked",
-    "ctgov_pipeline_e2e",
+    "text_top_tokens",
+    "csv_scan_roundtrip",
     "search_bm25",
-    "orc_scan_roundtrip",
-    "partition_pruned_scan",
-    "skew_salted_join",
+    "text_chunked",
+    "text_langid_quality",
     "agg_approx_quantile",
-    "search_hybrid_rrf",
-    "text_tfidf_top_term",
+    "agg_global",
+    "agg_percentiles",
+    "orc_scan_roundtrip",
+    "skew_salted_join",
+    "win_topk_per_group",
     "llm_classify_cost_cap",
+    "llm_classify_documents",
+    "partition_pruned_scan",
+    "text_tfidf_top_term",
+    "search_hybrid_rrf",
+    "join_inner_equi",
+    "join_broadcast_star",
+    "agg_pricing_summary",
+    "agg_approx_count_distinct",
+    "pipeline_curate",
     "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_bruteforce",
+    "ctgov_pipeline_e2e",
     "dedup_simhash",
     "dedup_minhash_lsh",
-    "llm_classify_documents",
-    "pipeline_curate",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "text_langid_quality",
-    "text_top_tokens",
+    "dedup_components",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 

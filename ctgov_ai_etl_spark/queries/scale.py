@@ -188,6 +188,7 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange once at write time instead of on every query; the oracle
     replays the plain (layout-free) join, proving bucketing changed
     the plan, not the answer."""
+    import os
     import tempfile
 
     from ctgov_ai_etl_spark.functions.exact import cents
@@ -196,22 +197,30 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", cents("o_totalprice").alias("price_cents")
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Metastore names are scoped to the temp dir's unique suffix so
+    # concurrent sessions sharing a metastore can't race on a fixed
+    # name, and each run drops ITS OWN previous table (none) rather
+    # than orphaning another run's bucketed files (ADVICE r4).
     root = tempfile.mkdtemp(prefix="bucketed_")
-    for name, df, key in (
+    run_id = os.path.basename(root).removeprefix("bucketed_").lower()
+    tables = {}
+    for base, df, key in (
         ("bkt_orders", o, "o_custkey"),
         ("bkt_customer", c, "c_custkey"),
     ):
+        name = f"{base}_{run_id}"
+        tables[base] = name
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.write.mode("overwrite")
             .format("parquet")
             .bucketBy(8, key)
             .sortBy(key)
-            .option("path", f"{root}/{name}")
+            .option("path", f"{root}/{base}")
             .saveAsTable(name)
         )
-    bo = spark.table("bkt_orders")
-    bc = spark.table("bkt_customer")
+    bo = spark.table(tables["bkt_orders"])
+    bc = spark.table(tables["bkt_customer"])
     return (
         bc.join(bo, bc.c_custkey == bo.o_custkey)
         .groupBy("c_custkey", "c_name")

@@ -185,13 +185,34 @@ def test_pq_encode_code_range(spark):
 
 
 def _py_spread(x: int) -> int:
-    x &= 0xFFFF
-    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+    x &= 0xFFFFFFFF
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
         x = (x | (x << shift)) & mask
     return x
 
 
-@pytest.mark.parametrize("x,y", [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)])
+@pytest.mark.parametrize(
+    "x,y",
+    [
+        (0, 0),
+        (1, 0),
+        (0, 1),
+        (65535, 65535),
+        (12345, 54321),
+        # beyond 16 bits: the pre-r5 implementation silently masked
+        # these (ADVICE r4) — now they interleave losslessly
+        (65536, 0),
+        (0, 65536),
+        (2**31 - 1, 2**31 - 1),
+        (1_500_000_000, 20_000),
+    ],
+)
 def test_morton_matches_python_reference(spark, x, y):
     from ctgov_ai_etl_spark.functions.zorder import morton2
 
@@ -200,6 +221,49 @@ def test_morton_matches_python_reference(spark, x, y):
     )
     want = _py_spread(x) | (_py_spread(y) << 1)
     assert df.collect()[0]["z"] == want
+
+
+def test_morton_distinct_beyond_16_bits(spark):
+    """custkey=65536 vs custkey=0 must land in different z-buckets
+    (the old 16-bit mask aliased them)."""
+    from ctgov_ai_etl_spark.functions.zorder import morton2
+
+    r = spark.range(1).select(
+        morton2(F.lit(65536), F.lit(7)).alias("a"),
+        morton2(F.lit(0), F.lit(7)).alias("b"),
+    ).collect()[0]
+    assert r["a"] != r["b"]
+
+
+def test_morton_out_of_range_raises(spark):
+    from ctgov_ai_etl_spark.functions.zorder import MAX_INPUT, morton2
+
+    df = spark.range(1).select(morton2(F.lit(MAX_INPUT), F.lit(0)).alias("z"))
+    with pytest.raises(Exception, match="morton2 input out of range"):
+        df.collect()
+
+
+def test_morton_sql_mirror_agrees(spark):
+    """Spark morton2 and the DuckDB SQL mirror are bit-identical,
+    including above the old 16-bit boundary."""
+    import duckdb
+
+    from ctgov_ai_etl_spark.functions.zorder import morton2, sql_morton2
+
+    duck = duckdb.connect()
+
+    pairs = [(0, 0), (65535, 65536), (123_456_789, 2**31 - 1), (2**31 - 1, 1)]
+    got = [
+        r["z"]
+        for r in spark.createDataFrame(pairs, "x LONG, y LONG")
+        .select(morton2(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    ]
+    want = [
+        duck.sql(f"SELECT {sql_morton2(str(x), str(y))}").fetchone()[0]
+        for x, y in pairs
+    ]
+    assert got == want
 
 
 def test_zorder_buckets_bound_both_dimensions(spark):
@@ -251,6 +315,37 @@ def test_refresh_count_sum_key_migration(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_refresh_count_sum_null_group_key(spark):
+    """A nullable group key: deltas keyed NULL must net against the
+    state's NULL-key row (eqNullSafe merge — ADVICE r4), so the
+    refreshed state stays bit-identical to a full recompute."""
+    from ctgov_ai_etl_spark.operators.merge import refresh_count_sum, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, 7, 30)], "id INT, grp INT, val INT"
+    )
+    new = spark.createDataFrame(
+        [(1, None, 15), (3, None, 30), (5, 7, 50)], "id INT, grp INT, val INT"
+    )
+    state = old.groupBy(old.grp.alias("k")).agg(
+        F.count("*").alias("n"), F.sum("val").alias("s")
+    )
+    feed = snapshot_diff(old, new, ["id"], ["grp", "val"])
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in refresh_count_sum(
+            state, feed, "old_grp", "new_grp", "old_val", "new_val"
+        ).collect()
+    }
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in new.groupBy(new.grp.alias("k"))
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == direct == {None: (2, 45), 7: (1, 50)}
 
 
 def test_bucketed_join_plan_has_no_shuffle(spark):

@@ -41,11 +41,15 @@ def _python_components(vertices: set[int], edges: list[tuple[int, int]]) -> dict
     raw_edges=st.lists(st.tuples(_ids, _ids), max_size=15),
 )
 def test_connected_components_matches_union_find(spark, vertices, raw_edges):
-    # keep only edges between generated vertices; drop self-loops
-    edges = [(a, b) for a, b in raw_edges if a in vertices and b in vertices and a != b]
+    # feed RAW edges (self-loops and endpoints outside ``vertices``
+    # included): the operator's contract is to drop both — the oracle
+    # filters, the operator must agree (ADVICE r4: a foreign endpoint
+    # must neither appear in the output nor win a min-label)
+    raw = [(a, b) for a, b in raw_edges if a != b]
+    edges = [(a, b) for a, b in raw if a in vertices and b in vertices]
     vdf = spark.createDataFrame([(v,) for v in sorted(vertices)], "id long")
-    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
-    if not edges:
+    edf = spark.createDataFrame(raw or [(0, 0)], "id_a long, id_b long")
+    if not raw:
         edf = edf.limit(0)
     got = {r.id: r.component for r in connected_components(vdf, edf).collect()}
     assert got == _python_components(vertices, edges)
@@ -57,13 +61,25 @@ def test_connected_components_matches_union_find(spark, vertices, raw_edges):
     raw_edges=st.lists(st.tuples(_ids, _ids), max_size=15),
 )
 def test_star_components_matches_union_find(spark, vertices, raw_edges):
-    edges = [(a, b) for a, b in raw_edges if a in vertices and b in vertices and a != b]
+    raw = [(a, b) for a, b in raw_edges if a != b]
+    edges = [(a, b) for a, b in raw if a in vertices and b in vertices]
     vdf = spark.createDataFrame([(v,) for v in sorted(vertices)], "id long")
-    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
-    if not edges:
+    edf = spark.createDataFrame(raw or [(0, 0)], "id_a long, id_b long")
+    if not raw:
         edf = edf.limit(0)
     got = {r.id: r.component for r in connected_components_star(vdf, edf).collect()}
     assert got == _python_components(vertices, edges)
+
+
+def test_components_drop_foreign_endpoints(spark):
+    """An edge whose endpoint is absent from ``vertices`` must not
+    leak that endpoint into the output NOR let it win the min-label:
+    vertices={5,7} with edges (1,5),(5,7) → both label 5, not 1."""
+    vdf = spark.createDataFrame([(5,), (7,)], "id long")
+    edf = spark.createDataFrame([(1, 5), (5, 7)], "id_a long, id_b long")
+    for fn in (connected_components, connected_components_star):
+        got = {r.id: r.component for r in fn(vdf, edf).collect()}
+        assert got == {5: 5, 7: 5}, fn.__name__
 
 
 def test_star_components_deep_chain_logarithmic_rounds(spark):

@@ -37,6 +37,16 @@ def test_exact_cosine_pairs_refuses_unguarded_quadratic(spark):
     assert opted.columns == ["id_a", "id_b", "cos_sim"]
 
 
+def test_exact_cosine_pairs_broadcasts_build_side(spark):
+    """The BNLJ must build (broadcast) side ``b`` and stream the
+    repartitioned ``a`` — a flipped build side would re-serialize the
+    n² loop onto the single input split (ADVICE r4)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    df = exact_cosine_pairs(emb, threshold=0.0, allow_quadratic=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
 def test_embedding_near_dup_default_is_blocked(spark):
     """The one-signature operator must never plan the cartesian by
     default: its default output equals the blocked tier's, and the
