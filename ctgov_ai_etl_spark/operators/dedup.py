@@ -725,6 +725,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    star_handoff: int = 8,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise matches into duplicate CLUSTERS (pairs are not
@@ -740,10 +741,21 @@ def connected_components(
     (id, nbr) edge list joined to the narrow (id, label) table.
     ``localCheckpoint`` truncates the growing lineage per round
     (iterative-join hygiene); convergence is detected by the monotone
-    label sum — a cheap aggregate, no extra join. At 100 TB swap in
-    reliable checkpointing and, for adversarially deep graphs, the
-    large-star/small-star variant (Kiveris et al. '14) that converges
-    in O(log n) rounds; the per-round dataflow is identical.
+    label sum — a cheap aggregate, no extra join.
+
+    DEPTH GUARD (``star_handoff``): a graph still unconverged after
+    that many rounds has diameter beyond anything a near-dup clique
+    produces (chains of pairwise-similar revisions).  Rather than
+    paying diameter-many further shuffles, the remaining work is
+    CONTRACTED — every edge is rewritten to connect the current
+    labels, which collapses each already-resolved region to a single
+    node — and handed to :func:`connected_components_star` (Kiveris
+    et al. '14, O(log n) rounds); final labels compose through the
+    contraction.  Shallow graphs (the common case) never reach the
+    handoff and keep the exact pre-guard dataflow; adversarially deep
+    graphs cost ``star_handoff`` + O(log n) rounds instead of
+    O(diameter).  ``star_handoff=0`` disables label-prop entirely
+    (pure star); ``star_handoff >= max_iters`` disables the guard.
 
     Returns (``id_col``, component) — component = min vertex id in the
     cluster, which doubles as the deterministic canonical keeper.
@@ -759,13 +771,22 @@ def connected_components(
     instead of labels leaking in from foreign endpoints.
     """
     vset = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
-    sym = (
+    # Materialize the edge list BEFORE the symmetrizing union: the
+    # union's two branches each re-execute the upstream DAG, and for
+    # dedup that DAG is the expensive pair-generation join — profiled
+    # at sf0.1 this one checkpoint halves the operator's total cost
+    # (the r4 "dedup_components drift" was exactly this double
+    # execution, not the loop, which converges in ~11 cheap rounds).
+    e0 = (
         edges.select(F.col(src).alias("v"), F.col(dst).alias("nbr"))
-        .unionByName(edges.select(F.col(dst).alias("v"), F.col(src).alias("nbr")))
-        .dropDuplicates(["v", "nbr"])
         .join(vset, "v", "semi")
         .join(vset.select(F.col("v").alias("nbr")), "nbr", "semi")
         .select("v", "nbr")
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        e0.unionByName(e0.select(F.col("nbr").alias("v"), F.col("v").alias("nbr")))
+        .dropDuplicates(["v", "nbr"])
         .localCheckpoint(eager=True)
     )
     # Iterate ONLY the active subgraph (vertices with ≥1 edge): an
@@ -784,7 +805,8 @@ def connected_components(
     # decimal sum: overflow-proof at any vertex-id magnitude (ANSI mode)
     lbl_sum = F.sum(F.col("component").cast("decimal(38,0)"))
     prev = labels.agg(lbl_sum).collect()[0][0]
-    for _ in range(max_iters):
+    converged = False
+    for _ in range(min(max_iters, star_handoff)):
         nbr_min = (
             sym.join(
                 labels.select(F.col("v").alias("nbr"), F.col("component").alias("nc")),
@@ -805,8 +827,35 @@ def connected_components(
         )
         cur = labels.agg(lbl_sum).collect()[0][0]
         if cur == prev:  # monotone: unchanged sum ⟺ no label moved
+            converged = True
             break
         prev = cur
+    if not converged and star_handoff < max_iters:
+        # Contract by current labels: each edge (v, nbr) becomes an
+        # edge between the two labels; same-label edges vanish.  The
+        # contracted graph has one node per partially-merged region —
+        # far smaller than the original — and the star algorithm
+        # resolves it in O(log n) rounds.  Composition: a vertex's
+        # final component is the star root of its current label.
+        cedges = (
+            sym.join(labels.select("v", F.col("component").alias("ca")), "v")
+            .join(
+                labels.select(
+                    F.col("v").alias("nbr"), F.col("component").alias("cb")
+                ),
+                "nbr",
+            )
+            .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cverts = labels.select(F.col("component").alias("cid")).distinct()
+        roots = connected_components_star(
+            cverts, cedges, id_col="cid", src="id_a", dst="id_b"
+        ).select(F.col("cid").alias("component"), F.col("component").alias("root"))
+        labels = labels.join(roots, "component").select(
+            "v", F.col("root").alias("component")
+        )
     singles = (
         vertices.select(F.col(id_col).alias("v"))
         .join(labels.select("v"), "v", "left_anti")

@@ -82,6 +82,23 @@ def test_components_drop_foreign_endpoints(spark):
         assert got == {5: 5, 7: 5}, fn.__name__
 
 
+def test_label_prop_deep_chain_star_handoff(spark):
+    """A 200-link chain is far beyond the star_handoff depth guard:
+    label propagation must contract the partially-resolved graph and
+    finish through the star algorithm, still yielding exact min-label
+    components (VERDICT r4 item 2)."""
+    n = 200
+    vdf = spark.createDataFrame([(v,) for v in range(n + 1)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(vdf, edf, star_handoff=3).collect()
+    }
+    assert got == {v: 0 for v in range(n + 1)}
+
+
 def test_star_components_deep_chain_logarithmic_rounds(spark):
     """A 1024-link chain (diameter 1024) must resolve within the
     default max_iters=30 alternations — the O(log n) property that
