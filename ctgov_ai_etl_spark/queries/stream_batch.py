@@ -349,7 +349,21 @@ def stream_run_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
         ),
     )
-    out = run_stream_to_memory(joined, mode="append")
+    # State partitioning is fixed at first start (baked into the
+    # checkpoint) and a stream-stream join commits FOUR state stores
+    # per partition per micro-batch — measured at sf0.1 that fixed
+    # commit cost is the whole runtime: 5.4 s at 32 partitions,
+    # 2.2 s at 8, identical results.  Size it to the finite input
+    # here; a production deployment sizes it to watermark-window
+    # volume instead (state rows per partition ≈ window × rate /
+    # partitions) — more partitions only help once each holds real
+    # data.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_stream_to_memory(joined, mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.select(
         "click_id",
         "purchase_id",
