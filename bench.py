@@ -89,16 +89,22 @@ def main() -> None:
         transport_args="[5, 5]",
         page_size="5",
     ).load().write.format("noop").mode("overwrite").save()
+    import shutil
     import tempfile
 
-    (
+    warm_ckpt = tempfile.mkdtemp(prefix="bench_warm_ckpt_")
+    q = (
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
         .writeStream.format("noop")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_warm_ckpt_"))
+        .option("checkpointLocation", warm_ckpt)
         .start()
-        .awaitTermination(30)
     )
+    # Stop a straggling warm-up batch so it can't overlap (and skew)
+    # the timed loop; the checkpoint is warm-up trash either way.
+    if not q.awaitTermination(30):
+        q.stop()
+    shutil.rmtree(warm_ckpt, ignore_errors=True)
 
     t_start = time.time()
     timings: dict[str, float] = {}
@@ -129,7 +135,32 @@ def main() -> None:
         out["tail_skipped"] = tail_skipped
     if errors:
         out["errors"] = errors
+    _persist_full(out)
     print(json.dumps(out))
+
+
+def _persist_full(out: dict) -> None:
+    """Also write the COMPLETE result to BENCH_FULL_r{N}.json in the
+    repo: the driver's BENCH_r{N}.json keeps only a truncated stdout
+    tail, which hides the expensive queries (dedup_components and the
+    headline total were invisible in BENCH_r05) — this file makes
+    rounds diffable without a judge re-run (VERDICT r5 item 5).  N is
+    the round in flight: 1 + the highest committed BENCH_r* index."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    n = max(rounds, default=0) + 1
+    path = os.path.join(here, f"BENCH_FULL_r{n:02d}.json")
+    try:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries all data
 
 
 if __name__ == "__main__":

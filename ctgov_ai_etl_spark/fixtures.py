@@ -93,6 +93,9 @@ def mock_ctgov_transport(n_studies: int = 57, page_size: int = 10, indexed: bool
         else:
             start = int(token) if token else 0
         page = [make_raw_study(i) for i in range(start, min(start + size, n_studies))]
+        if params.get("fields"):  # server-side projection, like CTGov v2
+            paths = [p.strip() for p in str(params["fields"]).split(",") if p.strip()]
+            page = [prune_study(s, paths) for s in page]
         nxt = start + size
         out: dict[str, Any] = {"studies": page}
         if nxt < n_studies:
@@ -100,3 +103,24 @@ def mock_ctgov_transport(n_studies: int = 57, page_size: int = 10, indexed: bool
         return out
 
     return transport
+
+
+def prune_study(study: dict[str, Any], paths: list[str]) -> dict[str, Any]:
+    """Project a nested study dict to the requested dotted paths —
+    the fixture's replay of the CTGov v2 ``fields`` param semantics
+    (absent paths are simply omitted, exactly like the live API)."""
+    out: dict[str, Any] = {}
+    for path in paths:
+        parts = path.split(".")
+        src: Any = study
+        for part in parts:
+            if isinstance(src, dict) and part in src:
+                src = src[part]
+            else:
+                break
+        else:
+            dst = out
+            for part in parts[:-1]:
+                dst = dst.setdefault(part, {})
+            dst[parts[-1]] = src
+    return out

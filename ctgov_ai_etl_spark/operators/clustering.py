@@ -117,6 +117,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     k: int = 8,
     rounds: int = 2,
+    reseed: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd iterations; returns the final assignment
     (vec_id, cid, dist_micro2).
@@ -124,6 +125,14 @@ def kmeans_lloyd(
     Seeding is the k lowest-id vectors (deterministic and replayable
     straight from the table — no RNG, no collected literals), then
     ``rounds`` full assign+update rounds and one final assignment.
+
+    ``reseed=True`` keeps k stable on skewed data: clusters that lose
+    every member mid-iteration are re-seeded from the farthest
+    assigned points (:func:`reseed_empty_clusters`) instead of
+    silently vanishing.  Off by default — the vanish-on-empty path is
+    what the unrolled SQL oracle replays, and shrinking k is harmless
+    for dedup blocking; turn it on when the cluster count itself is
+    the contract (ANN partition layouts, mixture quotas).
     """
     points = df.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("v")
@@ -132,9 +141,50 @@ def kmeans_lloyd(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
     )
     for _ in range(rounds):
-        cents = kmeans_update(kmeans_assign(points, cents))
+        assigned = kmeans_assign(points, cents)
+        new_cents = kmeans_update(assigned)
+        if reseed:
+            new_cents = reseed_empty_clusters(assigned, cents, new_cents)
+        cents = new_cents
     final = kmeans_assign(points, cents)
     return final.select("vec_id", "cid", F.col("dist").alias("dist_micro2"))
+
+
+def reseed_empty_clusters(
+    assigned: DataFrame, prev_cents: DataFrame, new_cents: DataFrame
+) -> DataFrame:
+    """Deterministic empty-cluster repair for Lloyd iterations: any
+    cid present before the update but absent after it (all members
+    captured by other centroids — the standard failure on skewed or
+    duplicate-seed data) is re-seeded with the globally farthest
+    assigned points (dist desc, vec_id asc ties), one per missing
+    cid in cid order — the classic "split the worst-fit region"
+    heuristic, made deterministic so the result is partition- and
+    rerun-stable.
+
+    Driver traffic is bounded by k, never by data: the missing-cid
+    set is ≤ k rows, and the farthest points come back through a
+    TakeOrderedAndProject limit of that same size (per-partition
+    top-|missing| heaps — no global sort, no single reducer)."""
+    missing = sorted(
+        r["cid"]
+        for r in prev_cents.select("cid")
+        .subtract(new_cents.select("cid"))
+        .collect()
+    )
+    if not missing:
+        return new_cents
+    far = (
+        assigned.orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+        .limit(len(missing))
+        .select("v")
+        .collect()
+    )
+    spark = new_cents.sparkSession
+    extra = spark.createDataFrame(
+        [(cid, row["v"]) for cid, row in zip(missing, far)], new_cents.schema
+    )
+    return new_cents.unionByName(extra)
 
 
 def kmeans_oracle_sql(

@@ -726,6 +726,7 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 50,
     star_handoff: int = 8,
+    observation=None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise matches into duplicate CLUSTERS (pairs are not
@@ -769,6 +770,13 @@ def connected_components(
     no-op row-wise there; it exists so a caller passing a vertex
     SUBSET (e.g. components of one shard) gets subset semantics
     instead of labels leaking in from foreign endpoints.
+
+    ``observation``: optional ``pyspark.sql.Observation`` (or metric
+    name string) attached to the returned frame — reports lp_rounds,
+    lp_converged, star_handoff_used, n_vertices, and
+    n_components_approx when the caller materializes the result, so
+    production corpora reveal their graph depth (and whether the
+    depth guard fired) from ordinary query metrics.
     """
     vset = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
     # Materialize the edge list BEFORE the symmetrizing union: the
@@ -806,7 +814,9 @@ def connected_components(
     lbl_sum = F.sum(F.col("component").cast("decimal(38,0)"))
     prev = labels.agg(lbl_sum).collect()[0][0]
     converged = False
+    rounds_run = 0
     for _ in range(min(max_iters, star_handoff)):
+        rounds_run += 1
         nbr_min = (
             sym.join(
                 labels.select(F.col("v").alias("nbr"), F.col("component").alias("nc")),
@@ -861,7 +871,25 @@ def connected_components(
         .join(labels.select("v"), "v", "left_anti")
         .select("v", F.col("v").alias("component"))
     )
-    return labels.unionByName(singles).select(F.col("v").alias(id_col), "component")
+    out = labels.unionByName(singles).select(F.col("v").alias(id_col), "component")
+    if observation is not None:
+        # Graph-depth telemetry without a profiler (VERDICT r5 item
+        # 7): rides the result's own execution via df.observe — zero
+        # extra jobs, surfaced to any QueryExecutionListener (or a
+        # pyspark Observation) when the caller materializes.  The
+        # loop/handoff facts are driver-side literals folded into
+        # aggregates; the row metrics come from the data itself.
+        out = out.observe(
+            observation,
+            F.max(F.lit(rounds_run)).alias("lp_rounds"),
+            F.max(F.lit(1 if converged else 0)).alias("lp_converged"),
+            F.max(
+                F.lit(0 if converged or star_handoff >= max_iters else 1)
+            ).alias("star_handoff_used"),
+            F.count("*").alias("n_vertices"),
+            F.approx_count_distinct("component").alias("n_components_approx"),
+        )
+    return out
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:

@@ -43,6 +43,19 @@ EXTENDED_FIELD_PATHS: dict[str, str] = {
 }
 
 
+def flatten_fields(extended: bool = False) -> str:
+    """The server-side projection (comma-joined dotted paths, the
+    CTGov v2 ``fields`` syntax) covering exactly what
+    :func:`flatten_studies` reads — pass as the REST source's
+    ``fields`` option so the API returns ~10 leaves per study instead
+    of the full document (sources/rest.py; the transfer-volume
+    analogue of parquet column pruning)."""
+    paths = dict(FIELD_PATHS)
+    if extended:
+        paths |= EXTENDED_FIELD_PATHS
+    return ",".join(paths.values())
+
+
 def _na(col: Column) -> Column:
     return F.coalesce(col, F.lit(NA))
 

@@ -208,3 +208,84 @@ def mixture_sample(
     return stratified_sample(
         df, strata_col, fracs, key_col, default=0.0, n_buckets=n_buckets
     )
+
+
+def _md5_priority(key: "F.Column", salt: str) -> "F.Column":
+    """Per-row sampling priority: the md5 hex digest of key+salt.
+    Byte-identical across engines (lowercase hex in both Spark and
+    DuckDB), so the selected set is replayable anywhere; a new salt
+    is a fresh independent draw."""
+    return F.md5(F.concat(key.cast("string"), F.lit(salt)))
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    salt: str = "",
+    n_hint: int | None = None,
+    margin: int = 8,
+) -> DataFrame:
+    """Distributed fixed-size uniform sample without replacement —
+    the reservoir-sampling contract ("exactly k rows, each subset
+    equally likely") implemented as bottom-k by deterministic md5
+    priority instead of the sequential Vitter algorithm, which has no
+    parallel formulation worth running.
+
+    Selection is a pure function of (row key, salt): stable under
+    repartitioning, re-runs, and engine choice (the SQL oracle is
+    ``ORDER BY md5(key), key LIMIT k``).  Spark plans the
+    ``orderBy(priority).limit(k)`` as TakeOrderedAndProject —
+    per-partition bottom-k, then a k·P-row driver merge — so no full
+    sort and no single-reducer shuffle ever happens.
+
+    For very large k·P, pass ``n_hint`` (approximate input rows): a
+    map-side prefilter keeps only rows whose 32-bit priority prefix
+    falls under ``margin·k/n`` of the hash space — ~margin·k
+    survivors — before the exact bottom-k.  The prefilter is a prefix
+    of the SAME ordering, so it only changes the answer if fewer than
+    k of the true bottom-k survive; with margin 8 that needs the
+    binomial(n, 8k/n) mass below k — vanishing for any real n (and
+    the identity is regression-tested against the unfiltered path).
+    """
+    pri = _md5_priority(F.col(key_col), salt)
+    work = df.withColumn("__pri", pri)
+    if n_hint is not None and n_hint > margin * k:
+        cutoff = min(2**32, (2**32 * margin * k) // n_hint + 1)
+        work = work.filter(
+            F.conv(F.substring("__pri", 1, 8), 16, 10).cast("long") < cutoff
+        )
+    return work.orderBy("__pri", key_col).limit(k).drop("__pri")
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis–Spirakis A-ES): each row
+    draws a deterministic uniform u from its md5 and competes with
+    priority u^(1/w) — take the k largest, so a row's inclusion
+    probability scales with its weight.  Computed in log space
+    (ln(u)/w, exact same ordering) to dodge underflow on large
+    weights.  Same TakeOrderedAndProject shape as
+    :func:`reservoir_sample`; weights must be > 0 (guarded with
+    raise_error so bad rows fail loudly, not sample silently)."""
+    u = (
+        F.conv(F.substring(_md5_priority(F.col(key_col), salt), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32) + 2.0)  # u ∈ (0, 1): never ln(0)
+    w = F.col(weight_col).cast("double")
+    checked_w = F.when(w > 0, w).otherwise(
+        F.raise_error(F.concat(F.lit("non-positive weight for key "), F.col(key_col)))
+    )
+    pri = F.log(u) / checked_w  # maximize u^(1/w) ⇔ maximize ln(u)/w
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy(F.desc("__pri"), F.col(key_col))
+        .limit(k)
+        .drop("__pri")
+    )

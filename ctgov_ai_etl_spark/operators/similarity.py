@@ -590,7 +590,19 @@ def exact_cosine_pairs(
     pair: the pair stage then does one dot fold instead of three.
     ``dot/(na*nb)`` evaluates the exact same double sequence as
     ``dot/(sqrt(Σa²)·sqrt(Σb²))`` per pair, so a SQL oracle computing
-    the latter still hash-matches bit-for-bit."""
+    the latter still hash-matches bit-for-bit.
+
+    Broadcast contract: the pinned ``F.broadcast`` build side ships
+    the ENTIRE corpus to every executor — ~0.5 KB per 64-dim double
+    vector, so the default ``quadratic_cap`` (20k rows ≈ 10 MB) is
+    comfortably inside Spark's 8 GB broadcast hard limit, but callers
+    who pass ``allow_quadratic=True`` accept the driver/executor
+    memory cost along with the n² compute: beyond ~10M vectors the
+    broadcast itself fails before the cartesian does.  That trade is
+    deliberate — without the pin the planner may stream the
+    single-split side and run the whole pair loop on one core
+    (ADVICE r4); the blocked tier remains the only shape that scales.
+    """
     if not allow_quadratic:
         n_rows = df.count()
         if n_rows > quadratic_cap:

@@ -12,81 +12,78 @@ or rounded coarsely enough that both engines agree bit-for-bit.
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 
 # The driver walks ``queries()`` in registration order and checks the
-# first ~40-50 per round (r1: 44, r2: 38, r3: 50), so ``load_all``
-# re-orders the registry each round to put queries with no (or stale)
-# driver evidence first.
+# first ~40-50 per round (r1: 44, r2: 38, r3: 50, r4: 47, r5: 50), so
+# ``load_all`` re-orders the registry each round to put queries with
+# no (or stale) driver evidence first.
 #
-# Round-5 priority, per VERDICT.md r4 item 1 (clear the last
-# verification debt: all 46 queries whose latest evidence is r1/r2
-# fit in ONE 50-query window):
+# Round-6 priority, per VERDICT.md r5 item 6 (keep the rotation
+# honest: after r6 no query's latest evidence should be older than
+# r4).  Evidence histogram after r5: 50 r5-latest, 47 r4, 49 r3.
 #   block 0 — queries NEW this round (never driver-checked):
-#     cdc_time_travel, sample_reservoir, graph_triangle_count;
-#   block 1 — queries whose OUTPUT changed this round:
-#     maintenance_zorder (Morton code widened from 16 to 32 bits per
-#     dimension per ADVICE.md, so bucket boundaries moved).  Plan-only
-#     or output-identical fixes stay out of this block on purpose:
-#     dedup_embedding_cosine (broadcast hint), join_bucket_colocated
-#     (unique metastore names), incremental_agg_refresh (eqNullSafe on
-#     a non-null shipped key) all produce byte-identical results, and
-#     dedup_components keeps the same components/oracle under the
-#     star-default switch — it is in block 2 below anyway;
-#   block 2 — the 46 stale queries (12 r1-latest + 34 r2-latest),
-#     cheapest first so a time-budgeted window re-greens the most;
-#   everything else (r3/r4-green, unchanged) follows alphabetically.
+#     cdc_time_travel, sample_reservoir, graph_triangle_count —
+#     implemented this round (they were phantom _PRIORITY names in
+#     r5; VERDICT r5 "What's wrong" 1);
+#   block 1 — the 49 r3-latest queries, cheapest first (merged
+#     BENCH_r01-r05 timings) so a time-budgeted window re-greens the
+#     most; no query's OUTPUT changed this round (the k-means reseed
+#     and reservoir n_hint paths are opt-in parameters off the
+#     oracle-checked defaults), so there is no changed-output block;
+#   everything else (r4/r5-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    # -- block 0: new in r5, never driver-checked -------------------
+    # -- block 0: new in r6, never driver-checked -------------------
     "cdc_time_travel",
     "sample_reservoir",
     "graph_triangle_count",
-    # -- block 1: output changed in r5 ------------------------------
-    "maintenance_zorder",
-    # -- block 2: the 46 stale queries, cheap first (BENCH_r04) -----
-    "mm_binary_plumbing",
-    "text_fingerprint",
-    "text_token_stats",
-    "mm_frame_sample",
-    "text_pack_sequences",
-    "mm_decode_features",
-    "fn_datetime_family",
-    "agg_count_distinct",
-    "merge_upsert_orders",
-    "join_left_outer",
-    "ctgov_flatten_parity",
-    "sample_stratified",
-    "udtf_tokenize",
-    "agg_cube",
-    "dedup_exact_group",
-    "agg_stats_moments",
-    "join_range_nonequi",
-    "skew_salted_agg",
-    "text_top_tokens",
-    "csv_scan_roundtrip",
-    "search_bm25",
-    "text_chunked",
-    "text_langid_quality",
-    "agg_approx_quantile",
-    "agg_global",
-    "agg_percentiles",
-    "orc_scan_roundtrip",
-    "skew_salted_join",
-    "win_topk_per_group",
-    "llm_classify_cost_cap",
-    "llm_classify_documents",
-    "partition_pruned_scan",
-    "text_tfidf_top_term",
-    "search_hybrid_rrf",
-    "join_inner_equi",
-    "join_broadcast_star",
-    "agg_pricing_summary",
-    "agg_approx_count_distinct",
-    "pipeline_curate",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_topk_bruteforce",
-    "ctgov_pipeline_e2e",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_components",
+    # -- block 1: the 49 r3-latest queries, cheap first -------------
+    "binary_file_scan",
+    "unpivot_stack",
+    "text_token_bpe",
+    "essie_search_nested_struct",
+    "stream_sliding_window",
+    "set_intersect_all",
+    "win_sliding_frame",
+    "agg_hll_sketch_merge",
+    "win_running_sum",
+    "udf_pandas_scalar",
+    "win_lag_lead",
+    "text_scan_roundtrip",
+    "udf_map_in_arrow",
+    "stream_tumbling_window",
+    "json_corrupt_records",
+    "text_gopher_rules",
+    "scd2_history",
+    "pivot_status_matrix",
+    "xml_scan_roundtrip",
+    "stream_session_window",
+    "win_first_last",
+    "fn_variant_family",
+    "text_perplexity_proxy",
+    "join_asof",
+    "fn_json_map_family",
+    "json_scan_roundtrip",
+    "text_pii_redact",
+    "shuffle_training_order",
+    "fn_try_family",
+    "udf_grouped_agg",
+    "text_repetition",
+    "maintenance_compact_files",
+    "sample_mixture",
+    "win_rank_distributed",
+    "stream_run_static_join",
+    "stream_run_tumbling",
+    "join_bloom_semi",
+    "stream_run_dedup",
+    "sim_topk_ivf_partitioned",
+    "stream_run_stateful_auto",
+    "stream_run_rest_source",
+    "stream_run_stream_join",
+    "decontam_ngram",
+    "udf_grouped_map",
+    "dedup_substring_spans",
+    "stream_run_stateful",
+    "pipeline_curate_full",
+    "dedup_incremental",
+    "dedup_components_star",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 
@@ -118,6 +115,12 @@ def load_all() -> dict[str, QuerySpec]:
             return (pos, "")
         return (len(_PRIORITY), name)
 
+    ghosts = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not ghosts, (
+        f"_PRIORITY names missing from REGISTRY: {ghosts} — the "
+        "rotation bookkeeping must never advertise unimplemented "
+        "queries (ADVICE r5)"
+    )
     ordered = sorted(REGISTRY, key=lambda n: rank(n))
     if list(REGISTRY) != ordered:
         reordered = {name: REGISTRY[name] for name in ordered}

@@ -22,7 +22,12 @@ from ctgov_ai_etl_spark.operators.clustering import (
     pq_topk,
     pq_train_offline,
 )
-from ctgov_ai_etl_spark.operators.graph import pagerank, pagerank_oracle_sql
+from ctgov_ai_etl_spark.operators.graph import (
+    pagerank,
+    pagerank_oracle_sql,
+    triangle_count,
+    triangle_count_oracle_sql,
+)
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
 
@@ -111,3 +116,28 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph_clustering.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     return pq_topk(e, e.filter(F.col("vec_id") < 5), _PQ_BOOKS, topk=5, refine=50)
+
+
+_TRI_EDGES_SQL = """SELECT o_orderkey % 2000 AS x,
+           (o_orderkey // 7 + o_custkey) % 2000 AS y
+    FROM orders"""
+
+
+@query("graph_triangle_count", oracle=triangle_count_oracle_sql(_TRI_EDGES_SQL))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (operators/graph.py:triangle_count)
+    over a 2,000-node graph derived arithmetically from orders (so
+    both engines build the identical edge list).  The Spark side runs
+    the degree-oriented two-shuffle algorithm — wedge fan-out bounded
+    by oriented out-degree ≤ O(√m), the formulation that survives
+    power-law hubs at 100 TB — while the oracle replays the plain
+    id-ordered formulation; the hash match proves the orientations
+    agree on the triangle set, not just on code.  Completes the graph
+    tier: components (undirected equivalence), PageRank (directed
+    mass), triangles (local density)."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 2000).alias("x"),
+        ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 2000).alias("y"),
+    )
+    return triangle_count(edges, src="x", dst="y")

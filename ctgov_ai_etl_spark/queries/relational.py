@@ -432,6 +432,68 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_time_travel",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 11 = 0 THEN 1000 ELSE 0 END
+             + CASE WHEN o_orderkey % 13 = 0 THEN 500 ELSE 0 END AS price_cents,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'Z' ELSE o_orderstatus END AS status
+    FROM orders
+    WHERE o_orderkey % 89 <> 7 AND o_orderkey % 83 <> 5
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-version read (operators/merge.py:time_travel): a
+    three-version history of ``orders`` — v0 (the cdc_snapshot_diff
+    base), v1 (its target: 2 deleted-key families restored/removed,
+    +1000 cents on every 11th key), v2 (every 83rd key deleted,
+    every 13th repriced +500 and restatused 'Z') — is stored as the
+    v0 snapshot plus two :func:`snapshot_diff` change feeds, and the
+    query reads *version 2* purely by replaying the feeds over v0.
+
+    The oracle computes v2 directly from the base table, so a hash
+    match proves diff-then-apply is lossless across a multi-version
+    chain (inserts, deletes, and updates all round-trip) — the
+    property that lets a 100 TB table keep one full snapshot plus
+    delta-sized feeds instead of a snapshot per version.  Each replay
+    step is one anti-join against a broadcastable delta; nothing
+    rescans the base twice.  (The reference re-extracts the world per
+    run and keeps no history at all, /root/reference/etl.py:505-518.)
+    """
+    from ctgov_ai_etl_spark.operators.merge import snapshot_diff, time_travel
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v0 = o.filter(F.col("o_orderkey") % 97 != 3)
+    v1 = o.filter(F.col("o_orderkey") % 89 != 7).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 11 == 0, F.lit(1000)).otherwise(F.lit(0)),
+    )
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 83 != 5)
+        .withColumn(
+            "price_cents",
+            F.col("price_cents")
+            + F.when(F.col("o_orderkey") % 13 == 0, F.lit(500)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("Z")).otherwise(
+                F.col("status")
+            ),
+        )
+    )
+    keys, cols = ["o_orderkey"], ["price_cents", "status"]
+    feeds = [snapshot_diff(v0, v1, keys, cols), snapshot_diff(v1, v2, keys, cols)]
+    return time_travel(v0, feeds, keys, cols, version=2)
+
+
+@query(
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -221,7 +221,7 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     bo = spark.table(tables["bkt_orders"])
     bc = spark.table(tables["bkt_customer"])
-    return (
+    result = (
         bc.join(bo, bc.c_custkey == bo.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
@@ -229,3 +229,13 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("sum_cents"),
         )
     )
+    # DataFrame analysis is eager, so the joined plan has already
+    # bound to the bucketed HadoopFsRelation (bucket spec included) —
+    # the catalog entries can drop NOW without breaking the lazy
+    # result or its shuffle-free plan, and a shared/persistent
+    # metastore stops accumulating one orphan pair per run (ADVICE
+    # r5).  External tables: DROP leaves the temp-dir files for the
+    # pending scan; the tempdir reaper owns their lifetime.
+    for name in tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return result

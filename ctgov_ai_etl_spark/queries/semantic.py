@@ -806,6 +806,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_reservoir",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 200
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement — exactly 200
+    documents, every subset equally likely — the reservoir-sampling
+    contract, implemented as deterministic bottom-k by md5 priority
+    (operators/limits.py:reservoir_sample) because sequential Vitter
+    reservoirs don't parallelize.  Complements sample_stratified
+    (per-stratum *rates*, output size varies with the data) when a
+    training pipeline needs an exact row budget.
+
+    Scale shape: Spark plans orderBy(priority).limit(k) as
+    TakeOrderedAndProject — per-partition bottom-k heaps, then a
+    k·P-row merge — so a 100 TB corpus pays one map-side pass and
+    never a global sort; for huge k the operator's n_hint prefilter
+    cuts the heap inputs to ~8k rows map-side first.  Selection is a
+    pure function of doc_id, so the same 200 rows survive on any
+    cluster, any partitioning, any engine with md5 — auditable, and
+    replayed exactly by the oracle's ORDER BY md5 LIMIT k."""
+    from ctgov_ai_etl_spark.operators.limits import reservoir_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return reservoir_sample(d, k=200, key_col="doc_id")
+
+
 # --------------------------------------------------------------- dedup
 
 @query(

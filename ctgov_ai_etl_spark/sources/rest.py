@@ -223,6 +223,16 @@ class RestStudiesReader(DataSourceReader):
         # exactly like the reference AND-joins its YAML list (etl.py:100)
         adv = options.get("filter_advanced")
         self.conjuncts: list[str] = [adv] if adv else []
+        # Projection pushdown (SURVEY.md §4): the CTGov v2 API's
+        # ``fields`` query param returns only the requested dotted
+        # study paths — the server-side analogue of parquet column
+        # pruning.  Catalyst can't derive it (the source's schema is
+        # one RAW_STUDY json column), so it's an explicit option;
+        # operators/flatten.py:flatten_fields() yields the projection
+        # the reference pipeline needs, ~10 leaves instead of the
+        # full study document (the reference always fetches whole
+        # studies, etl.py:115-157).
+        self.fields = options.get("fields")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         pushed, unsupported = filters_to_essie(list(filters))
@@ -233,6 +243,8 @@ class RestStudiesReader(DataSourceReader):
         params: dict[str, Any] = {"pageSize": self.page_size}
         if self.conjuncts:
             params["filter.advanced"] = " AND ".join(self.conjuncts)
+        if self.fields:
+            params["fields"] = self.fields
         return params
 
     def partitions(self) -> list[InputPartition]:
@@ -300,6 +312,8 @@ class RestStudiesStreamReader(SimpleDataSourceStreamReader):
         self._params: dict[str, Any] = {"pageSize": self.page_size}
         if adv:
             self._params["filter.advanced"] = adv
+        if options.get("fields"):  # server-side projection, as in batch
+            self._params["fields"] = options["fields"]
 
     def initialOffset(self) -> dict:
         return {"token": None, "page": 0, "done": False}
