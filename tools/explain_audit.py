@@ -212,6 +212,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no exchange-to-one window",
          r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
     ],
+    "sample_reservoir": [
+        ("bottom-k via TakeOrderedAndProject (per-partition heaps)",
+         r"TakeOrderedAndProject"),
+        ("no global sort materialization", r"\A(?!.*rangepartitioning)"),
+        ("no single-reducer exchange", r"\A(?!.*Exchange SinglePartition)"),
+    ],
+    "cdc_time_travel": [
+        ("feeds applied via anti-join, not base rewrite", r"LeftAnti"),
+        ("delta side broadcast (AQE-promoted)",
+         r"BroadcastHashJoin [^\n]*LeftAnti"),
+        ("diff full-outer keyed on the merge key",
+         r"(SortMergeJoin|ShuffledHashJoin)[^\n]*FullOuter"),
+        ("snapshot scan reused across feeds, not recomputed",
+         r"ReusedExchange"),
+    ],
+    "graph_triangle_count": [
+        ("wedge + closure joins are keyed (no cartesian)",
+         r"\A(?!.*CartesianProduct)"),
+        ("per-vertex count partially aggregated", r"partial_count"),
+        ("edge canonicalization deduped via hash aggregate",
+         r"HashAggregate\(keys=\[u#\d+L, v#\d+L\]"),
+    ],
 }
 
 
