@@ -765,3 +765,92 @@ def blocked_cosine_pairs(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------- JL random projection
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: int = _SEED) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix
+    (Achlioptas '01: Rademacher entries preserve pairwise distances
+    in expectation exactly like Gaussian ones).  Entry (i, j) is the
+    low bit of md5(f"{seed}:{i}:{j}") — a pure function of the seed,
+    so the matrix is a compile-time literal shared verbatim by the
+    Spark plan and the SQL oracle (the PQ-codebook pattern), and any
+    engine can regenerate it."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    signs: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each embedding onto ``out_dim`` Rademacher directions —
+    the dimensionality-reduction stage a 100 TB embedding pipeline
+    runs before ANN indexing / blocked near-dup (JL lemma: pairwise
+    distances survive within 1±ε at out_dim = O(log n / ε²), while
+    index memory and every downstream dot product shrink by
+    in_dim/out_dim).
+
+    Exact integers end to end: vectors quantize to micro-units and
+    the matrix entries are ±1, so each output coordinate is a plain
+    int64 sum — bit-identical across engines and partitionings
+    (unscaled: the 1/√out_dim normalization is a global constant that
+    cannot change any distance ordering, so it is left to consumers
+    that need calibrated magnitudes).
+
+    Returns long-format (vec_id, dim, value_micro): one fold per
+    output dim over the zipped (vector, sign-column) arrays — pure
+    map-side codegen, zero shuffles, zero Python.
+    """
+    from ctgov_ai_etl_spark.operators.clustering import quantize
+
+    in_dim, out_dim = len(signs), len(signs[0])
+    v = quantize(F.col(vec_col))
+    projs = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(signs[i][j]) for i in range(in_dim)])
+        projs.append(
+            F.aggregate(
+                F.zip_with(v, sj, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(F.array(*projs)).alias("dim", "value_micro")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value_micro")
+
+
+def random_project_oracle_sql(
+    signs: list[list[int]], table: str = "embeddings"
+) -> str:
+    """DuckDB replay of :func:`random_project` from the same sign
+    literals: per-dim list_dot_product (exact — every term integer,
+    < 2⁵³) unnested to the long format via a range cross join."""
+    from ctgov_ai_etl_spark.operators.clustering import SQL_QUANTIZE
+
+    out_dim = len(signs[0])
+    cols = ", ".join(
+        "CAST(list_dot_product(v, ["
+        + ", ".join(str(row[j]) for row in signs)
+        + "]) AS BIGINT)"
+        for j in range(out_dim)
+    )
+    quant = SQL_QUANTIZE.format(col="embedding")
+    return f"""WITH q AS (SELECT vec_id, {quant} AS v FROM {table}),
+    p AS (SELECT vec_id, [{cols}] AS pr FROM q)
+    SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, pr[d.i] AS value_micro
+    FROM p CROSS JOIN range(1, {out_dim + 1}) d(i)"""

@@ -22,7 +22,8 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #   block 0 — queries NEW this round (never driver-checked):
 #     cdc_time_travel, sample_reservoir, graph_triangle_count —
 #     implemented this round (they were phantom _PRIORITY names in
-#     r5; VERDICT r5 "What's wrong" 1);
+#     r5; VERDICT r5 "What's wrong" 1) — plus embed_random_projection
+#     (JL reduction, new r6 capability);
 #   block 1 — the 49 r3-latest queries, cheapest first (merged
 #     BENCH_r01-r05 timings) so a time-budgeted window re-greens the
 #     most; no query's OUTPUT changed this round (the k-means reseed
@@ -34,6 +35,7 @@ _PRIORITY = (
     "cdc_time_travel",
     "sample_reservoir",
     "graph_triangle_count",
+    "embed_random_projection",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -22,6 +22,11 @@ from ctgov_ai_etl_spark.operators.clustering import (
     pq_topk,
     pq_train_offline,
 )
+from ctgov_ai_etl_spark.operators.similarity import (
+    jl_signs,
+    random_project,
+    random_project_oracle_sql,
+)
 from ctgov_ai_etl_spark.operators.graph import (
     pagerank,
     pagerank_oracle_sql,
@@ -141,3 +146,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 2000).alias("y"),
     )
     return triangle_count(edges, src="x", dst="y")
+
+
+_JL_SIGNS = jl_signs(in_dim=64, out_dim=16)
+
+
+@query(
+    "embed_random_projection",
+    oracle=random_project_oracle_sql(_JL_SIGNS),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction of the embedding corpus, 64 →
+    16 dims (operators/similarity.py:random_project): deterministic
+    ±1 Rademacher directions (md5-seeded literals, the PQ-codebook
+    pattern) fold each micro-unit vector into 16 exact int64
+    coordinates — the pre-ANN compression stage that shrinks a
+    100 TB index's memory and every downstream dot product 4×, while
+    the JL lemma bounds pairwise-distance distortion (preservation
+    property-tested against exact distances).  Pure map-side codegen:
+    zero shuffles, zero Python, bit-identical on any partitioning —
+    replayed per-dim by the oracle's list_dot_product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return random_project(e, _JL_SIGNS)

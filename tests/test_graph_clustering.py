@@ -439,3 +439,42 @@ def test_curriculum_deciles_balanced_and_ordered(spark):
     deciles = [r["decile"] for r in ordered]
     assert deciles == sorted(deciles, reverse=True)  # cleanest first
     assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+
+
+def test_random_projection_exact_and_distance_preserving(spark):
+    """JL projection: (1) the Spark fold is bit-identical to the
+    numpy matrix product on the same quantized vectors; (2) the
+    unbiased distance estimator ||Pu||²/out_dim tracks exact squared
+    distances within JL-lemma-sized error (√(2/16) ≈ 0.35 relative
+    std at out_dim=16, so median < 0.4 / p90 < 1.0 are physics, not
+    luck)."""
+    import numpy as np
+    import pyarrow.parquet as pa
+
+    from ctgov_ai_etl_spark.operators.similarity import jl_signs, random_project
+
+    signs = jl_signs(in_dim=64, out_dim=16)
+    t = pa.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    v = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = np.floor(v * 1_000_000).astype(np.int64)
+    p = q @ np.array(signs)
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = random_project(e, signs).collect()
+    by_id = {int(i): row for i, row in zip(ids, p)}
+    assert len(got) == len(ids) * 16
+    for r in got:
+        assert by_id[r.vec_id][r.dim] == r.value_micro
+
+    n = 40
+    order = np.argsort(ids, kind="stable")[:n]
+    qs, ps = q[order], p[order]
+    rel = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            ex = float(((qs[i] - qs[j]) ** 2).sum())
+            pr = float(((ps[i] - ps[j]) ** 2).sum()) / 16
+            rel.append(abs(pr - ex) / max(ex, 1.0))
+    rel = np.array(rel)
+    assert np.median(rel) < 0.4 and np.percentile(rel, 90) < 1.0

@@ -227,6 +227,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("snapshot scan reused across feeds, not recomputed",
          r"ReusedExchange"),
     ],
+    "embed_random_projection": [
+        ("pure map-side (zero shuffles)", r"\A(?!.*Exchange hashpartitioning)"),
+        ("no Python boundary", r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+        ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+    ],
     "graph_triangle_count": [
         ("wedge + closure joins are keyed (no cartesian)",
          r"\A(?!.*CartesianProduct)"),
