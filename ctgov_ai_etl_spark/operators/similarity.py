@@ -854,3 +854,140 @@ def random_project_oracle_sql(
     p AS (SELECT vec_id, [{cols}] AS pr FROM q)
     SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, pr[d.i] AS value_micro
     FROM p CROSS JOIN range(1, {out_dim + 1}) d(i)"""
+
+
+# ------------------------------------------- SemDeDup pruning
+
+
+def centroid_assign_with_sim(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, cid, centroid_sim): the :func:`centroid_assign` argmax plus
+    the winning (rounded) cosine itself — the per-example
+    'closeness to centroid' signal SemDeDup's keep policy ranks on.
+    Same tie rule (first index of the max = lowest cluster id), still
+    one map-side pass."""
+    cent_lit = _planes_literal(centroids)
+    sims = F.transform(
+        cent_lit, lambda c: F.round(cosine(F.col("__v"), c), round_digits)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__sims", sims)
+        .select(
+            "id",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.array_max(F.col("__sims")).alias("centroid_sim"),
+        )
+    )
+
+
+def semantic_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embedding corpus, find near-duplicate
+    pairs WITHIN each cluster, and of every duplicate pair KEEP the
+    example farther from its centroid (the 'hard' one — pruning easy
+    redundant examples is what improves downstream training).  Returns
+    the RETAINED corpus as (id, cid, centroid_sim).
+
+    Policy, made deterministic: a vector is pruned iff some same-block
+    near-dup (cosine ≥ ``threshold``) is STRICTLY farther from the
+    centroid (lower rounded ``centroid_sim``), or equally far with a
+    lower id.  On a fully-connected duplicate group this keeps exactly
+    the paper's pick (the minimum-centroid-sim member, lowest id on
+    ties); on a chain a~b~c without a~c the pairwise relaxation may
+    keep both endpoints — callers wanting group-exact semantics feed
+    the pair set through ``connected_components`` + keep-best instead.
+
+    100 TB shape: assignment is map-side against broadcast centroid
+    literals; the only data-sized shuffles are the within-block pair
+    join (Σ block², see :func:`blocked_cosine_pairs`) and one anti-join
+    of the corpus against the dominated-id set.  Deterministic given
+    the centroids, so the full cluster→pair→prune pipeline is
+    SQL-replayable (``semantic_prune_oracle_sql``)."""
+    asg = centroid_assign_with_sim(df, centroids, id_col, vec_col, round_digits)
+    pairs = blocked_cosine_pairs(
+        df, centroids, threshold, id_col, vec_col, round_digits
+    )
+    ka = asg.select(F.col("id").alias("id_a"), F.col("centroid_sim").alias("cs_a"))
+    kb = asg.select(F.col("id").alias("id_b"), F.col("centroid_sim").alias("cs_b"))
+    # pairs carry id_a < id_b, so the tie rule "equally far, lower id
+    # wins" prunes id_b on equal sims.
+    dominated = (
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id")
+        )
+        .distinct()
+    )
+    return asg.join(dominated, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cid", "centroid_sim"
+    )
+
+
+def semantic_prune_oracle_sql(
+    centroids: list[list[float]], threshold: float, table: str = "embeddings"
+) -> str:
+    """DuckDB replay of :func:`semantic_prune` from the same centroid
+    constants: round-before-argmax assignment (ties to lowest cid),
+    within-block pairs with exact cosine verify, CASE-pick the
+    dominated endpoint, anti-join the corpus."""
+    rows = ",\n      ".join(
+        f"({cid}, [" + ",".join(repr(x) for x in c) + "])"
+        for cid, c in enumerate(centroids)
+    )
+    ccos = (
+        "round(list_dot_product(e.v, c.cvec)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    abcos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT cid, CAST(cvec AS DOUBLE[]) AS cvec
+      FROM (VALUES
+      {rows}
+      ) c(cid, cvec)
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    ranked AS (
+      SELECT e.vec_id, c.cid, {ccos} AS s,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {ccos} DESC, c.cid ASC) AS rn
+      FROM corpus e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, cid, s AS centroid_sim FROM ranked WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.centroid_sim AS cs_a, b.centroid_sim AS cs_b
+      FROM asg a
+      JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN corpus x ON x.vec_id = a.vec_id
+      JOIN corpus y ON y.vec_id = b.vec_id
+      WHERE {abcos} >= {threshold}
+    ),
+    dom AS (
+      SELECT DISTINCT CASE WHEN cs_a > cs_b THEN id_a ELSE id_b END AS vec_id
+      FROM pairs
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.centroid_sim
+    FROM asg a ANTI JOIN dom d ON a.vec_id = d.vec_id
+    """

@@ -36,6 +36,7 @@ _PRIORITY = (
     "sample_reservoir",
     "graph_triangle_count",
     "embed_random_projection",
+    "dedup_semantic_prune",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

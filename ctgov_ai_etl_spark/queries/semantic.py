@@ -40,6 +40,8 @@ from ctgov_ai_etl_spark.operators.similarity import (
     ivf_topk_partitioned,
     lsh_topk,
     seeded_centroids,
+    semantic_prune,
+    semantic_prune_oracle_sql,
 )
 from ctgov_ai_etl_spark.operators.limits import stratified_sample
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, query
@@ -1444,6 +1446,29 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(e, threshold=0.3, centroids=_BLOCK_CENTROIDS)
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle=semantic_prune_oracle_sql(_BLOCK_CENTROIDS, 0.3),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup corpus pruning (Abbas et al. 2023,
+    operators/similarity.py:semantic_prune): cluster the embeddings
+    with the offline-trained 64-centroid quantizer, find within-block
+    near-dup pairs (cos >= 0.3), and of each pair KEEP the example
+    farther from its centroid -- returning the retained corpus
+    (vec_id, cid, centroid_sim), i.e. the semantic-dedup step a
+    training-data pipeline runs between embedding and mixing.
+
+    Distinct from ``dedup_embedding_blocked`` (which REPORTS the pair
+    graph): this applies the published keep policy and emits the kept
+    set.  Same Σ block² candidate bound, plus one corpus anti-join
+    against the dominated ids; assignment and policy are deterministic
+    given the trained constants, so cluster -> pair -> prune replays
+    end-to-end in the SQL oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_prune(e, _BLOCK_CENTROIDS, threshold=0.3)
 
 
 def _ivf_oracle_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:

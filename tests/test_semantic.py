@@ -531,3 +531,37 @@ def test_text_repetition_known_values(spark):
     assert got[1][0] == 1.0 and abs(got[1][1] - (1 - 1 / 3)) < 1e-12
     assert got[2] == (0.25, 0.0)
     assert got[3] == (1.0, 0.0)
+
+
+def test_semantic_prune_policy_properties(spark):
+    """SemDeDup keep policy (operators/similarity.py:semantic_prune):
+    (a) retained ∪ dominated partitions the corpus, (b) no near-dup
+    pair survives with BOTH endpoints retained, and (c) every
+    cluster's farthest-from-centroid member (min rounded centroid_sim,
+    lowest id on ties) is always retained — the paper's pick is never
+    pruned."""
+    from ctgov_ai_etl_spark.operators.similarity import (
+        centroid_assign_with_sim,
+        semantic_prune,
+    )
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    kept = semantic_prune(emb, _BLOCK_CENTROIDS, threshold=0.3)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert 0 < len(kept_ids) < n  # it pruned something, not everything
+
+    pairs = blocked_cosine_pairs(emb, _BLOCK_CENTROIDS, threshold=0.3)
+    for r in pairs.collect():
+        assert not (r.id_a in kept_ids and r.id_b in kept_ids), (
+            f"near-dup pair ({r.id_a},{r.id_b}) fully retained"
+        )
+
+    asg = centroid_assign_with_sim(emb, _BLOCK_CENTROIDS).collect()
+    by_cluster: dict[int, list] = {}
+    for r in asg:
+        by_cluster.setdefault(r.cid, []).append(r)
+    for cid, members in by_cluster.items():
+        best = min(members, key=lambda r: (r.centroid_sim, r.id))
+        assert best.id in kept_ids, f"cluster {cid} hardest member pruned"
