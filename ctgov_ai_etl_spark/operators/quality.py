@@ -146,3 +146,52 @@ def repeated_spans(
         .groupBy(id_col)
         .agg(F.count("*").cast("int").alias("n_dup_spans"))
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean conditional log-prob under an add-one-smoothed
+    bigram LM trained on ``df`` itself — see the ``lm_bigram_score``
+    query docstring for the full scale/replayability contract.
+    Returns (id, n_bigrams, avg_logprob); documents with < 2 tokens
+    drop out (no bigrams to score)."""
+    l = tokens(F.col(text_col))
+    n = F.size(l)
+    bigrams = F.zip_with(
+        F.slice(l, 1, n - 1),
+        F.slice(l, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+    cb = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    cw = cb.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    vocab = (
+        df.select(F.explode(l).alias("tok")).agg(F.count_distinct("tok")).collect()
+    )[0][0]  # tiny driver scalar (vocabulary size for the smoothing)
+    lp = cb.join(cw, F.substring_index(cb.bg, " ", 1) == cw.w1).select(
+        "bg",
+        F.round(
+            F.log(
+                (F.col("c2") + 1)
+                / (F.col("c1") + F.lit(int(vocab))).cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        bg.join(F.broadcast(lp), "bg")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("u").alias("su"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("su").cast("double") / 1_000_000 / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -37,6 +37,7 @@ _PRIORITY = (
     "graph_triangle_count",
     "embed_random_projection",
     "dedup_semantic_prune",
+    "lm_bigram_score",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -1873,6 +1873,55 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lm_bigram_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM t WHERE len(l) >= 2
+    ),
+    cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+    cw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM cb GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+    lp AS (
+      SELECT cb.bg,
+             CAST(round(ln((c2 + 1) / CAST(c1 + (SELECT vocab FROM v) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS u
+      FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(u) AS DOUBLE) / 1000000 / count(*), 6) AS avg_logprob
+    FROM bg JOIN lp USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model, trained on the corpus and
+    scored back over it — the KenLM-shaped half of the CCNet quality
+    signal that ``text_perplexity_proxy`` approximates with unigrams:
+    per-document mean conditional log-probability ln P(w₂|w₁) under
+    add-one smoothing, P = (c(w₁w₂)+1)/(c_ctx(w₁)+V).
+
+    Train-small/score-big at 100 TB: bigram extraction is map-side
+    (zip the token array with its own tail — no posexplode self-join),
+    the model is TWO aggregates (bigram counts; context counts =
+    re-aggregation of the already-tiny bigram table, not a second
+    corpus pass), V is one driver scalar, and scoring is a broadcast
+    probe of the log-prob table plus one per-doc aggregate.  Token
+    log-probs fix to integer micro-units before the per-doc sum
+    (order-independent, oracle-replayable); same 1-ulp transcendental
+    caveat as text_perplexity_proxy, acceptable at 6 dp."""
+    from ctgov_ai_etl_spark.operators.quality import bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(d, id_col="doc_id", text_col="text")
+
+
 _GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
 
 

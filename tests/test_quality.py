@@ -69,3 +69,31 @@ def test_repeated_spans_ignores_intra_doc_repeats(spark):
     span = " ".join(f"tok{i}" for i in range(16))
     df = _docs(spark, [(1, span + " bridge " + span)])
     assert repeated_spans(df, n=16).count() == 0
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Exact hand replay of the add-one bigram LM on a 3-doc corpus:
+    corpus = 'a b a b', 'a b', 'c' — bigram counts {'a b': 2+1? ...}
+    computed below from first principles; the 1-token doc drops out."""
+    import math
+
+    from ctgov_ai_etl_spark.operators.quality import bigram_lm_score
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(d).collect()}
+
+    # corpus bigrams: doc1 -> [a b, b a, a b], doc2 -> [a b]
+    # c2: {'a b': 3, 'b a': 1}; c1 (context): {'a': 3, 'b': 1}; V=3 (a,b,c)
+    def lp(c2, c1, v=3):
+        return round(math.log((c2 + 1) / float(c1 + v)) * 1_000_000)
+
+    u_ab, u_ba = lp(3, 3), lp(1, 1)
+    assert 3 not in out  # single-token doc has no bigrams
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logprob == round(u_ab / 1_000_000 / 1, 6)
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logprob == round((2 * u_ab + u_ba) / 1_000_000 / 3, 6)
+    # smoothing sanity: frequent bigram scores higher than rare one
+    assert out[2].avg_logprob > u_ba / 1_000_000
