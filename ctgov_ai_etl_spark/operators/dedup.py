@@ -1009,3 +1009,109 @@ def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
     pipelines)."""
     others = [c for c in df.columns if c not in keys]
     return df.groupBy(*keys).agg(*[F.min(c).alias(c) for c in others])
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 5,
+    threshold: float = 0.8,
+    key_tokens: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-Neighborhood Method near-dup pairs (Hernández & Stolfo
+    '95, the classic record-linkage blocking strategy): sort the
+    corpus by a cheap blocking key (first ``key_tokens`` tokens here;
+    real deployments plug in phonetic / normalized keys), slide a
+    ``window``-row window down the sorted order, and exact-verify the
+    candidate pairs with token-set Jaccard ≥ ``threshold``.  The
+    complementary blocking shape to LSH banding: candidate volume is
+    O(n·w) BY CONSTRUCTION — no hash-bucket skew can blow it up, at
+    the cost of only finding duplicates the sort key brings within w
+    rows (multi-pass with rotated keys is the standard recall fix).
+
+    100 TB shape: the global order comes from the distributed rank
+    (range partition + per-partition offsets, operators/limits.py —
+    no single-reducer window), and the w-neighbor join is TWO
+    equi-joins on floor(pos/w) buckets (each row meets only its own
+    and the next bucket) — a rank-difference range join expressed as
+    shuffle-friendly equi-joins.  Rank under (key, id) is unique, so
+    the pair set is deterministic and SQL-replayable."""
+    from ctgov_ai_etl_spark.functions.text import tokens
+    from ctgov_ai_etl_spark.operators.limits import global_rank
+
+    toks = tokens(F.col(text_col))
+    # Rank rows stay NARROW (id, key) — the token sets would otherwise
+    # ride the range-partition shuffle and the persist; they join back
+    # onto the O(n·w) candidate pairs instead (the blocked_cosine_pairs
+    # pattern: verify payloads only ever touch candidates).
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(F.slice(toks, 1, key_tokens), " ").alias("__key"),
+    )
+    ranked = global_rank(keyed, ["__key", "id"]).select(
+        "id", F.col("__pos").alias("pos"),
+        F.floor(F.col("__pos") / window).alias("bkt"),
+    )
+    # Row at pos meets rows in (pos, pos+w], all of which land in
+    # bucket bkt or bkt+1 — so probe EACH of those two bucket keys with
+    # an explode and keep the join a plain equi-join (an OR of bucket
+    # equalities would fall off the hash-join path into a nested loop).
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bb"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"), F.col("bkt").alias("bb")
+    )
+    cand = a.join(b, "bb").filter(
+        (F.col("pb") - F.col("pa") >= 1) & (F.col("pb") - F.col("pa") <= window)
+    )
+    sets_a = df.select(
+        F.col(id_col).alias("id_a"), F.array_distinct(toks).alias("sa")
+    )
+    sets_b = df.select(
+        F.col(id_col).alias("id_b"), F.array_distinct(toks).alias("sb")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.select("id_a", "id_b")
+        .join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .filter(union > 0)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sorted_neighborhood_oracle_sql(
+    window: int = 5,
+    threshold: float = 0.8,
+    key_tokens: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`sorted_neighborhood_pairs`: the rank
+    under (key, id) is unique, so a plain window row_number replays
+    the distributed rank exactly; the w-neighbor join is a direct
+    rank-difference range predicate."""
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id AS id,
+             array_to_string(list_slice(string_split(text, ' '), 1, {key_tokens}), ' ') AS k,
+             list_distinct(string_split(text, ' ')) AS s
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT id, s, row_number() OVER (ORDER BY k, id) AS pos FROM keyed
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM ranked a JOIN ranked b
+      ON b.pos - a.pos BETWEEN 1 AND {window}
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))), 6) >= {threshold}
+    """

@@ -38,6 +38,7 @@ _PRIORITY = (
     "embed_random_projection",
     "dedup_semantic_prune",
     "lm_bigram_score",
+    "dedup_sorted_neighborhood",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

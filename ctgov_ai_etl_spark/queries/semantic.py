@@ -31,6 +31,7 @@ from ctgov_ai_etl_spark.operators.dedup import (
     jaccard_token_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    sorted_neighborhood_oracle_sql,
 )
 from ctgov_ai_etl_spark.operators.similarity import (
     brute_force_topk,
@@ -1469,6 +1470,27 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end in the SQL oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_prune(e, _BLOCK_CENTROIDS, threshold=0.3)
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=sorted_neighborhood_oracle_sql(window=5, threshold=0.8),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood near-dup pairs (Hernández & Stolfo '95,
+    operators/dedup.py:sorted_neighborhood_pairs): sort by a 4-token
+    blocking key, compare each row to its 5 successors, verify with
+    exact token-set Jaccard ≥ 0.8 (the corpus shares one vocabulary,
+    so lower cuts are vacuous — see the distribution note in the
+    test).  The skew-proof counterpart to
+    LSH banding — candidate volume is O(n·w) by construction — with
+    the distributed rank (no single-reducer window) and the
+    w-neighbor range join expressed as two floor(pos/w)-bucket
+    equi-joins."""
+    from ctgov_ai_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(d, window=5, threshold=0.8)
 
 
 def _ivf_oracle_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:

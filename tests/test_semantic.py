@@ -565,3 +565,41 @@ def test_semantic_prune_policy_properties(spark):
     for cid, members in by_cluster.items():
         best = min(members, key=lambda r: (r.centroid_sim, r.id))
         assert best.id in kept_ids, f"cluster {cid} hardest member pruned"
+
+
+def test_sorted_neighborhood_matches_bruteforce_window(spark):
+    """SNM pair set == a brute-force python replay of 'rank by (4-token
+    key, id), pair every row with its w successors, keep Jaccard >= t'
+    — proves the bucket-explode equi-join loses no in-window pair and
+    admits no out-of-window one."""
+    from ctgov_ai_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = [
+        (1, "apple banana cherry date extra one"),
+        (2, "apple banana cherry date extra two"),
+        (3, "zebra yak xylo walrus very different"),
+        (4, "apple banana cherry date extra three"),
+        (5, "mango nectarine orange papaya quince rose"),
+        (6, "apple banana cherry dates extra one"),
+        (7, "zebra yak xylo walrus very close"),
+        (8, "mango nectarine orange papaya quince rise"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    w, t = 2, 0.5
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in sorted_neighborhood_pairs(d, window=w, threshold=t).collect()
+    }
+
+    order = sorted(docs, key=lambda x: (" ".join(x[1].split()[:4]), x[0]))
+    want = {}
+    for i, (ida, ta) in enumerate(order):
+        for j in range(i + 1, min(i + 1 + w, len(order))):
+            idb, tb = order[j]
+            sa, sb = set(ta.split()), set(tb.split())
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= t:
+                lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                # pair orientation follows rank order, ids may invert
+                want[(order[i][0], order[j][0])] = jac
+    assert got == want and len(want) > 0
