@@ -195,3 +195,75 @@ def bigram_lm_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def linear_quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Linear text-quality classifier inference in the fastText shape
+    (Joulin et al. '16 — the model class behind CCNet/RedPajama-style
+    quality filters): features are token unigrams + bigrams, each
+    feature contributes a weight to the document logit, mean logit
+    thresholds the keep decision.
+
+    The weights here are md5-DERIVED stand-ins (w(f) = md5(f) mapped
+    into ±1.0 in micro-units) — deterministic and engine-replayable,
+    standing where a trained model's hashed weight table would sit.
+    With real weights the probe becomes a broadcast join of the
+    exploded feature column against the (bucket, weight) table —
+    identical cost shape, the table is MB-sized for 2^20 buckets.
+
+    100 TB shape: inference is ZERO-shuffle — tokenize, feature-fold,
+    and threshold are all per-row expressions (whole-stage codegen,
+    no Python), so the filter runs at scan speed and composes with
+    pushdown.  Integer micro-unit logits keep the fold exact and
+    order-independent."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = F.concat(toks, bigrams)
+
+    def w(f: Column) -> Column:
+        # md5(feature) -> integer in [-1_000_000, 1_000_000] micro-units
+        return F.pmod(
+            F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long"),
+            F.lit(2_000_001),
+        ) - F.lit(1_000_000)
+
+    logit = F.aggregate(feats, F.lit(0).cast("long"), lambda acc, f: acc + w(f))
+    nf = F.size(feats)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        nf.cast("int").alias("n_features"),
+        logit.alias("logit_micro"),
+        F.round(logit.cast("double") / 1_000_000 / nf, 6).alias("mean_logit"),
+        (logit >= 0).alias("keep"),
+    )
+
+
+LINEAR_QUALITY_ORACLE_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_concat(
+               l,
+               list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+             ) AS feats
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, CAST(len(feats) AS INT) AS n_features,
+             CAST(list_sum(list_transform(feats,
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2000001
+                    - 1000000)) AS BIGINT) AS logit_micro
+      FROM f
+    )
+    SELECT doc_id, n_features, logit_micro,
+           round(CAST(logit_micro AS DOUBLE) / 1000000 / n_features, 6) AS mean_logit,
+           logit_micro >= 0 AS keep
+    FROM s
+    """

@@ -39,6 +39,7 @@ _PRIORITY = (
     "dedup_semantic_prune",
     "lm_bigram_score",
     "dedup_sorted_neighborhood",
+    "quality_linear_score",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -1944,6 +1944,27 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(d, id_col="doc_id", text_col="text")
 
 
+def _linear_quality_oracle() -> str:
+    from ctgov_ai_etl_spark.operators.quality import LINEAR_QUALITY_ORACLE_SQL
+
+    return LINEAR_QUALITY_ORACLE_SQL
+
+
+@query("quality_linear_score", oracle=_linear_quality_oracle())
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality-classifier inference
+    (operators/quality.py:linear_quality_score): unigram+bigram
+    hashed features fold into an exact integer logit per document,
+    mean logit thresholds the keep flag.  ZERO-shuffle — the whole
+    model runs as per-row codegen'd expressions at scan speed (the
+    md5-derived weights stand where a trained model's broadcast
+    weight table would sit, same cost shape)."""
+    from ctgov_ai_etl_spark.operators.quality import linear_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return linear_quality_score(d, id_col="doc_id", text_col="text")
+
+
 _GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
 
 

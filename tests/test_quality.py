@@ -97,3 +97,27 @@ def test_bigram_lm_score_hand_computed(spark):
     assert out[1].avg_logprob == round((2 * u_ab + u_ba) / 1_000_000 / 3, 6)
     # smoothing sanity: frequent bigram scores higher than rare one
     assert out[2].avg_logprob > u_ba / 1_000_000
+
+
+def test_linear_quality_score_hand_computed(spark):
+    """Exact replay of the md5-weight fold for one tiny doc, plus the
+    zero-shuffle plan claim (no Exchange in the executed plan)."""
+    import hashlib
+
+    from ctgov_ai_etl_spark.operators.quality import linear_quality_score
+
+    d = spark.createDataFrame([(7, "x y")], "doc_id long, text string")
+    out = linear_quality_score(d)
+    row = out.collect()[0]
+
+    def w(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 2_000_001 - 1_000_000
+
+    expect = w("x") + w("y") + w("x y")
+    assert row.n_features == 3
+    assert row.logit_micro == expect
+    assert row.keep == (expect >= 0)
+    assert row.mean_logit == round(expect / 1_000_000 / 3, 6)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # inference is map-side, scan speed
