@@ -239,6 +239,31 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("edge canonicalization deduped via hash aggregate",
          r"HashAggregate\(keys=\[u#\d+L, v#\d+L\]"),
     ],
+    "dedup_semantic_prune": [
+        ("pair/prune joins keyed (no cartesian)", r"\A(?!.*CartesianProduct)"),
+        ("dominated-id anti-join", r"LeftAnti"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "lm_bigram_score": [
+        ("log-prob table broadcast to the scoring probe",
+         r"BroadcastHashJoin"),
+        ("model aggregates partially combined", r"partial_count"),
+        ("map-side bigram extraction (no posexplode self-join on the corpus)",
+         r"\A(?!.*SortMergeJoin[^\n]*doc_id)"),
+    ],
+    "dedup_sorted_neighborhood": [
+        ("rank via parallel range partitioning", r"rangepartitioning\("),
+        ("no single-reducer window", r"\A(?!.*Exchange SinglePartition)"),
+        ("w-neighbor join is an equi-join on bucket keys (no nested loop)",
+         r"\A(?!.*(BroadcastNestedLoopJoin|CartesianProduct))"),
+    ],
+    "quality_linear_score": [
+        ("zero shuffles (inference at scan speed)", r"\A(?!.*Exchange)"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+        ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+    ],
 }
 
 
