@@ -40,6 +40,7 @@ _PRIORITY = (
     "lm_bigram_score",
     "dedup_sorted_neighborhood",
     "quality_linear_score",
+    "dedup_semantic_groups",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -1472,6 +1472,117 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_prune(e, _BLOCK_CENTROIDS, threshold=0.3)
 
 
+def _semantic_groups_oracle_sql(
+    centroids: list[list[float]], threshold: float
+) -> str:
+    """Recursive-CTE replay of dedup_semantic_groups: blocked pairs
+    (same trained centroid constants as semantic_prune_oracle_sql) →
+    transitive closure → min-label components → keep the per-group
+    (centroid_sim, id)-minimum."""
+    rows = ",\n      ".join(
+        f"({cid}, [" + ",".join(repr(x) for x in c) + "])"
+        for cid, c in enumerate(centroids)
+    )
+    ccos = (
+        "round(list_dot_product(e.v, c.cvec)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    abcos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE cents AS (
+      SELECT cid, CAST(cvec AS DOUBLE[]) AS cvec
+      FROM (VALUES
+      {rows}
+      ) c(cid, cvec)
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ranked AS (
+      SELECT e.vec_id, c.cid, {ccos} AS s,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {ccos} DESC, c.cid ASC) AS rn
+      FROM corpus e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, cid, s AS centroid_sim FROM ranked WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a
+      JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN corpus x ON x.vec_id = a.vec_id
+      JOIN corpus y ON y.vec_id = b.vec_id
+      WHERE {abcos} >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS vec_id, min(label) AS component FROM reach GROUP BY id),
+    j AS (SELECT c.vec_id, c.component, a.centroid_sim
+          FROM comp c JOIN asg a USING (vec_id)),
+    g AS (
+      SELECT vec_id, component, centroid_sim,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS gsize,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY centroid_sim ASC, vec_id ASC) AS rn
+      FROM j
+    )
+    SELECT vec_id, component, gsize, rn = 1 AS keep FROM g
+    """
+
+
+@query(
+    "dedup_semantic_groups",
+    oracle=_semantic_groups_oracle_sql(_BLOCK_CENTROIDS, 0.3),
+)
+def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-exact SemDeDup: where ``dedup_semantic_prune`` applies
+    the keep policy pairwise, this resolves the within-block near-dup
+    pair graph into duplicate GROUPS via connected components
+    (operators/dedup.py) and keeps exactly one example per group —
+    the (centroid_sim, id)-minimum, the paper's farthest-from-centroid
+    pick made total.  Returns every vector with its group, group size,
+    and keep flag (keep count == group count by construction).
+
+    The composition story: blocked pair generation (Σ block²), the
+    O(log n)-round label propagation, and the keeper policy are the
+    SAME primitives the text-side dedup chain uses — one engine, both
+    modalities.  Oracle replays the closure with a recursive CTE over
+    the identical pair set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ctgov_ai_etl_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        centroid_assign_with_sim,
+    )
+
+    asg = centroid_assign_with_sim(e, _BLOCK_CENTROIDS)
+    pairs = blocked_cosine_pairs(e, _BLOCK_CENTROIDS, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(e.select("vec_id"), pairs, id_col="vec_id")
+    j = comp.join(asg.withColumnRenamed("id", "vec_id"), "vec_id")
+    per_group = j.groupBy("component").agg(
+        F.min(F.struct("centroid_sim", "vec_id")).alias("best"),
+        F.count("*").alias("gsize"),
+    )
+    return (
+        j.join(per_group, "component")
+        .select(
+            "vec_id",
+            "component",
+            "gsize",
+            (F.col("vec_id") == F.col("best.vec_id")).alias("keep"),
+        )
+    )
+
+
 @query(
     "dedup_sorted_neighborhood",
     oracle=sorted_neighborhood_oracle_sql(window=5, threshold=0.8),

@@ -603,3 +603,21 @@ def test_sorted_neighborhood_matches_bruteforce_window(spark):
                 # pair orientation follows rank order, ids may invert
                 want[(order[i][0], order[j][0])] = jac
     assert got == want and len(want) > 0
+
+
+def test_semantic_groups_keep_one_per_component(spark):
+    """Group-exact SemDeDup: exactly one keeper per component, and the
+    keeper is the (centroid_sim, id)-minimum of its group."""
+    from ctgov_ai_etl_spark.queries.semantic import dedup_semantic_groups
+
+    rows = dedup_semantic_groups(spark, SF_SMALL).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert len(rows) == sum(len(v) for v in by_comp.values())
+    kept = [r for r in rows if r.keep]
+    assert len(kept) == len(by_comp)  # one keeper per group
+    for comp, members in by_comp.items():
+        assert all(m.gsize == len(members) for m in members)
+        keeper = [m for m in members if m.keep]
+        assert len(keeper) == 1
