@@ -289,3 +289,40 @@ def weighted_reservoir_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    strata: list[str],
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights w_s = n_s^α / Σ n^α — the
+    standard multilingual/domain rebalancing rule (XLM-R α=0.3-0.7,
+    mT5): α < 1 flattens the natural distribution, upsampling tail
+    strata without a hand-written target mixture.
+
+    Engine-replayability contract: the denominator sums in the FIXED
+    order of ``strata`` (missing strata contribute 0.0), so a SQL
+    replay writing the same explicit sum gets the identical double.
+    α = 0.5 (the default) evaluates as sqrt — correctly rounded per
+    IEEE in every engine, hence bit-replayable; other α go through
+    pow, whose cross-engine determinism is not guaranteed (fine for
+    production, not for a hash-checked oracle).  Counts are one
+    |strata|-row driver collect, same convention as
+    :func:`mixture_fractions`."""
+    import math
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    powed = {
+        s: (math.sqrt(counts.get(s, 0)) if alpha == 0.5
+            else float(counts.get(s, 0)) ** alpha)
+        for s in strata
+    }
+    denom = 0.0
+    for s in strata:  # FIXED summation order — the replay contract
+        denom += powed[s]
+    return {s: powed[s] / denom for s in strata if counts.get(s, 0) > 0}

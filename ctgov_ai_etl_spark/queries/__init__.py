@@ -41,6 +41,7 @@ _PRIORITY = (
     "dedup_sorted_neighborhood",
     "quality_linear_score",
     "dedup_semantic_groups",
+    "sample_temperature",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -2222,6 +2222,80 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select("doc_id", "decile", F.col("__pos").cast("long").alias("pos"))
 
 
+_TEMP_LANGS = ["de", "en", "es", "fr", "zh"]  # fixed summation order
+_TEMP_SQRTS = " + ".join(
+    f"sqrt((SELECT CAST(count(*) AS DOUBLE) FROM documents WHERE lang = '{s}'))"
+    for s in _TEMP_LANGS
+)
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) // 2 AS out_n FROM documents),
+    denom AS (SELECT {_TEMP_SQRTS} AS d),
+    rates AS (
+      SELECT lang, n_s,
+             sqrt(CAST(n_s AS DOUBLE)) / (SELECT d FROM denom) AS w,
+             least(1.0, (sqrt(CAST(n_s AS DOUBLE)) / (SELECT d FROM denom))
+                          * (SELECT out_n FROM tot) / n_s) AS rate
+      FROM n WHERE lang IN ({", ".join(f"'{s}'" for s in _TEMP_LANGS)})
+    ),
+    sampled AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r USING (lang)
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < r.rate * 10000
+    )
+    SELECT r.lang, CAST(r.n_s AS BIGINT) AS n_in,
+           CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+           round(r.w, 9) AS weight, round(r.rate, 9) AS rate
+    FROM rates r
+    LEFT JOIN (SELECT lang, count(*) AS n_out FROM sampled GROUP BY lang) o
+      USING (lang)
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5 — the XLM-R/mT5
+    rebalancing rule, operators/limits.temperature_weights): target
+    weights derive from the corpus itself, w_s = √n_s / Σ √n, so tail
+    languages upsample without a hand-written mixture; then the same
+    deterministic md5-bucket stratified filter as ``sample_mixture``
+    resamples to half the corpus.  √ is IEEE-correctly-rounded in
+    every engine and the denominator sums in a FIXED stratum order,
+    so even the double-precision rates replay bit-for-bit in the
+    oracle.  Output is the per-stratum audit (in/out/weight/rate)."""
+    from ctgov_ai_etl_spark.operators.limits import (
+        mixture_fractions,
+        stratified_sample,
+        temperature_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()  # bounded driver scalar
+    w = temperature_weights(d, "lang", _TEMP_LANGS, alpha=0.5)
+    fracs = mixture_fractions(d, "lang", w, total // 2)
+    samp = stratified_sample(d, "lang", fracs, "doc_id")
+    n_in = d.groupBy("lang").agg(F.count("*").alias("n_in"))
+    n_out = samp.groupBy("lang").agg(F.count("*").alias("n_out"))
+    aux = spark.createDataFrame(
+        [(s, float(w[s]), float(fracs[s])) for s in w],
+        "lang string, w_raw double, rate_raw double",
+    )
+    return (
+        n_in.join(n_out, "lang", "left")
+        .join(F.broadcast(aux), "lang", "inner")
+        .select(
+            "lang",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.round("w_raw", 9).alias("weight"),
+            F.round("rate_raw", 9).alias("rate"),
+        )
+    )
+
+
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.25, "es": 0.2, "fr": 0.1, "zh": 0.05}
 _MIX_CASE = " ".join(
     f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
