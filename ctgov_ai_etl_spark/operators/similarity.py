@@ -991,3 +991,126 @@ def semantic_prune_oracle_sql(
     SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.centroid_sim
     FROM asg a ANTI JOIN dom d ON a.vec_id = d.vec_id
     """
+
+
+def semantic_incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """STEADY-STATE semantic dedup: match an INCOMING embedding batch
+    against the EXISTING corpus — the embedding-tier twin of
+    ``minhash_incremental_dedup`` (same production shape: dedup the
+    corpus once, check every new crawl against it, never all-pairs
+    over the union again).
+
+    Returns (id [incoming], dup_of [min matching existing id],
+    cos_sim [of that pair]) for every incoming vector with some
+    existing near-dup at cosine ≥ ``threshold``; anti-joining
+    ``incoming`` on the result admits only semantically novel
+    vectors.
+
+    Scale shape: both sides assign map-side against broadcast
+    centroid literals; the ONLY cross-side work is the equi-join on
+    cluster id with the batch side BROADCAST (batches are small next
+    to a 100 TB corpus), so the corpus store is probed in place —
+    with the store's (id, cid) table persisted partitioned by cid,
+    each increment pays only its own assignment pass.  Deterministic
+    given the centroids → SQL-replayable."""
+    asg_e = centroid_assign(existing, centroids, id_col, vec_col, round_digits)
+    asg_i = centroid_assign(incoming, centroids, id_col, vec_col, round_digits)
+    cand = (
+        asg_e.select(F.col("id").alias("eid"), "cid")
+        .join(
+            F.broadcast(asg_i.select(F.col("id").alias("iid"), "cid")), "cid"
+        )
+        .select("iid", "eid")
+    )
+    vi = incoming.select(
+        F.col(id_col).alias("iid"), _as_double(F.col(vec_col)).alias("vi")
+    ).select("iid", "vi", norm(F.col("vi")).alias("ni"))
+    ve = existing.select(
+        F.col(id_col).alias("eid"), _as_double(F.col(vec_col)).alias("ve")
+    ).select("eid", "ve", norm(F.col("ve")).alias("ne"))
+    sim = F.round(
+        dot(F.col("vi"), F.col("ve")) / (F.col("ni") * F.col("ne")), round_digits
+    )
+    hits = (
+        cand.join(F.broadcast(vi), "iid")
+        .join(ve, "eid")
+        .select("iid", "eid", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # deterministic dup target: the MINIMUM matching existing id
+    # (struct-min on unique eids carries its cos along exactly)
+    return (
+        hits.groupBy("iid")
+        .agg(F.min(F.struct("eid", "cos_sim")).alias("m"))
+        .select(
+            F.col("iid").alias(id_col),
+            F.col("m.eid").alias("dup_of"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+def semantic_incremental_oracle_sql(
+    centroids: list[list[float]],
+    threshold: float,
+    split_bucket: int,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of :func:`semantic_incremental_dedup` over the
+    md5-bucket corpus split used by the registered query."""
+    rows = ",\n      ".join(
+        f"({cid}, [" + ",".join(repr(x) for x in c) + "])"
+        for cid, c in enumerate(centroids)
+    )
+    ccos = (
+        "round(list_dot_product(e.v, c.cvec)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    iecos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT cid, CAST(cvec AS DOUBLE[]) AS cvec
+      FROM (VALUES
+      {rows}
+      ) c(cid, cvec)
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS bkt
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.bkt, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {ccos} DESC, c.cid ASC) AS rn
+      FROM corpus e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, bkt, cid FROM ranked WHERE rn = 1),
+    hits AS (
+      SELECT i.vec_id AS iid, e.vec_id AS eid, {iecos} AS cos_sim
+      FROM asg i
+      JOIN asg e ON i.cid = e.cid
+      JOIN corpus x ON x.vec_id = i.vec_id
+      JOIN corpus y ON y.vec_id = e.vec_id
+      WHERE i.bkt >= {split_bucket} AND e.bkt < {split_bucket}
+        AND {iecos} >= {threshold}
+    )
+    SELECT iid AS vec_id, eid AS dup_of, cos_sim FROM (
+      SELECT iid, eid, cos_sim,
+             row_number() OVER (PARTITION BY iid
+                                ORDER BY eid ASC) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """

@@ -42,6 +42,7 @@ _PRIORITY = (
     "quality_linear_score",
     "dedup_semantic_groups",
     "sample_temperature",
+    "dedup_semantic_incremental",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

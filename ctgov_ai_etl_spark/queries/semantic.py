@@ -1472,6 +1472,39 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_prune(e, _BLOCK_CENTROIDS, threshold=0.3)
 
 
+def _semantic_incremental_oracle() -> str:
+    from ctgov_ai_etl_spark.operators.similarity import (
+        semantic_incremental_oracle_sql,
+    )
+
+    return semantic_incremental_oracle_sql(_BLOCK_CENTROIDS, 0.3, 8000)
+
+
+@query("dedup_semantic_incremental", oracle=_semantic_incremental_oracle())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC admission — the embedding-tier twin of
+    ``dedup_incremental``: the corpus is already semantically deduped;
+    each new batch (the 20% md5-bucket slice standing in for a fresh
+    delivery) is checked against the EXISTING corpus within centroid
+    blocks and only semantically novel vectors admitted
+    (operators/similarity.py:semantic_incremental_dedup).  Cross-side
+    work is ONE equi-join on cluster id with the batch side broadcast;
+    the store is probed in place.  Deterministic given the trained
+    quantizer, so the oracle replays assignment, candidate membership,
+    and the min-id dup target exactly."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from ctgov_ai_etl_spark.operators.similarity import (
+        semantic_incremental_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    existing = e.filter(hash_bucket(F.col("vec_id")) < 8000)
+    incoming = e.filter(hash_bucket(F.col("vec_id")) >= 8000)
+    return semantic_incremental_dedup(
+        existing, incoming, _BLOCK_CENTROIDS, threshold=0.3
+    )
+
+
 def _semantic_groups_oracle_sql(
     centroids: list[list[float]], threshold: float
 ) -> str:

@@ -621,3 +621,37 @@ def test_semantic_groups_keep_one_per_component(spark):
         assert all(m.gsize == len(members) for m in members)
         keeper = [m for m in members if m.keep]
         assert len(keeper) == 1
+
+
+def test_semantic_incremental_matches_cross_side_blocked_pairs(spark):
+    """Incremental admission == the cross-side subset of the blocked
+    pair graph, reduced to min-matching-existing-id: every reported
+    (vec_id, dup_of) is a blocked pair across the split with dup_of
+    the minimum matching existing id; every incoming vector with some
+    cross-side pair is reported."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from ctgov_ai_etl_spark.operators.similarity import (
+        semantic_incremental_dedup,
+    )
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    existing = e.filter(hash_bucket(F.col("vec_id")) < 8000)
+    incoming = e.filter(hash_bucket(F.col("vec_id")) >= 8000)
+    got = {
+        r.vec_id: (r.dup_of, r.cos_sim)
+        for r in semantic_incremental_dedup(
+            existing, incoming, _BLOCK_CENTROIDS, threshold=0.3
+        ).collect()
+    }
+
+    pairs = blocked_cosine_pairs(e, _BLOCK_CENTROIDS, threshold=0.3).collect()
+    exist_ids = {r.vec_id for r in existing.collect()}
+    want: dict[int, tuple[int, float]] = {}
+    for r in pairs:
+        for iid, eid in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if iid not in exist_ids and eid in exist_ids:
+                cur = want.get(iid)
+                if cur is None or eid < cur[0]:
+                    want[iid] = (eid, r.cos_sim)
+    assert got == want and len(want) > 0
