@@ -267,3 +267,79 @@ LINEAR_QUALITY_ORACLE_SQL = """
            logit_micro >= 0 AS keep
     FROM s
     """
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    max_boilerplate: int = 100_000,
+) -> DataFrame:
+    """Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb
+    stage between per-doc quality rules and doc-level dedup): a line
+    occurring in ≥ ``min_docs`` distinct documents is boilerplate
+    (navigation chrome, cookie banners, license footers) and is
+    stripped from every document.  Returns (id, clean_text, n_lines,
+    n_removed) with surviving lines in original order.
+
+    100 TB shape: the line-frequency table aggregates per-doc DISTINCT
+    lines (one shuffle whose payload is lines, not docs); the
+    boilerplate subset is guarded to ≤ ``max_boilerplate`` rows and
+    rides back as a ONE-ROW broadcast array, so the removal itself is
+    a map-side higher-order filter — documents are never exploded,
+    re-grouped, or shuffled.  Everything is exact set/count algebra —
+    fully SQL-replayable."""
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(F.explode(F.array_distinct(lines)).alias("line"))
+    counts = ex.groupBy("line").agg(F.count("*").alias("nd"))
+    bl = counts.filter(F.col("nd") >= min_docs).select("line")
+    n_bl = bl.count()  # bounded driver scalar (guard)
+    if n_bl > max_boilerplate:
+        raise ValueError(
+            f"boilerplate set has {n_bl} lines (cap {max_boilerplate}): "
+            "min_docs is too low for this corpus, or raise the cap if the "
+            "broadcast really fits"
+        )
+    bl_row = bl.agg(F.coalesce(F.collect_set("line"), F.array()).alias("__bl"))
+    kept = F.filter(lines, lambda l: ~F.array_contains(F.col("__bl"), l))
+    return (
+        df.crossJoin(F.broadcast(bl_row))
+        .select(
+            F.col(id_col).alias(id_col),
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(lines).cast("int").alias("n_lines"),
+            (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
+        )
+    )
+
+
+def boilerplate_oracle_sql(min_docs: int = 3, table: str = "documents") -> str:
+    """DuckDB replay of :func:`remove_boilerplate_lines`: same
+    distinct-per-doc line counts, anti-join removal, order-preserving
+    reassembly (docs losing every line keep an empty clean_text)."""
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {table}),
+    ex AS (SELECT doc_id, unnest(list_distinct(ls)) AS line FROM t),
+    c AS (SELECT line, count(*) AS nd FROM ex GROUP BY 1),
+    bl AS (SELECT line FROM c WHERE nd >= {min_docs}),
+    pos AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+      FROM t, unnest(list_transform(range(1, len(ls) + 1),
+                                    i -> {{'pos': i, 'line': ls[i]}})) u(s)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.line FROM pos p ANTI JOIN bl USING (line)
+    ),
+    res AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+             CAST(count(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(t.ls) AS INT) AS n_lines,
+           CAST(len(t.ls) - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM t LEFT JOIN res r USING (doc_id)
+    """

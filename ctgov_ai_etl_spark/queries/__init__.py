@@ -43,6 +43,7 @@ _PRIORITY = (
     "dedup_semantic_groups",
     "sample_temperature",
     "dedup_semantic_incremental",
+    "text_boilerplate_lines",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

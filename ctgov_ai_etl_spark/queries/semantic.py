@@ -2088,6 +2088,29 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(d, id_col="doc_id", text_col="text")
 
 
+def _boilerplate_oracle() -> str:
+    from ctgov_ai_etl_spark.operators.quality import boilerplate_oracle_sql
+
+    return boilerplate_oracle_sql(min_docs=3)
+
+
+@query("text_boilerplate_lines", oracle=_boilerplate_oracle())
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    stage, operators/quality.py:remove_boilerplate_lines): lines
+    occurring in ≥ 3 distinct documents are stripped everywhere,
+    surviving lines keep their order.  One line-frequency aggregate;
+    the removal is a map-side higher-order filter against the one-row
+    broadcast boilerplate array — documents never explode or shuffle.
+    (This corpus is single-line word-soup, so 'lines' here are whole
+    texts — exact-duplicate bodies get blanked; the multi-line
+    behavior is pinned by the hand-built test.)"""
+    from ctgov_ai_etl_spark.operators.quality import remove_boilerplate_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_lines(d, id_col="doc_id", text_col="text")
+
+
 def _linear_quality_oracle() -> str:
     from ctgov_ai_etl_spark.operators.quality import LINEAR_QUALITY_ORACLE_SQL
 

@@ -121,3 +121,31 @@ def test_linear_quality_score_hand_computed(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # inference is map-side, scan speed
+
+
+def test_remove_boilerplate_lines_multiline(spark):
+    """Multi-line behavior: the footer shared by 3 docs is stripped
+    from all of them (all occurrences, order preserved); the line
+    shared by only 2 docs survives; a doc that was pure boilerplate
+    blanks out."""
+    from ctgov_ai_etl_spark.operators.quality import remove_boilerplate_lines
+
+    docs = [
+        (1, "unique alpha\nCOMMON FOOTER\nunique beta"),
+        (2, "semi common\nCOMMON FOOTER"),
+        (3, "COMMON FOOTER\nsemi common\nCOMMON FOOTER"),
+        (4, "COMMON FOOTER"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(d, min_docs=3).collect()}
+    assert out[1].clean_text == "unique alpha\nunique beta"
+    assert out[1].n_removed == 1 and out[1].n_lines == 3
+    assert out[2].clean_text == "semi common"  # 2 docs < min_docs: kept
+    assert out[3].clean_text == "semi common"  # both occurrences stripped
+    assert out[3].n_removed == 2
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boilerplate set"):
+        remove_boilerplate_lines(d, min_docs=1, max_boilerplate=2)
