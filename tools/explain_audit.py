@@ -264,6 +264,30 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
         ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
     ],
+    "dedup_semantic_groups": [
+        ("pair/keeper joins keyed (no cartesian)", r"\A(?!.*CartesianProduct)"),
+        ("per-component keeper via partial aggregation, not a window",
+         r"partial_min"),
+        ("no single-reducer exchange", r"\A(?!.*Exchange SinglePartition)"),
+    ],
+    "sample_temperature": [
+        ("rates ride a broadcast dim join", r"BroadcastHashJoin"),
+        ("md5-bucket sample filter map-side (no fact shuffle before filter)",
+         r"Filter [^\n]*conv\(substring\(md5"),
+        ("stratum counts partially aggregated", r"partial_count"),
+    ],
+    "dedup_semantic_incremental": [
+        ("batch side broadcast into the store probe", r"BroadcastHashJoin"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("min-id dup target via partial aggregation", r"partial_min"),
+    ],
+    "text_boilerplate_lines": [
+        ("boilerplate set broadcast (docs never shuffle for removal)",
+         r"BroadcastNestedLoopJoin"),
+        ("line counts partially aggregated", r"partial_count"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
 }
 
 
