@@ -314,18 +314,12 @@ def ivf_topk(
         v = _as_double(F.col(vecc))
         return F.transform(cent_lit, lambda c: F.round(cosine(v, c), round_digits))
 
-    # corpus side: argmax assignment (first max => lowest cid on ties);
-    # __sims is a real column first — Catalyst does not CSE the
-    # transform between array_max and array_position.
-    asg = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-        .withColumn("__sims", cluster_sims("cvec"))
-        .select(
-            "neighbor_id",
-            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
-            .cast("int")
-            .alias("cid"),
-        )
+    # corpus side: argmax assignment (first max => lowest cid on ties)
+    # through the shared norm-hoisted prologue (one norm fold per row,
+    # centroid norms folded to literals — bit-identical doubles, see
+    # _assign_frame).
+    asg = centroid_assign(corpus, centroids, id_col, vec_col, round_digits).select(
+        F.col("id").alias("neighbor_id"), "cid"
     )
     # query side: top-nprobe clusters by (sim desc, cid asc) — sort
     # (-sim, cid) structs ascending, slice, explode.
@@ -439,19 +433,13 @@ def ivf_topk_partitioned(
             path = os.path.join(tmp, "inverted")
             _IVF_LAYOUT_CACHE[key] = path
     if write_needed:
-        inv = (
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                _as_double(F.col(vec_col)).alias("cvec"),
-            )
-            .withColumn("__sims", cluster_sims(F.col("cvec")))
-            .select(
-                "neighbor_id",
-                "cvec",
-                (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
-                .cast("int")
-                .alias("cid"),
-            )
+        # shared norm-hoisted assignment prologue (see _assign_frame)
+        inv = _assign_frame(corpus, centroids, id_col, vec_col, round_digits).select(
+            F.col("id").alias("neighbor_id"),
+            F.col("__v").alias("cvec"),
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cid"),
         )
         inv.write.mode("overwrite").partitionBy("cid").parquet(path)
 
