@@ -44,6 +44,7 @@ _PRIORITY = (
     "sample_temperature",
     "dedup_semantic_incremental",
     "text_boilerplate_lines",
+    "stream_run_semantic_admission",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

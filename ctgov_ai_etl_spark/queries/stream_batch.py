@@ -372,3 +372,123 @@ def stream_run_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "us_to_purchase"
         ),
     )
+
+
+def _read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch stream over the embeddings parquet
+    (the events-stream pattern, streaming/events.py:26, applied to the
+    vector table: explicit schema + pathGlobFilter on the sf dir)."""
+    import os as _os
+
+    import pyspark.sql.types as T
+
+    _ = _os.path.join(sf_dir, "embeddings.parquet")  # path sanity
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+
+
+@query(
+    "stream_run_semantic_admission",
+    oracle=None,  # patched below: identical result contract to the
+    # batch twin dedup_semantic_incremental, so it shares that oracle
+)
+def stream_run_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming semantic admission: the embedding corpus
+    streams in micro-batches and every batch row is checked against
+    the STATIC deduped store inside the stream plan — map-side
+    centroid assignment on the stream, a stream-static equi-join on
+    cluster id (the store's (id, cid, vec, norm) table broadcasts;
+    at 100 TB it would sit partitioned by cid and the join stays
+    keyed), exact-cosine verify, and a stateful min-struct aggregate
+    that reduces each incoming vector's matches to the deterministic
+    min-id dup target.  Complete-mode memory sink: on the finite
+    single-batch source the result equals the batch twin
+    ``dedup_semantic_incremental`` — which is exactly what the shared
+    oracle replays (same rule as the other stream_run twins)."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from ctgov_ai_etl_spark.operators.similarity import (
+        _assign_frame,
+        dot,
+        norm,
+    )
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+    from ctgov_ai_etl_spark.tables import load_table as _lt
+
+    threshold = 0.3
+    e = _lt(spark, sf_dir, "embeddings")
+    existing = e.filter(hash_bucket(F.col("vec_id")) < 8000)
+    # static store side: assignment + vectors + norms, one broadcastable table
+    store = (
+        _assign_frame(existing, _BLOCK_CENTROIDS, "vec_id", "embedding", 6)
+        .select(
+            F.col("id").alias("eid"),
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.col("__v").alias("ve"),
+            F.col("__nv").alias("ne"),
+        )
+    )
+    incoming = _read_embeddings_stream(spark, sf_dir).filter(
+        hash_bucket(F.col("vec_id")) >= 8000
+    )
+    stream_asg = _assign_frame(
+        incoming, _BLOCK_CENTROIDS, "vec_id", "embedding", 6
+    ).select(
+        F.col("id").alias("iid"),
+        (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.col("__v").alias("vi"),
+        F.col("__nv").alias("ni"),
+    )
+    sim = F.round(
+        dot(F.col("vi"), F.col("ve")) / (F.col("ni") * F.col("ne")), 6
+    )
+    hits = (
+        stream_asg.join(F.broadcast(store), "cid")
+        .select("iid", "eid", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    dups = (
+        hits.groupBy("iid")
+        .agg(F.min(F.struct("eid", "cos_sim")).alias("m"))
+        .select(
+            F.col("iid").alias("vec_id"),
+            F.col("m.eid").alias("dup_of"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # batch-volume sizing
+    try:
+        out = run_stream_to_memory(dups, mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _patch_stream_semantic_oracle() -> None:
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    spec = REGISTRY["stream_run_semantic_admission"]
+    twin = REGISTRY.get("dedup_semantic_incremental")
+    if twin is not None and spec.oracle is None:
+        REGISTRY["stream_run_semantic_admission"] = type(spec)(
+            name=spec.name, fn=spec.fn, oracle=twin.oracle, doc=spec.doc
+        )
+
+
+_patch_stream_semantic_oracle()

@@ -245,3 +245,24 @@ def test_stateful_auto_dispatches_to_supported_api(spark):
     )
     cols = ["user_id", "n_events", "max_value"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stream_semantic_admission_equals_batch_twin(spark):
+    """Finite-source streaming admission == the batch twin
+    (dedup_semantic_incremental): same store split, same centroid
+    blocks, same min-id dup targets."""
+    from ctgov_ai_etl_spark.queries.semantic import dedup_semantic_incremental
+    from ctgov_ai_etl_spark.queries.stream_batch import (
+        stream_run_semantic_admission,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.vec_id, r.dup_of, r.cos_sim)
+        for r in stream_run_semantic_admission(spark, SF_SMALL).collect()
+    }
+    want = {
+        (r.vec_id, r.dup_of, r.cos_sim)
+        for r in dedup_semantic_incremental(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(want) > 0
