@@ -156,10 +156,13 @@ def minhash_incremental_dedup(
     Same md5-replayable pipeline as :func:`minhash_lsh_pairs`, so a
     SQL oracle reproduces candidate membership exactly.
     """
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
     rows = num_hashes // bands
     mk = char_shingles if shingle == "char" else token_shingles
 
     def sigs_of(df: DataFrame) -> DataFrame:
+        df = spread_to_parallelism(df)  # signature folds are CPU-bound
         base = df.select(
             F.col(id_col).alias("id"),
             F.transform(
@@ -265,6 +268,9 @@ def minhash_lsh_pairs(
     could collide two different band values and emit a pair no exact
     replay would produce).
     """
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    df = spread_to_parallelism(df)  # signature folds are CPU-bound
     rows = num_hashes // bands
     mk = char_shingles if shingle == "char" else token_shingles
     # Materialize the base-hash array as a real column FIRST: the 64
@@ -456,6 +462,9 @@ def simhash_pairs(
     DuckDB oracle replays when ``hash_method='md5'`` makes the
     signatures engine-reproducible.
     """
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    df = spread_to_parallelism(df)  # simhash bit-folds are CPU-bound
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     with_sim = df.select(
@@ -512,8 +521,12 @@ def jaccard_token_pairs(
     ~5% of each document, and ultra-common tokens never enter the
     join — this is what keeps the shuffle bounded at 100 TB.
     """
-    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
+    from ctgov_ai_etl_spark.operators.limits import (
+        global_rank_with_count,
+        spread_to_parallelism,
+    )
 
+    df = spread_to_parallelism(df)  # shingling/encoding is CPU-bound
     # ngram=1 is the bag-of-words token set; ngram>=2 compares word
     # n-gram sets, re-introducing local order sensitivity
     toks = df.select(

@@ -326,3 +326,19 @@ def temperature_weights(
     for s in strata:  # FIXED summation order — the replay contract
         denom += powed[s]
     return {s: powed[s] / denom for s in strata if counts.get(s, 0) > 0}
+
+
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism IFF the input
+    plans fewer partitions.  Compute-heavy per-row stages (signature
+    folds, shingling, hash ladders) are CPU-bound, and a small parquet
+    input (one row group) otherwise runs them all on ONE core — at
+    sf0.1 the 5k-doc corpus is a single split, and spreading it took
+    minhash signature generation 8.8 → 3.0 s warm.  At real scale the
+    scan already has ≥ parallelism splits and this is a NO-OP (no
+    shuffle added); identical repartition subtrees across plan
+    branches collapse to one exchange via ReuseExchange."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

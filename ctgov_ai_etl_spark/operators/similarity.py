@@ -488,17 +488,10 @@ def ivf_topk_partitioned(
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism IFF the input
-    plans fewer partitions — the compute-heavy assignment folds are
-    CPU-bound per row, and a small parquet corpus (one row group)
-    otherwise runs its whole k-centroid argmax on ONE core.  At real
-    scale the scan already has ≥ parallelism splits and this is a
-    no-op (no shuffle added); identical repartition subtrees across
-    branches collapse to one exchange via ReuseExchange."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    """See operators/limits.spread_to_parallelism (shared helper)."""
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    return spread_to_parallelism(df)
 
 
 def _centroid_norms(centroids: list[list[float]]) -> list[float]:
