@@ -51,6 +51,9 @@ def flag_contaminated(
     shuffle.  Anti-joining the result against ``train`` yields the
     decontaminated corpus.
     """
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    train, bench = spread_to_parallelism(train), spread_to_parallelism(bench)
     bench_shingles = (
         bench.select(
             F.explode(ngram_shingles(tokens(F.col(text_col)), n)).alias("s")

@@ -127,8 +127,11 @@ def repeated_spans(
     instead (a one-line change downstream) reproduces the paper's
     keep-one policy.
     """
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
     spans = (
-        df.select(
+        spread_to_parallelism(df)  # shingle+md5 explosion is CPU-bound
+        .select(
             F.col(id_col),
             F.explode(ngram_shingles(tokens(F.col(text_col)), n)).alias("s"),
         )
