@@ -22,8 +22,12 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #   block 0 — queries NEW this round (never driver-checked):
 #     cdc_time_travel, sample_reservoir, graph_triangle_count —
 #     implemented this round (they were phantom _PRIORITY names in
-#     r5; VERDICT r5 "What's wrong" 1) — plus embed_random_projection
-#     (JL reduction, new r6 capability);
+#     r5; VERDICT r5 "What's wrong" 1) — plus the new r6
+#     capabilities: embed_random_projection (JL), the SemDeDup tiers
+#     (pairwise prune / group-exact / incremental / streaming),
+#     lm_bigram_score, dedup_sorted_neighborhood,
+#     quality_linear_score, sample_temperature,
+#     text_boilerplate_lines;
 #   block 1 — the 49 r3-latest queries, cheapest first (merged
 #     BENCH_r01-r05 timings) so a time-budgeted window re-greens the
 #     most; no query's OUTPUT changed this round (the k-means reseed
