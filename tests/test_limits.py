@@ -17,3 +17,18 @@ def test_temperature_weights_flatten_distribution(spark):
     import math
     denom = math.sqrt(90) + 0.0 + math.sqrt(10)
     assert w["big"] == math.sqrt(90) / denom  # exact fixed-order math
+
+
+def test_spread_to_parallelism_contract(spark):
+    """Spreads a single-partition frame to cluster parallelism, but is
+    a NO-OP (same plan object) when the input already has enough
+    partitions — the at-scale behavior."""
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(1000).coalesce(1)
+    assert spread_to_parallelism(one).rdd.getNumPartitions() == par
+
+    wide = spark.range(1000).repartition(par + 5)
+    out = spread_to_parallelism(wide)
+    assert out is wide  # untouched: no repartition node added
