@@ -453,3 +453,217 @@ def pq_oracle_sql(
       FROM refined
     ) WHERE rank <= {topk}
     """
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[int]]],
+    topk: int = 5,
+    nprobe: int = 6,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ with exact refinement — the COMPOSITE production ANN
+    layout (Jégou et al. '11; what FAISS serves billion-vector
+    corpora with): the coarse quantizer prunes the corpus to the
+    queries' ``nprobe`` clusters, ADC over the 8-byte PQ codes ranks
+    ONLY those candidates, and the ``refine``-deep shortlist re-ranks
+    against full-precision vectors.
+
+    Relative to the standalone tiers already in the catalog: vs
+    ``pq_topk`` the ADC join now touches Σ probed-cluster codes
+    instead of every corpus code (the 1/ncentroids·nprobe scan
+    fraction that matters at 100 TB); vs ``ivf_topk`` the candidate
+    ranking reads 8-byte codes, not full vectors.  Deterministic
+    given (coarse, codebooks): cosine probe ranking rounds at
+    ``round_digits`` with lowest-cid ties, ADC/refine are exact
+    integers — the full composite replays in SQL."""
+    from pyspark.sql import Window
+
+    from ctgov_ai_etl_spark.operators.similarity import (
+        _assign_frame,
+        centroid_assign,
+    )
+
+    spark = corpus.sparkSession
+    m, sub = len(codebooks), len(codebooks[0][0])
+    asg = centroid_assign(corpus, coarse, id_col, vec_col, round_digits).select(
+        F.col("id").alias("neighbor_id"), "cid"
+    )
+    af = _assign_frame(queries, coarse, id_col, vec_col, round_digits)
+    probe_pairs = F.zip_with(
+        F.col("__sims"),
+        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
+        lambda s, c: F.struct((-s).alias("negsim"), c.alias("cid")),
+    )
+    probes = af.select(
+        F.col("id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_pairs), 1, nprobe),
+                lambda p: p["cid"].cast("int"),
+            )
+        ).alias("cid"),
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    cb = _codebook_df(spark, codebooks)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qsub = _subvectors(queries, id_col, vec_col, m, sub).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    qdist = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code", sqdist_long(F.col("sv"), F.col("cvec")).alias("qd")
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qdist), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("nv")
+    )
+    exact = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            sqdist_long(F.col("qv"), F.col("nv")).alias("dist_micro2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "dist_micro2", "rank")
+    )
+
+
+def ivfpq_oracle_sql(
+    coarse: list[list[float]],
+    codebooks: list[list[list[int]]],
+    topk: int = 5,
+    nprobe: int = 6,
+    refine: int = 50,
+    n_queries: int = 5,
+    table: str = "embeddings",
+) -> str:
+    """SQL replay of :func:`ivfpq_topk`: the IVF probe CTEs (same
+    round-before-rank cosine rule as the ivf oracle) restrict the PQ
+    ADC to probed clusters; encode/ADC/refine mirror pq_oracle_sql."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    crows = ",\n      ".join(
+        f"({cid}, [" + ",".join(repr(x) for x in c) + "])"
+        for cid, c in enumerate(coarse)
+    )
+    brows = ",\n      ".join(
+        f"({s}, {c}, [" + ",".join(str(v) for v in vec) + "])"
+        for s, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    )
+    ccos = (
+        "round(list_dot_product(e.v, c.cvec)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+    )
+    d_enc = _sql_sqdist("sub.sv", "cb.cvec")
+    quant = SQL_QUANTIZE.format(col="embedding")
+    return f"""
+    WITH cents AS (
+      SELECT cid, CAST(cvec AS DOUBLE[]) AS cvec
+      FROM (VALUES
+      {crows}
+      ) t(cid, cvec)
+    ),
+    dcorpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    cranked AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {ccos} DESC, c.cid ASC) AS rn
+      FROM dcorpus e CROSS JOIN cents c
+    ),
+    asg AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM cranked
+               WHERE rn <= {nprobe} AND vec_id < {n_queries}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN asg a USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ),
+    cb AS (
+      SELECT s, code, CAST(cvec AS BIGINT[]) AS cvec FROM (VALUES
+      {brows}
+      ) t(s, code, cvec)
+    ),
+    q AS (SELECT vec_id, {quant} AS v FROM {table}),
+    sub AS (
+      SELECT vec_id, CAST(p.s AS INT) AS s,
+             v[p.s * {sub} + 1 : p.s * {sub} + {sub}] AS sv
+      FROM q CROSS JOIN range(0, {m}) p(s)
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.s, cb.code, {d_enc} AS dist
+      FROM sub JOIN cb ON cb.s = sub.s
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                 ORDER BY dist ASC, code ASC) AS rn FROM dists
+      ) WHERE rn = 1
+    ),
+    qdist AS (
+      SELECT vec_id AS query_id, s, code, dist AS qd
+      FROM dists WHERE vec_id < {n_queries}
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(qdist.qd) AS BIGINT) AS adc_dist
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.neighbor_id
+      JOIN qdist ON qdist.query_id = cand.query_id
+                AND qdist.s = codes.s AND qdist.code = codes.code
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS arn
+        FROM adc
+      ) WHERE arn <= {refine}
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_sql_sqdist("qv.v", "nv.v")} AS dist_micro2
+      FROM shortlist s
+      JOIN q qv ON qv.vec_id = s.query_id
+      JOIN q nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro2, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist_micro2 ASC, neighbor_id ASC) AS INT) AS rank
+      FROM refined
+    ) WHERE rank <= {topk}
+    """

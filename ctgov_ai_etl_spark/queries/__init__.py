@@ -49,6 +49,7 @@ _PRIORITY = (
     "dedup_semantic_incremental",
     "text_boilerplate_lines",
     "stream_run_semantic_admission",
+    "sim_topk_ivfpq",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.operators.clustering import (
+    ivfpq_oracle_sql,
+    ivfpq_topk,
     kmeans_lloyd,
     kmeans_oracle_sql,
     pq_oracle_sql,
@@ -23,9 +25,11 @@ from ctgov_ai_etl_spark.operators.clustering import (
     pq_train_offline,
 )
 from ctgov_ai_etl_spark.operators.similarity import (
+    fit_centroids_offline,
     jl_signs,
     random_project,
     random_project_oracle_sql,
+    seeded_centroids,
 )
 from ctgov_ai_etl_spark.operators.graph import (
     pagerank,
@@ -168,3 +172,42 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed per-dim by the oracle's list_dot_product."""
     e = load_table(spark, sf_dir, "embeddings")
     return random_project(e, _JL_SIGNS)
+
+
+# Trained coarse quantizer (the fit_centroids_offline pattern): the
+# seeded grid left IVF-PQ recall at ~0.5 where standalone PQ reached
+# 0.6 — probe pruning on badly-shaped cells drops true neighbors the
+# shortlist would have kept; training recovers it (0.64, recall test).
+try:
+    _IVFPQ_COARSE = fit_centroids_offline(_PQ_TRAIN_PARQUET, k=16)
+except Exception:  # canonical corpus absent: deterministic fallback
+    _IVFPQ_COARSE = seeded_centroids(k=16, dim=64)
+
+
+@query(
+    "sim_topk_ivfpq",
+    oracle=ivfpq_oracle_sql(
+        _IVFPQ_COARSE, _PQ_BOOKS, topk=5, nprobe=6, refine=50, n_queries=5
+    ),
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine, the COMPOSITE production ANN layout
+    (operators/clustering.py:ivfpq_topk — Jégou '11, the
+    billion-vector serving shape): the 16-centroid coarse quantizer
+    prunes the corpus to each query's 6 probe clusters, ADC over the
+    trained 8×16 PQ codes ranks only those candidates (8-byte codes,
+    not vectors), and the 50-deep shortlist re-ranks in exact
+    integer micro-units.  Completes the catalog's ANN ladder: brute
+    (exact baseline) → LSH/IVF (one pruning axis) → PQ (one
+    compression axis) → IVF-PQ (both).  Deterministic given the
+    quantizers; the full composite replays in the SQL oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+        topk=5,
+        nprobe=6,
+        refine=50,
+    )

@@ -478,3 +478,36 @@ def test_random_projection_exact_and_distance_preserving(spark):
             rel.append(abs(pr - ex) / max(ex, 1.0))
     rel = np.array(rel)
     assert np.median(rel) < 0.4 and np.percentile(rel, 90) < 1.0
+
+
+def test_ivfpq_recall_and_subset_of_pq(spark):
+    """IVF-PQ composite: (a) real recall vs the exact brute-force
+    operator (the property the shared-code oracle cannot check), and
+    (b) its ADC candidate pool is the probed-cluster SUBSET of
+    pq_topk's, so any result it returns is also PQ-reachable — the
+    probe pruning loses candidates, never invents them."""
+    from ctgov_ai_etl_spark.operators.clustering import ivfpq_topk, pq_topk
+    from ctgov_ai_etl_spark.operators.similarity import brute_force_topk
+    from ctgov_ai_etl_spark.queries.graph import _IVFPQ_COARSE, _PQ_BOOKS
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, queries, k=5).collect()
+    }
+    composite = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            e, queries, _IVFPQ_COARSE, _PQ_BOOKS, topk=5, nprobe=6, refine=50
+        ).collect()
+    }
+    recall = len(exact & composite) / len(exact)
+    assert recall >= 0.55, f"IVF-PQ recall {recall:.2f} < 0.55"
+
+    # widen refine so the shortlist cut cannot mask the subset relation
+    pq_wide = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(e, queries, _PQ_BOOKS, topk=200, refine=10_000).collect()
+    }
+    assert composite <= pq_wide
