@@ -27,7 +27,8 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #     (pairwise prune / group-exact / incremental / streaming),
 #     lm_bigram_score, dedup_sorted_neighborhood,
 #     quality_linear_score, sample_temperature,
-#     text_boilerplate_lines;
+#     text_boilerplate_lines, sim_topk_ivfpq,
+#     pipeline_curate_semantic;
 #   block 1 — the 49 r3-latest queries, cheapest first (merged
 #     BENCH_r01-r05 timings) so a time-budgeted window re-greens the
 #     most; no query's OUTPUT changed this round (the k-means reseed
@@ -50,6 +51,7 @@ _PRIORITY = (
     "text_boilerplate_lines",
     "stream_run_semantic_admission",
     "sim_topk_ivfpq",
+    "pipeline_curate_semantic",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

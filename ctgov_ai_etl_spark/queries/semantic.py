@@ -2111,6 +2111,76 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(d, id_col="doc_id", text_col="text")
 
 
+def _curate_semantic_oracle() -> str:
+    from ctgov_ai_etl_spark.operators.quality import (
+        LINEAR_QUALITY_ORACLE_SQL,
+        boilerplate_oracle_sql,
+    )
+    from ctgov_ai_etl_spark.operators.similarity import (
+        semantic_prune_oracle_sql,
+    )
+
+    lm = REGISTRY["lm_bigram_score"].oracle
+    return f"""
+    SELECT d.doc_id, d.lang, lm.avg_logprob, sem.cid, sem.centroid_sim
+    FROM documents d
+    JOIN (SELECT * FROM ({boilerplate_oracle_sql(min_docs=3)}) t) bl
+      ON bl.doc_id = d.doc_id AND bl.clean_text <> ''
+    JOIN (SELECT * FROM ({LINEAR_QUALITY_ORACLE_SQL}) t) lin
+      ON lin.doc_id = d.doc_id AND lin.keep
+    JOIN (SELECT * FROM ({lm}) t) lm
+      ON lm.doc_id = d.doc_id AND lm.avg_logprob >= -10.0
+    JOIN (SELECT * FROM ({semantic_prune_oracle_sql(_BLOCK_CENTROIDS, 0.3)}) t) sem
+      ON sem.vec_id = d.doc_id
+    """
+
+
+@query("pipeline_curate_semantic", oracle=_curate_semantic_oracle())
+def pipeline_curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL curation pipeline — the round-6 capstone chaining
+    the new text- and embedding-tier operators end to end: drop
+    pure-boilerplate documents (corpus-level line removal), gate on
+    the linear quality classifier (keep flag) and the bigram-LM score
+    (mean conditional log-prob ≥ −10), then SEMANTIC-prune survivors
+    through the embedding tier (SemDeDup retained set, joined on the
+    aligned doc/vec id).  Output: curated (doc_id, lang, avg_logprob,
+    cid, centroid_sim).
+
+    Shuffle inventory at scale: the boilerplate line agg + one-row
+    broadcast filter, the zero-shuffle classifier, the LM's two
+    vocabulary-sized aggregates + broadcast probe + per-doc agg, the
+    SemDeDup block-pair join + anti-join, and four id-keyed joins the
+    optimizer turns into one exchange lineage on doc_id.  Every
+    fragment is the already-oracle-checked operator; the composite
+    replays their SQL verbatim as nested subqueries."""
+    from ctgov_ai_etl_spark.operators.quality import (
+        bigram_lm_score,
+        linear_quality_score,
+        remove_boilerplate_lines,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bl = remove_boilerplate_lines(d).filter(F.col("clean_text") != "").select(
+        "doc_id"
+    )
+    lin = linear_quality_score(d).filter(F.col("keep")).select("doc_id")
+    lm = bigram_lm_score(d).filter(F.col("avg_logprob") >= -10.0).select(
+        "doc_id", "avg_logprob"
+    )
+    sem = semantic_prune(e, _BLOCK_CENTROIDS, threshold=0.3).select(
+        F.col("vec_id").alias("doc_id"), "cid", "centroid_sim"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(bl, "doc_id")
+        .join(lin, "doc_id")
+        .join(lm, "doc_id")
+        .join(sem, "doc_id")
+        .select("doc_id", "lang", "avg_logprob", "cid", "centroid_sim")
+    )
+
+
 def _linear_quality_oracle() -> str:
     from ctgov_ai_etl_spark.operators.quality import LINEAR_QUALITY_ORACLE_SQL
 
