@@ -288,6 +288,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "sim_topk_ivfpq": [
+        ("codebook/probe/distance tables broadcast", r"BroadcastHashJoin"),
+        ("ADC sum partially aggregated", r"partial_sum"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+    ],
+    "pipeline_curate_semantic": [
+        ("id-keyed gate joins (no cartesian)", r"\A(?!.*CartesianProduct)"),
+        ("LM probe / boilerplate set broadcast", r"BroadcastHashJoin"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
 }
 
 
