@@ -134,9 +134,14 @@ def kmeans_lloyd(
     for dedup blocking; turn it on when the cluster count itself is
     the contract (ANN partition layouts, mixture quotas).
     """
-    points = df.select(
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    points = spread_to_parallelism(df).select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("v")
     )
+    # Each round re-reads ``points`` for assign AND update; persist
+    # the narrow quantized table so the scan+quantize pass runs once.
+    points = points.persist()
     cents = points.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
     )

@@ -2331,7 +2331,9 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_rank_with_count,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    d = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
     scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
     ranked, n = global_rank_with_count(scored, ["q", "doc_id"])
     dec = ranked.select(
