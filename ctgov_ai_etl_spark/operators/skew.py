@@ -64,3 +64,41 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
     )
     return salted_fact.join(replicated_dim, [key, "__salt"]).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostics — the operational pre-step that
+    decides WHEN the salted operators in this module are worth their
+    extra shuffle: per-key row counts summarized into the skew facts a
+    pipeline owner actually reads (total keys, total rows, max/top-N
+    key mass, and the max/mean imbalance ratio a 'hot reducer' check
+    thresholds on).
+
+    Returns ONE row: (n_keys, n_rows, max_key_count, topn_count,
+    topn_frac_pm, imbalance_pm) with the fractions in exact
+    parts-per-million integers (top-N mass / total; max key count /
+    mean key count).  Cost: one partially-aggregated count per key +
+    one top-N (TakeOrderedAndProject-shaped, never a global sort) —
+    cheap enough to run ahead of every heavy join on fresh data."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    topn = counts.orderBy(F.col("c").desc(), F.col("k").asc()).limit(top_n)
+    agg = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_count"),
+    )
+    t = topn.agg(F.sum("c").alias("topn_count"))
+    return agg.crossJoin(t).select(
+        "n_keys",
+        "n_rows",
+        "max_key_count",
+        "topn_count",
+        F.expr("topn_count * 1000000 div n_rows").alias("topn_frac_pm"),
+        F.expr("max_key_count * n_keys * 1000000 div n_rows").alias(
+            "imbalance_pm"
+        ),
+    )

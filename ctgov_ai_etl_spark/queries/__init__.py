@@ -52,6 +52,7 @@ _PRIORITY = (
     "stream_run_semantic_admission",
     "sim_topk_ivfpq",
     "pipeline_curate_semantic",
+    "skew_key_profile",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

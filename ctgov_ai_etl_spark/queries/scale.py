@@ -239,3 +239,38 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in tables.values():
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     return result
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    topn AS (SELECT c FROM counts ORDER BY c DESC, k ASC LIMIT 10),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_key_count
+      FROM counts
+    ),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS topn_count FROM topn)
+    SELECT n_keys, n_rows, max_key_count, topn_count,
+           topn_count * 1000000 // n_rows AS topn_frac_pm,
+           max_key_count * n_keys * 1000000 // n_rows AS imbalance_pm
+    FROM agg, t
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the lineitem supplier key
+    (operators/skew.py:key_skew_profile): the one-row profile —
+    key/row totals, max and top-10 key mass, parts-per-million
+    imbalance ratios — that decides whether the salted operators'
+    extra shuffle is warranted before a heavy join ships.  One
+    partially-aggregated per-key count + a heap top-N; exact integer
+    ppm arithmetic, so the replay hash-matches."""
+    from ctgov_ai_etl_spark.operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", top_n=10)

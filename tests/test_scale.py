@@ -146,3 +146,19 @@ def test_compaction_collapses_file_count_and_preserves_rows(spark, tmp_path):
         )
 
     assert content_sum(back) == content_sum(d)
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """Exact profile on a hand-built skewed frame: 1 hot key (6 rows)
+    + 3 singletons -> n_keys=4, n_rows=9, max=6, top2=7,
+    top2_frac=777777 ppm, imbalance = 6*4/9 = 2666666 ppm."""
+    from ctgov_ai_etl_spark.operators.skew import key_skew_profile
+
+    rows = [(i, "hot") for i in range(6)] + [
+        (10, "a"), (11, "b"), (12, "c")
+    ]
+    d = spark.createDataFrame(rows, "id long, k string")
+    r = key_skew_profile(d, "k", top_n=2).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_key_count, r.topn_count) == (4, 9, 6, 7)
+    assert r.topn_frac_pm == 7 * 1_000_000 // 9
+    assert r.imbalance_pm == 6 * 4 * 1_000_000 // 9
