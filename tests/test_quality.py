@@ -149,3 +149,23 @@ def test_remove_boilerplate_lines_multiline(spark):
 
     with _pytest.raises(ValueError, match="boilerplate set"):
         remove_boilerplate_lines(d, min_docs=1, max_boilerplate=2)
+
+
+def test_boilerplate_removal_idempotent(spark):
+    """Fixed point: re-running removal on the cleaned corpus changes
+    nothing — every line that survived occurs in < min_docs docs, so
+    the second pass's boilerplate set is empty."""
+    from ctgov_ai_etl_spark.operators.quality import remove_boilerplate_lines
+
+    docs = [
+        (1, "unique alpha\nCOMMON FOOTER\nunique beta"),
+        (2, "semi common\nCOMMON FOOTER"),
+        (3, "COMMON FOOTER\nsemi common\nCOMMON FOOTER"),
+        (4, "COMMON FOOTER"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    once = remove_boilerplate_lines(d, min_docs=3).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = remove_boilerplate_lines(once, min_docs=3)
+    assert all(r.n_removed == 0 for r in twice.collect())

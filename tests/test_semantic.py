@@ -655,3 +655,19 @@ def test_semantic_incremental_matches_cross_side_blocked_pairs(spark):
                 if cur is None or eid < cur[0]:
                     want[iid] = (eid, r.cos_sim)
     assert got == want and len(want) > 0
+
+
+def test_semantic_prune_is_fixed_point(spark):
+    """Pruning the retained corpus again removes nothing: policy
+    property (b) guarantees no near-dup pair survives with both
+    endpoints retained, so the second pass sees an empty dominated
+    set — SemDeDup is a one-shot fixed point, not an iterate-to-
+    convergence operator."""
+    from ctgov_ai_etl_spark.operators.similarity import semantic_prune
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    kept = semantic_prune(emb, _BLOCK_CENTROIDS, threshold=0.3)
+    kept_vecs = emb.join(kept.select("vec_id"), "vec_id")
+    again = semantic_prune(kept_vecs, _BLOCK_CENTROIDS, threshold=0.3)
+    assert again.count() == kept.count()
