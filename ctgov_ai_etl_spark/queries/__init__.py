@@ -53,6 +53,7 @@ _PRIORITY = (
     "sim_topk_ivfpq",
     "pipeline_curate_semantic",
     "skew_key_profile",
+    "stream_run_quality_filter",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -492,3 +492,60 @@ def _patch_stream_semantic_oracle() -> None:
 
 
 _patch_stream_semantic_oracle()
+
+
+@query(
+    "stream_run_quality_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_concat(
+               l,
+               list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+             ) AS feats
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(feats,
+               x -> CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 2000001
+                    - 1000000)) AS BIGINT) AS logit_micro
+      FROM f
+    )
+    SELECT doc_id, logit_micro FROM s WHERE logit_micro >= 0
+    """,
+)
+def stream_run_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming quality filtering: the zero-shuffle linear
+    classifier (operators/quality.py:linear_quality_score) runs
+    INSIDE a stream plan — per-row codegen'd feature fold + keep
+    threshold, so the filter processes micro-batches at source speed
+    with no state, no watermark, no aggregation (the stateless-map
+    streaming tier; append mode emits rows as they pass).  The
+    finite-source result equals the batch filter, which the oracle
+    replays."""
+    import pyspark.sql.types as T
+
+    from ctgov_ai_etl_spark.operators.quality import linear_quality_score
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    scored = linear_quality_score(stream).filter(F.col("keep")).select(
+        "doc_id", "logit_micro"
+    )
+    return run_stream_to_memory(scored, mode="append")
