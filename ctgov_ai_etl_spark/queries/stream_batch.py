@@ -417,19 +417,38 @@ def stream_run_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     ``dedup_semantic_incremental`` — which is exactly what the shared
     oracle replays (same rule as the other stream_run twins)."""
     from ctgov_ai_etl_spark.operators.limits import hash_bucket
-    from ctgov_ai_etl_spark.operators.similarity import (
-        _assign_frame,
-        dot,
-        norm,
-    )
-    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
     from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
     from ctgov_ai_etl_spark.tables import load_table as _lt
 
-    threshold = 0.3
     e = _lt(spark, sf_dir, "embeddings")
     existing = e.filter(hash_bucket(F.col("vec_id")) < 8000)
-    # static store side: assignment + vectors + norms, one broadcastable table
+    incoming = _read_embeddings_stream(spark, sf_dir).filter(
+        hash_bucket(F.col("vec_id")) >= 8000
+    )
+    dups = semantic_admission_plan(existing, incoming, threshold=0.3)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # batch-volume sizing
+    try:
+        out = run_stream_to_memory(dups, mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def semantic_admission_plan(
+    existing: DataFrame, incoming: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """The admission plan shared by the registered stream query and
+    the multi-micro-batch test: static store (assignment + vectors +
+    norms, one broadcastable table) probed by the (possibly
+    streaming) incoming side on cluster id, exact-cosine verify, and
+    the per-vector min-struct dup target — an aggregation whose
+    complete-mode state correctly merges matches arriving in
+    DIFFERENT micro-batches (struct-min is commutative/associative,
+    which is why the operator is multi-batch-safe by construction)."""
+    from ctgov_ai_etl_spark.operators.similarity import _assign_frame, dot
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+
     store = (
         _assign_frame(existing, _BLOCK_CENTROIDS, "vec_id", "embedding", 6)
         .select(
@@ -440,9 +459,6 @@ def stream_run_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("__v").alias("ve"),
             F.col("__nv").alias("ne"),
         )
-    )
-    incoming = _read_embeddings_stream(spark, sf_dir).filter(
-        hash_bucket(F.col("vec_id")) >= 8000
     )
     stream_asg = _assign_frame(
         incoming, _BLOCK_CENTROIDS, "vec_id", "embedding", 6
@@ -462,7 +478,7 @@ def stream_run_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("iid", "eid", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
-    dups = (
+    return (
         hits.groupBy("iid")
         .agg(F.min(F.struct("eid", "cos_sim")).alias("m"))
         .select(
@@ -471,13 +487,6 @@ def stream_run_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("m.cos_sim").alias("cos_sim"),
         )
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # batch-volume sizing
-    try:
-        out = run_stream_to_memory(dups, mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return out
 
 
 def _patch_stream_semantic_oracle() -> None:

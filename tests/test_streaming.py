@@ -266,3 +266,72 @@ def test_stream_semantic_admission_equals_batch_twin(spark):
         for r in dedup_semantic_incremental(spark, SF_SMALL).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_admission_across_multiple_microbatches(spark, tmp_path):
+    """MULTI-batch streaming admission: the incoming corpus is split
+    into 3 files consumed one per micro-batch (maxFilesPerTrigger=1),
+    so matches for the complete-mode min-struct aggregate arrive
+    across separate state commits — the result must still equal the
+    single-shot batch computation (struct-min state merge is
+    order-independent)."""
+    import pyspark.sql.types as T
+
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from ctgov_ai_etl_spark.operators.similarity import (
+        semantic_incremental_dedup,
+    )
+    from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
+    from ctgov_ai_etl_spark.queries.stream_batch import (
+        semantic_admission_plan,
+    )
+    from ctgov_ai_etl_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    existing = e.filter(hash_bucket(F.col("vec_id")) < 8000)
+    incoming_batch = e.filter(hash_bucket(F.col("vec_id")) >= 8000)
+
+    src = str(tmp_path / "incoming")
+    incoming_batch.repartition(3).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    dups = semantic_admission_plan(existing, stream, threshold=0.3)
+
+    import tempfile
+    import uuid
+
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        dups.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mb_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 2  # genuinely multiple micro-batches
+    got = {
+        (r.vec_id, r.dup_of, r.cos_sim)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.vec_id, r.dup_of, r.cos_sim)
+        for r in semantic_incremental_dedup(
+            existing, incoming_batch, _BLOCK_CENTROIDS, threshold=0.3
+        ).collect()
+    }
+    assert got == want and len(want) > 0
