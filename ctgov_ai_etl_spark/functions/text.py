@@ -216,3 +216,35 @@ def dup_bigram_frac(toks: Column) -> Column:
         F.size(bg) > 0,
         F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def hash_embedding(text: Column, dim: int = 64) -> Column:
+    """Feature-hashed bag-of-words document embedding (the hashing
+    trick, Weinberger et al. '09): every token lands in bucket
+    md5(token) mod ``dim`` with sign from the next md5 bit, summed
+    into an exact integer vector — the cheap text→vector path that
+    lets the embedding-tier operators (SemDeDup, ANN, JL) run on a
+    corpus with no external embedding model.  Pure map-side fold,
+    array<long> output (exact in every engine; normalize downstream
+    if cosine geometry is needed)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda a, i: a
+            + F.when(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % dim
+                == i,
+                F.when(
+                    F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long")
+                    % 2
+                    == 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ).otherwise(F.lit(0)),
+        ),
+    )

@@ -54,6 +54,7 @@ _PRIORITY = (
     "pipeline_curate_semantic",
     "skew_key_profile",
     "stream_run_quality_filter",
+    "text_hash_embedding",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -2111,6 +2111,46 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(d, id_col="doc_id", text_col="text")
 
 
+@query(
+    "text_hash_embedding",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    v AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               CAST(list_sum(list_transform(l, tk ->
+                 CASE WHEN CAST(('0x' || substring(md5(tk), 1, 8)) AS BIGINT) % 64 = i
+                      THEN CASE WHEN CAST(('0x' || substring(md5(tk), 9, 1)) AS BIGINT) % 2 = 0
+                                THEN 1 ELSE -1 END
+                      ELSE 0 END)) AS BIGINT)) AS vec
+      FROM t
+    )
+    SELECT doc_id, CAST(d.i AS INT) AS dim, vec[d.i + 1] AS value
+    FROM v CROSS JOIN range(0, 64) d(i)
+    """,
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (functions/text.py:
+    hash_embedding — the Weinberger '09 hashing trick): every token
+    adds ±1 (md5-derived bucket and sign) to one of 64 coordinates,
+    giving each document an exact integer vector with NO external
+    embedding model — the internal text→vector path that feeds the
+    embedding tier (SemDeDup / ANN / JL) on corpora that arrive
+    without vectors.  Pure map-side fold, zero shuffles; emitted in
+    the long (doc, dim, value) format shared with
+    ``embed_random_projection`` so the integer coordinates
+    hash-check exactly."""
+    from ctgov_ai_etl_spark.functions.text import hash_embedding
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(hash_embedding(F.col("text"), dim=64)).alias(
+            "dim", "value"
+        ),
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "value")
+
+
 def _curate_semantic_oracle() -> str:
     from ctgov_ai_etl_spark.operators.quality import (
         LINEAR_QUALITY_ORACLE_SQL,

@@ -169,3 +169,23 @@ def test_boilerplate_removal_idempotent(spark):
     )
     twice = remove_boilerplate_lines(once, min_docs=3)
     assert all(r.n_removed == 0 for r in twice.collect())
+
+
+def test_hash_embedding_hand_computed(spark):
+    """Exact replay of the hashing trick for a 2-token doc: each
+    token contributes ±1 at md5-derived (bucket, sign); all other
+    coordinates stay 0."""
+    import hashlib
+
+    from ctgov_ai_etl_spark.functions.text import hash_embedding
+
+    d = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    vec = d.select(hash_embedding(F.col("text"), dim=64).alias("v")).collect()[0].v
+
+    expect = [0] * 64
+    for t in ("alpha", "beta"):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:8], 16) % 64
+        expect[b] += 1 if int(h[8], 16) % 2 == 0 else -1
+    assert vec == expect
+    assert sum(abs(x) for x in vec) == 2
