@@ -299,6 +299,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "skew_key_profile": [
+        ("per-key counts partially aggregated", r"partial_count"),
+        ("top-N via per-partition heaps", r"TakeOrderedAndProject"),
+        ("no single-reducer sort", r"\A(?!.*rangepartitioning)"),
+    ],
+    "text_hash_embedding": [
+        ("zero shuffles (map-side fold)", r"\A(?!.*Exchange)"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+        ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+    ],
 }
 
 
