@@ -2140,15 +2140,33 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long (doc, dim, value) format shared with
     ``embed_random_projection`` so the integer coordinates
     hash-check exactly."""
-    from ctgov_ai_etl_spark.functions.text import hash_embedding
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
 
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.posexplode(hash_embedding(F.col("text"), dim=64)).alias(
-            "dim", "value"
-        ),
-    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "value")
+    dim = 64
+    d = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
+    # Aggregation formulation of functions/text.hash_embedding (the
+    # column fold is right for embedding ONE column mid-pipeline; for
+    # a corpus-sized materialization the explode → partial-agg shape
+    # hashes each token ONCE instead of once per dim): md5 bucket and
+    # sign per token, sum per (doc, bucket), then complete the dense
+    # (doc, dim) grid with zeros map-side.
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.conv(F.substring(F.md5("t"), 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    sums = (
+        tok.select("doc_id", (h % dim).cast("int").alias("dim"), sgn.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("value"))
+    )
+    grid = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dim")
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"))
+    return grid.join(sums, ["doc_id", "dim"], "left").select(
+        "doc_id", "dim", F.coalesce("value", F.lit(0).cast("long")).alias("value")
+    )
 
 
 def _curate_semantic_oracle() -> str:

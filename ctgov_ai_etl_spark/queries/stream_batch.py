@@ -446,9 +446,18 @@ def semantic_admission_plan(
     complete-mode state correctly merges matches arriving in
     DIFFERENT micro-batches (struct-min is commutative/associative,
     which is why the operator is multi-batch-safe by construction)."""
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
     from ctgov_ai_etl_spark.operators.similarity import _assign_frame, dot
     from ctgov_ai_etl_spark.queries.semantic import _BLOCK_CENTROIDS
 
+    # Spread both assignment folds: the static store is a batch frame
+    # (same single-row-group issue as everywhere); the STREAM side gets
+    # an explicit micro-batch repartition — a one-file source plans one
+    # partition, which would run the whole per-batch argmax on one core.
+    existing = spread_to_parallelism(existing)
+    incoming = incoming.repartition(
+        existing.sparkSession.sparkContext.defaultParallelism
+    )
     store = (
         _assign_frame(existing, _BLOCK_CENTROIDS, "vec_id", "embedding", 6)
         .select(

@@ -62,3 +62,34 @@ def test_every_registered_query_has_an_oracle():
     qs, osql = e.queries(), e.oracle_sql()
     missing = [n for n in qs if n not in osql]
     assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_round6_operators_degenerate_inputs(spark):
+    """Degenerate-corpus behavior of the round-6 operators: single-doc
+    and empty-string inputs must produce well-defined results, not
+    exceptions or nulls."""
+    from ctgov_ai_etl_spark.functions.text import hash_embedding
+    from ctgov_ai_etl_spark.operators.dedup import sorted_neighborhood_pairs
+    from ctgov_ai_etl_spark.operators.quality import (
+        bigram_lm_score,
+        linear_quality_score,
+        remove_boilerplate_lines,
+    )
+
+    one = spark.createDataFrame([(1, "only doc here")], "doc_id long, text string")
+    empty_text = spark.createDataFrame([(1, "")], "doc_id long, text string")
+
+    # SNM: a 1-doc corpus has no neighbors -> empty pair set
+    assert sorted_neighborhood_pairs(one).count() == 0
+    # boilerplate: nothing repeats -> identity, zero removed
+    r = remove_boilerplate_lines(one).collect()[0]
+    assert r.clean_text == "only doc here" and r.n_removed == 0
+    # bigram LM: single doc trains and scores itself; empty text drops
+    assert bigram_lm_score(one).count() == 1
+    assert bigram_lm_score(empty_text).count() == 0
+    # linear classifier: empty text is one '' feature, finite logit
+    row = linear_quality_score(empty_text).collect()[0]
+    assert row.n_features == 1 and row.logit_micro is not None
+    # hash embedding: empty text -> one token, exactly one +/-1 cell
+    v = empty_text.select(hash_embedding(F.col("text")).alias("v")).collect()[0].v
+    assert sum(abs(x) for x in v) == 1
