@@ -305,10 +305,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no single-reducer sort", r"\A(?!.*rangepartitioning)"),
     ],
     "text_hash_embedding": [
-        ("zero shuffles (map-side fold)", r"\A(?!.*Exchange)"),
+        ("per-(doc,bucket) sums partially aggregated", r"partial_sum"),
+        ("dense-grid completion joined on (doc, dim)",
+         r"hashpartitioning\(doc_id[^)]*dim"),
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
-        ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
     ],
 }
 
