@@ -64,3 +64,38 @@ def test_gopher_metrics_match_python_reference(spark, docs):
         assert got[i]["alpha_frac"] == round(alpha / len(toks), 6)
         stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
         assert got[i]["n_stop"] == len(set(toks) & stop)
+
+
+def _python_snm(texts: dict[int, str], w: int, t: float, kt: int) -> dict:
+    order = sorted(texts, key=lambda i: (" ".join(texts[i].split()[:kt]), i))
+    out = {}
+    for x in range(len(order)):
+        for y in range(x + 1, min(x + 1 + w, len(order))):
+            a, b = order[x], order[y]
+            sa, sb = set(texts[a].split(" ")), set(texts[b].split(" "))
+            if not (sa | sb):
+                continue
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= t:
+                out[(a, b)] = jac
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc, min_size=2, max_size=10, unique=True))
+def test_sorted_neighborhood_matches_python_reference(spark, docs):
+    """Differential fuzz: random small corpora, SNM pair set ==
+    the direct python replay of sort-by-key → w-window → Jaccard.
+    Random docs exercise empty texts, shared prefixes (rank ties fall
+    to doc_id), and sub-window corpora."""
+    from ctgov_ai_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in sorted_neighborhood_pairs(
+            df, window=2, threshold=0.4, key_tokens=2
+        ).collect()
+    }
+    assert got == _python_snm(texts, w=2, t=0.4, kt=2)
