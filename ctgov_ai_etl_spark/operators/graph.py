@@ -219,3 +219,85 @@ def triangle_count_oracle_sql(edges_sql: str) -> str:
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
     GROUP BY node"""
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected graph — the
+    link-graph quality filter (vertices surviving the k-core have ≥ k
+    neighbors that themselves survive; spam farms and dangling tails
+    peel away).  Returns (node, deg) for vertices alive after
+    ``rounds`` peels, with their degree in the surviving subgraph.
+
+    FIXED iteration count, not peel-to-fixpoint: both this loop and
+    the SQL oracle unroll exactly ``rounds`` rounds, so the result is
+    a pure function of (edges, k, rounds) — same contract as the
+    fixed-iteration PageRank.  Real corpora converge in few rounds
+    (each peel must remove ≥ 1 vertex to matter); callers needing the
+    exact core add rounds or loop on a count.
+
+    Scale shape: each round is two semi-joins (edge endpoints against
+    the alive set) + one partially-aggregated degree count — all keyed
+    on vertex id, no driver data, state = the narrow alive set."""
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    und = (
+        e.filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .distinct()
+        .persist()
+    )
+    sym = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    alive = sym.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        live = (
+            sym.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        )
+        deg = live.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        # Truncate lineage each peel (the connected_components rule):
+        # without it the alive set's plan doubles per round — two
+        # semi-joins of a tree containing the previous tree twice —
+        # and five rounds of that is exponential re-execution.
+        deg = deg.localCheckpoint(eager=True)
+        alive = deg.filter(F.col("deg") >= k).select("node")
+    return deg.join(alive, "node", "left_semi")
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 5) -> str:
+    """Unrolled SQL replay of :func:`kcore` — same canonicalization,
+    same exactly-``rounds`` peels."""
+    parts = [
+        f"raw AS ({edges_sql})",
+        "und AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v"
+        " FROM raw WHERE x <> y)",
+        "sym AS (SELECT u AS a, v AS b FROM und"
+        " UNION ALL SELECT v, u FROM und)",
+        "alive0 AS (SELECT DISTINCT a AS node FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"deg{i} AS (SELECT s.a AS node, CAST(count(*) AS BIGINT) AS deg"
+            f" FROM sym s"
+            f" JOIN alive{i - 1} x ON x.node = s.a"
+            f" JOIN alive{i - 1} y ON y.node = s.b"
+            f" GROUP BY s.a)"
+        )
+        parts.append(
+            f"alive{i} AS (SELECT node FROM deg{i} WHERE deg >= {k})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT d.node, d.deg FROM deg{rounds} d"
+        + f" JOIN alive{rounds} a ON a.node = d.node"
+    )

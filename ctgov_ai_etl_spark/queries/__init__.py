@@ -56,6 +56,7 @@ _PRIORITY = (
     "skew_key_profile",
     "stream_run_quality_filter",
     "text_hash_embedding",
+    "graph_kcore",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

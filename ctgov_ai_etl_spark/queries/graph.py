@@ -32,6 +32,8 @@ from ctgov_ai_etl_spark.operators.similarity import (
     seeded_centroids,
 )
 from ctgov_ai_etl_spark.operators.graph import (
+    kcore,
+    kcore_oracle_sql,
     pagerank,
     pagerank_oracle_sql,
     triangle_count,
@@ -211,3 +213,21 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=6,
         refine=50,
     )
+
+
+@query("graph_kcore", oracle=kcore_oracle_sql(_TRI_EDGES_SQL, k=12, rounds=5))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/graph.py:kcore, k=12, 5 fixed rounds)
+    over the same arithmetic 2,000-node graph as the triangle count:
+    vertices with ≥ 12 neighbors *that themselves survive* — the
+    link-graph density filter that drops spam tails and low-degree
+    fringe before ranking.  Each round is two vertex-keyed semi-joins
+    + one partially-aggregated degree count; fixed round count makes
+    the result a pure function of the graph, replayed by the unrolled
+    SQL oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 2000).alias("x"),
+        ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 2000).alias("y"),
+    )
+    return kcore(edges, k=12, rounds=5, src="x", dst="y")

@@ -511,3 +511,22 @@ def test_ivfpq_recall_and_subset_of_pq(spark):
         for r in pq_topk(e, queries, _PQ_BOOKS, topk=200, refine=10_000).collect()
     }
     assert composite <= pq_wide
+
+
+def test_kcore_hand_built_graph(spark):
+    """Peeling semantics on a known graph: a K4 clique (every vertex
+    degree 3) survives k=3; the pendant chain hanging off it peels
+    over successive rounds even though its head initially has degree
+    3; k=4 empties the graph."""
+    from ctgov_ai_etl_spark.operators.graph import kcore
+
+    # K4 on {0,1,2,3}; chain 3-4, 4-5 (4 has deg 2, 5 deg 1)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    d = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in kcore(d, k=3, rounds=5).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # clique only, chain peeled
+    assert kcore(d, k=4, rounds=5).count() == 0
+    # fixed-rounds contract: 1 round keeps 5's neighbor 4 (deg 2 < 3
+    # peels 4 and 5 immediately; 3 keeps clique degree) — chain gone
+    one = {r.node for r in kcore(d, k=3, rounds=1).collect()}
+    assert one == {0, 1, 2, 3}
