@@ -304,6 +304,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("top-N via per-partition heaps", r"TakeOrderedAndProject"),
         ("no single-reducer sort", r"\A(?!.*rangepartitioning)"),
     ],
+    "graph_kcore": [
+        ("final core filter keyed on vertex id (semi-join)", r"LeftSemi"),
+        # the per-round degree aggs run EAGERLY behind localCheckpoint
+        # (lineage truncation), so the final plan reads the truncated
+        # RDD rather than replaying five rounds of joins:
+        ("peel lineage truncated (checkpoint scan, not replay)",
+         r"Scan ExistingRDD"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+    ],
     "text_hash_embedding": [
         ("per-(doc,bucket) sums partially aggregated", r"partial_sum"),
         ("dense-grid completion joined on (doc, dim)",
