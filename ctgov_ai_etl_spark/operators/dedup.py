@@ -817,15 +817,24 @@ def connected_components(
     # (most documents are singletons), so this turns per-round cost
     # from O(|corpus|) into O(|dup vertices|).  Singletons rejoin
     # once, map-side, after the fixpoint.
+    # decimal sum: overflow-proof at any vertex-id magnitude (ANSI mode)
+    lbl_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    # Convergence sums ride each round's checkpoint job via
+    # df.observe — CollectMetrics fires on the localCheckpoint action
+    # (verified), so a round costs ONE job instead of checkpoint +
+    # separate agg collect: halves the per-round scheduling floor
+    # this operator's SCALE.md profile attributes the warm runtime to.
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     labels = (
         sym.select("v")
         .distinct()
         .select("v", F.col("v").alias("component"))
+        .observe(obs0, lbl_sum.alias("s"))
         .localCheckpoint(eager=True)
     )
-    # decimal sum: overflow-proof at any vertex-id magnitude (ANSI mode)
-    lbl_sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev = labels.agg(lbl_sum).collect()[0][0]
+    prev = obs0.get["s"]
     converged = False
     rounds_run = 0
     for _ in range(min(max_iters, star_handoff)):
@@ -838,6 +847,7 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("nc").alias("nbr_min"))
         )
+        obs = Observation()
         labels = (
             labels.join(nbr_min, "v", "left")
             .select(
@@ -846,9 +856,10 @@ def connected_components(
                     "component"
                 ),
             )
+            .observe(obs, lbl_sum.alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(lbl_sum).collect()[0][0]
+        cur = obs.get["s"]
         if cur == prev:  # monotone: unchanged sum ⟺ no label moved
             converged = True
             break
