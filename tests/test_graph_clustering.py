@@ -530,3 +530,40 @@ def test_kcore_hand_built_graph(spark):
     # peels 4 and 5 immediately; 3 keeps clique degree) — chain gone
     one = {r.node for r in kcore(d, k=3, rounds=1).collect()}
     assert one == {0, 1, 2, 3}
+
+
+def test_kcore_matches_python_reference_random_graphs(spark):
+    """Differential check on deterministic pseudo-random graphs: the
+    fixed-round Spark peeling equals a direct python replay (same
+    canonicalization, same exactly-R rounds) across densities."""
+    import random as _random
+
+    from ctgov_ai_etl_spark.operators.graph import kcore
+
+    def python_kcore(edge_list, k, rounds):
+        und = {
+            (min(a, b), max(a, b)) for a, b in edge_list if a != b
+        }
+        adj: dict[int, set[int]] = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        alive = set(adj)
+        deg = {}
+        for _ in range(rounds):
+            deg = {
+                n: sum(1 for m in adj[n] if m in alive)
+                for n in alive
+            }
+            alive = {n for n, d in deg.items() if d >= k}
+        return {n: deg[n] for n in alive}
+
+    rng = _random.Random(7)
+    for n_nodes, n_edges, k in [(12, 20, 2), (20, 60, 3), (15, 15, 2)]:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        d = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.deg for r in kcore(d, k=k, rounds=4).collect()}
+        assert got == python_kcore(edges, k, 4), (n_nodes, n_edges, k)
