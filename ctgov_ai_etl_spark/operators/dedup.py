@@ -1042,6 +1042,7 @@ def sorted_neighborhood_pairs(
     key_tokens: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    reverse_key: bool = False,
 ) -> DataFrame:
     """Sorted-Neighborhood Method near-dup pairs (Hernández & Stolfo
     '95, the classic record-linkage blocking strategy): sort the
@@ -1052,7 +1053,9 @@ def sorted_neighborhood_pairs(
     complementary blocking shape to LSH banding: candidate volume is
     O(n·w) BY CONSTRUCTION — no hash-bucket skew can blow it up, at
     the cost of only finding duplicates the sort key brings within w
-    rows (multi-pass with rotated keys is the standard recall fix).
+    rows — ``reverse_key=True`` sorts by the LAST ``key_tokens``
+    instead, the rotated key for the standard multi-pass recall fix
+    (union the passes; see ``dedup_snm_multipass``).
 
     100 TB shape: the global order comes from the distributed rank
     (range partition + per-partition offsets, operators/limits.py —
@@ -1069,10 +1072,21 @@ def sorted_neighborhood_pairs(
     # ride the range-partition shuffle and the persist; they join back
     # onto the O(n·w) candidate pairs instead (the blocked_cosine_pairs
     # pattern: verify payloads only ever touch candidates).
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.array_join(F.slice(toks, 1, key_tokens), " ").alias("__key"),
+    # reverse key = the LAST key_tokens tokens (clamped start so short
+    # docs keep their whole token list, mirroring the forward slice)
+    key = (
+        F.array_join(
+            F.slice(
+                toks,
+                F.greatest(F.size(toks) - (key_tokens - 1), F.lit(1)),
+                key_tokens,
+            ),
+            " ",
+        )
+        if reverse_key
+        else F.array_join(F.slice(toks, 1, key_tokens), " ")
     )
+    keyed = df.select(F.col(id_col).alias("id"), key.alias("__key"))
     ranked = global_rank(keyed, ["__key", "id"]).select(
         "id", F.col("__pos").alias("pos"),
         F.floor(F.col("__pos") / window).alias("bkt"),
@@ -1115,15 +1129,23 @@ def sorted_neighborhood_oracle_sql(
     threshold: float = 0.8,
     key_tokens: int = 4,
     table: str = "documents",
+    reverse_key: bool = False,
 ) -> str:
     """DuckDB replay of :func:`sorted_neighborhood_pairs`: the rank
     under (key, id) is unique, so a plain window row_number replays
     the distributed rank exactly; the w-neighbor join is a direct
     rank-difference range predicate."""
+    key_sql = (
+        f"array_to_string(list_slice(string_split(text, ' '), "
+        f"greatest(len(string_split(text, ' ')) - {key_tokens - 1}, 1), "
+        f"len(string_split(text, ' '))), ' ')"
+        if reverse_key
+        else f"array_to_string(list_slice(string_split(text, ' '), 1, {key_tokens}), ' ')"
+    )
     return f"""
     WITH keyed AS (
       SELECT doc_id AS id,
-             array_to_string(list_slice(string_split(text, ' '), 1, {key_tokens}), ' ') AS k,
+             {key_sql} AS k,
              list_distinct(string_split(text, ' ')) AS s
       FROM {table}
     ),

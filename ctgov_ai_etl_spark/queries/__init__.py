@@ -57,6 +57,7 @@ _PRIORITY = (
     "stream_run_quality_filter",
     "text_hash_embedding",
     "graph_kcore",
+    "dedup_snm_multipass",
     # -- block 1: the 49 r3-latest queries, cheap first -------------
     "binary_file_scan",
     "unpivot_stack",

@@ -1637,6 +1637,33 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(d, window=5, threshold=0.8)
 
 
+@query(
+    "dedup_snm_multipass",
+    oracle=f"""
+    SELECT DISTINCT id_a, id_b, jaccard FROM (
+      ({sorted_neighborhood_oracle_sql(window=5, threshold=0.8)})
+      UNION ALL
+      ({sorted_neighborhood_oracle_sql(window=5, threshold=0.8, reverse_key=True)})
+    )
+    """,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood (the standard SNM recall fix):
+    pass 1 sorts by the FIRST 4 tokens, pass 2 by the LAST 4, and the
+    union of their w-window pair sets is deduped — duplicates whose
+    difference sits in the document head (invisible to the forward
+    key) are recovered by the rotated key.  Each pass keeps the
+    O(n·w) candidate bound; total cost is exactly two passes, the
+    classic recall/cost dial.  Recall ⊇ either single pass by
+    construction (asserted in test)."""
+    from ctgov_ai_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    fwd = sorted_neighborhood_pairs(d, window=5, threshold=0.8)
+    rev = sorted_neighborhood_pairs(d, window=5, threshold=0.8, reverse_key=True)
+    return fwd.unionByName(rev).dropDuplicates(["id_a", "id_b"])
+
+
 def _ivf_oracle_sql(centroids: list[list[float]], nprobe: int, k: int) -> str:
     """SQL replay of ivf_topk over the SAME centroid constants: both
     sides round cluster similarities to 6 dp before the argmax/probe

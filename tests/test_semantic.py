@@ -671,3 +671,35 @@ def test_semantic_prune_is_fixed_point(spark):
     kept_vecs = emb.join(kept.select("vec_id"), "vec_id")
     again = semantic_prune(kept_vecs, _BLOCK_CENTROIDS, threshold=0.3)
     assert again.count() == kept.count()
+
+
+def test_snm_multipass_recall_superset(spark):
+    """The rotated-key union is a strict recall dial: it contains
+    every forward-pass pair, and on a corpus whose duplicates differ
+    at the HEAD (invisible to the forward key) it finds pairs the
+    forward pass alone cannot."""
+    from ctgov_ai_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = [
+        # same tail, very different heads: forward 2-token keys sort
+        # them far apart; the reverse key brings them adjacent
+        (1, "aaa aaa common tail tokens here"),
+        (2, "zzz zzz common tail tokens here"),
+        # spacer docs so forward ranks separate docs 1 and 2
+        (3, "bbb bbb other words entirely one"),
+        (4, "ccc ccc other words entirely two"),
+        (5, "ddd ddd other words entirely three"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(window=1, threshold=0.5, key_tokens=2)
+    fwd = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(d, **kw).collect()
+    }
+    rev = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(d, reverse_key=True, **kw).collect()
+    }
+    both = fwd | rev
+    assert fwd <= both
+    assert (1, 2) in rev and (1, 2) not in fwd  # head-divergent pair
