@@ -29,7 +29,8 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #     quality_linear_score, sample_temperature,
 #     text_boilerplate_lines, sim_topk_ivfpq,
 #     pipeline_curate_semantic, skew_key_profile,
-#     stream_run_quality_filter, text_hash_embedding;
+#     stream_run_quality_filter, text_hash_embedding, graph_kcore,
+#     dedup_snm_multipass;
 #   block 1 — the 49 r3-latest queries, cheapest first (merged
 #     BENCH_r01-r05 timings) so a time-budgeted window re-greens the
 #     most; no query's OUTPUT changed this round (the k-means reseed
