@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.operators.cache import track
+
 MICRO = 1_000_000
 
 # SQL fragment mirrored by quantize(): keep the two in one place so
@@ -141,7 +143,7 @@ def kmeans_lloyd(
     )
     # Each round re-reads ``points`` for assign AND update; persist
     # the narrow quantized table so the scan+quantize pass runs once.
-    points = points.persist()
+    points = track(points.persist())
     cents = points.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
     )

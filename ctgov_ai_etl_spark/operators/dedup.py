@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.operators.cache import track
+
 # Mersenne prime 2^31 - 1: modulus for the universal-hash permutation
 # family h_j(x) = (a_j*x + b_j) mod P. With a, x < 2^31 the product
 # stays under 2^62 — inside signed-long range, so the expression is
@@ -47,7 +49,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     Entries live in the CacheManager until session end (identical
     re-invocations share them); callers running many corpora through
     one session can clear with spark.catalog.clearCache()."""
-    return df.persist()
+    return track(df.persist())
 
 
 def _hash_params(num_hashes: int) -> list[tuple[int, int]]:

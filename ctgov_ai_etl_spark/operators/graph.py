@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.operators.cache import track
+
 SCALE = 1_000_000  # rank micro-units: initial rank == 1.0 == 1e6
 
 
@@ -153,7 +155,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # branch re-runs the upstream edge-derivation DAG (the lineitem ⋈
     # orders distinct in the registered query) — measured 4.2 → 2.6 s
     # warm at sf0.1 from these two narrow persists.
-    und = (
+    und = track(
         e.filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
@@ -179,7 +181,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lo_first, F.struct(F.col("dv").alias("r0"), F.col("v").alias("r1")))
         .otherwise(F.struct(F.col("du").alias("r0"), F.col("u").alias("r1")))
         .alias("drank"),
-    ).persist()
+    )
+    o = track(o.persist())
     o1 = o.select(
         F.col("s").alias("a"), F.col("d").alias("b"), F.col("drank").alias("rb")
     )
@@ -244,6 +247,8 @@ def kcore(
     Scale shape: each round is two semi-joins (edge endpoints against
     the alive set) + one partially-aggregated degree count — all keyed
     on vertex id, no driver data, state = the narrow alive set."""
+    if rounds < 1:
+        raise ValueError(f"kcore requires rounds >= 1, got {rounds}")
     e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
     und = (
         e.filter(F.col("x") != F.col("y"))
@@ -270,6 +275,11 @@ def kcore(
         # and five rounds of that is exponential re-execution.
         deg = deg.localCheckpoint(eager=True)
         alive = deg.filter(F.col("deg") >= k).select("node")
+    # Every round eagerly checkpoints deg, so the returned plan depends
+    # only on the final (checkpointed) deg — the canonical edge cache is
+    # no longer in its lineage and can be released here instead of
+    # leaking into the session (async: don't block the caller).
+    und.unpersist(blocking=False)
     return deg.join(alive, "node", "left_semi")
 
 

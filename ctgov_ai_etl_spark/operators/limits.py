@@ -24,6 +24,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.operators.cache import track
+
 _RANK_COL = "__pos"
 _PID_COL = "__pid"
 
@@ -65,7 +67,7 @@ def global_rank_with_count(
     spark = df.sparkSession
     cols = [F.col(c) for c in order_cols]
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = (
+    ranged = track(
         df.repartitionByRange(nparts, *cols)
         .withColumn(_PID_COL, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -328,7 +330,9 @@ def temperature_weights(
     return {s: powed[s] / denom for s in strata if counts.get(s, 0) > 0}
 
 
-def spread_to_parallelism(df: DataFrame) -> DataFrame:
+def spread_to_parallelism(
+    df: DataFrame, expected_partitions: int | None = None
+) -> DataFrame:
     """Round-robin repartition to cluster parallelism IFF the input
     plans fewer partitions.  Compute-heavy per-row stages (signature
     folds, shingling, hash ladders) are CPU-bound, and a small parquet
@@ -337,8 +341,19 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     minhash signature generation 8.8 → 3.0 s warm.  At real scale the
     scan already has ≥ parallelism splits and this is a NO-OP (no
     shuffle added); identical repartition subtrees across plan
-    branches collapse to one exchange via ReuseExchange."""
+    branches collapse to one exchange via ReuseExchange.
+
+    Callers that already know their input's partition count pass it as
+    ``expected_partitions`` and skip the probe entirely.  Otherwise the
+    count is read via the JVM DataFrame's RDD handle — no Python-side
+    RDD wrapper (``df.rdd``) is materialized, avoiding the per-call
+    Python RDD conversion the previous implementation paid."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    n = (
+        expected_partitions
+        if expected_partitions is not None
+        else df._jdf.rdd().getNumPartitions()
+    )
+    if n < par:
         return df.repartition(par)
     return df

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.operators.cache import track
+
 _SEED = 1337
 
 # (applicationId, corpus semanticHash, quantizer hash) -> written
@@ -777,7 +779,7 @@ def blocked_cosine_pairs(
     # so the k-centroid argmax pass (the map-side cost that grows with
     # the centroid count) runs once, not once per side.  Narrow
     # (id, cid) rows — the cheap thing to cache.
-    asg = asg.persist()
+    asg = track(asg.persist())
     a, b = asg.alias("a"), asg.alias("b")
     cand = a.join(
         b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id"))

@@ -98,7 +98,13 @@ def key_skew_profile(
         "max_key_count",
         "topn_count",
         F.expr("topn_count * 1000000 div n_rows").alias("topn_frac_pm"),
-        F.expr("max_key_count * n_keys * 1000000 div n_rows").alias(
-            "imbalance_pm"
-        ),
+        # Route the product through decimal(38,0) (the convention used
+        # by connected_components' convergence sums): at the 100 TB
+        # scale this targets (n_keys ~1e9, max_key_count ~1e6) the
+        # int64 product max_key_count * n_keys * 1e6 overflows — throws
+        # under ANSI mode, silently wraps otherwise.
+        F.expr(
+            "CAST(CAST(max_key_count AS DECIMAL(38,0))"
+            " * n_keys * 1000000 div n_rows AS BIGINT)"
+        ).alias("imbalance_pm"),
     )

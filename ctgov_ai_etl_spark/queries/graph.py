@@ -102,7 +102,15 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_TRAIN_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
 try:
     _PQ_BOOKS = pq_train_offline(_PQ_TRAIN_PARQUET, m=8, k=16)
-except Exception:  # canonical corpus absent: deterministic tiny grid
+except (FileNotFoundError, OSError) as _pq_err:
+    # Canonical corpus absent: deterministic tiny grid.  Narrow except
+    # + warning, same rationale as the coarse-quantizer fallback below.
+    import warnings
+
+    warnings.warn(
+        f"PQ codebooks falling back to the seeded grid "
+        f"({_PQ_TRAIN_PARQUET} unavailable: {_pq_err})"
+    )
     _PQ_BOOKS = [
         [[(c - 8) * 125_000] * 8 for c in range(16)] for _ in range(8)
     ]
@@ -182,7 +190,16 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortlist would have kept; training recovers it (0.64, recall test).
 try:
     _IVFPQ_COARSE = fit_centroids_offline(_PQ_TRAIN_PARQUET, k=16)
-except Exception:  # canonical corpus absent: deterministic fallback
+except (FileNotFoundError, OSError) as _e:
+    # Canonical corpus absent: deterministic fallback.  Narrowed from a
+    # bare Exception so a transient/partial parquet read error surfaces
+    # instead of silently changing sim_topk_ivfpq recall.
+    import warnings
+
+    warnings.warn(
+        f"IVF-PQ coarse quantizer falling back to seeded grid "
+        f"({_PQ_TRAIN_PARQUET} unavailable: {_e})"
+    )
     _IVFPQ_COARSE = seeded_centroids(k=16, dim=64)
 
 

@@ -44,6 +44,7 @@ from ctgov_ai_etl_spark.operators.similarity import (
     semantic_prune,
     semantic_prune_oracle_sql,
 )
+from ctgov_ai_etl_spark.operators.cache import track
 from ctgov_ai_etl_spark.operators.limits import stratified_sample
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, query
 from ctgov_ai_etl_spark.tables import load_table
@@ -608,7 +609,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substitute the full scoring trees into the condition (measured 66
     # re-splits of the text per row instead of 5 → 14× slower), and the
     # filtered table feeds two branches (keeper agg + re-join) anyway.
-    scored = scored.persist()
+    scored = track(scored.persist())
     filtered = scored.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.5))
     keepers = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = filtered.join(keepers, ["fp", "doc_id"])
@@ -764,6 +765,7 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "fp")
         .persist()
     )
+    cur = track(cur)
     keepers = cur.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = cur.join(keepers, ["fp", "doc_id"])
     contam = flag_contaminated(
@@ -1386,7 +1388,16 @@ _QUANT_TRAIN_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
 try:
     _BLOCK_CENTROIDS = fit_centroids_offline(_QUANT_TRAIN_PARQUET, k=64)
     _IVF_TRAINED_CENTROIDS = fit_centroids_offline(_QUANT_TRAIN_PARQUET, k=16)
-except Exception:  # canonical corpus absent: degrade to seeded constants
+except (FileNotFoundError, OSError) as _e:
+    # Canonical corpus absent: degrade to seeded constants.  Narrowed
+    # from a bare Exception so a transient/partial parquet read error
+    # surfaces instead of silently changing trained-IVF recall.
+    import warnings
+
+    warnings.warn(
+        f"trained centroids falling back to seeded grids "
+        f"({_QUANT_TRAIN_PARQUET} unavailable: {_e})"
+    )
     _BLOCK_CENTROIDS = seeded_centroids(k=64, dim=64)
     _IVF_TRAINED_CENTROIDS = seeded_centroids(k=16, dim=64, seed=7331)
 

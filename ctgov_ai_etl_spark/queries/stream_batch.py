@@ -501,6 +501,11 @@ def semantic_admission_plan(
 def _patch_stream_semantic_oracle() -> None:
     from ctgov_ai_etl_spark.queries.registry import REGISTRY
 
+    # Force the twin's module to register before we look it up, so the
+    # patch works under ANY import order (previously it silently left the
+    # oracle as None if stream_batch was imported before semantic).
+    import ctgov_ai_etl_spark.queries.semantic  # noqa: F401
+
     spec = REGISTRY["stream_run_semantic_admission"]
     twin = REGISTRY.get("dedup_semantic_incremental")
     if twin is not None and spec.oracle is None:
