@@ -147,6 +147,51 @@ def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_run_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def stream_run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming sessionization: file micro-batch source →
+    watermark → native session_window aggregation → memory sink
+    (availableNow, complete mode).  The streaming engine's
+    merging-session state store computes the same sessions the batch
+    gaps-and-islands oracle derives with lag + running sum (Spark
+    defines session end = last event + gap; mirrored in the oracle).
+    Hash-checked: the finite single-file source is one micro-batch, so
+    no session is split across watermark evictions and complete mode
+    emits every finalized session."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_counts,
+    )
+
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, mode="complete")
+
+
+@query(
     "stream_run_static_join",
     oracle="""
     SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events

@@ -83,6 +83,29 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def session_counts(events: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Watermarked per-user session windows (``gap`` inactivity closes
+    a session) — the native ``session_window`` operator running as a
+    genuine streaming aggregation.  Identical expression to the batch
+    twin (queries/stream_batch.py:stream_session_window); streaming
+    adds only the watermark, which bounds state: sessions whose end
+    precedes the watermark are finalized and their state evicted —
+    the property that makes sessionization viable on an unbounded
+    100 TB stream (state ∝ active users × open sessions, not history).
+    """
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame) -> DataFrame:
     """Streaming dedup keyed on (user_id, event_type) within the
     watermark horizon — the streaming analog of dropDuplicates."""

@@ -10,6 +10,7 @@ from ctgov_ai_etl_spark.streaming.events import (
     dedup_within_watermark,
     read_events_stream,
     run_stream_to_memory,
+    session_counts,
     tumbling_counts,
 )
 from ctgov_ai_etl_spark.tables import load_table
@@ -335,3 +336,25 @@ def test_stream_admission_across_multiple_microbatches(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_session_window_equals_batch(spark):
+    # The genuinely-streaming sessionization (watermark + merging
+    # session state) must equal the batch session_window expression on
+    # the same finite input — batch/stream duality for session windows.
+    stream_out = run_stream_to_memory(
+        session_counts(read_events_stream(spark, SF_SMALL)), mode="complete"
+    )
+    batch = load_table(spark, SF_SMALL, "events")
+    batch_out = (
+        batch.groupBy(F.session_window("ts", "1 hour").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(stream_out, cols) == _rows(batch_out, cols)
