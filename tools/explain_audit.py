@@ -313,6 +313,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"Scan ExistingRDD"),
         ("no cartesian", r"\A(?!.*CartesianProduct)"),
     ],
+    "agg_grouping_sets_multi": [
+        # The whole point of the multi-pass strategy: no Expand node
+        # replicating fact rows x(grouping sets) before the shuffle.
+        ("no Expand inflation", r"\A(?!.*Expand)"),
+        ("finest cuboid partially aggregated map-side", r"partial_count"),
+        ("cuboid reused across set passes, not recomputed",
+         r"ReusedExchange"),
+    ],
+    "udf_python_scalar": [
+        # This is the documented escape hatch: the audit asserts the
+        # Python boundary IS present (BatchEvalPython = row-at-a-time
+        # pickle; the measured ~1.6-1.9x penalty lives in the query's
+        # docstring) — and that the scan is still pruned to the two
+        # input columns, since pruning survives the boundary even when
+        # codegen doesn't.
+        ("row-at-a-time Python boundary present (the measured cost)",
+         r"BatchEvalPython"),
+        ("scan pruned to the UDF's two inputs",
+         r"ReadSchema: struct<event_id:bigint,event_type:string>"),
+        ("no shuffle (map-side only)", r"\A(?!.*Exchange hashpartitioning)"),
+    ],
     "text_hash_embedding": [
         ("per-(doc,bucket) sums partially aggregated", r"partial_sum"),
         ("dense-grid completion joined on (doc, dim)",
