@@ -7,8 +7,10 @@ headline metric (same 14 queries, same order, as BENCH_r01.json); the
 rest of the catalog then runs so per-query regressions in the long
 tail stay visible between rounds.  A wall-clock budget
 ($SPARK_GRAFT_BENCH_BUDGET, default 900 s) bounds the tail sweep —
-any queries it drops are listed in `tail_skipped` rather than
-silently omitted.
+any queries it drops are listed in `tail_skipped` AND flagged
+loudly on stderr — a skip silently shrinks round-over-round
+comparability, so the default budget (raised 900 -> 1800 s in r7 when
+the catalog run neared the old ceiling) keeps ample headroom.
 
 Each query executes via the `noop` sink — full plan execution on all
 partitions, no driver-side collect (collect would measure Arrow
@@ -28,7 +30,7 @@ from ctgov_ai_etl_spark.queries import load_all  # noqa: E402
 from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
 
 # Headline set: the scan/join/agg/window spine plus one of each
 # LLM-pipeline operator family (dedup, similarity, text, classify,
@@ -141,6 +143,13 @@ def main() -> None:
     }
     if tail_skipped:
         out["tail_skipped"] = tail_skipped
+        print(
+            f"WARNING: bench budget ({BUDGET_S:.0f}s) exhausted; "
+            f"{len(tail_skipped)} queries SKIPPED: {tail_skipped}\n"
+            "Round-over-round totals are NOT comparable with skips — "
+            "raise SPARK_GRAFT_BENCH_BUDGET.",
+            file=sys.stderr,
+        )
     if errors:
         out["errors"] = errors
     _persist_full(out)

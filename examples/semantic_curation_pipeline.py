@@ -39,7 +39,7 @@ from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 from ctgov_ai_etl_spark.tables import load_table  # noqa: E402
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     spark = get_spark("semantic-curation-example")
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -75,8 +75,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     fracs = mixture_fractions(curated, "lang", w, n // 2)
     sample = stratified_sample(curated, "lang", fracs, "doc_id")
 
-    print("curated:", curated.count(), "of", docs.count())
+    n_curated, n_docs, n_sample = curated.count(), docs.count(), sample.count()
+    print("curated:", n_curated, "of", n_docs)
     sample.groupBy("lang").count().orderBy("lang").show()
+    # Returned for the smoke test (tests/test_examples.py).
+    return {"n_docs": n_docs, "n_curated": n_curated, "n_sample": n_sample}
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 from ctgov_ai_etl_spark.tables import load_table  # noqa: E402
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     spark = get_spark("training-data-pipeline")
     docs = load_table(spark, sf_dir, "documents")
 
@@ -74,6 +74,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"after dedup:       {n_kept}")
     print(f"after sampling:    {n_out}")
     stats.orderBy("lang").show()
+    # Returned for the smoke test (tests/test_examples.py) — the
+    # printed report stays the human-facing output.
+    return {"n_in": n_in, "n_kept": n_kept, "n_out": n_out}
 
 
 if __name__ == "__main__":
