@@ -33,6 +33,11 @@ from ctgov_ai_etl_spark.operators.cache import track
 # the 31-bit hash space is still ≫ any shingle-set size.
 _P = (1 << 31) - 1
 _SEED = 42
+# Largest singleton-free vocabulary ranked driver-side (see
+# jaccard_token_pairs): 1M (tok, df) rows ≈ tens of MB collected —
+# comparable to the dictionary broadcast the encode join already
+# plans; beyond it the distributed global_rank takes over.
+_VOCAB_DRIVER_CAP = 1_000_000
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -508,7 +513,7 @@ def simhash_pairs(
 
 def jaccard_token_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6,
-    ngram: int = 1,
+    ngram: int = 1, spanning: bool = False,
 ) -> DataFrame:
     """EXACT token-set Jaccard pairs with similarity ≥ ``threshold``
     via **prefix filtering** (PPJoin-style, Xiao et al. '08): order
@@ -522,6 +527,21 @@ def jaccard_token_pairs(
     instead of the whole (skewed) vocabulary: at t=0.95 the prefix is
     ~5% of each document, and ultra-common tokens never enter the
     join — this is what keeps the shuffle bounded at 100 TB.
+
+    ``spanning=True`` emits a CONNECTIVITY-EXACT spanning subset of
+    the pair graph instead of every pair: identical-set cliques
+    become a min-id STAR (hub = smallest id, m−1 spokes instead of
+    m²/2 edges — a star, not a chain, so the clique's graph diameter
+    stays 2 and iterative CC doesn't inherit an O(m)-diameter path)
+    and each qualifying distinct-set pair contributes ONE
+    representative edge (min-id of each side) instead of |A|·|B|.
+    Same connected components as the full graph — every clique
+    member touches the hub, and any A-member is jaccard-1-connected
+    to A's representative — so CC consumers (dedup_components,
+    dedup_keep_best) get bit-identical clusters while the worst case
+    collapses from quadratic to linear: a 10⁶-copy boilerplate
+    clique is 10⁶−1 edges, not 10¹²/2.  NOT for consumers that need
+    the pair LIST itself (dedup_jaccard_pairs' contract).
     """
     from ctgov_ai_etl_spark.operators.limits import (
         global_rank_with_count,
@@ -573,10 +593,37 @@ def jaccard_token_pairs(
     # vocabulary entry — exactly the table you'd keep cached on a
     # cluster between dedup runs.
     dfreq = exploded.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked_vocab, n_vocab = global_rank_with_count(
-        _materialize(dfreq.filter(F.col("df") >= 2)), ["df", "tok"]
-    )
-    vocab = ranked_vocab.select("tok", F.col("__pos").cast("int").alias("tid"))
+    filt = _materialize(dfreq.filter(F.col("df") >= 2))
+    # Dictionary build, two tiers (the r6 advisor's df-threshold
+    # cutoff): the distributed global_rank pays three fixed job
+    # barriers (range-boundary sampling, per-partition offset counts,
+    # the rank itself) — measured ~2.9 s of pure scheduling on a
+    # 31-token vocabulary at sf0.1, the dominant share of the CC
+    # family's shared pair-generation floor.  A deduplicated,
+    # singleton-free vocabulary is usually SMALL (it grows with
+    # distinct shared tokens, not corpus rows), so when one
+    # bounded-size probe shows it fits the driver, rank it in Python
+    # (same (df, tok) rarest-first order: UTF-8 byte order == Unicode
+    # code-point order == Python str order) and ship it back as a
+    # broadcast dictionary — one job instead of three.  Bound:
+    # _VOCAB_DRIVER_CAP rows ≈ tens of MB, the same ballpark the
+    # broadcast tier below already implies; a web-scale vocabulary
+    # falls through to the distributed rank.  Tie-breaks can't change
+    # results: any consistent total order is a valid PPJoin canonical
+    # order, and verification is exact.
+    probe = filt.limit(_VOCAB_DRIVER_CAP + 1).collect()
+    if len(probe) <= _VOCAB_DRIVER_CAP:
+        n_vocab = len(probe)
+        order = sorted(probe, key=lambda r: (r["df"], r["tok"]))
+        vocab = df.sparkSession.createDataFrame(
+            [(r["tok"], i + 1) for i, r in enumerate(order)],
+            "tok string, tid int",
+        )
+    else:
+        ranked_vocab, n_vocab = global_rank_with_count(filt, ["df", "tok"])
+        vocab = ranked_vocab.select(
+            "tok", F.col("__pos").cast("int").alias("tid")
+        )
     # Broadcast the dictionary only while it plausibly fits executor
     # memory; a web-scale vocabulary falls back to a shuffle join on
     # the token key (both sides already shuffle-sized).
@@ -648,14 +695,27 @@ def jaccard_token_pairs(
         cols.append(mask.alias("mask"))
     with_prefix = sets.select(*cols)
 
-    # intra-clique pairs: jaccard = 1.0, no verification needed
-    intra = (
-        sets.filter(F.size("ids") >= 2)
-        .select("ids", F.explode("ids").alias("id_a"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    )
+    # intra-clique pairs: jaccard = 1.0, no verification needed.
+    # spanning mode: the min-id star replaces the m² explode (star,
+    # not chain — keeps the clique's diameter at 2 for iterative CC).
+    if spanning:
+        spokes = F.expr(
+            "transform(sequence(1, size(ids) - 1),"
+            " i -> struct(ids[0] AS id_a, ids[i] AS id_b))"
+        )
+        intra = (
+            sets.filter(F.size("ids") >= 2)
+            .select(F.explode(spokes).alias("p"))
+            .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+        )
+    else:
+        intra = (
+            sets.filter(F.size("ids") >= 2)
+            .select("ids", F.explode("ids").alias("id_a"))
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
 
     # inter-set candidates via prefix filtering (PPJoin guarantee:
     # jaccard ≥ t ⟹ the rarest-first prefixes intersect) PLUS the
@@ -717,19 +777,35 @@ def jaccard_token_pairs(
     # is corpus-sized for low-duplication corpora (arrays/bitmaps in
     # tow), so a forced broadcast risks driver/executor OOM — AQE
     # promotes to broadcast at runtime when it actually fits.
-    inter = (
+    verified = (
         cand_sets.join(pa, "fp_a")
         .join(pb, "fp_b")
         .select("ids_a", "ids_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
-        .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
-        .select(
+    )
+    if spanning:
+        # One representative edge per qualifying set pair: min-id of
+        # each side (ids are sort_array'd).  Every other member is
+        # already chained to its representative by ``intra``.
+        inter = verified.select(
+            F.element_at("ids_a", 1).alias("ia"),
+            F.element_at("ids_b", 1).alias("ib"),
+            "jaccard",
+        ).select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),
             "jaccard",
         )
-    )
+    else:
+        inter = (
+            verified.select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
+            .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                "jaccard",
+            )
+        )
     return intra.unionByName(inter)
 
 
@@ -740,7 +816,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
-    star_handoff: int = 8,
+    star_handoff: int = 4,
     observation=None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
@@ -772,6 +848,13 @@ def connected_components(
     graphs cost ``star_handoff`` + O(log n) rounds instead of
     O(diameter).  ``star_handoff=0`` disables label-prop entirely
     (pure star); ``star_handoff >= max_iters`` disables the guard.
+    Default 4: label init is fused with the first propagation round
+    (label₀ = neighborhood min), so diameter-≤5 graphs — which
+    includes every dense near-dup clique and small clique chains —
+    still resolve inside label prop, while chain-shaped graphs stop
+    burning diameter-many shuffles after 4 (r7 measurement at sf0.1,
+    190 k chain-heavy edges: 8 rounds + handoff 8.1 s → 4 rounds +
+    handoff ~6 s, pure star 5.2 s).
 
     Returns (``id_col``, component) — component = min vertex id in the
     cluster, which doubles as the deterministic canonical keeper.
@@ -829,10 +912,15 @@ def connected_components(
     from pyspark.sql import Observation
 
     obs0 = Observation()
+    # Label init FUSED with the first propagation round: label₀(v) =
+    # min(v, Γ(v)) is exactly what round 1 of plain init-to-self would
+    # compute, and the groupBy-min here has the same shuffle shape as
+    # the .distinct() it replaces — one full join+checkpoint round for
+    # free (matters most for the shallow-clique common case, which now
+    # converges in 1-2 observed rounds instead of 2-3).
     labels = (
-        sym.select("v")
-        .distinct()
-        .select("v", F.col("v").alias("component"))
+        sym.groupBy("v")
+        .agg(F.least(F.min("nbr"), F.first("v")).alias("component"))
         .observe(obs0, lbl_sum.alias("s"))
         .localCheckpoint(eager=True)
     )
@@ -919,9 +1007,24 @@ def connected_components(
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
-    """Both directions of an undirected edge list (u, v), no self-loops."""
+    """Both directions of an undirected edge list (u, v), no self-loops.
+
+    Emitted with ONE explode-of-structs pass rather than a self-union:
+    (a) the input is evaluated once, not once per union branch, and
+    (b) Spark 4.1's Union constraint rewrite throws
+    ``NoSuchElementException: key not found`` when a Union of two
+    projections of the same checkpointed plan sits under this
+    operator's filter/join stack (hit in r7 by the spanning pair
+    graph; the explode form has no Union node to rewrite)."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )
+    )
     return (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e.select(both.alias("p"))
+        .select("p.u", "p.v")
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
     )
@@ -974,6 +1077,17 @@ def connected_components_star(
     variant — a foreign endpoint must not win a component's min).
     """
     vset = vertices.select(F.col(id_col).alias("u")).dropDuplicates(["u"])
+    # NOTE: the convergence signature deliberately does NOT ride the
+    # checkpoint via df.observe (the label-prop loop's pattern):
+    # CollectMetrics above a plan containing a Union (both
+    # _symmetrize and the init here union) trips Catalyst's
+    # Union.rewriteConstraints ("key not found: u#...", Spark 4.1) —
+    # the separate agg is one tiny job over the already-checkpointed
+    # RDD scan.
+    chk = [
+        F.count("*").alias("cnt"),
+        F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
+    ]
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -983,10 +1097,6 @@ def connected_components_star(
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    chk = [
-        F.count("*").alias("cnt"),
-        F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
-    ]
     prev = tuple(e.agg(*chk).collect()[0])
     prev_e = e
     for _ in range(max_iters):
@@ -1004,9 +1114,18 @@ def connected_components_star(
         sym = _symmetrize(e)
         mn = _neighborhood_min(sym)
         adj = sym.filter(F.col("v") < F.col("u")).join(mn, "u")
+        # Emit (v, m) and (u, m) via ONE explode instead of a
+        # self-union: adj is evaluated once per round, not once per
+        # union branch.
+        both = F.explode(
+            F.array(
+                F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+            )
+        )
         e = (
-            adj.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(adj.select("u", F.col("m").alias("v")))
+            adj.select(both.alias("p"))
+            .select("p.u", "p.v")
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates(["u", "v"])
             .localCheckpoint(eager=True)

@@ -1298,9 +1298,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-defined. Oracle replays the transitive closure with a
     recursive CTE over the same pair set."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95).select(
-        "id_a", "id_b"
-    )
+    # spanning=True: CC needs connectivity, not the pair list — the
+    # clique-chain + representative-edge subset has the same closure
+    # (operator docstring) at linear instead of quadratic edge volume.
+    pairs = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.95, spanning=True
+    ).select("id_a", "id_b")
     comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
     csizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
     return comp.join(csizes, "component").select("doc_id", "component", "csize")
@@ -1320,9 +1323,9 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ctgov_ai_etl_spark.operators.dedup import connected_components_star
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95).select(
-        "id_a", "id_b"
-    )
+    pairs = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.95, spanning=True
+    ).select("id_a", "id_b")
     comp = connected_components_star(d.select("doc_id"), pairs, id_col="doc_id")
     csizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
     return comp.join(csizes, "component").select("doc_id", "component", "csize")
@@ -1353,9 +1356,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster.  Oracle = the recursive-CTE components replay joined to
     the shared SQL quality fragment."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95).select(
-        "id_a", "id_b"
-    )
+    pairs = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.95, spanning=True
+    ).select("id_a", "id_b")
     comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
     scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     joined = comp.join(scored, "doc_id")
@@ -2056,10 +2059,16 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tf = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     vocab = tf.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt")).collect()[0][0]  # tiny driver scalar
-    lp = vocab.select(
+    # The corpus token total rides a 1-row broadcast cross join (the
+    # pattern used by mixture_fractions above) instead of a driver
+    # collect: one lazy plan, no extra job barrier, and the vocab
+    # aggregate is shared with the log-prob pass via ReusedExchange.
+    total = F.broadcast(
+        vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    )
+    lp = vocab.crossJoin(total).select(
         "tok",
-        F.round(F.log(F.col("cnt") / F.lit(float(total))) * 1_000_000)
+        F.round(F.log(F.col("cnt") / F.col("__total")) * 1_000_000)
         .cast("long")
         .alias("u"),
     )

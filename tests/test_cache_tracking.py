@@ -101,3 +101,41 @@ def test_stream_semantic_oracle_under_adverse_import_order():
         "assert REGISTRY['stream_run_semantic_admission'].oracle is not None"
     )
     subprocess.run([sys.executable, "-c", code], check=True, cwd=repo)
+
+
+def test_spanning_pairs_have_identical_components(spark):
+    # spanning=True must yield bit-identical connected components to
+    # the full pair graph — the contract that lets CC consumers skip
+    # the quadratic intra-clique/inter-set explosion.
+    from ctgov_ai_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_token_pairs,
+    )
+    from ctgov_ai_etl_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, SF_SMALL, "documents")
+    full = jaccard_token_pairs(d, "doc_id", "text", threshold=0.9)
+    span = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.9, spanning=True
+    )
+    n_full, n_span = full.count(), span.count()
+    assert n_span <= n_full
+    cc_full = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            d.select("doc_id"), full.select("id_a", "id_b"), id_col="doc_id"
+        ).collect()
+    }
+    cc_span = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            d.select("doc_id"), span.select("id_a", "id_b"), id_col="doc_id"
+        ).collect()
+    }
+    assert cc_full == cc_span
+    # The spanning graph must also stay within the full pair set's
+    # similarity contract: every emitted edge is a true >= t pair.
+    full_set = {(r.id_a, r.id_b) for r in full.collect()}
+    span_set = {(r.id_a, r.id_b) for r in span.collect()}
+    assert span_set <= full_set
