@@ -274,3 +274,99 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return key_skew_profile(li, "l_suppkey", top_n=10)
+
+
+@query(
+    "dq_validate_orders",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL
+                           OR o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_av,
+             CAST(sum(CASE WHEN o_totalprice IS NULL
+                           OR o_totalprice < 0 OR o_totalprice > 200000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_rg,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL
+                           OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_fk FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT r.rule, r.kind, r."column", r.violations, agg.total,
+           r.violations = 0 AS passed
+    FROM agg, fk, LATERAL (VALUES
+      ('orderkey_not_null', 'not_null', 'o_orderkey', agg.v_nn),
+      ('orderkey_unique', 'unique', 'o_orderkey', agg.v_uq),
+      ('status_accepted', 'accepted_values', 'o_orderstatus', agg.v_av),
+      ('totalprice_range', 'in_range', 'o_totalprice', agg.v_rg),
+      ('priority_format', 'regex_match', 'o_orderpriority', agg.v_re),
+      ('custkey_fk', 'referential', 'o_custkey', fk.v_fk)
+    ) AS r(rule, kind, "column", violations)
+    """,
+)
+def dq_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py — the
+    Deequ/Great-Expectations operator class): six expectations over
+    orders, reported as one row per rule with violation counts and a
+    pass flag.  All five row-local rules fold into ONE aggregation
+    pass (conditional sums + count-distinct, map-side partials; the
+    scan reads only the referenced columns), and the referential rule
+    adds a single broadcast anti-join probe against customer — the
+    per-load gate shape a 100 TB ingest runs before promoting a
+    partition.  The range rule is deliberately tight (≤ 200k) so the
+    report exercises a FAILING expectation, not just green rows."""
+    from ctgov_ai_etl_spark.operators.expectations import Rule, validate
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("orderkey_not_null", "not_null", "o_orderkey"),
+        Rule("orderkey_unique", "unique", "o_orderkey"),
+        Rule(
+            "status_accepted",
+            "accepted_values",
+            "o_orderstatus",
+            {"values": ["F", "O", "P"]},
+        ),
+        Rule(
+            "totalprice_range", "in_range", "o_totalprice", {"lo": 0, "hi": 200000}
+        ),
+        Rule(
+            "priority_format", "regex_match", "o_orderpriority",
+            {"pattern": "^[1-5]-"},
+        ),
+        Rule("custkey_fk", "referential", "o_custkey", {"ref": c, "ref_col": "c_custkey"}),
+    ]
+    return validate(o, rules)
+
+
+@query(
+    "join_fuzzy_lev1",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def join_fuzzy_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-bounded fuzzy self-join (operators/fuzzy.py):
+    customer-name pairs within Levenshtein distance 1, found via
+    deletion-neighborhood blocking (SymSpell) — explode |s|+1 deletion
+    variants per row, ONE equi-join shuffle on the variant string,
+    exact levenshtein verify — where the predicate alone would plan an
+    O(n²) nested loop (the oracle RUNS that nested loop; same rows,
+    quadratic only on the replay side).  TPC-H customer names differ
+    in a digit tail, so the fixture exercises heavy true-positive load
+    (thousands of distance-1 pairs), not just a sparse typo corpus."""
+    from ctgov_ai_etl_spark.operators.fuzzy import fuzzy_self_join_lev1
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_self_join_lev1(c, "c_custkey", "c_name")

@@ -1374,6 +1374,42 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_group_aware",
+    oracle=f"""
+    WITH base AS ({{components}})
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 < 1000
+                THEN 'test' ELSE 'train' END AS split
+    FROM base
+    """.format(components=_COMPONENTS_ORACLE),
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split (operators/splits.py): near-dup
+    clusters (exact-Jaccard pairs >= 0.95 -> connected components)
+    are assigned to a side as a UNIT — md5 hash bucket of the
+    component id, 10%% test — so no near-duplicate of a test document
+    can appear in train (the contamination bug a row-level
+    df.randomSplit silently commits).  Deterministic and
+    engine-reproducible: the oracle recomputes the same closure and
+    the same md5 bucket, and the split is a pure function of corpus
+    content — stable under repartitioning, re-runs, and corpus
+    growth.  Scale: the split adds ZERO shuffles beyond the dedup
+    clustering the pipeline already runs (one broadcast-free map-side
+    bucket expression)."""
+    from ctgov_ai_etl_spark.operators.splits import group_aware_split
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.95, spanning=True
+    ).select("id_a", "id_b")
+    comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    return group_aware_split(
+        d.select("doc_id"), comp, "doc_id", test_fraction=0.1
+    ).select("doc_id", "component", "split")
+
+
 _IVF_CENTROIDS = seeded_centroids(k=16, dim=64)
 _IVF_NPROBE = 6
 
@@ -2640,3 +2676,92 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = (F.col("top_tok_ratio") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5)
     return scored.withColumn("keep", keep.cast("int"))
+
+
+@query(
+    "sim_text_cosine_sparse",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tfc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, tok,
+             tf * CAST(round(ln((SELECT n_docs FROM n) / df) * 1000) AS BIGINT) AS w
+      FROM tfc JOIN dfreq USING (tok)
+      WHERE df BETWEEN 2 AND 100
+    ),
+    norms AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+              FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON id_a = na.doc_id
+    JOIN norms nb ON id_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.6
+    """,
+)
+def sim_text_cosine_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity via an INVERTED-INDEX
+    join — the lexical twin of the dense embedding near-dup chain:
+    no vectors are materialized; the dot product is the token-keyed
+    self-join Σ w_a·w_b, which is the textbook sparse-vector
+    formulation (one shuffle on the token key).  The scale lever is
+    the document-frequency band (2 ≤ df ≤ 100): hapax tokens can't
+    contribute to any pair and stopwords would make the index join
+    explode on Σ df² — pruning both bounds the join exactly like a
+    prefix filter, and the oracle applies the same band.
+
+    Determinism: idf is fixed to integer MILLI-units
+    (round(ln(N/df)·1000) — the perplexity query's transcendental
+    contract), weights and dot products are exact int64, norms are
+    IEEE sqrt of exact sums (correctly rounded, so bit-identical
+    across engines), and the output cosine rounds at 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tfc = tf.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = F.broadcast(d.agg(F.count("*").cast("double").alias("__n")))
+    idf_milli = (
+        F.round(F.log(F.col("__n") / F.col("df")) * 1000).cast("long")
+    )
+    w = (
+        tfc.join(
+            F.broadcast(
+                dfreq.filter(F.col("df").between(2, 100)).crossJoin(n_docs)
+            ),
+            "tok",
+        )
+        .select("doc_id", "tok", (F.col("tf") * idf_milli).alias("w"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.6)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )

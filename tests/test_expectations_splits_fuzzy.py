@@ -1,0 +1,152 @@
+"""Unit tests for the r7 operator additions: data-quality expectations
+(operators/expectations.py), leakage-safe group-aware splits
+(operators/splits.py), and the deletion-neighborhood fuzzy join
+(operators/fuzzy.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.expectations import Rule, validate
+from ctgov_ai_etl_spark.operators.fuzzy import fuzzy_self_join_lev1
+from ctgov_ai_etl_spark.operators.splits import group_aware_split
+
+
+# ------------------------------------------------------- expectations
+
+@pytest.fixture()
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", 10.0, "ok-1"),
+            (2, "A", -5.0, "ok-2"),   # range violation
+            (2, "B", 20.0, "bad"),    # duplicate id + regex violation
+            (None, "Z", 30.0, "ok-3"),  # null id + unaccepted status
+        ],
+        "id long, status string, price double, tag string",
+    )
+
+
+def test_validate_counts_each_rule(spark, messy):
+    dim = spark.createDataFrame([(1,), (2,)], "ref_id long")
+    report = {
+        r.rule: (r.violations, r.total, r.passed)
+        for r in validate(
+            messy,
+            [
+                Rule("id_not_null", "not_null", "id"),
+                Rule("id_unique", "unique", "id"),
+                Rule("status_ok", "accepted_values", "status",
+                     {"values": ["A", "B"]}),
+                Rule("price_range", "in_range", "price", {"lo": 0, "hi": 100}),
+                Rule("tag_format", "regex_match", "tag", {"pattern": "^ok-"}),
+                Rule("id_fk", "referential", "id",
+                     {"ref": dim, "ref_col": "ref_id"}),
+            ],
+        ).collect()
+    }
+    assert report["id_not_null"] == (1, 4, False)
+    # ids (1, 2, 2): count=3, distinct=2 -> one row beyond the first
+    assert report["id_unique"] == (1, 4, False)
+    assert report["status_ok"] == (1, 4, False)   # Z
+    assert report["price_range"] == (1, 4, False)  # -5.0
+    assert report["tag_format"] == (1, 4, False)   # "bad"
+    # null id has no match -> FK violation (key is required)
+    assert report["id_fk"] == (1, 4, False)
+
+
+def test_validate_green_table_passes(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id long, s string")
+    out = validate(
+        df,
+        [
+            Rule("nn", "not_null", "id"),
+            Rule("uq", "unique", "id"),
+        ],
+    ).collect()
+    assert all(r.passed and r.violations == 0 and r.total == 2 for r in out)
+
+
+def test_validate_rejects_bad_rules(spark, messy):
+    with pytest.raises(ValueError, match=">= 1 rule"):
+        validate(messy, [])
+    with pytest.raises(ValueError, match="unknown kind"):
+        validate(messy, [Rule("x", "bogus", "id")])
+
+
+# ------------------------------------------------------------- splits
+
+def test_group_aware_split_keeps_groups_together(spark):
+    rows = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # groups of 4 consecutive ids
+    comp = rows.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("component")
+    )
+    out = group_aware_split(rows, comp, "doc_id", test_fraction=0.25)
+    sides = out.groupBy("component").agg(
+        F.countDistinct("split").alias("n_sides"), F.count("*").alias("n")
+    )
+    assert sides.filter(F.col("n_sides") != 1).count() == 0
+    assert sides.filter(F.col("n") != 4).count() == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "test"}  # 25% of 50 groups: both present
+
+
+def test_group_aware_split_singletons_self_label(spark):
+    rows = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    out = {r.doc_id: r.component for r in
+           group_aware_split(rows, empty, "doc_id").collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_group_aware_split_validates_fraction(spark):
+    rows = spark.createDataFrame([(1,)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    with pytest.raises(ValueError, match="test_fraction"):
+        group_aware_split(rows, empty, "doc_id", test_fraction=1.5)
+
+
+# -------------------------------------------------------------- fuzzy
+
+def test_fuzzy_lev1_matches_bruteforce(spark):
+    names = [
+        "alpha", "alphas", "alpa", "alPha",  # del / ins / del / sub vs alpha
+        "beta", "betta", "gamma", "delta", "dolta",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join_lev1(df, "id", "s").collect()
+    }
+    # brute force in python
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {
+        (i, j, lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want
+    assert (0, 1, 1) in got and (0, 2, 1) in got and (0, 3, 1) in got
+
+
+def test_fuzzy_lev1_empty_and_identical_strings(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "a"), (4, "ab")], "id long, s string"
+    )
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in fuzzy_self_join_lev1(df, "id", "s").collect()}
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 0), (2, 4, 1), (3, 4, 1)}
