@@ -128,3 +128,48 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
     out = reduce(DataFrame.unionAll, parts)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile (the Deequ profiler analog): for each
+    requested column — total rows, null count, exact distinct count,
+    and min/max rendered as strings (uniform report schema across
+    numeric / string / timestamp columns).
+
+    Everything folds into a SINGLE aggregation over the table: counts
+    and min/max partially aggregate map-side; each exact
+    count-distinct adds one Expand pass (the standard Spark shape —
+    swap in approx_count_distinct at the call site when 2% error is
+    acceptable at 100 TB).  The scan prunes to exactly ``cols``."""
+    if not cols:
+        raise ValueError("profile_columns requires >= 1 column")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{i}"),
+            F.countDistinct(col).cast("long").alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nulls_{i}").alias("nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_value"),
+                F.col(f"__max_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(
+        F.explode(rows).alias("r"), F.col("__total").alias("total")
+    ).select(
+        "r.column", "total", "r.nulls", "r.n_distinct",
+        "r.min_value", "r.max_value",
+    )

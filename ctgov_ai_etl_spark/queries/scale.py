@@ -370,3 +370,46 @@ def join_fuzzy_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     return fuzzy_self_join_lev1(c, "c_custkey", "c_name")
+
+
+@query(
+    "dq_profile_lineitem",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd1,
+             CAST(min(l_returnflag) AS VARCHAR) AS mn1,
+             CAST(max(l_returnflag) AS VARCHAR) AS mx1,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd2,
+             CAST(CAST(min(l_quantity) AS DOUBLE) AS VARCHAR) AS mn2,
+             CAST(CAST(max(l_quantity) AS DOUBLE) AS VARCHAR) AS mx2,
+             CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd3,
+             CAST(min(l_suppkey) AS VARCHAR) AS mn3,
+             CAST(max(l_suppkey) AS VARCHAR) AS mx3
+      FROM lineitem
+    )
+    SELECT r."column", agg.total, r.nulls, r.n_distinct,
+           r.min_value, r.max_value
+    FROM agg, LATERAL (VALUES
+      ('l_returnflag', agg.nu1, agg.nd1, agg.mn1, agg.mx1),
+      ('l_quantity', agg.nu2, agg.nd2, agg.mn2, agg.mx2),
+      ('l_suppkey', agg.nu3, agg.nd3, agg.mn3, agg.mx3)
+    ) AS r("column", nulls, n_distinct, min_value, max_value)
+    """,
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (operators/expectations.py:
+    profile_columns — the Deequ profiler analog): per-column total /
+    nulls / exact distinct / min / max over three lineitem columns of
+    different types, rendered to one uniform report.  ONE aggregation
+    job: conditional sums and min/max partially aggregate map-side,
+    the exact count-distincts ride the standard Expand pass, and the
+    scan prunes to exactly the profiled columns — the table-discovery
+    primitive that precedes every ingest gate at 100 TB."""
+    from ctgov_ai_etl_spark.operators.expectations import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_returnflag", "l_quantity", "l_suppkey"])

@@ -147,6 +147,42 @@ def stream_run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_run_sliding_window",
+    oracle="""
+    SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - k * 1800) AS BIGINT) * 1000000) AS w_start,
+           make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - k * 1800 + 3600) AS BIGINT) * 1000000) AS w_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_run_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming sliding-window aggregation (1 h wide, 30 min
+    slide): file micro-batch source → watermark → window(w, slide) →
+    complete-mode memory sink.  Every event lands in exactly two
+    windows; the oracle reproduces Spark's epoch-aligned window starts
+    with the two slide-offset buckets.  Closes the last windowed-agg
+    row that ran through readStream only in tumbling/session form."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+        )
+    )
+    return run_stream_to_memory(agg, mode="complete")
+
+
+@query(
     "stream_run_session_window",
     oracle="""
     WITH marked AS (

@@ -162,3 +162,66 @@ def test_key_skew_profile_hand_computed(spark):
     assert (r.n_keys, r.n_rows, r.max_key_count, r.topn_count) == (4, 9, 6, 7)
     assert r.topn_frac_pm == 7 * 1_000_000 // 9
     assert r.imbalance_pm == 6 * 4 * 1_000_000 // 9
+
+
+def test_zorder_layout_skips_more_row_groups_than_linear_sort(spark, tmp_path):
+    """The data-skipping claim behind maintenance_zorder, proven on
+    real parquet footers: write lineitem (l_partkey, l_suppkey) once
+    sorted by the Morton code and once linearly by l_partkey, with
+    small row groups; for a 2-D box predicate, the fraction of row
+    groups whose [min, max] rectangles intersect the box — exactly
+    what parquet stats-based skipping reads — must be materially
+    smaller under z-order.  A linear sort bounds only its leading key;
+    the Morton order bounds BOTH dimensions per row group."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ctgov_ai_etl_spark.functions.zorder import morton2
+    from ctgov_ai_etl_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    z = morton2(F.col("l_partkey"), F.col("l_suppkey"))
+    layouts = {
+        "zorder": li.repartition(1).sortWithinPartitions(z),
+        "linear": li.repartition(1).sortWithinPartitions("l_partkey"),
+    }
+    # 2-D box: a narrow range in BOTH dimensions.
+    lo_p, hi_p, lo_s, hi_s = 10, 30, 10, 30
+
+    def overlap_fraction(path: str) -> float:
+        touched = total = 0
+        for f in pq.ParquetDataset(path).files:
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                sp = g.column(cols["l_partkey"]).statistics
+                ss = g.column(cols["l_suppkey"]).statistics
+                total += 1
+                if (
+                    sp.min <= hi_p and sp.max >= lo_p
+                    and ss.min <= hi_s and ss.max >= lo_s
+                ):
+                    touched += 1
+        assert total >= 8, f"need enough row groups to compare ({total})"
+        return touched / total
+
+    fracs = {}
+    for name, df in layouts.items():
+        out = str(tmp_path / name)
+        # maxRecordsPerFile rolls sequential files off the sorted
+        # stream — one row group each, the unit parquet stats skip.
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", 400)
+            .parquet(out)
+        )
+        fracs[name] = overlap_fraction(out)
+    # Same rows, same predicate — the layout alone must cut the
+    # touched-row-group fraction at least in half.
+    assert fracs["zorder"] <= fracs["linear"] / 2, fracs
