@@ -371,3 +371,68 @@ def text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+@query(
+    "export_sharded_manifest",
+    oracle="""
+    WITH lines AS (
+      SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard,
+             CAST(doc_id AS VARCHAR) || chr(9) || lang || chr(9) || text
+               AS line
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(line)) AS BIGINT) AS total_chars,
+           md5(string_agg(line, chr(10) ORDER BY line)) AS content_hash
+    FROM lines
+    GROUP BY shard
+    """,
+)
+def export_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SHARDED corpus export with a verifiable manifest —
+    the delivery shape of a training-data pipeline (fixed shard count,
+    reproducible membership, a checksum per shard so the consumer can
+    verify transfer integrity).  Shard = md5(doc_id) bucket (stable
+    under repartitioning and re-runs; the same engine-reproducible
+    hash the sampling operators use), written ``partitionBy(shard)``
+    as text, then READ BACK from disk and reduced to the manifest:
+    (shard, n_rows, total_chars, content_hash) where content_hash is
+    md5 over the newline-joined SORTED lines — order-insensitive, so
+    it is a pure function of shard CONTENT, not of task scheduling.
+    The oracle computes the identical manifest straight from the
+    source table: a hash match proves the write → read round trip
+    lost nothing and shard assignment is exactly the advertised
+    function.  Per-shard state for the hash is the shard's own lines
+    (collect_list within a group) — shards are sized by n_shards, the
+    caller's knob, exactly like the real delivery format."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="shard_exp_"), "corpus")
+    lines = d.select(
+        hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        F.concat_ws(
+            "\t", F.col("doc_id"), F.col("lang"), F.col("text")
+        ).alias("value"),
+    )
+    lines.write.mode("overwrite").partitionBy("shard").text(out)
+    back = spark.read.text(out)  # partition discovery recovers `shard`
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("value")).alias("total_chars"),
+            F.md5(
+                F.concat_ws("\n", F.array_sort(F.collect_list("value")))
+            ).alias("content_hash"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_rows",
+            "total_chars",
+            "content_hash",
+        )
+    )

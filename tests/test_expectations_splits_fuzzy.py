@@ -150,3 +150,79 @@ def test_fuzzy_lev1_empty_and_identical_strings(spark):
     got = {(r.id_a, r.id_b, r.dist)
            for r in fuzzy_self_join_lev1(df, "id", "s").collect()}
     assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 0), (2, 4, 1), (3, 4, 1)}
+
+
+def test_fuzzy_lev1_hypothesis_random_strings(spark):
+    # Deletion-neighborhood completeness on adversarial short strings:
+    # every Levenshtein<=1 pair must be found (no false negatives),
+    # and the verify stage must kill every >1 candidate.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=5),
+            min_size=2, max_size=8,
+        )
+    )
+    def check(strings):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(strings)], "id long, s string"
+        )
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_self_join_lev1(df, "id", "s").collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for i, a in enumerate(strings)
+            for j, b in enumerate(strings)
+            if i < j and lev(a, b) <= 1
+        }
+        assert got == want
+
+    check()
+
+
+def test_group_aware_split_has_no_near_dup_leakage(spark):
+    # THE guarantee the operator exists for: on the real corpus, no
+    # jaccard>=0.95 near-dup pair may straddle the train/test boundary.
+    from pyspark.sql import functions as F
+
+    from ctgov_ai_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_token_pairs,
+    )
+    from ctgov_ai_etl_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, SF_SMALL, "documents")
+    pairs = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.95, spanning=True
+    ).select("id_a", "id_b")
+    comp = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    split = group_aware_split(d.select("doc_id"), comp, "doc_id", 0.2)
+    # check against the FULL pair list, not the spanning subset
+    full = jaccard_token_pairs(d, "doc_id", "text", threshold=0.95)
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaks = (
+        full.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaks == 0
+    # and the split actually produced both sides on this corpus
+    sides = {r.split for r in split.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
