@@ -313,6 +313,43 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"Scan ExistingRDD"),
         ("no cartesian", r"\A(?!.*CartesianProduct)"),
     ],
+    "dq_validate_orders": [
+        # All five row-local rules share ONE aggregation (conditional
+        # sums + count-distinct) — no per-rule scans.
+        ("row-local rules partially aggregated map-side", r"partial_sum"),
+        ("referential probe is a broadcast anti-join",
+         r"BroadcastHashJoin [^\n]*LeftAnti"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+    ],
+    "join_fuzzy_lev1": [
+        # The whole point: the levenshtein predicate alone would plan
+        # a nested loop; deletion-variant blocking makes it an
+        # equi-join.
+        ("no nested-loop/cartesian join",
+         r"\A(?!.*(BroadcastNestedLoopJoin|CartesianProduct))"),
+        ("candidate pairs deduped via partial aggregation",
+         r"(HashAggregate|SortAggregate)[^\n]*partial_"),
+        ("variant explode map-side (Generate, no Python)",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "sim_text_cosine_sparse": [
+        ("idf table broadcast into the weight probe", r"BroadcastHashJoin"),
+        ("dot products partially aggregated", r"partial_sum"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+    ],
+    "split_group_aware": [
+        ("split side is a map-side md5 bucket (no extra shuffle)",
+         r"conv\(substring\(md5"),
+        ("no single-reducer exchange", r"\A(?!.*Exchange SinglePartition)"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+    ],
+    "export_sharded_manifest": [
+        ("manifest reduced with partial aggregation", r"partial_count"),
+        ("read-back scan recovers shard as a partition column",
+         r"PartitionFilters|Location: InMemoryFileIndex"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
     "agg_grouping_sets_multi": [
         # The whole point of the multi-pass strategy: no Expand node
         # replicating fact rows x(grouping sets) before the shuffle.
