@@ -226,3 +226,23 @@ def test_group_aware_split_has_no_near_dup_leakage(spark):
     # and the split actually produced both sides on this corpus
     sides = {r.split for r in split.select("split").distinct().collect()}
     assert sides == {"train", "test"}
+
+
+def test_profile_columns_report(spark):
+    from ctgov_ai_etl_spark.operators.expectations import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 5.0), (2, None, 7.5)],
+        "id long, s string, v double",
+    )
+    rep = {r.column: r for r in profile_columns(df, ["id", "s", "v"]).collect()}
+    assert set(rep) == {"id", "s", "v"}
+    assert all(r.total == 3 for r in rep.values())
+    assert (rep["id"].nulls, rep["id"].n_distinct) == (0, 2)
+    assert (rep["id"].min_value, rep["id"].max_value) == ("1", "2")
+    assert (rep["s"].nulls, rep["s"].n_distinct) == (1, 2)
+    assert (rep["v"].nulls, rep["v"].min_value, rep["v"].max_value) == (
+        1, "5.0", "7.5",
+    )
+    with pytest.raises(ValueError, match=">= 1 column"):
+        profile_columns(df, [])

@@ -131,6 +131,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write the per-query results as a JSON object "
+        "(driver-CORRECTNESS-shaped: name -> {status, rows, ...}) — "
+        "the artifact the round checklist commits as "
+        "CORRECTNESS_FULL_local_r{N}.json",
+    )
     args = ap.parse_args()
 
     registry = load_all()
@@ -143,6 +151,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name in names:
         if name not in registry:
             print(f"?? unknown query {name}")
@@ -150,11 +159,16 @@ def main() -> int:
             continue
         try:
             r = compare(name, registry[name], spark, con, args.sf)
-        except Exception:
+        except Exception as exc:
             print(f"ERROR {name}")
             traceback.print_exc()
+            results[name] = {
+                "status": "ERROR",
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
             n_fail += 1
             continue
+        results[name] = {k: v for k, v in r.items() if k != "name"}
         tag = r["status"]
         extra = f" ({r['rows']} rows, spark {r['spark_s']}s)"
         print(f"{tag:9s} {name}{extra}")
@@ -167,6 +181,20 @@ def main() -> int:
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)} total")
+    if args.json:
+        import json as _json
+
+        summary = {
+            "sf": args.sf,
+            "n_pass": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": n_fail,
+            "n_total": len(names),
+            "queries": results,
+        }
+        with open(args.json, "w") as fh:
+            _json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
