@@ -318,3 +318,199 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(F.col("m.value"), ignorenulls=True).over(w).alias("value_filled"),
         F.col("m").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH eb AS (
+      SELECT user_id, epoch_us(ts) // {_TS_BUCKET_US} AS b, ts, event_id, value
+      FROM events
+    ),
+    bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM eb),
+    grid AS (SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    cells AS (SELECT u.user_id, g.b FROM users u CROSS JOIN grid g),
+    lastv AS (
+      SELECT user_id, b, value FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM eb
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT c.user_id, c.b, l.value AS v, l.b IS NOT NULL AS known
+      FROM cells c LEFT JOIN lastv l ON l.user_id = c.user_id AND l.b = c.b
+    ),
+    anch AS (
+      SELECT user_id, b, v, known,
+             last_value(CASE WHEN known THEN b END IGNORE NULLS) OVER wp AS pb,
+             last_value(CASE WHEN known THEN v END IGNORE NULLS) OVER wp AS pv,
+             first_value(CASE WHEN known THEN b END IGNORE NULLS) OVER wn AS nb,
+             first_value(CASE WHEN known THEN v END IGNORE NULLS) OVER wn AS nv
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY b
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           make_timestamp(b * {_TS_BUCKET_US}) AS bucket_ts,
+           CASE WHEN known THEN round(v, 6)
+                WHEN pb IS NOT NULL AND nb IS NOT NULL
+                THEN round(pv + (nv - pv) * (b - pb) / (nb - pb), 6)
+           END AS value_interp,
+           CASE WHEN known THEN 'known'
+                WHEN pb IS NOT NULL AND nb IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS kind
+    FROM anch
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR interpolation on the resample grid — the
+    companion to ``ts_resample_ffill`` for continuous measures (a
+    forward fill repeats stale values; interpolation reconstructs the
+    trend between known anchors).  Gap cells strictly between two
+    known cells get pv + (nv−pv)·(b−pb)/(nb−pb); cells before a
+    user's first / after their last anchor are 'edge' (null).
+
+    Scale shape: identical to the ffill query — one broadcast grid ×
+    user dimension, one per-(user, bucket) struct-max aggregation,
+    then TWO frames over the same user_id partition sort (previous
+    and next anchor), which Spark plans as one shuffle + one sort.
+    Anchor (b, value) pairs stay aligned because both columns are
+    null-gated on the same known flag inside the frame.  Determinism:
+    the anchors are exact; the interpolation arithmetic is IEEE
+    double with a fixed association order, replayed identically by
+    the oracle; output rounds at 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    eb = e.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_TS_BUCKET_US}").alias("b"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    bounds = eb.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = bounds.select(F.explode(F.sequence("b0", "b1")).alias("b"))
+    users = e.select("user_id").distinct()
+    cells = users.crossJoin(F.broadcast(grid))
+    last = eb.groupBy("user_id", "b").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    j = cells.join(last, ["user_id", "b"], "left").select(
+        "user_id",
+        "b",
+        F.col("m.value").alias("v"),
+        F.col("m").isNotNull().alias("known"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_b = F.when(F.col("known"), F.col("b"))
+    known_v = F.when(F.col("known"), F.col("v"))
+    anch = j.select(
+        "user_id",
+        "b",
+        "v",
+        "known",
+        F.last(known_b, ignorenulls=True).over(wp).alias("pb"),
+        F.last(known_v, ignorenulls=True).over(wp).alias("pv"),
+        F.first(known_b, ignorenulls=True).over(wn).alias("nb"),
+        F.first(known_v, ignorenulls=True).over(wn).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("b") - F.col("pb")
+    ) / (F.col("nb") - F.col("pb"))
+    has_both = F.col("pb").isNotNull() & F.col("nb").isNotNull()
+    return anch.select(
+        "user_id",
+        F.timestamp_micros(F.col("b") * _TS_BUCKET_US).alias("bucket_ts"),
+        F.when(F.col("known"), F.round(F.col("v"), 6))
+        .when(has_both, F.round(interp, 6))
+        .alias("value_interp"),
+        F.when(F.col("known"), F.lit("known"))
+        .when(has_both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("kind"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s.t_view,
+             min(e.ts) FILTER (WHERE e.event_type = 'click'
+                               AND e.ts > s.t_view) AS t_click
+      FROM events e JOIN steps s USING (user_id)
+      GROUP BY e.user_id, s.t_view
+    ),
+    s3 AS (
+      SELECT e.user_id, s.t_view, s.t_click,
+             min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                               AND e.ts > s.t_click) AS t_purchase
+      FROM events e JOIN s2 s USING (user_id)
+      GROUP BY e.user_id, s.t_view, s.t_click
+    )
+    SELECT CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+             AS n_view,
+           CAST(count(*) FILTER (WHERE t_click IS NOT NULL) AS BIGINT)
+             AS n_view_click,
+           CAST(count(*) FILTER (WHERE t_purchase IS NOT NULL) AS BIGINT)
+             AS n_view_click_purchase
+    FROM s3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel analysis (view → click → purchase): per user,
+    the earliest view, the earliest click strictly AFTER that view,
+    the earliest purchase strictly after that click — then one row of
+    stage counts.  The ordered-sequence semantics ("a click before
+    the first view doesn't count") is what separates a funnel from
+    three independent filters, and it computes WITHOUT a window over
+    raw events: three conditional-min aggregations keyed on user_id,
+    each partially aggregated map-side (one row per user survives
+    each shuffle).  At 100 TB the event table is touched three times
+    map-side but shuffled only as per-user minima — the standard
+    iterative funnel layout; k-step funnels chain k such passes."""
+    e = load_table(spark, sf_dir, "events")
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2.select("user_id", "t_click"), "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t_view").cast("long").alias("n_view"),
+            F.count("t_click").cast("long").alias("n_view_click"),
+            F.count("t_purchase").cast("long").alias("n_view_click_purchase"),
+        )
+    )
