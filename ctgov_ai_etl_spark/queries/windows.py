@@ -514,3 +514,55 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").cast("long").alias("n_view_click_purchase"),
         )
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "retention_cohorts",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT user_id, min(epoch_us(ts) // {_WEEK_US}) AS w0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, epoch_us(e.ts) // {_WEEK_US} AS w
+      FROM events e
+    )
+    SELECT c.w0 AS cohort_week,
+           CAST(a.w - c.w0 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM cohort c JOIN active a USING (user_id)
+    WHERE a.w >= c.w0
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the growth-analytics staple: users
+    grouped by their signup week (first 'signup' event), counted as
+    retained in every later week they show ANY activity.  Weeks are
+    integer epoch-week indices (epoch µs div week) so the bucketing
+    is engine-exact, no calendar semantics to disagree on.  Shape:
+    one per-user min aggregation (cohort), one distinct over (user,
+    week) — both partially aggregated — and a broadcast-joinable
+    cohort dimension; the final matrix is |cohorts| × |offsets|
+    rows.  At 100 TB the event table shuffles once per aggregation on
+    user_id, never on time."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr(f"unix_micros(ts) div {_WEEK_US}")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("w0"))
+    )
+    active = e.select("user_id", week.alias("w")).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .filter(F.col("w") >= F.col("w0"))
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
