@@ -313,6 +313,25 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"Scan ExistingRDD"),
         ("no cartesian", r"\A(?!.*CartesianProduct)"),
     ],
+    "ts_interpolate_linear": [
+        ("resample grid broadcast against the user dimension",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("both anchor frames share one user_id partition sort",
+         r"hashpartitioning\(user_id"),
+        ("no single-reducer window",
+         r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
+    ],
+    "funnel_conversion": [
+        ("per-step minima partially aggregated", r"partial_min"),
+        ("no window over raw events", r"\A(?!.*Window)"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+    ],
+    "retention_cohorts": [
+        ("cohort/active aggs partially aggregated", r"partial_min"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
     "dq_validate_orders": [
         # All five row-local rules share ONE aggregation (conditional
         # sums + count-distinct) — no per-rule scans.
