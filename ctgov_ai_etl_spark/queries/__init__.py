@@ -16,80 +16,53 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # ``load_all`` re-orders the registry each round to put queries with
 # no (or stale) driver evidence first.
 #
-# Round-6 priority, per VERDICT.md r5 item 6 (keep the rotation
-# honest: after r6 no query's latest evidence should be older than
-# r4).  Evidence histogram after r5: 50 r5-latest, 47 r4, 49 r3.
-#   block 0 — queries NEW this round (never driver-checked):
-#     cdc_time_travel, sample_reservoir, graph_triangle_count —
-#     implemented this round (they were phantom _PRIORITY names in
-#     r5; VERDICT r5 "What's wrong" 1) — plus the new r6
-#     capabilities: embed_random_projection (JL), the SemDeDup tiers
-#     (pairwise prune / group-exact / incremental / streaming),
-#     lm_bigram_score, dedup_sorted_neighborhood,
-#     quality_linear_score, sample_temperature,
-#     text_boilerplate_lines, sim_topk_ivfpq,
-#     pipeline_curate_semantic, skew_key_profile,
-#     stream_run_quality_filter, text_hash_embedding, graph_kcore,
-#     dedup_snm_multipass;
-#   block 1 — the 49 r3-latest queries, cheapest first (merged
-#     BENCH_r01-r05 timings) so a time-budgeted window re-greens the
-#     most; no query's OUTPUT changed this round (the k-means reseed
-#     and reservoir n_hint paths are opt-in parameters off the
-#     oracle-checked defaults), so there is no changed-output block;
-#   everything else (r4/r5-green, unchanged) follows alphabetically.
+# Round-7 priority, continuing the rotation (VERDICT r6 item 1 also
+# added a LOCAL full-catalog sweep — CORRECTNESS_FULL_local_r07.json,
+# 179/179 pass — so driver rotation is now belt on top of braces).
+#   block 0 — queries NEW this round (never driver-checked): the 13
+#     r7 additions (streaming session/sliding runs, measured scalar
+#     UDF, multi-pass grouping sets, group-aware split, dq gate +
+#     profile, fuzzy join, sparse cosine, sharded-export manifest,
+#     linear interpolation, funnel, retention);
+#   block 1 — queries whose IMPLEMENTATION changed this round
+#     (outputs proven identical locally, but the driver should
+#     re-green them): the CC family on spanning pair graphs + the
+#     driver-vocab dictionary (dedup_components/_star/_keep_best,
+#     jaccard pairs/bigram, semantic_groups), the
+#     broadcast-literal-fold perplexity, the decimal-routed skew
+#     profile, kcore (validation + cache release), and the
+#     import-order-fixed streaming admission;
+#   block 2 — the 19 r6-priority entries the driver's 50-budget did
+#     not reach in r6 (judge j6 re-verified them, driver evidence
+#     still r3);
+#   everything else (r5/r6-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    # -- block 0: new in r6, never driver-checked -------------------
-    "cdc_time_travel",
-    "sample_reservoir",
-    "graph_triangle_count",
-    "embed_random_projection",
-    "dedup_semantic_prune",
-    "lm_bigram_score",
-    "dedup_sorted_neighborhood",
-    "quality_linear_score",
+    # -- block 0: new in r7, never driver-checked -------------------
+    "split_group_aware",
+    "dq_validate_orders",
+    "dq_profile_lineitem",
+    "join_fuzzy_lev1",
+    "sim_text_cosine_sparse",
+    "export_sharded_manifest",
+    "agg_grouping_sets_multi",
+    "udf_python_scalar",
+    "stream_run_session_window",
+    "stream_run_sliding_window",
+    "ts_interpolate_linear",
+    "funnel_conversion",
+    "retention_cohorts",
+    # -- block 1: implementation changed in r7 ----------------------
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_keep_best",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_bigram",
     "dedup_semantic_groups",
-    "sample_temperature",
-    "dedup_semantic_incremental",
-    "text_boilerplate_lines",
-    "stream_run_semantic_admission",
-    "sim_topk_ivfpq",
-    "pipeline_curate_semantic",
-    "skew_key_profile",
-    "stream_run_quality_filter",
-    "text_hash_embedding",
-    "graph_kcore",
-    "dedup_snm_multipass",
-    # -- block 1: the 49 r3-latest queries, cheap first -------------
-    "binary_file_scan",
-    "unpivot_stack",
-    "text_token_bpe",
-    "essie_search_nested_struct",
-    "stream_sliding_window",
-    "set_intersect_all",
-    "win_sliding_frame",
-    "agg_hll_sketch_merge",
-    "win_running_sum",
-    "udf_pandas_scalar",
-    "win_lag_lead",
-    "text_scan_roundtrip",
-    "udf_map_in_arrow",
-    "stream_tumbling_window",
-    "json_corrupt_records",
-    "text_gopher_rules",
-    "scd2_history",
-    "pivot_status_matrix",
-    "xml_scan_roundtrip",
-    "stream_session_window",
-    "win_first_last",
-    "fn_variant_family",
     "text_perplexity_proxy",
-    "join_asof",
-    "fn_json_map_family",
-    "json_scan_roundtrip",
-    "text_pii_redact",
-    "shuffle_training_order",
-    "fn_try_family",
-    "udf_grouped_agg",
+    "skew_key_profile",
+    "graph_kcore",
+    "stream_run_semantic_admission",
+    # -- block 2: driver evidence still r3 (r6 tail; j6-verified) ---
     "text_repetition",
     "maintenance_compact_files",
     "sample_mixture",
@@ -108,7 +81,6 @@ _PRIORITY = (
     "stream_run_stateful",
     "pipeline_curate_full",
     "dedup_incremental",
-    "dedup_components_star",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 
