@@ -358,3 +358,76 @@ def test_streaming_session_window_equals_batch(spark):
     )
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert _rows(stream_out, cols) == _rows(batch_out, cols)
+
+
+def test_session_merges_across_microbatches(spark, tmp_path):
+    """A session SPLIT across micro-batches must merge in the session
+    state store: user 7's two events are 30 min apart (inside the 1 h
+    gap) but arrive in separate batches (maxFilesPerTrigger=1), so the
+    second batch must extend the first batch's open session rather
+    than emit a new one.  Complete mode keeps every session; the
+    result must equal the batch session_window over the union."""
+    import datetime as dt
+    import tempfile
+    import uuid
+
+    import pyspark.sql.types as T
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows1 = [(1, t0, 7, "view", 1.0, "{}"),
+             (2, t0, 8, "view", 1.0, "{}")]
+    rows2 = [(3, t0 + dt.timedelta(minutes=30), 7, "click", 1.0, "{}"),
+             (4, t0 + dt.timedelta(hours=3), 8, "click", 1.0, "{}")]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "1 hour").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # genuinely multiple batches
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table(name).collect()
+    )
+    # user 7: ONE merged 2-event session [t0, t0+30min+1h);
+    # user 8: TWO separate 1-event sessions (3 h apart > 1 h gap).
+    assert got == [
+        (7, t0, t0 + dt.timedelta(minutes=90), 2),
+        (8, t0, t0 + dt.timedelta(hours=1), 1),
+        (8, t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=4), 1),
+    ]
