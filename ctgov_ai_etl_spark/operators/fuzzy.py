@@ -75,3 +75,97 @@ def fuzzy_self_join_lev1(
     return cand.select("id_a", "id_b", dist.alias("dist")).filter(
         F.col("dist") <= 1
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    min_df: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC containment join: pairs (id_a, id_b) where at least
+    ``threshold`` of A's tokens appear in B and |A| ≤ |B| — the
+    near-SUBSET detector (quotes, excerpts, page-in-page duplication)
+    that symmetric Jaccard misses: a paragraph fully contained in a
+    book has Jaccard ≈ 0 but containment 1.0.
+
+    Token universe: document-frequency band ``min_df ≤ df ≤ max_df``
+    (identical on the oracle side) — hapax tokens cannot witness an
+    intersection between two documents, and stopword-tier tokens
+    would make the inverted index explode on Σ df²; the band is the
+    same scale lever as the sparse-cosine query's.  Containment is
+    DEFINED over the banded sets; ``n`` is the banded set size.
+
+    Shape (ProbeCount prefix join, Xiao et al. '08's overlap
+    variant): every document indexes its FULL banded token set
+    (inverted index, one shuffle on the token), but only its PREFIX —
+    the first |A| − ⌈t·|A|⌉ + 1 tokens in the rarest-first global
+    order — probes the index.  Pigeonhole: overlap ≥ ⌈t·|A|⌉ forces
+    some probe-prefix token of A to appear in B, so recall is exact;
+    candidates then verify with an exact intersect.  At t=0.9 the
+    probe side explodes ~10% of each document, and only on its
+    rarest tokens."""
+    from ctgov_ai_etl_spark.operators.dedup import token_shingles
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    d = spread_to_parallelism(df)
+    toks = d.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), 1).alias("toks"),
+    )
+    exploded = toks.select("id", F.explode("toks").alias("tok"))
+    dfreq = exploded.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    band = dfreq.filter(F.col("df").between(min_df, max_df))
+    # The (tok, df) band broadcasts; each document sorts its own
+    # surviving tokens (df asc, tok asc) map-side — the rarest-first
+    # order the prefix slices from.
+    vocab = F.broadcast(band.select("tok", "df"))
+    enc = (
+        exploded.join(vocab, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ordered")
+        )
+        .select(
+            "id",
+            F.transform("ordered", lambda s: s.tok).alias("stoks"),
+        )
+        .withColumn("n", F.size("stoks"))
+        .filter(F.col("n") >= 1)
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    )
+    probe = enc.select(
+        F.col("id").alias("id_a"),
+        F.col("stoks").alias("ta"),
+        F.col("n").alias("n_a"),
+        F.explode(F.slice("stoks", 1, prefix_len)).alias("tok"),
+    )
+    index = enc.select(
+        F.col("id").alias("id_b"),
+        F.col("stoks").alias("tb"),
+        F.col("n").alias("n_b"),
+        F.explode("stoks").alias("tok"),
+    )
+    cand = (
+        probe.join(
+            index,
+            ["tok"],
+        )
+        .filter(
+            (F.col("id_a") != F.col("id_b")) & (F.col("n_a") <= F.col("n_b"))
+        )
+        .select("id_a", "id_b", "ta", "tb", "n_a")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    containment = F.round(
+        F.size(F.array_intersect("ta", "tb")).cast("double") / F.col("n_a"), 6
+    )
+    return cand.select(
+        "id_a", "id_b", containment.alias("containment")
+    ).filter(F.col("containment") >= threshold)

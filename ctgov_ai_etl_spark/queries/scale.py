@@ -413,3 +413,46 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_columns(li, ["l_returnflag", "l_quantity", "l_suppkey"])
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    banded AS (
+      SELECT t.doc_id, t.tok FROM tf t JOIN dfreq USING (tok)
+      WHERE df BETWEEN 2 AND 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM banded GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ov
+      FROM banded a JOIN banded b
+        ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(ov / CAST(sa.n AS DOUBLE), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE sa.n <= sb.n
+      AND round(ov / CAST(sa.n AS DOUBLE), 6) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join (operators/fuzzy.py:
+    containment_pairs): pairs where ≥ 80% of the smaller document's
+    banded tokens appear in the larger — the near-subset detector
+    (quotes, excerpts, boilerplate-in-page) that symmetric Jaccard
+    misses entirely.  ProbeCount prefix join: full banded inverted
+    index, but only each document's rarest (n − ⌈t·n⌉ + 1)-prefix
+    probes it; exact-intersect verification.  The oracle replays the
+    naive all-pairs overlap with the identical df band."""
+    from ctgov_ai_etl_spark.operators.fuzzy import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.8)

@@ -246,3 +246,34 @@ def test_profile_columns_report(spark):
     )
     with pytest.raises(ValueError, match=">= 1 column"):
         profile_columns(df, [])
+
+
+def test_containment_pairs_finds_subsets_jaccard_misses(spark):
+    from ctgov_ai_etl_spark.operators.fuzzy import containment_pairs
+
+    # doc 1 is a tiny excerpt of docs 2/5 (containment 1.0, jaccard
+    # ~0.3); docs 3/4 are an identical pair.  Every doc-2 token also
+    # appears in doc 5 so the min_df=2 band keeps the full sets and
+    # the size asymmetry is real (banded |1|=3 < |2|=|5|=10).
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, big),
+            (3, "one two three four"),
+            (4, "one two three four"),  # identical pair, both directions
+            (5, big),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0
+    assert (2, 1) not in got and (5, 1) not in got  # big side never probes into small
+    assert got[(3, 4)] == 1.0 and got[(4, 3)] == 1.0  # ties: both ways
+    assert got[(2, 5)] == 1.0 and got[(5, 2)] == 1.0  # identical big pair
+    assert set(got) == {(1, 2), (1, 5), (3, 4), (4, 3), (2, 5), (5, 2)}
