@@ -19,7 +19,7 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # Round-7 priority, continuing the rotation (VERDICT r6 item 1 also
 # added a LOCAL full-catalog sweep — CORRECTNESS_FULL_local_r07.json,
 # 179/179 pass — so driver rotation is now belt on top of braces).
-#   block 0 — queries NEW this round (never driver-checked): the 14
+#   block 0 — queries NEW this round (never driver-checked): the 16
 #     r7 additions (streaming session/sliding runs, measured scalar
 #     UDF, multi-pass grouping sets, group-aware split, dq gate +
 #     profile, fuzzy join, sparse cosine, sharded-export manifest,
@@ -52,6 +52,8 @@ _PRIORITY = (
     "funnel_conversion",
     "retention_cohorts",
     "dedup_containment_pairs",
+    "win_ntile_family",
+    "anomaly_zscore",
     # -- block 1: implementation changed in r7 ----------------------
     "dedup_components",
     "dedup_components_star",

@@ -566,3 +566,114 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "win_ntile_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(row_number() OVER w AS INT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_ntile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family — ntile (equal-count
+    bucketing, the quantile-binning primitive), percent_rank and
+    cume_dist (relative standing) — over a per-priority price
+    ordering.  One shuffle on the partition key, sort within; the
+    (price desc, key asc) order is total, so every rank function is
+    deterministic and both engines agree exactly (percent_rank /
+    cume_dist are ratios of integer ranks — exact in double until
+    astronomically wide partitions; rounded at 6 dp anyway)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("int").alias("rn"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT)) AS s1,
+             sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 1000000) AS BIGINT)) AS s2
+      FROM events GROUP BY user_id
+    ),
+    z AS (
+      SELECT e.event_id, e.user_id, e.value, m.n,
+             CAST(CAST(round(e.value * 1000000) AS BIGINT) * m.n - m.s1
+                  AS DOUBLE)
+               / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)) AS zn
+      FROM events e JOIN m USING (user_id)
+      WHERE m.n >= 2 AND m.n * m.s2 > m.s1 * m.s1
+    )
+    SELECT event_id, user_id, round(value, 6) AS value,
+           round(zn * sqrt(CAST(n AS DOUBLE)), 6) AS zscore
+    FROM z
+    WHERE abs(zn * sqrt(CAST(n AS DOUBLE))) >= 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score outlier detection — the statistical QA
+    filter (sensor spikes, corrupt measurements, bot bursts): events
+    whose value sits ≥ 2.5 population standard deviations from their
+    user's mean.  EXACT moment arithmetic: values fix to integer
+    micro-units, so n, Σx, Σx² are exact int64 under any partitioning
+    and the z-score z = (x·n − Σx)/√(n·Σx² − (Σx)²)·√n is a pure
+    function of exact integers through IEEE sqrt/divide — the oracle
+    replays it bit-for-bit.  Shape: one partially-aggregated moments
+    pass per user (three numbers of state per key), broadcast back
+    against the events — no window, no sort, two shuffles total at
+    any scale.  Degenerate users (single event or zero variance) are
+    excluded by construction."""
+    e = load_table(spark, sf_dir, "events")
+    # Moments in DECIMAL(38,0) (the CC convergence-sum convention):
+    # s1**2 for micro-unit values reaches ~1e24 — far past int64, which
+    # throws under Spark 4's default ANSI mode. decimal(38,0) keeps the
+    # arithmetic EXACT (not float) through the variance term; the
+    # oracle mirrors with HUGEINT.
+    v_micro = F.round(F.col("value") * 1_000_000).cast("long")
+    vm_dec = v_micro.cast("decimal(38,0)")
+    m = e.select(
+        "user_id", v_micro.alias("vm"), vm_dec.alias("vmd")
+    ).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vmd").alias("s1"),
+        F.sum(F.col("vmd") * F.col("vm")).alias("s2"),
+    )
+    j = e.select("event_id", "user_id", "value", v_micro.alias("vm")).join(
+        F.broadcast(m), "user_id"
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    var_n2 = nd * F.col("s2") - F.col("s1") * F.col("s1")
+    zn = (F.col("vm").cast("decimal(38,0)") * F.col("n") - F.col("s1")).cast(
+        "double"
+    ) / F.sqrt(var_n2.cast("double"))
+    z = zn * F.sqrt(F.col("n").cast("double"))
+    return (
+        j.filter((F.col("n") >= 2) & (var_n2 > F.lit(0)))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(z) >= 2.5)
+    )
