@@ -277,3 +277,46 @@ def test_containment_pairs_finds_subsets_jaccard_misses(spark):
     assert got[(3, 4)] == 1.0 and got[(4, 3)] == 1.0  # ties: both ways
     assert got[(2, 5)] == 1.0 and got[(5, 2)] == 1.0  # identical big pair
     assert set(got) == {(1, 2), (1, 5), (3, 4), (4, 3), (2, 5), (5, 2)}
+
+
+def test_containment_fuzz_vs_bruteforce(spark):
+    # Random tiny corpora: prefix-filtered containment must equal the
+    # brute-force definition over the identical df band.
+    import random
+
+    from ctgov_ai_etl_spark.operators.fuzzy import containment_pairs
+
+    rng = random.Random(7411)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(sorted(rng.sample(vocab, rng.randint(1, 8)))))
+            for i in range(rng.randint(4, 10))
+        ]
+        t = 0.7
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_pairs(
+                df, "doc_id", "text", threshold=t, min_df=2, max_df=100
+            ).collect()
+        }
+        # brute force over the SAME banded universe
+        sets = {i: set(s.split()) for i, s in docs}
+        dfreq = {}
+        for s in sets.values():
+            for tok in s:
+                dfreq[tok] = dfreq.get(tok, 0) + 1
+        banded = {
+            i: {tok for tok in s if 2 <= dfreq[tok] <= 100}
+            for i, s in sets.items()
+        }
+        want = {}
+        for a, sa in banded.items():
+            for b, sb in banded.items():
+                if a == b or not sa or len(sa) > len(sb):
+                    continue
+                c = round(len(sa & sb) / len(sa), 6)
+                if c >= t:
+                    want[(a, b)] = c
+        assert got == want, (trial, docs)

@@ -99,3 +99,68 @@ def test_validation_errors(spark, facts):
         grouping_sets_multipass(
             facts, ["d1"], [["d1"]], [Measure("n", F.count("*"), "avg")]
         )
+
+
+def test_multipass_fuzz_vs_native(spark):
+    # Random tables / random grouping sets must match the native
+    # Expand-based plan exactly (incl. NULL dim values + grouping_id).
+    import random
+
+    rng = random.Random(1411)
+    for trial in range(4):
+        rows = [
+            (
+                rng.choice(["a", "b", None]),
+                rng.choice(["x", "y", "z", None]),
+                rng.randint(0, 2),
+                rng.randint(-5, 50),
+            )
+            for _ in range(rng.randint(1, 60))
+        ]
+        df = spark.createDataFrame(
+            rows, "d1 string, d2 string, d3 int, v long"
+        )
+        dims = ["d1", "d2", "d3"]
+        all_sets = [
+            [],
+            ["d1"], ["d2"], ["d3"],
+            ["d1", "d2"], ["d1", "d3"], ["d2", "d3"],
+            ["d1", "d2", "d3"],
+        ]
+        sets = rng.sample(all_sets, rng.randint(1, 5))
+        out = grouping_sets_multipass(
+            df, dims, sets,
+            [
+                Measure("n", F.count("*").cast("long"), "sum"),
+                Measure("sv", F.sum("v"), "sum"),
+                Measure("mx", F.max("v"), "max"),
+            ],
+        )
+        df.createOrReplaceTempView(f"fuzz_gsm_{trial}")
+        sql_sets = ", ".join(
+            "(" + ", ".join(s) + ")" for s in sets
+        )
+        # Dims in NO sampled set are illegal to select under native
+        # GROUPING SETS; pad them as NULL and as an always-set
+        # grouping_id bit, mirroring the operator's all-dims bitmask.
+        used = {c for s in sets for c in s}
+        dim_types = {"d1": "string", "d2": "string", "d3": "int"}
+        sel = ", ".join(
+            d if d in used else f"CAST(NULL AS {dim_types[d]}) AS {d}"
+            for d in dims
+        )
+        gid = " + ".join(
+            f"grouping({d}) * {1 << (len(dims) - 1 - i)}"
+            if d in used
+            else f"{1 << (len(dims) - 1 - i)}"
+            for i, d in enumerate(dims)
+        )
+        native = spark.sql(
+            f"""
+            SELECT {sel}, CAST({gid} AS LONG) AS grouping_id,
+                   CAST(count(*) AS LONG) AS n, sum(v) AS sv, max(v) AS mx
+            FROM fuzz_gsm_{trial}
+            GROUP BY GROUPING SETS ({sql_sets})
+            """
+        )
+        assert _rows(out) == _rows(native), (trial, sets)
