@@ -43,16 +43,23 @@ _MERGE: dict[str, Callable[[str], Column]] = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    # count-style measures: native GROUPING SETS emits count()=0 for
+    # the grand-total row of an EMPTY input, while sum() over the
+    # empty cuboid is NULL — coalesce restores the 0.  For non-empty
+    # cuboids coalesce(sum, 0) == sum, so the merge is otherwise
+    # identical to 'sum'.
+    "count": lambda c: F.coalesce(F.sum(c), F.lit(0)),
 }
 
 
 @dataclass(frozen=True)
 class Measure:
     """One distributive measure: ``base`` aggregates fact rows to the
-    finest cuboid; ``merge`` ('sum' | 'min' | 'max') re-aggregates
-    cuboid cells into coarser sets.  COUNT is declared as
-    ``Measure('n', F.count('*').cast('long'), 'sum')`` — counts merge
-    by summing."""
+    finest cuboid; ``merge`` ('sum' | 'min' | 'max' | 'count')
+    re-aggregates cuboid cells into coarser sets.  COUNT is declared
+    as ``Measure('n', F.count('*').cast('long'), 'count')`` — counts
+    merge by summing, with the empty-input grand total coalesced to 0
+    to match native GROUPING SETS."""
 
     name: str
     base: Column
@@ -105,12 +112,23 @@ def grouping_sets_multipass(
                 ]
             )
             if s
-            else cuboid.agg(
+            # Empty grouping set: groupBy a literal, not a global
+            # .agg().  A global aggregate over an EMPTY cuboid would
+            # fabricate one grand-total row (NULL/0 measures) where
+            # native GROUPING SETS (()) — whose Expand emits nothing
+            # for empty input — produces ZERO rows.  Grouping on a
+            # constant yields one group when non-empty and none when
+            # empty, matching native exactly.  (Postgres/DuckDB
+            # diverge from Spark here and DO emit a count-0 grand
+            # total; this operator follows Spark.)
+            else cuboid.groupBy(F.lit(1).alias("__gsm_one"))
+            .agg(
                 *[
                     _MERGE[m.merge](c).alias(m.name)
                     for m, c in zip(measures, mcols)
                 ]
             )
+            .drop("__gsm_one")
         )
         out_cols = [
             (F.col(d) if d in s else F.lit(None).cast(dim_types[d])).alias(d)

@@ -59,7 +59,11 @@ def group_aware_split(
     comp = components.select(
         F.col(id_col), F.col("component").alias("__component")
     )
-    cut = int(test_fraction * n_buckets)
+    # round(), not int(): truncation under-shoots fractions whose
+    # binary float product lands just below the integer (0.29 * 10000
+    # = 2899.999… → 2899), shorting the advertised test share by a
+    # bucket.  Rounding hits the advertised fraction for all inputs.
+    cut = round(test_fraction * n_buckets)
     out = (
         df.join(comp, id_col, "left")
         .withColumn(

@@ -41,7 +41,7 @@ def test_matches_native_grouping_sets(spark, facts):
         dims=["d1", "d2", "d3"],
         sets=SETS,
         measures=[
-            Measure("n", F.count("*").cast("long"), "sum"),
+            Measure("n", F.count("*").cast("long"), "count"),
             Measure("sv", F.sum("v"), "sum"),
             Measure("mx", F.max("v"), "max"),
             Measure("mn", F.min("v"), "min"),
@@ -65,7 +65,7 @@ def test_null_data_value_stays_distinct_from_subtotal(spark, facts):
         facts,
         dims=["d1", "d2"],
         sets=[["d1", "d2"], ["d1"]],
-        measures=[Measure("n", F.count("*").cast("long"), "sum")],
+        measures=[Measure("n", F.count("*").cast("long"), "count")],
     ).collect()
     # ('b', NULL) appears TWICE with different grouping_ids: once as the
     # data-NULL detail cell (gid 0) and once as b's subtotal (gid 1).
@@ -80,7 +80,7 @@ def test_plan_has_no_expand(spark, facts):
         facts,
         dims=["d1", "d2", "d3"],
         sets=SETS,
-        measures=[Measure("n", F.count("*").cast("long"), "sum")],
+        measures=[Measure("n", F.count("*").cast("long"), "count")],
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
@@ -90,7 +90,7 @@ def test_plan_has_no_expand(spark, facts):
 
 
 def test_validation_errors(spark, facts):
-    m = [Measure("n", F.count("*").cast("long"), "sum")]
+    m = [Measure("n", F.count("*").cast("long"), "count")]
     with pytest.raises(ValueError, match=">= 1 grouping set"):
         grouping_sets_multipass(facts, ["d1"], [], m)
     with pytest.raises(ValueError, match="not in dims"):
@@ -131,7 +131,7 @@ def test_multipass_fuzz_vs_native(spark):
         out = grouping_sets_multipass(
             df, dims, sets,
             [
-                Measure("n", F.count("*").cast("long"), "sum"),
+                Measure("n", F.count("*").cast("long"), "count"),
                 Measure("sv", F.sum("v"), "sum"),
                 Measure("mx", F.max("v"), "max"),
             ],
@@ -164,3 +164,35 @@ def test_multipass_fuzz_vs_native(spark):
             """
         )
         assert _rows(out) == _rows(native), (trial, sets)
+
+
+def test_empty_input_grand_total_count_zero(spark):
+    """GROUPING SETS (()) over an EMPTY fact table must agree with
+    the native Expand plan (zero rows), and the 'count' merge must
+    never surface a sum-of-empty NULL where native would count 0."""
+    empty = spark.createDataFrame([], "d1 string, v long")
+    out = grouping_sets_multipass(
+        empty,
+        dims=["d1"],
+        sets=[[], ["d1"]],
+        measures=[
+            Measure("n", F.count("*").cast("long"), "count"),
+            Measure("sv", F.sum("v"), "sum"),
+        ],
+    )
+    empty.createOrReplaceTempView("facts_gsm_empty")
+    native = spark.sql(
+        """
+        SELECT d1, grouping_id() AS grouping_id,
+               CAST(count(*) AS LONG) AS n, sum(v) AS sv
+        FROM facts_gsm_empty
+        GROUP BY GROUPING SETS ((), (d1))
+        """
+    )
+    # Native Spark GROUPING SETS over empty input emits ZERO rows
+    # (the Expand produces nothing) — including for the () set.  The
+    # multipass operator must match that, not fabricate a grand-total
+    # row the way a bare global .agg() would.  (Postgres/DuckDB DO
+    # emit a count-0 grand total; the operator follows Spark.)
+    assert _rows(native) == []
+    assert _rows(out) == []
