@@ -1093,3 +1093,45 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(merged).select(
         "exact_parts", (err <= 0.05).alias("within_5pct")
     )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    SELECT i.event_id AS incident_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts
+    FROM (SELECT event_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+          FROM events WHERE event_type = 'error') i
+    JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts >= i.lo AND p.ts < i.hi
+    """,
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL (point-in-range) join via bin banding
+    (operators/intervals.py): purchases inside a 10-minute incident
+    window after every error event.  The naive non-equi condition
+    plans as BroadcastNestedLoopJoin — O(|points| x |intervals|) with
+    a forced whole-side broadcast, the first thing that dies at
+    100 TB.  Banding rewrites it: intervals explode into the <= 2
+    10-minute bins they cover, points carry their single bin, and the
+    join is an EQUI-join on the bin key (shuffle-partitionable,
+    AQE-skew-splittable) with the exact lo <= ts < hi re-check as a
+    residual filter.  The oracle runs the naive theta join — same
+    pairs, different physical plan.  PLANS.md asserts the equi-join
+    (no BNLJ node) on the Spark side."""
+    from ctgov_ai_etl_spark.operators.intervals import interval_point_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_point_join(
+        points, intervals, "purchase_ts", "lo", "hi", bin_seconds=600
+    ).select("incident_id", "purchase_id", "purchase_ts")

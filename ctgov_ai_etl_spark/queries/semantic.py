@@ -2765,3 +2765,203 @@ def sim_text_cosine_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.6)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+@query(
+    "dedup_chunks_global",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS chunk
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)))
+                 AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_id, chunk,
+             CASE WHEN row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, chunk_id) = 1
+                  THEN 1 ELSE 0 END AS kept
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' '
+                               ORDER BY chunk_id), '') AS text_kept
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_chunks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE chunk dedup (operators/dedup.py chunk_dedup_global):
+    8-token non-overlapping chunks, first corpus occurrence (by
+    doc_id, chunk_id) keeps its claim, documents reassemble from the
+    surviving chunks — the C4/RefinedWeb recipe that removes CROSS-
+    document boilerplate (headers, license blocks) document-level
+    dedup cannot see; typically the largest single token reduction in
+    a web corpus.  Two shuffles at any scale: one window over the
+    chunk hash (groups = duplicate multiplicity), one groupBy doc."""
+    from ctgov_ai_etl_spark.operators.dedup import chunk_dedup_global
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_global(d, "doc_id", "text", chunk_size=8)
+
+
+_CMS_DEPTH, _CMS_WIDTH = 3, 16
+_CMS_HASH = (
+    "CAST(CAST(('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':' || {item}),"
+    " 1, 15)) AS BIGINT) % 16 AS INT)"
+)
+
+
+@query(
+    "sketch_cms_freq",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    seeds AS (SELECT unnest(range(0, 3)) AS seed),
+    cells AS (
+      SELECT s.seed, {_CMS_HASH.format(item='o.item')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM occ o, seeds s
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS exact FROM occ GROUP BY item
+    ),
+    probes AS (
+      SELECT e.item, s.seed, {_CMS_HASH.format(item='e.item')} AS bucket
+      FROM exact e, seeds s
+    )
+    SELECT e.item, e.exact, est.est
+    FROM exact e JOIN (
+      SELECT p.item, min(coalesce(c.cnt, 0)) AS est
+      FROM probes p LEFT JOIN cells c USING (seed, bucket)
+      GROUP BY p.item
+    ) est USING (item)
+    """,
+)
+def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN sketch frequency estimation (operators/sketches.py):
+    a 3x16 counter grid over the corpus token stream, probed for every
+    vocabulary item against its exact count.  Width 16 << vocabulary
+    forces collisions, so the demo exercises the estimator (min over
+    rows), not a perfect hash; CMS guarantees est >= exact always.
+    The md5 hash is engine-portable, so the oracle replays the
+    ESTIMATES bit-for-bit — a stronger contract than the bound-only
+    HLL checks.  Scale: the build shuffles depth x width = 48 cells
+    regardless of corpus size (partial agg does the rest map-side),
+    and per-shard grids merge by cell-wise sum — the keep-a-sketch-
+    per-day, answer-any-range pattern."""
+    from ctgov_ai_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(F.split("text", r"\s+")).alias("item"))
+    sketch = cms_build(occ, "item", _CMS_DEPTH, _CMS_WIDTH)
+    exact = occ.groupBy("item").agg(F.count("*").cast("long").alias("exact"))
+    est = cms_estimate(
+        sketch, exact.select("item"), "item", _CMS_DEPTH, _CMS_WIDTH
+    )
+    return exact.join(est, "item").select("item", "exact", "est")
+
+
+_KMV_K = 64
+_KMV_H = (
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "sketch_kmv_intersect",
+    oracle=f"""
+    WITH ska AS (
+      SELECT DISTINCT {_KMV_H} AS h FROM events WHERE event_type = 'click'
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    skb AS (
+      SELECT DISTINCT {_KMV_H} AS h FROM events WHERE event_type = 'view'
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    u AS (
+      SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    th AS (
+      SELECT CAST(max(h) AS DOUBLE) / 1152921504606846976.0 AS theta,
+             CAST(count(*) AS BIGINT) AS k_eff
+      FROM u
+    ),
+    nb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_both FROM u
+      WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ),
+    est AS (
+      SELECT th.k_eff, nb.n_both,
+             CASE WHEN th.k_eff < {_KMV_K} THEN CAST(th.k_eff AS DOUBLE)
+                  ELSE CAST(th.k_eff - 1 AS DOUBLE) / th.theta END AS eu
+      FROM th, nb
+    ),
+    ex AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ei AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      )
+    )
+    SELECT est.k_eff, round(est.eu, 6) AS est_union, est.n_both,
+           round(CAST(est.n_both AS DOUBLE) / est.k_eff * est.eu, 6)
+             AS est_inter,
+           ex.exact_union, ei.exact_inter
+    FROM est, ex, ei
+    """,
+)
+def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / THETA sketch set algebra (operators/sketches.py): the 64
+    smallest md5-hash values of the click-users and view-users key
+    sets estimate the UNION cardinality ((K-1)/theta) and — the
+    operation HLL cannot do — the INTERSECTION (union-sketch members
+    present in both sides, scaled by the union estimate).  Portable
+    hashes mean the oracle replays the estimates exactly, alongside
+    the exact union/intersection for judging the error.  Scale: each
+    sketch is a distinct -> TakeOrderedAndProject(K) — partitions
+    forward at most K candidates — and sketches persist per shard and
+    merge at query time (the K smallest of the concatenation)."""
+    from ctgov_ai_etl_spark.operators.sketches import (
+        kmv_sketch,
+        kmv_union_intersection,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ska = kmv_sketch(
+        e.filter(F.col("event_type") == "click").select("user_id"),
+        "user_id",
+        _KMV_K,
+    )
+    skb = kmv_sketch(
+        e.filter(F.col("event_type") == "view").select("user_id"),
+        "user_id",
+        _KMV_K,
+    )
+    est = kmv_union_intersection(ska, skb, _KMV_K)
+    exact_u = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    exact_i = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            e.filter(F.col("event_type") == "view").select("user_id").distinct()
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return est.crossJoin(exact_u).crossJoin(exact_i)

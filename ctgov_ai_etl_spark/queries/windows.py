@@ -677,3 +677,125 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(z) >= 2.5)
     )
+
+
+@query(
+    "ts_sessionize_capped",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS INT) AS session_id
+      FROM marked
+    ),
+    anchored AS (
+      SELECT user_id, ts, event_id, session_id,
+             min(epoch_us(ts)) OVER (PARTITION BY user_id, session_id)
+               AS start_us
+      FROM sess
+    )
+    SELECT user_id, ts, event_id, session_id,
+           CAST((epoch_us(ts) - start_us) // 3600000000 AS INT)
+             AS subsession_id,
+           make_timestamp(start_us
+             + ((epoch_us(ts) - start_us) // 3600000000) * 3600000000)
+             AS sub_start
+    FROM anchored
+    """,
+)
+def ts_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap + duration-cap sessionization (operators/intervals.py
+    capped_sessions): 30-minute inactivity gap sessions split into
+    1-hour duration-capped sub-sessions anchored at the gap-session
+    start — the telemetry convention native ``session_window`` cannot
+    express (it knows gaps, not caps).  Two window passes over ONE
+    user_id shuffle (Spark reuses the exchange); all time arithmetic
+    in exact integer microseconds (unix_micros / epoch_us) so both
+    engines floor-divide identical int64s.  Ties on ts break by
+    event_id — fully deterministic."""
+    from ctgov_ai_etl_spark.operators.intervals import capped_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return capped_sessions(
+        ev, "user_id", "ts", "event_id", gap_seconds=1800, cap_seconds=3600
+    )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(vm * 2, 0.5) AS m2
+      FROM base GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_id, b.event_type, b.value,
+             CAST(b.vm * 2 AS DOUBLE) - m.m2 AS sdev2
+      FROM base b JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(sdev2) * 2, 0.5) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+           round(2 * d.sdev2 / (1.4826 * m.mad4), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad4 > 0
+      AND abs(2 * d.sdev2 / (1.4826 * m.mad4)) >= 3.5
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN/MAD robust outlier detection — the heavy-tail-safe
+    sibling of anomaly_zscore (a mean/stddev z-score lets one extreme
+    value inflate sigma and mask every other outlier; median and MAD
+    have a 50% breakdown point).  robust_z = (x - median) /
+    (1.4826 * MAD) >= 3.5, the standard Iglewicz-Hodges cut.
+
+    Exactness: values fix to integer micro-units; medians compute
+    over DOUBLED integers so the even-count midpoint (a+b)/2 is an
+    exactly-representable integer double — both engines interpolate
+    lower + 0.5*(upper-lower) over identical int64s, bit-for-bit.
+    Shape: two grouped exact percentiles per event_type (sort within
+    the 5 groups — at 100 TB swap F.percentile for approx_percentile
+    and loosen the oracle to a bound check) broadcast back against
+    the events; no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    base = e.select("event_id", "event_type", "value", vm.alias("vm"))
+    med = base.groupBy("event_type").agg(
+        F.percentile(F.col("vm") * 2, F.lit(0.5)).alias("m2")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("vm") * 2).cast("double") - F.col("m2")).alias("sdev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("sdev2")) * 2, F.lit(0.5)).alias("mad4")
+    )
+    z = (F.lit(2) * F.col("sdev2")) / (F.lit(1.4826) * F.col("mad4"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad4") > 0) & (F.abs(z) >= 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

@@ -1,0 +1,251 @@
+"""Interval banding join, capped sessionization (operators/intervals)
+and the portable-hash sketches (operators/sketches): differential
+checks against brute force / exact computation on adversarial
+fixtures — bin-edge timestamps, gap/cap boundary ties, hash
+collisions, sub-K sets."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.operators.intervals import (
+    capped_sessions,
+    interval_point_join,
+)
+from ctgov_ai_etl_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    kmv_sketch,
+    kmv_union_intersection,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds, micros=0):
+    return T0 + dt.timedelta(seconds=seconds, microseconds=micros)
+
+
+class TestIntervalPointJoin:
+    def _brute(self, points, intervals):
+        return sorted(
+            (p_id, i_id)
+            for (p_id, p_ts) in points
+            for (i_id, lo, hi) in intervals
+            if lo <= p_ts < hi
+        )
+
+    def _run(self, spark, points, intervals, bin_seconds):
+        pts = spark.createDataFrame(points, "p_id long, ts timestamp")
+        ivs = spark.createDataFrame(
+            intervals, "i_id long, lo timestamp, hi timestamp"
+        )
+        out = interval_point_join(pts, ivs, "ts", "lo", "hi", bin_seconds)
+        return sorted((r["p_id"], r["i_id"]) for r in out.collect())
+
+    def test_edges_exact_multiples_and_subsecond(self, spark):
+        """Points/bounds ON bin edges, half-open hi, sub-second
+        offsets: banding must agree with brute force exactly."""
+        B = 60  # 1-minute bins
+        intervals = [
+            (1, _ts(0), _ts(60)),        # exactly one bin, aligned
+            (2, _ts(30), _ts(90)),       # straddles an edge
+            (3, _ts(120), _ts(120)),     # degenerate empty
+            (4, _ts(200), _ts(190)),     # inverted -> empty
+            (5, _ts(59, 999999), _ts(60, 1)),  # 2us across the edge
+        ]
+        points = [
+            (10, _ts(0)),               # lo-inclusive
+            (11, _ts(60)),              # hi-exclusive for i1, inside i2
+            (12, _ts(89, 999999)),      # last us of i2
+            (13, _ts(90)),              # hi-exclusive for i2
+            (14, _ts(120)),             # degenerate interval matches nothing
+            (15, _ts(60)),              # inside i5
+            (16, _ts(59, 999999)),      # lo-inclusive i5 (sub-second)
+        ]
+        brute = self._brute(
+            [(p, t) for p, t in points], [(i, lo, hi) for i, lo, hi in intervals]
+        )
+        assert self._run(spark, points, intervals, B) == brute
+
+    def test_long_intervals_span_many_bins(self, spark):
+        intervals = [(1, _ts(0), _ts(600))]  # spans 10 one-minute bins
+        points = [(i, _ts(i * 37)) for i in range(20)]
+        brute = self._brute(points, intervals)
+        assert self._run(spark, points, intervals, 60) == brute
+
+    def test_no_nested_loop_in_plan(self, spark):
+        pts = spark.createDataFrame([(1, _ts(5))], "p_id long, ts timestamp")
+        ivs = spark.createDataFrame(
+            [(1, _ts(0), _ts(10))], "i_id long, lo timestamp, hi timestamp"
+        )
+        out = interval_point_join(pts, ivs, "ts", "lo", "hi", 60)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCappedSessions:
+    def _py_sessions(self, rows, gap_s, cap_s):
+        """Reference semantics in plain Python: gap islands per key,
+        then cap slices anchored at the island's first event."""
+        out = {}
+        by_key = {}
+        for k, ts, oid in rows:
+            by_key.setdefault(k, []).append((ts, oid))
+        for k, evs in by_key.items():
+            evs.sort()
+            sess, start = 0, None
+            prev = None
+            for ts, oid in evs:
+                if prev is None or (ts - prev).total_seconds() > gap_s:
+                    sess += 1
+                    start = ts
+                sub = int((ts - start).total_seconds() // cap_s)
+                out[(k, oid)] = (sess, sub)
+                prev = ts
+        return out
+
+    def test_gap_boundary_and_cap_slices(self, spark):
+        gap, cap = 60, 120
+        rows = [
+            # key 1: gap EXACTLY 60s (not > gap -> same session), then 61s
+            (1, _ts(0), 1),
+            (1, _ts(60), 2),
+            (1, _ts(121), 3),      # 61s after -> new session
+            # key 1 session 2 runs long enough to split at the cap
+            (1, _ts(180), 4),
+            (1, _ts(240), 5),      # 119s after session start: slice 0
+            (1, _ts(241), 6),      # 120s after: slice 1
+            # key 2: single event
+            (2, _ts(500), 7),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, oid long")
+        got = {
+            (r["k"], r["oid"]): (r["session_id"], r["subsession_id"])
+            for r in capped_sessions(df, "k", "ts", "oid", gap, cap).collect()
+        }
+        assert got == self._py_sessions(rows, gap, cap)
+
+    def test_sub_start_anchors_at_cap_multiples(self, spark):
+        rows = [(1, _ts(100), 1), (1, _ts(130), 2), (1, _ts(160), 3)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, oid long")
+        out = {
+            r["oid"]: (r["subsession_id"], r["sub_start"])
+            for r in capped_sessions(df, "k", "ts", "oid", 3600, 30).collect()
+        }
+        assert out[1] == (0, _ts(100))
+        assert out[2] == (1, _ts(130))   # 30s after anchor -> slice 1
+        assert out[3] == (2, _ts(160))
+
+
+class TestSketches:
+    def test_cms_never_underestimates_and_tight_when_wide(self, spark):
+        items = [(w,) for w in "a b c a a b d e f a".split()]
+        df = spark.createDataFrame(items, "item string")
+        exact = {
+            r["item"]: r["n"]
+            for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+        }
+        # Tiny width forces collisions: est >= exact, always.
+        sk = cms_build(df, "item", depth=3, width=4)
+        est = {
+            r["item"]: r["est"]
+            for r in cms_estimate(
+                sk, df.select("item").distinct(), "item", 3, 4
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[i] >= exact[i] for i in exact)
+        # Wide sketch: no collisions possible to matter -> exact.
+        sk2 = cms_build(df, "item", depth=3, width=4096)
+        est2 = {
+            r["item"]: r["est"]
+            for r in cms_estimate(
+                sk2, df.select("item").distinct(), "item", 3, 4096
+            ).collect()
+        }
+        assert est2 == exact
+
+    def test_cms_merge_is_cellwise_sum(self, spark):
+        a = spark.createDataFrame([("x",), ("y",), ("x",)], "item string")
+        b = spark.createDataFrame([("x",), ("z",)], "item string")
+        both = a.unionByName(b)
+        merged = (
+            cms_build(a, "item", 2, 8)
+            .unionByName(cms_build(b, "item", 2, 8))
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = cms_build(both, "item", 2, 8)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_kmv_exact_mode_small_sets(self, spark):
+        """|A u B| < K: the sketch holds the whole set and the
+        estimators must return the exact counts."""
+        a = spark.createDataFrame([(i,) for i in range(10)], "u long")
+        b = spark.createDataFrame([(i,) for i in range(5, 15)], "u long")
+        est = kmv_union_intersection(
+            kmv_sketch(a, "u", 64), kmv_sketch(b, "u", 64), 64
+        ).collect()[0]
+        assert est["k_eff"] == 15
+        assert est["est_union"] == 15.0
+        assert est["n_both"] == 5
+        assert est["est_inter"] == 5.0
+
+    def test_kmv_estimation_mode_reasonable(self, spark):
+        """|A|, |B| >> K: estimates land within a loose 3/sqrt(K)
+        relative band (deterministic given md5 — no flake; K=512
+        because the 128th order statistic of THIS md5 draw happens to
+        sit 2.7 sigma low, verified identical to a pure-python replay —
+        the estimator, not the implementation)."""
+        k = 512
+        a = spark.createDataFrame([(i,) for i in range(2000)], "u long")
+        b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "u long")
+        est = kmv_union_intersection(
+            kmv_sketch(a, "u", k), kmv_sketch(b, "u", k), k
+        ).collect()[0]
+        assert est["k_eff"] == k
+        assert abs(est["est_union"] - 3000) / 3000 < 3 / (k ** 0.5)
+        assert abs(est["est_inter"] - 1000) / 1000 < 6 / (k ** 0.5)
+        # pin the deterministic values so a hash regression can't hide
+        # inside the tolerance band
+        assert round(est["est_union"], 3) == 3201.487
+        assert est["n_both"] == 157
+
+
+class TestChunkDedupGlobal:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from ctgov_ai_etl_spark.operators.dedup import chunk_dedup_global
+
+        # chunk_size=2: doc 1 = [ab, cd], doc 2 = [ab, xy], doc 3 = [cd]
+        rows = [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "c d"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_kept"])
+            for r in chunk_dedup_global(df, "doc_id", "text", 2).collect()
+        }
+        assert out[1] == (2, 2, "a b c d")       # first claims both
+        assert out[2] == (2, 1, "x y")           # 'a b' already claimed
+        assert out[3] == (1, 0, "")              # 'c d' already claimed
+
+    def test_tail_chunk_is_its_own_unit(self, spark):
+        from ctgov_ai_etl_spark.operators.dedup import chunk_dedup_global
+
+        # 'c' tail chunk of doc 1 differs from full chunk 'c d' in doc 2
+        rows = [(1, "a b c"), (2, "c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text_kept"]
+            for r in chunk_dedup_global(df, "doc_id", "text", 2).collect()
+        }
+        assert out[1] == "a b c"
+        assert out[2] == "c d"
