@@ -12,78 +12,123 @@ or rounded coarsely enough that both engines agree bit-for-bit.
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 
 # The driver walks ``queries()`` in registration order and checks the
-# first ~40-50 per round (r1: 44, r2: 38, r3: 50, r4: 47, r5: 50), so
-# ``load_all`` re-orders the registry each round to put queries with
-# no (or stale) driver evidence first.
+# first ~40-50 per round, so ``load_all`` re-orders the registry each
+# round to put queries with no (or stale) driver evidence first.
 #
-# Round-7 priority, continuing the rotation (VERDICT r6 item 1 also
-# added a LOCAL full-catalog sweep — CORRECTNESS_FULL_local_r07.json,
-# 179/179 pass — so driver rotation is now belt on top of braces).
-#   block 0 — queries NEW this round (never driver-checked): the 16
-#     r7 additions (streaming session/sliding runs, measured scalar
-#     UDF, multi-pass grouping sets, group-aware split, dq gate +
-#     profile, fuzzy join, sparse cosine, sharded-export manifest,
-#     linear interpolation, funnel, retention);
-#   block 1 — queries whose IMPLEMENTATION changed this round
-#     (outputs proven identical locally, but the driver should
-#     re-green them): the CC family on spanning pair graphs + the
-#     driver-vocab dictionary (dedup_components/_star/_keep_best,
-#     jaccard pairs/bigram, semantic_groups), the
-#     broadcast-literal-fold perplexity, the decimal-routed skew
-#     profile, kcore (validation + cache release), and the
-#     import-order-fixed streaming admission;
-#   block 2 — the 19 r6-priority entries the driver's 50-budget did
-#     not reach in r6 (judge j6 re-verified them, driver evidence
-#     still r3);
-#   everything else (r5/r6-green, unchanged) follows alphabetically.
+# Round-8 priority, continuing the rotation (the belt-and-braces LOCAL
+# full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
+#   block 0 — the 10 queries NEW this round (interval banding join,
+#     capped sessionization, MAD outliers, chunk-global dedup, CMS and
+#     KMV sketches, LOO target encoding, fixed histogram, PSI drift,
+#     ring negative sampling);
+#   block 1 — queries whose implementation or oracle CHANGED this
+#     round (session-oracle tie ordering, multipass grouping-sets
+#     empty-input semantics, split-fraction rounding);
+#   block 2 — the 87 queries whose latest driver evidence is r5 or
+#     older (not sampled in CORRECTNESS_r06/r07), alphabetical;
+#   everything else (r6/r7-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    # -- block 0: new in r7, never driver-checked -------------------
-    "split_group_aware",
-    "dq_validate_orders",
-    "dq_profile_lineitem",
-    "join_fuzzy_lev1",
-    "sim_text_cosine_sparse",
-    "export_sharded_manifest",
-    "agg_grouping_sets_multi",
-    "udf_python_scalar",
+    "join_interval_binned",
+    "ts_sessionize_capped",
+    "anomaly_mad",
+    "dedup_chunks_global",
+    "sketch_cms_freq",
+    "sketch_kmv_intersect",
+    "feature_target_encode_loo",
+    "agg_histogram_fixed",
+    "dq_drift_psi",
+    "sample_negatives_ring",
+    "stream_session_window",
     "stream_run_session_window",
-    "stream_run_sliding_window",
-    "ts_interpolate_linear",
-    "funnel_conversion",
-    "retention_cohorts",
-    "dedup_containment_pairs",
-    "win_ntile_family",
-    "anomaly_zscore",
-    # -- block 1: implementation changed in r7 ----------------------
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_keep_best",
-    "dedup_jaccard_pairs",
-    "dedup_jaccard_bigram",
-    "dedup_semantic_groups",
-    "text_perplexity_proxy",
-    "skew_key_profile",
-    "graph_kcore",
-    "stream_run_semantic_admission",
-    # -- block 2: driver evidence still r3 (r6 tail; j6-verified) ---
-    "text_repetition",
-    "maintenance_compact_files",
-    "sample_mixture",
-    "win_rank_distributed",
-    "stream_run_static_join",
-    "stream_run_tumbling",
-    "join_bloom_semi",
-    "stream_run_dedup",
-    "sim_topk_ivf_partitioned",
-    "stream_run_stateful_auto",
-    "stream_run_rest_source",
-    "stream_run_stream_join",
-    "decontam_ngram",
-    "udf_grouped_map",
-    "dedup_substring_spans",
-    "stream_run_stateful",
-    "pipeline_curate_full",
-    "dedup_incremental",
+    "agg_grouping_sets_multi",
+    "split_group_aware",
+    "agg_filtered_conditional",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats_moments",
+    "cdc_snapshot_diff",
+    "cluster_kmeans",
+    "csv_scan_roundtrip",
+    "ctgov_flatten_parity",
+    "ctgov_pipeline_e2e",
+    "curriculum_order",
+    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
+    "dedup_exact_group",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "distinct_rows",
+    "essie_predicates",
+    "essie_search_text",
+    "filter_in_set",
+    "filter_like_regex",
+    "filter_range_bool",
+    "fn_array_family",
+    "fn_datetime_family",
+    "fn_math_family",
+    "fn_null_family",
+    "fn_partial_date_normalize",
+    "fn_string_family",
+    "graph_pagerank",
+    "incremental_agg_refresh",
+    "inline_values_table",
+    "join_anti",
+    "join_broadcast_star",
+    "join_bucket_colocated",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_range_nonequi",
+    "join_right_outer",
+    "join_semi",
+    "limit_offset",
+    "llm_classify_bucket_cap",
+    "llm_classify_cost_cap",
+    "llm_classify_documents",
+    "maintenance_zorder",
+    "merge_upsert_orders",
+    "mm_binary_plumbing",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "orc_scan_roundtrip",
+    "parquet_schema_evolution",
+    "partition_pruned_scan",
+    "pipeline_curate",
+    "proj_rename_nested",
+    "sample_stratified",
+    "scan_project_filter",
+    "search_bm25",
+    "search_hybrid_rrf",
+    "set_except_all",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_ivf_trained",
+    "sim_topk_lsh",
+    "sim_topk_pq",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "sort_limit_deterministic",
+    "sort_nulls_ordering",
+    "stream_run_upsert",
+    "text_chunked",
+    "text_fingerprint",
+    "text_langid_quality",
+    "text_pack_sequences",
+    "text_tfidf_top_term",
+    "text_token_stats",
+    "text_top_tokens",
+    "ts_resample_ffill",
+    "udtf_tokenize",
+    "when_otherwise_buckets",
+    "win_rank_family",
+    "win_topk_per_group",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 

@@ -1135,3 +1135,89 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_point_join(
         points, intervals, "purchase_ts", "lo", "hi", bin_seconds=600
     ).select("incident_id", "purchase_id", "purchase_ts")
+
+
+@query(
+    "feature_target_encode_loo",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN a.n > 1
+                THEN round(CAST(a.s - CAST(round(o.o_totalprice * 100)
+                                           AS BIGINT) AS DOUBLE)
+                           / ((a.n - 1) * 100), 6)
+           END AS loo_price
+    FROM orders o JOIN agg a USING (o_orderpriority)
+    """,
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the standard high-cardinality
+    categorical feature for tabular training data, computed without
+    leakage: each row's encoding is its category's target mean
+    EXCLUDING the row itself ((sum - x) / (n - 1)), so the feature
+    never contains the row's own label.  Singleton categories encode
+    NULL (no peers to average).  Exactness: integer-cents sums make
+    (s - x) exact int64; one broadcast-joined category aggregate —
+    two narrow shuffles at any scale, no window, no per-row
+    recomputation of the fold."""
+    o = load_table(spark, sf_dir, "orders")
+    v = cents("o_totalprice")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.sum(v).alias("s"), F.count("*").cast("long").alias("n")
+    )
+    j = o.select("o_orderkey", "o_orderpriority", v.alias("v")).join(
+        F.broadcast(agg), "o_orderpriority"
+    )
+    loo = F.round(
+        (F.col("s") - F.col("v")).cast("double") / ((F.col("n") - 1) * 100), 6
+    )
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("n") > 1, loo).alias("loo_price"),
+    )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 2500000, 19)
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           round(bucket * 25000.0, 2) AS lo_dollars,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25k-dollar bands, top band open) — the
+    mergeable distribution summary dashboards and drift monitors keep
+    per shard: bucket counts ADD across partitions/days, unlike
+    quantiles.  Bucket arithmetic is exact integer cents with
+    pmod-subtraction floor division (float division could flip a
+    boundary cent); at 100 TB this is one partially-aggregated
+    groupBy over <= 20 distinct keys — essentially free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    bucket = F.least(
+        ((c - F.pmod(c, F.lit(2_500_000))) / F.lit(2_500_000)).cast("long"),
+        F.lit(19),
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(F.col("bucket") * 25000.0, 2).alias("lo_dollars"),
+            "n",
+        )
+    )

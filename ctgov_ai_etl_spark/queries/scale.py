@@ -456,3 +456,78 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000, 9)
+               AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END
+               AS is_ref
+      FROM orders
+    ),
+    agg AS (
+      SELECT CAST(bucket AS INT) AS bucket,
+             CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT bucket, n_ref, n_cur,
+             sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+      FROM agg
+    )
+    SELECT bucket, n_ref, n_cur,
+           round((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+                  - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                 * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                      / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6)
+             AS psi_contrib
+    FROM tot
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift monitor — the production
+    check that a feature's distribution hasn't shifted between a
+    reference slice (orders before 1997) and the current slice: 10
+    fixed integer-cents price bands, Laplace-smoothed shares
+    p=(n+1)/(N+B) so an empty band contributes finitely, per-band
+    contribution (p-q)*ln(p/q); the PSI is the sum (>0.2 = act).
+    Shape: one partially-aggregated groupBy over <= 10 bands + an
+    unpartitioned window over those 10 rows (driver-scale, not
+    data-scale) — per-day band counts merge by addition, so a 100 TB
+    deployment keeps the counts and recomputes PSI from pennies of
+    state."""
+    from ctgov_ai_etl_spark.functions.exact import cents
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    bucket = F.least(
+        ((c - F.pmod(c, F.lit(5_000_000))) / F.lit(5_000_000)).cast("long"),
+        F.lit(9),
+    ).cast("int")
+    is_ref = (
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).cast("long")
+    agg = (
+        o.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    w = W.partitionBy()
+    tr = F.sum("n_ref").over(w)
+    tc = F.sum("n_cur").over(w)
+    p = (F.col("n_ref") + 1).cast("double") / (tr + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (tc + 10)
+    return agg.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

@@ -2965,3 +2965,62 @@ def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("exact_inter"))
     )
     return est.crossJoin(exact_u).crossJoin(exact_i)
+
+
+@query(
+    "sample_negatives_ring",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS pos,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT a.doc_id AS anchor_id, CAST(js.j AS INT) AS j,
+           b.doc_id AS negative_id
+    FROM ranked a
+    CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
+    JOIN ranked b
+      ON b.pos = ((a.pos - 1 + js.j * (a.n // 4)) % a.n) + 1
+    WHERE b.doc_id <> a.doc_id
+    """,
+)
+def sample_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random-negative mining for contrastive training:
+    each anchor document pairs with k=3 pseudo-random negatives — the
+    documents sitting 1/4, 2/4, 3/4 of the way around a ring ordered
+    by md5(doc_id).  The hash order is content-random (no locality:
+    adjacent doc_ids land far apart) yet fully reproducible by any
+    engine, unlike df.sample's partition-seeded RNG; every anchor
+    gets exactly k negatives, and stride-j offsets mean negatives are
+    shared across anchors only N/4 apart — no hot rows.
+
+    Scale: the ring position is the DISTRIBUTED global_rank (range
+    partition + offsets — no single-reducer window); negatives
+    resolve via an equi-join on the ring position (one shuffle, k
+    rows per anchor).  The oracle's row_number window replays the
+    same order on one thread."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    ranked, n = global_rank_with_count(keyed, ["__h", "doc_id"])
+    ranked = ranked.select("doc_id", F.col("__pos").alias("pos"))
+    stride = n // 4
+    js = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    anchors = ranked.select(
+        F.col("doc_id").alias("anchor_id"), F.col("pos").alias("apos")
+    ).select("anchor_id", "apos", js)
+    neg_pos = ((F.col("apos") - 1 + F.col("j") * stride) % n) + 1
+    negs = ranked.select(
+        F.col("doc_id").alias("negative_id"), F.col("pos").alias("npos")
+    )
+    return (
+        anchors.withColumn("npos", neg_pos)
+        .join(negs, "npos")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("j").cast("int").alias("j"), "negative_id")
+    )
