@@ -154,3 +154,55 @@ def capped_sessions(
             start_us + sub.cast("bigint") * cap_us
         ).alias("sub_start"),
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join ([lo_a,hi_a) meets [lo_b,hi_b))
+    via bin banding, emitting each qualifying pair EXACTLY ONCE with
+    no dedup shuffle: both sides explode into the bins they cover,
+    the equi-join matches on the shared bin, and the residual keeps a
+    pair only in the FIRST bin both intervals cover — the bin of
+    ``max(lo_a, lo_b)``, which any overlapping pair shares (overlap
+    means ``max(lo) < min(hi)``, so the later-starting interval's
+    first bin lies inside both).  Every other shared bin is filtered,
+    so no ``dropDuplicates`` pass rides behind the join — the trick
+    that keeps banding one-shuffle for interval-interval work.
+
+    Column names across ``a`` and ``b`` must not collide (rename
+    before calling).  Same scale story as
+    :func:`interval_point_join`: bounded explode fan-out, shuffle
+    equi-join on the bin key, no BroadcastNestedLoopJoin."""
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def binned(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
+        lo_us = F.unix_micros(F.col(lo))
+        hi_us = F.unix_micros(F.col(hi))
+        bins = F.when(
+            hi_us > lo_us,
+            F.sequence(_idiv(lo_us, bin_us), _idiv(hi_us - 1, bin_us)),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.withColumn(f"__bin_{side}", F.explode(bins))
+
+    av = binned(a, lo_a, hi_a, "a")
+    bv = binned(b, lo_b, hi_b, "b")
+    first_shared = _idiv(
+        F.greatest(
+            F.unix_micros(F.col(lo_a)), F.unix_micros(F.col(lo_b))
+        ),
+        bin_us,
+    )
+    cond = (
+        (av["__bin_a"] == bv["__bin_b"])
+        & (F.col(lo_a) < F.col(hi_b))
+        & (F.col(lo_b) < F.col(hi_a))
+        & (av["__bin_a"] == first_shared)
+    )
+    return av.join(bv, cond).drop("__bin_a", "__bin_b")

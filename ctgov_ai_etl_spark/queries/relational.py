@@ -1221,3 +1221,40 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.event_id AS incident_id, b.event_id AS signup_id
+    FROM (SELECT event_id, ts AS a_lo, ts + INTERVAL 10 MINUTE AS a_hi
+          FROM events WHERE event_type = 'error') a
+    JOIN (SELECT event_id, ts AS b_lo, ts + INTERVAL 10 MINUTE AS b_hi
+          FROM events WHERE event_type = 'signup') b
+      ON a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join via bin banding
+    (operators/intervals.py interval_overlap_join): error windows
+    overlapping signup windows.  Beyond the point-join banding, the
+    pair-emitted-once trick: a pair qualifies only in the bin of
+    max(lo_a, lo_b) — the first bin both cover — so the equi-join
+    needs NO dropDuplicates shuffle behind it.  The oracle runs the
+    naive theta join; same pairs, nested-loop-free physical plan."""
+    from ctgov_ai_etl_spark.operators.intervals import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("a_lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("a_hi"),
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("b_lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("b_hi"),
+    )
+    return interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_seconds=600
+    ).select("incident_id", "signup_id")

@@ -653,3 +653,42 @@ def stream_run_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "logit_micro"
     )
     return run_stream_to_memory(scored, mode="append")
+
+
+@query(
+    "stream_run_cms_sketch",
+    oracle="""
+    WITH occ AS (
+      SELECT CAST(user_id AS VARCHAR) AS item FROM events
+    ),
+    seeds AS (SELECT unnest(range(0, 3)) AS seed)
+    SELECT s.seed,
+           CAST(CAST(('0x' || substring(md5(CAST(s.seed AS VARCHAR) || ':'
+                                        || o.item), 1, 15)) AS BIGINT)
+                % 16 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM occ o, seeds s
+    GROUP BY 1, 2
+    """,
+)
+def stream_run_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch build: the same cms_build dataflow
+    (operators/sketches.py) running as a genuine micro-batch streaming
+    aggregation over the event stream — explode by depth, grouped
+    count on (seed, bucket), complete-mode memory sink.  The sketch
+    state is depth x width counters REGARDLESS of stream length —
+    the canonical bounded-state streaming summary (per-window sketch
+    snapshots merge by cell-wise sum downstream).  Oracle: the batch
+    cells computed in SQL over the same rows — streaming-equals-batch
+    for an additive aggregate."""
+    from ctgov_ai_etl_spark.operators.sketches import cms_build
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    sketch = cms_build(stream, "item", depth=3, width=16)
+    return run_stream_to_memory(sketch, mode="complete")

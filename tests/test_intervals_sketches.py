@@ -87,6 +87,47 @@ class TestIntervalPointJoin:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestIntervalOverlapJoin:
+    def _brute(self, a, b):
+        return sorted(
+            (ai, bi)
+            for (ai, alo, ahi) in a
+            for (bi, blo, bhi) in b
+            if alo < bhi and blo < ahi
+        )
+
+    def test_overlap_edges_once_each(self, spark):
+        """Touching-at-edge (no overlap, half-open), containment,
+        multi-bin spans, degenerate intervals: pairs match brute force
+        and each pair appears EXACTLY once (the first-shared-bin trick
+        replaces dropDuplicates)."""
+        from ctgov_ai_etl_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        B = 60
+        a = [
+            (1, _ts(0), _ts(120)),       # spans 2 bins
+            (2, _ts(120), _ts(121)),     # starts where 1 ends (no overlap)
+            (3, _ts(0), _ts(600)),       # long: contains several b's
+            (4, _ts(50), _ts(50)),       # degenerate
+        ]
+        b = [
+            (10, _ts(119), _ts(125)),    # overlaps 1 by 1s and 2
+            (11, _ts(120), _ts(180)),    # touches 1 at edge -> NO pair with 1
+            (12, _ts(300), _ts(301)),    # inside 3 only
+            (13, _ts(0, 1), _ts(0, 2)),  # 1us sliver inside 1 and 3
+        ]
+        av = spark.createDataFrame(a, "a_id long, a_lo timestamp, a_hi timestamp")
+        bv = spark.createDataFrame(b, "b_id long, b_lo timestamp, b_hi timestamp")
+        out = interval_overlap_join(
+            av, bv, "a_lo", "a_hi", "b_lo", "b_hi", B
+        ).select("a_id", "b_id").collect()
+        got = [(r["a_id"], r["b_id"]) for r in out]
+        assert sorted(got) == self._brute(a, b)
+        assert len(got) == len(set(got))  # emitted once each
+
+
 class TestCappedSessions:
     def _py_sessions(self, rows, gap_s, cap_s):
         """Reference semantics in plain Python: gap islands per key,
