@@ -177,8 +177,12 @@ def interval_overlap_join(
     that keeps banding one-shuffle for interval-interval work.
 
     Column names across ``a`` and ``b`` must not collide (rename
-    before calling).  Same scale story as
-    :func:`interval_point_join`: bounded explode fan-out, shuffle
+    before calling).  Empty/inverted intervals (``hi <= lo``) are
+    EMPTY SETS and match nothing — note the bare theta predicate
+    ``lo_a < hi_b AND lo_b < hi_a`` would happily "overlap" an
+    inverted interval astride the other side; callers replaying
+    results in SQL must add the validity conjuncts.  Same scale story
+    as :func:`interval_point_join`: bounded explode fan-out, shuffle
     equi-join on the bin key, no BroadcastNestedLoopJoin."""
     bin_us = int(bin_seconds) * 1_000_000
 

@@ -290,3 +290,118 @@ class TestChunkDedupGlobal:
         }
         assert out[1] == "a b c"
         assert out[2] == "c d"
+
+
+class TestIntervalFuzz:
+    """Randomized differential checks: banding vs brute force on
+    random micro-second-resolution data (seeded — reproducible)."""
+
+    def test_point_join_fuzz(self, spark):
+        import random
+
+        rng = random.Random(8801)
+        from ctgov_ai_etl_spark.operators.intervals import interval_point_join
+
+        for trial in range(3):
+            bin_s = rng.choice([7, 60, 300])
+            points = [
+                (i, _ts(rng.randrange(0, 3600), rng.randrange(0, 1000000)))
+                for i in range(120)
+            ]
+            intervals = []
+            for i in range(40):
+                lo = rng.randrange(0, 3600)
+                ln = rng.randrange(-30, 900)  # some inverted/empty
+                intervals.append(
+                    (
+                        i,
+                        _ts(lo, rng.randrange(0, 1000000)),
+                        _ts(lo + ln, rng.randrange(0, 1000000)),
+                    )
+                )
+            brute = sorted(
+                (p, i)
+                for (p, t) in points
+                for (i, lo, hi) in intervals
+                if lo <= t < hi
+            )
+            pts = spark.createDataFrame(points, "p_id long, ts timestamp")
+            ivs = spark.createDataFrame(
+                intervals, "i_id long, lo timestamp, hi timestamp"
+            )
+            out = interval_point_join(pts, ivs, "ts", "lo", "hi", bin_s)
+            got = sorted((r["p_id"], r["i_id"]) for r in out.collect())
+            assert got == brute, (trial, bin_s)
+
+    def test_overlap_join_fuzz(self, spark):
+        import random
+
+        rng = random.Random(8802)
+        from ctgov_ai_etl_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        for trial in range(3):
+            bin_s = rng.choice([13, 60, 240])
+
+            def mk(n):
+                out = []
+                for i in range(n):
+                    lo = rng.randrange(0, 2400)
+                    ln = rng.randrange(-20, 600)
+                    out.append(
+                        (
+                            i,
+                            _ts(lo, rng.randrange(0, 1000000)),
+                            _ts(lo + ln, rng.randrange(0, 1000000)),
+                        )
+                    )
+                return out
+
+            a, b = mk(50), mk(50)
+            # NB: the naive theta predicate alone would also "match"
+            # INVERTED intervals (hi < lo) sitting astride the other
+            # side; the operator treats empty/inverted intervals as
+            # empty sets (they explode to zero bins), which is the
+            # principled half-open semantics — the brute force must
+            # say the same.
+            brute = sorted(
+                (ai, bi)
+                for (ai, alo, ahi) in a
+                for (bi, blo, bhi) in b
+                if alo < ahi and blo < bhi and alo < bhi and blo < ahi
+            )
+            av = spark.createDataFrame(
+                a, "a_id long, a_lo timestamp, a_hi timestamp"
+            )
+            bv = spark.createDataFrame(
+                b, "b_id long, b_lo timestamp, b_hi timestamp"
+            )
+            out = interval_overlap_join(
+                av, bv, "a_lo", "a_hi", "b_lo", "b_hi", bin_s
+            )
+            got = [(r["a_id"], r["b_id"]) for r in out.collect()]
+            assert sorted(got) == brute, (trial, bin_s)
+            assert len(got) == len(set(got)), (trial, bin_s)
+
+    def test_capped_sessions_fuzz(self, spark):
+        import random
+
+        rng = random.Random(8803)
+        gap_s, cap_s = 45, 100
+        rows = []
+        oid = 0
+        for k in range(6):
+            t = 0
+            for _ in range(rng.randrange(3, 30)):
+                t += rng.choice([1, 10, 44, 45, 46, 99, 100, 101, 200])
+                oid += 1
+                rows.append((k, _ts(t), oid))
+        df = spark.createDataFrame(rows, "k long, ts timestamp, oid long")
+        got = {
+            (r["k"], r["oid"]): (r["session_id"], r["subsession_id"])
+            for r in capped_sessions(
+                df, "k", "ts", "oid", gap_s, cap_s
+            ).collect()
+        }
+        assert got == TestCappedSessions()._py_sessions(rows, gap_s, cap_s)

@@ -397,6 +397,64 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "join_interval_binned": [
+        # The whole point of banding: the theta join must NOT plan as
+        # a nested loop — the bin key makes it a hash-partitionable
+        # equi-join with the exact predicate as residual.
+        ("no BroadcastNestedLoopJoin", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("equi-join on the bin key",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[__bin"),
+        ("event_type filter pushed to parquet",
+         r"PushedFilters: \[[^\]]*EqualTo\(event_type"),
+    ],
+    "join_interval_overlap": [
+        ("no BroadcastNestedLoopJoin", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("equi-join on the shared bin",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[__bin"),
+    ],
+    "ts_sessionize_capped": [
+        ("one user_id shuffle reused by both window passes",
+         r"hashpartitioning\(user_id"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "dedup_chunks_global": [
+        ("reassembly groupBy on the doc id", r"hashpartitioning\(__id"),
+        ("no join against the corpus", r"\A(?!.*Join)"),
+    ],
+    "sketch_cms_freq": [
+        ("sketch cells partially aggregated map-side",
+         r"partial_count|partial_sum"),
+        ("tiny sketch broadcast for estimation", r"BroadcastHashJoin"),
+    ],
+    "sketch_kmv_intersect": [
+        ("TopK per partition, no global sort materialization",
+         r"TakeOrderedAndProject"),
+        ("distinct partially aggregated", r"HashAggregate"),
+    ],
+    "anomaly_mad": [
+        ("per-type percentiles broadcast back", r"BroadcastHashJoin"),
+    ],
+    "feature_target_encode_loo": [
+        ("category aggregate broadcast back", r"BroadcastHashJoin"),
+        ("partial aggregation", r"partial_sum"),
+    ],
+    "agg_histogram_fixed": [
+        ("partial aggregation over <= 20 bands", r"partial_count"),
+        ("scan pruned to the price column",
+         r"ReadSchema: struct<o_totalprice:double>"),
+    ],
+    "dq_drift_psi": [
+        ("partial aggregation over the 10 bands", r"partial_sum"),
+        ("window runs over aggregated rows, not raw events",
+         r"Window.*SinglePartition"),
+    ],
+    "sample_negatives_ring": [
+        ("negatives resolve via equi-join on the ring position",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[npos"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
 }
 
 
