@@ -357,3 +357,50 @@ def spread_to_parallelism(
     if n < par:
         return df.repartition(par)
     return df
+
+
+def uniform_hash_rank(
+    df: DataFrame,
+    hash_col: str,
+    tie_cols: Iterable[str],
+    n_buckets: int = 256,
+) -> tuple[DataFrame, int]:
+    """1-based global rank ``__pos`` under ``(hash_col, *tie_cols)``
+    where ``hash_col`` is a UNIFORM hex hash (md5 and friends) — the
+    cheap sibling of :func:`global_rank_with_count`.
+
+    The general distributed rank must SAMPLE the key distribution to
+    place range boundaries (repartitionByRange: a sampling job, a
+    persist to pin the partitioning, an offsets job).  A uniform hash
+    key needs none of that: its most-significant hex prefix IS a
+    balanced range partitioner whose boundaries are known a priori.
+    Bucket = first two hex chars (256 ranges, each ~n/256 rows at any
+    scale), rank locally per bucket (one window over the bucket
+    shuffle — prefix order is most-significant, so bucket boundaries
+    align with the global order), shift by the cumulative counts of
+    lower buckets (one 256-row aggregate collected to the driver and
+    broadcast back).  TWO jobs total, no sampling, no persist, no
+    skew risk beyond hash uniformity itself.
+
+    Returns (df + ``__pos``, total row count — free from the offsets
+    collect).  Ranks are exact and deterministic: ties under the full
+    ``(hash, *ties)`` ordering must not exist (pass a unique key)."""
+    b = F.conv(F.substring(F.col(hash_col), 1, 2), 16, 10).cast("int")
+    bucketed = df.withColumn("__b", b)
+    counts = {
+        r["__b"]: r["cnt"]
+        for r in bucketed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for i in range(n_buckets):
+        offsets.append((i, acc))
+        acc += counts.get(i, 0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__b int, __off long"
+    )
+    w = Window.partitionBy("__b").orderBy(hash_col, *tie_cols)
+    return (
+        bucketed.join(F.broadcast(off_df), "__b")
+        .withColumn("__pos", F.row_number().over(w) + F.col("__off"))
+        .drop("__b", "__off")
+    ), acc

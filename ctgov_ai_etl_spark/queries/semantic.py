@@ -2996,18 +2996,21 @@ def sample_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets exactly k negatives, and stride-j offsets mean negatives are
     shared across anchors only N/4 apart — no hot rows.
 
-    Scale: the ring position is the DISTRIBUTED global_rank (range
-    partition + offsets — no single-reducer window); negatives
-    resolve via an equi-join on the ring position (one shuffle, k
-    rows per anchor).  The oracle's row_number window replays the
-    same order on one thread."""
-    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
+    Scale: the ring position comes from uniform_hash_rank — the hash
+    key's hex prefix IS a balanced range partitioner with a-priori
+    boundaries, so the rank is one bucket-window pass + a 256-row
+    offsets collect (TWO jobs; the general global_rank pays sampling
+    + persist + offsets for keys whose distribution it cannot know).
+    Negatives resolve via an equi-join on the ring position (one
+    shuffle, k rows per anchor).  The oracle's row_number window
+    replays the same order on one thread."""
+    from ctgov_ai_etl_spark.operators.limits import uniform_hash_rank
 
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
     )
-    ranked, n = global_rank_with_count(keyed, ["__h", "doc_id"])
+    ranked, n = uniform_hash_rank(keyed, "__h", ["doc_id"])
     ranked = ranked.select("doc_id", F.col("__pos").alias("pos"))
     stride = n // 4
     js = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
