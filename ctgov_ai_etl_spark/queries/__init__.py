@@ -17,7 +17,7 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-8 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 12 queries NEW this round (interval banding and
+#   block 0 — the 14 queries NEW this round (interval banding and
 #     overlap joins, streaming CMS build,
 #     capped sessionization, MAD outliers, chunk-global dedup, CMS and
 #     KMV sketches, LOO target encoding, fixed histogram, PSI drift,
@@ -41,6 +41,8 @@ _PRIORITY = (
     "sample_negatives_ring",
     "join_interval_overlap",
     "stream_run_cms_sketch",
+    "stream_run_interval_join",
+    "agg_mode_deterministic",
     "stream_session_window",
     "stream_run_session_window",
     "agg_grouping_sets_multi",

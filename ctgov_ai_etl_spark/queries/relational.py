@@ -1258,3 +1258,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_seconds=600
     ).select("incident_id", "signup_id")
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counted
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group with a DETERMINISTIC
+    tie-break — F.mode() leaves ties partitioning-dependent, which is
+    exactly the kind of silent nondeterminism a replayable pipeline
+    cannot ship.  Shape: one partially-aggregated (group, value)
+    count, then a row_number window over the aggregated counts
+    (cardinality = distinct (group, value), not the fact table) —
+    the window never sees raw rows."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )

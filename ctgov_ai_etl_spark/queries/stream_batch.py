@@ -692,3 +692,54 @@ def stream_run_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = cms_build(stream, "item", depth=3, width=16)
     return run_stream_to_memory(sketch, mode="complete")
+
+
+@query(
+    "stream_run_interval_join",
+    oracle="""
+    SELECT i.event_id AS incident_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts
+    FROM (SELECT event_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+          FROM events WHERE event_type = 'error') i
+    JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts >= i.lo AND p.ts < i.hi
+    """,
+)
+def stream_run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING interval join: the bin-banding rewrite
+    (operators/intervals.py) running as a stream-static join — the
+    purchase stream carries its time bin, the static incident-window
+    side is pre-exploded into covered bins, and the join is the same
+    equi-join-on-bin + exact-residual shape the batch twin
+    (join_interval_binned) plans.  This is the form a 100 TB
+    deployment actually runs (alerts enriched against incident
+    windows as events arrive): stream-static equi joins are
+    stateless per micro-batch — no watermark state, the static side
+    broadcast/shuffle-reused across batches — whereas the naive
+    theta join is unplannable for a stream.  Oracle: the batch naive
+    theta join over the same rows."""
+    from ctgov_ai_etl_spark.operators.intervals import interval_point_join
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    static = load_table(spark, sf_dir, "events")
+    intervals = static.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    points = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = interval_point_join(
+        points, intervals, "purchase_ts", "lo", "hi", bin_seconds=600
+    ).select("incident_id", "purchase_id", "purchase_ts")
+    return run_stream_to_memory(joined, mode="append")
