@@ -531,3 +531,53 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH feed AS (
+      SELECT event_id FROM events
+      WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 >= 7
+    ),
+    s AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM feed
+    )
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+    FROM s
+    WHERE event_id - prev_id > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP detection — the completeness check for an
+    id-sequenced feed (dropped messages, lost files): contiguous
+    missing ranges of event_id reported as (gap_start, gap_end,
+    n_missing).  One lag window under a total order; scale note: an
+    unpartitioned window would single-reduce, so at 100 TB you
+    range-partition by id and check only partition seams against the
+    64-row boundary table (the same offsets trick as the distributed
+    rank) — here the aggregated gap list itself is the deliverable
+    and the fixture is driver-scale, so the plain window is the
+    honest form the oracle replays."""
+    from pyspark.sql import Window as W
+
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    # The fixture's ids are dense; simulate a lossy feed by dropping a
+    # deterministic 7% (md5 bucket — same rows vanish in the oracle)
+    # so the detector has real gaps to report.
+    feed = e.filter(hash_bucket(F.col("event_id"), 100) >= 7)
+    w = W.orderBy("event_id")
+    s = feed.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return s.filter(F.col("event_id") - F.col("prev_id") > 1).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )
