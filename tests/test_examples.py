@@ -31,3 +31,16 @@ def test_semantic_curation_pipeline_example(spark):
     assert out["n_docs"] > 0
     assert 0 < out["n_curated"] <= out["n_docs"]
     assert 0 < out["n_sample"] <= out["n_curated"]
+
+
+def test_telemetry_observability_pipeline_example(spark):
+    from examples.telemetry_observability_pipeline import main
+
+    out = main(SF_SMALL)
+    assert out["sessions"] > 0
+    assert out["cms_cells"] > 0 and out["cms_cells"] <= 48
+    assert out["est_click_view_overlap"] >= 0
+    # gaps/outliers/incident hits can legitimately be 0 at tiny SF,
+    # but must be non-negative ints
+    for k in ("sequence_gaps", "purchases_in_incident_windows", "mad_outliers"):
+        assert out[k] >= 0
