@@ -799,3 +799,40 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER w AS DOUBLE)
+             / 1e6 AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE window frame — the trailing-hour sum/count per
+    user that a ROWS frame cannot express (rows ≠ time; bursty keys
+    put 50 events in a minute, quiet keys one in a day).  The frame
+    orders by exact integer microseconds and spans [ts − 1 h, ts]
+    inclusive; RANGE semantics make equal-timestamp peers share the
+    frame identically in both engines, so no tie-break column is
+    needed.  Exact integer-micro sums.  Shape: one user_id shuffle +
+    per-key sort, state = the trailing hour's rows per key — the
+    standard time-windowed feature layout at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1e6).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        (F.sum(micros).over(w).cast("double") / F.lit(1e6)).alias("sum_1h"),
+    )
