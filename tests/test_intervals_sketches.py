@@ -429,3 +429,93 @@ class TestUniformHashRank:
         assert a == b
         # positions are a 1..n bijection
         assert sorted(a.values()) == list(range(1, 701))
+
+
+class TestSketchProperties:
+    def test_cms_property_random_corpora(self, spark):
+        """Hypothesis: over random corpora and widths, CMS never
+        under-estimates, and a pure-python replay of the same md5
+        cells agrees exactly (the estimator is a deterministic
+        function of the corpus, not of partitioning)."""
+        import hashlib
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def py_cms(items, depth, width):
+            cells = {}
+            for it in items:
+                for s in range(depth):
+                    h = int(
+                        hashlib.md5(f"{s}:{it}".encode()).hexdigest()[:15], 16
+                    )
+                    k = (s, h % width)
+                    cells[k] = cells.get(k, 0) + 1
+            out = {}
+            for it in set(items):
+                out[it] = min(
+                    cells.get(
+                        (
+                            s,
+                            int(
+                                hashlib.md5(
+                                    f"{s}:{it}".encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            % width,
+                        ),
+                        0,
+                    )
+                    for s in range(depth)
+                )
+            return out
+
+        @settings(max_examples=5, deadline=None)
+        @given(
+            st.lists(
+                st.text(alphabet="xyz", min_size=1, max_size=3),
+                min_size=1,
+                max_size=40,
+            ),
+            st.sampled_from([2, 3]),
+            st.sampled_from([4, 64]),
+        )
+        def check(items, depth, width):
+            df = spark.createDataFrame([(i,) for i in items], "item string")
+            sk = cms_build(df, "item", depth, width)
+            est = {
+                r["item"]: r["est"]
+                for r in cms_estimate(
+                    sk, df.select("item").distinct(), "item", depth, width
+                ).collect()
+            }
+            exact = {i: items.count(i) for i in set(items)}
+            assert est == py_cms(items, depth, width)
+            assert all(est[i] >= exact[i] for i in exact)
+
+        check()
+
+    def test_kmv_property_exact_mode(self, spark):
+        """Hypothesis: whenever |A u B| <= K the estimators return the
+        exact union and intersection counts."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=5, deadline=None)
+        @given(
+            st.sets(st.integers(0, 500), min_size=1, max_size=25),
+            st.sets(st.integers(0, 500), min_size=1, max_size=25),
+        )
+        def check(a_keys, b_keys):
+            a = spark.createDataFrame([(k,) for k in a_keys], "u long")
+            b = spark.createDataFrame([(k,) for k in b_keys], "u long")
+            est = kmv_union_intersection(
+                kmv_sketch(a, "u", 64), kmv_sketch(b, "u", 64), 64
+            ).collect()[0]
+            assert est["k_eff"] == len(a_keys | b_keys)
+            assert est["est_union"] == float(len(a_keys | b_keys))
+            assert est["n_both"] == len(a_keys & b_keys)
+            assert est["est_inter"] == float(len(a_keys & b_keys))
+
+        check()
