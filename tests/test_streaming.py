@@ -431,3 +431,49 @@ def test_session_merges_across_microbatches(spark, tmp_path):
         (8, t0, t0 + dt.timedelta(hours=1), 1),
         (8, t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=4), 1),
     ]
+
+
+def test_interval_join_across_microbatches(spark, tmp_path):
+    """The banding interval join must enrich points from EVERY
+    micro-batch against the static interval side (stream-static joins
+    are stateless per batch): two point files arrive as separate
+    batches (maxFilesPerTrigger=1); the appended union must equal the
+    batch join over all points."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.operators.intervals import interval_point_join
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = "p_id long, ts timestamp"
+    rows1 = [(1, t0), (2, t0 + dt.timedelta(minutes=5))]
+    rows2 = [(3, t0 + dt.timedelta(minutes=9)), (4, t0 + dt.timedelta(minutes=30))]
+    src = str(tmp_path / "points_src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    intervals = spark.createDataFrame(
+        [(100, t0, t0 + dt.timedelta(minutes=10))],
+        "i_id long, lo timestamp, hi timestamp",
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+
+    joined = interval_point_join(
+        stream, intervals, "ts", "lo", "hi", bin_seconds=600
+    ).select("p_id", "i_id")
+    got = sorted(
+        (r["p_id"], r["i_id"])
+        for r in run_stream_to_memory(joined, mode="append").collect()
+    )
+    # points 1, 2 (batch 1) and 3 (batch 2) fall inside the window;
+    # 4 does not.  Batch 2's point must still see the static side.
+    assert got == [(1, 100), (2, 100), (3, 100)]
