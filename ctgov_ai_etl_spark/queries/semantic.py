@@ -3027,3 +3027,83 @@ def sample_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .select("anchor_id", F.col("j").cast("int").alias("j"), "negative_id")
     )
+
+
+@query(
+    "pipeline_curate_chunks",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS chunk
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)))
+                 AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_id, chunk,
+             CASE WHEN row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, chunk_id) = 1
+                  THEN 1 ELSE 0 END AS kept
+      FROM chunks
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' '
+                                 ORDER BY chunk_id), '') AS text_kept
+      FROM flagged GROUP BY doc_id
+    ),
+    survivors AS (
+      SELECT r.doc_id, d.source,
+             CAST(len(string_split(r.text_kept, ' ')) AS BIGINT) AS n_tok
+      FROM rebuilt r JOIN documents d USING (doc_id)
+      WHERE r.n_kept * 2 >= r.n_chunks AND r.n_kept > 0
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(floor((cum - n_tok) / 512.0) AS INT) AS seq_id
+    FROM (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM survivors
+    )
+    """,
+)
+def pipeline_curate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END chunk-level curation — the C4-style recipe as one
+    pipeline: corpus-wide chunk dedup (first claim wins) → drop
+    documents that lost HALF or more of their chunks to cross-doc
+    boilerplate (or kept nothing) → re-tokenize the surviving text →
+    pack into 512-token training sequences per source.  Composition
+    of chunk_dedup_global + the pack-sequences window, and the oracle
+    is literally the two fragment oracles composed.  Scale: chunk
+    dedup's two shuffles + one broadcast-ready doc-id join + one
+    window per source partition — no new shuffle classes appear when
+    stages compose."""
+    from ctgov_ai_etl_spark.operators.dedup import chunk_dedup_global
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    rebuilt = chunk_dedup_global(d, "doc_id", "text", chunk_size=8)
+    survivors = (
+        rebuilt.join(d.select("doc_id", "source"), "doc_id")
+        .filter(
+            (F.col("n_kept") * 2 >= F.col("n_chunks")) & (F.col("n_kept") > 0)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text_kept", r"\s+")).cast("long").alias("n_tok"),
+        )
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tok").over(w)
+    return survivors.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / 512.0).cast("int").alias("seq_id"),
+    )
