@@ -374,3 +374,32 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr, ((F.col("o_orderkey") % 2) + 1).cast("int")
         ).alias("maybe_elem"),
     )
+
+
+@query(
+    "fn_hash_family",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS h_composite
+    FROM documents
+    """,
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable cryptographic hash family — the functions every
+    fingerprint/bucket/split decision in this engine builds on,
+    checked directly: md5 and sha-256 of the document text plus a
+    composite key hash.  (xxhash64/crc32 are Spark-fast but
+    engine-LOCAL — a replayable pipeline derives durable decisions
+    only from portable digests; that convention is load-bearing for
+    every oracle in the catalog.)  Pure map-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+        ).alias("h_composite"),
+    )
