@@ -1303,15 +1303,15 @@ def chunk_dedup_global(
     string when every chunk lost its claim).
 
     Scale: chunking is a map-side explode (xn_tokens/chunk_size rows,
-    narrow); first-occurrence election is ONE window over the chunk
-    md5 — partitions are duplicate-occurrence groups (bounded by dup
-    multiplicity, heavily skewed chunks are exactly the boilerplate
-    being removed, and a 2-level min-struct pre-agg would de-skew if
-    a pathological corpus demanded it); reassembly is ONE groupBy on
-    the doc id.  Two shuffles total, no joins against the corpus.
+    narrow); first-occurrence election is a partially-aggregated
+    min-STRUCT per chunk hash, NOT a window — a window partitioned by
+    the hash would funnel a million-fold duplicated boilerplate chunk
+    (the op's primary target) through ONE task, whereas the min
+    aggregate collapses each hash to one keeper map-side before the
+    shuffle.  The keeper re-attaches with a hash equi-join (1 build
+    row per hash; AQE splits any residual probe-side hot hash);
+    reassembly is ONE groupBy on the doc id.
     """
-    from pyspark.sql import Window as W
-
     from ctgov_ai_etl_spark.functions.text import chunk_tokens
 
     chunks = df.select(
@@ -1321,10 +1321,17 @@ def chunk_dedup_global(
         "__id",
         F.col("c.chunk_id").alias("__chunk_id"),
         F.col("c.chunk").alias("__chunk"),
+        F.md5(F.col("c.chunk")).alias("__h"),
     )
-    w = W.partitionBy(F.md5("__chunk")).orderBy("__id", "__chunk_id")
-    flagged = chunks.withColumn(
-        "__kept", (F.row_number().over(w) == 1).cast("int")
+    keeper = chunks.groupBy("__h").agg(
+        F.min(F.struct("__id", "__chunk_id")).alias("__k")
+    )
+    flagged = chunks.join(keeper, "__h").withColumn(
+        "__kept",
+        (
+            (F.col("__id") == F.col("__k.__id"))
+            & (F.col("__chunk_id") == F.col("__k.__chunk_id"))
+        ).cast("int"),
     )
     return (
         flagged.groupBy("__id")
