@@ -17,7 +17,7 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-8 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 18 queries NEW this round (interval banding and
+#   block 0 — the 21 queries NEW this round (interval banding and
 #     overlap joins, streaming CMS build,
 #     capped sessionization, MAD outliers, chunk-global dedup, CMS and
 #     KMV sketches, LOO target encoding, fixed histogram, PSI drift,
@@ -47,6 +47,9 @@ _PRIORITY = (
     "win_time_range_frame",
     "pipeline_curate_chunks",
     "fn_hash_family",
+    "agg_corr_exact",
+    "join_asof_tolerance",
+    "win_streak_longest",
     "stream_session_window",
     "stream_run_session_window",
     "agg_grouping_sets_multi",

@@ -1302,3 +1302,131 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT))
+               AS sx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT))
+               AS sy,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+    FROM m
+    WHERE n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Pearson correlation per group — F.corr's streaming-update
+    float accumulation is partition-order dependent (re-running on a
+    repartitioned table flips low bits; a hash-checked pipeline cannot
+    ship that).  Instead: five exact integer-cents moments
+    (n, Σx, Σy, Σx², Σy², Σxy) in decimal(38,0)/HUGEINT — associative
+    and commutative, so ANY partitioning and merge order produces the
+    identical integers — then one IEEE formula at the end, replayed
+    bit-for-bit by the oracle.  One partially-aggregated shuffle of
+    six numbers per group at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    xd = x.cast("decimal(38,0)")
+    yd = y.cast("decimal(38,0)")
+    m = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y"), xd.alias("xd"), yd.alias("yd")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yd") * F.col("y")).alias("syy"),
+        F.sum(F.col("xd") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ).alias("corr_qty_price"),
+        )
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN c.ts END AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a LOOKBACK TOLERANCE — the attribution form
+    ("credit the last click, but only within the hour"): the match is
+    the latest same-user click at or before the purchase, nulled when
+    it is staler than the tolerance.  Same single-shuffle union trick
+    as join_asof (tag both event kinds, one window carries the last
+    click forward), plus a map-side tolerance mask — the tolerance
+    adds ZERO shuffles.  DuckDB has no native tolerance either; the
+    oracle post-filters its ASOF result identically."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    # RANGE frame (same as join_asof): peers share the frame, so a
+    # click at the purchase's exact timestamp is visible (>= semantics)
+    # without a tie-break column.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click"), F.col("ts")), ignorenulls=True).over(w),
+    )
+    # exact integer microseconds: second-truncated casts would pass a
+    # click 3600.5 s stale that the oracle's interval comparison rejects
+    tol = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+        <= 3_600_000_000
+    )
+    return (
+        carried.filter(~F.col("is_click"))
+        .select(
+            "event_id",
+            "ts",
+            F.when(
+                F.col("last_click_ts").isNotNull() & tol, F.col("last_click_ts")
+            ).alias("last_click_ts"),
+        )
+    )

@@ -836,3 +836,62 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_1h"),
         (F.sum(micros).over(w).cast("double") / F.lit(1e6)).alias("sum_1h"),
     )
+
+
+@query(
+    "win_streak_longest",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, min(d) AS streak_start, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id, len AS longest_streak, streak_start
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    WHERE rn = 1
+    """,
+)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST CONSECUTIVE-DAY STREAK per user — the retention metric
+    behind 'day streaks': distinct active days, the date-minus-
+    row_number island anchor (consecutive days share an anchor), one
+    count per island, deterministic best pick (longest, then
+    earliest).  Shape: day-level dedup collapses events before any
+    window (the window sees <= 1 row per user-day), then two narrow
+    aggregations — per-key state is active DAYS, not events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("streak_start"),
+        F.count("*").cast("long").alias("len"),
+    )
+    w2 = W.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+        )
+    )
