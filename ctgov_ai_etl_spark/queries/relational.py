@@ -1430,3 +1430,38 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_click_ts"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, nullif(lang, 'de') AS lang_key FROM documents
+    ),
+    dim(lang_key, label) AS (
+      VALUES ('en', 'english'), ('fr', 'french'), (NULL, 'unknown')
+    )
+    SELECT d.doc_id, d.lang_key, dim.label
+    FROM d JOIN dim ON d.lang_key IS NOT DISTINCT FROM dim.lang_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH the dimension's NULL row instead of silently dropping — the
+    semantics a sentinel-mapping dimension ('unknown' bucket for
+    unclassified rows) actually needs, where ordinary equality would
+    discard every unclassified fact row.  The fixture has no physical
+    NULLs, so the key derives via nullif (both engines identically).
+    Null-safe equality is a hashable join key in Spark — this plans
+    as a broadcast/hash equi-join, NOT a nested loop, so the 'unknown'
+    bucket costs nothing at scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif(F.col("lang"), F.lit("de")).alias("lang_key")
+    )
+    dim = spark.createDataFrame(
+        [("en", "english"), ("fr", "french"), (None, "unknown")],
+        "lang_key string, label string",
+    )
+    return d.join(
+        F.broadcast(dim), d["lang_key"].eqNullSafe(dim["lang_key"])
+    ).select(d["doc_id"], d["lang_key"], dim["label"])
