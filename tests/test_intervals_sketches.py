@@ -519,3 +519,38 @@ class TestSketchProperties:
             assert est["est_inter"] == float(len(a_keys & b_keys))
 
         check()
+
+
+class TestIntervalNulls:
+    def test_null_timestamps_drop_not_crash(self, spark):
+        """NULL ts / bounds produce NULL bins — the inner equi-join
+        drops those rows (never matches, never throws), the behavior
+        a production feed with corrupt rows needs."""
+        from ctgov_ai_etl_spark.operators.intervals import (
+            interval_point_join,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, _ts(5)), (2, None)], "p_id long, ts timestamp"
+        )
+        ivs = spark.createDataFrame(
+            [(1, _ts(0), _ts(10)), (2, None, _ts(10)), (3, _ts(0), None)],
+            "i_id long, lo timestamp, hi timestamp",
+        )
+        out = interval_point_join(pts, ivs, "ts", "lo", "hi", 60)
+        got = sorted((r["p_id"], r["i_id"]) for r in out.collect())
+        assert got == [(1, 1)]
+
+    def test_capped_sessions_null_ts_isolated(self, spark):
+        """A NULL-ts event cannot join any session: it sorts into the
+        window but its microsecond arithmetic is NULL — assert it
+        neither crashes nor perturbs the non-null rows' sessions."""
+        rows = [(1, _ts(0), 1), (1, None, 2), (1, _ts(10), 3)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, oid long")
+        out = {
+            r["oid"]: (r["session_id"], r["subsession_id"])
+            for r in capped_sessions(df, "k", "ts", "oid", 60, 120).collect()
+        }
+        # non-null rows still form one session with sane slices
+        assert out[1][0] is not None and out[3][0] is not None
+        assert len(out) == 3
