@@ -449,6 +449,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("window runs over aggregated rows, not raw events",
          r"Window.*SinglePartition"),
     ],
+    "agg_corr_exact": [
+        ("moments partially aggregated map-side", r"partial_sum"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "join_asof_tolerance": [
+        ("single user_id shuffle (union trick, no range join)",
+         r"hashpartitioning\(user_id"),
+        ("no BroadcastNestedLoopJoin", r"\A(?!.*BroadcastNestedLoopJoin)"),
+    ],
+    "win_streak_longest": [
+        ("day dedup partially aggregated before the window",
+         r"partial_first|HashAggregate"),
+        ("windows share the user_id partitioning",
+         r"hashpartitioning\(user_id"),
+    ],
+    "join_null_safe": [
+        ("null-safe equality plans as a HASH join on (coalesce, isnull)",
+         r"BroadcastHashJoin \[coalesce\(lang_key"),
+        ("no BroadcastNestedLoopJoin", r"\A(?!.*BroadcastNestedLoopJoin)"),
+    ],
     "sample_negatives_ring": [
         ("negatives resolve via equi-join on the ring position",
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[npos"),
