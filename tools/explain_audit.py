@@ -420,7 +420,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     "dedup_chunks_global": [
         ("reassembly groupBy on the doc id", r"hashpartitioning\(__id"),
-        ("no join against the corpus", r"\A(?!.*Join)"),
+        # de-skewed election: keeper = partially-aggregated min-struct
+        # per chunk hash, re-attached by a hash equi-join — NOT a
+        # window partitioned by the hash (which would funnel a
+        # boilerplate mega-clique through one task)
+        ("keeper election partially aggregated", r"partial_min"),
+        ("no window over the chunk hash", r"\A(?!.*Window)"),
     ],
     "sketch_cms_freq": [
         ("sketch cells partially aggregated map-side",
