@@ -17,7 +17,7 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-8 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 22 queries NEW this round (interval banding and
+#   block 0 — the 23 queries NEW this round (interval banding and
 #     overlap joins, streaming CMS build,
 #     capped sessionization, MAD outliers, chunk-global dedup, CMS and
 #     KMV sketches, LOO target encoding, fixed histogram, PSI drift,
@@ -51,6 +51,7 @@ _PRIORITY = (
     "join_asof_tolerance",
     "win_streak_longest",
     "join_null_safe",
+    "stream_run_capped_sessions",
     "stream_session_window",
     "stream_run_session_window",
     "agg_grouping_sets_multi",

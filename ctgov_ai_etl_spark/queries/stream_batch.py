@@ -743,3 +743,51 @@ def stream_run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         points, intervals, "purchase_ts", "lo", "hi", bin_seconds=600
     ).select("incident_id", "purchase_id", "purchase_ts")
     return run_stream_to_memory(joined, mode="append")
+
+
+@query(
+    "stream_run_capped_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS INT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, event_id, session_id,
+           CAST((epoch_us(ts)
+                 - min(epoch_us(ts)) OVER (PARTITION BY user_id, session_id))
+                // 3600000000 AS INT) AS subsession_id
+    FROM sess
+    """,
+)
+def stream_run_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING gap+cap sessionization: file micro-batch
+    source → custom stateful per-key processor
+    (streaming/events.py:stateful_capped_sessions) → memory sink.
+    The duration cap is the semantics native session_window cannot
+    express — this is the applyInPandasWithState escape hatch doing
+    the job it exists for, with three integers of state per user
+    carried across micro-batches.  Oracle: the batch gaps-and-islands
+    + cap-slice replay (same SQL family as ts_sessionize_capped);
+    exact because event arithmetic is int64 micros on both sides and
+    the finite source replays in event-time order."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_capped_sessions,
+    )
+
+    stream = stateful_capped_sessions(
+        read_events_stream(spark, sf_dir), gap_seconds=1800, cap_seconds=3600
+    )
+    return run_stream_to_memory(stream, mode="update")

@@ -371,3 +371,74 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def stateful_capped_sessions(
+    events: DataFrame, gap_seconds: int, cap_seconds: int
+) -> DataFrame:
+    """STREAMING gap + duration-cap sessionization — the cap that
+    native ``session_window`` cannot express, as a custom stateful
+    per-key operator (applyInPandasWithState).  State per user is
+    three integers (last event micros, session ordinal, session-start
+    micros); each batch's rows process in (ts, event_id) order and
+    the state carries open sessions across micro-batches — bounded
+    state on an unbounded stream, the same property the merging
+    session store gives the plain-gap case.
+
+    Event-time arithmetic stays in exact int64 microseconds computed
+    SPARK-SIDE (unix_micros) before the Python boundary — pandas
+    datetime dtype drift (ns vs us) never touches the math.  Assumes
+    per-key event-time-ordered arrival across batches (true for the
+    replayed file feed; an out-of-order production feed would buffer
+    behind a watermark first — documented, not hidden).
+    """
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    gap_us = int(gap_seconds) * 1_000_000
+    cap_us = int(cap_seconds) * 1_000_000
+
+    def update(key, pdfs, state):
+        last_us, sess, start_us = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us, event_id in zip(pdf["ts_us"], pdf["event_id"]):
+                ts_us = int(ts_us)
+                if last_us is None or ts_us > last_us + gap_us:
+                    sess += 1
+                    start_us = ts_us
+                sub = (ts_us - start_us) // cap_us
+                out.append((int(event_id), sess, int(sub)))
+                last_us = ts_us
+        state.update((last_us, sess, start_us))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_id": [o[0] for o in out],
+                    "session_id": [o[1] for o in out],
+                    "subsession_id": [o[2] for o in out],
+                }
+            )
+
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, session_id int, subsession_id int"
+        ),
+        stateStructType="last_us long, sess int, start_us long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

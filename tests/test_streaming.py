@@ -477,3 +477,62 @@ def test_interval_join_across_microbatches(spark, tmp_path):
     # points 1, 2 (batch 1) and 3 (batch 2) fall inside the window;
     # 4 does not.  Batch 2's point must still see the static side.
     assert got == [(1, 100), (2, 100), (3, 100)]
+
+
+def test_capped_sessions_state_across_microbatches(spark, tmp_path):
+    """The capped-session state (open session ordinal + anchor) must
+    carry across micro-batches: user 7's batch-2 events continue the
+    session opened in batch 1 (within the gap) and split at the cap
+    anchored at the BATCH-1 session start; user 8's batch-2 event is
+    past the gap and must open session 2."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_capped_sessions,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    gap, cap = 600, 900  # 10 min gap, 15 min cap
+    rows1 = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=8), 7, "view", 1.0, "{}"),
+        (3, t0, 8, "view", 1.0, "{}"),
+    ]
+    rows2 = [
+        # 7: 16 min after t0 (8 min after last -> same session), but
+        # past the 15-min cap anchored at t0 -> subsession 1
+        (4, t0 + dt.timedelta(minutes=16), 7, "view", 1.0, "{}"),
+        # 8: 20 min after last -> NEW session
+        (5, t0 + dt.timedelta(minutes=20), 8, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = run_stream_to_memory(
+        stateful_capped_sessions(stream, gap, cap), mode="update"
+    )
+    got = {
+        r["event_id"]: (r["session_id"], r["subsession_id"])
+        for r in out.collect()
+    }
+    assert got[1] == (1, 0)
+    assert got[2] == (1, 0)
+    assert got[4] == (1, 1)   # same session, cap slice 1 (batch-1 anchor)
+    assert got[3] == (1, 0)
+    assert got[5] == (2, 0)   # gap exceeded across the batch boundary
