@@ -405,11 +405,19 @@ def stateful_capped_sessions(
             state.get if state.exists else (None, 0, 0)
         )
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts_us, event_id in zip(pdf["ts_us"], pdf["event_id"]):
+        # Concatenate the batch's chunks BEFORE sorting: a key's rows
+        # may arrive split across several Arrow chunks whose relative
+        # order is not a contract — sorting per-chunk would process
+        # within-batch events out of event-time order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for ts_us, event_id in zip(batch["ts_us"], batch["event_id"]):
                 ts_us = int(ts_us)
                 if last_us is None or ts_us > last_us + gap_us:
                     sess += 1
