@@ -363,7 +363,6 @@ def uniform_hash_rank(
     df: DataFrame,
     hash_col: str,
     tie_cols: Iterable[str],
-    n_buckets: int = 256,
 ) -> tuple[DataFrame, int]:
     """1-based global rank ``__pos`` under ``(hash_col, *tie_cols)``
     where ``hash_col`` is a UNIFORM hex hash (md5 and friends) — the
@@ -374,17 +373,20 @@ def uniform_hash_rank(
     persist to pin the partitioning, an offsets job).  A uniform hash
     key needs none of that: its most-significant hex prefix IS a
     balanced range partitioner whose boundaries are known a priori.
-    Bucket = first two hex chars (256 ranges, each ~n/256 rows at any
-    scale), rank locally per bucket (one window over the bucket
-    shuffle — prefix order is most-significant, so bucket boundaries
-    align with the global order), shift by the cumulative counts of
-    lower buckets (one 256-row aggregate collected to the driver and
+    Bucket = first two hex chars — the count is FIXED at 256 (the
+    prefix width determines it; a configurable count that didn't also
+    change the prefix would silently drop rows at the offsets join).
+    Rank locally per bucket (one window over the bucket shuffle —
+    prefix order is most-significant, so bucket boundaries align with
+    the global order), shift by the cumulative counts of lower
+    buckets (one 256-row aggregate collected to the driver and
     broadcast back).  TWO jobs total, no sampling, no persist, no
     skew risk beyond hash uniformity itself.
 
     Returns (df + ``__pos``, total row count — free from the offsets
     collect).  Ranks are exact and deterministic: ties under the full
     ``(hash, *ties)`` ordering must not exist (pass a unique key)."""
+    n_buckets = 256  # 2 hex chars; see docstring
     b = F.conv(F.substring(F.col(hash_col), 1, 2), 16, 10).cast("int")
     bucketed = df.withColumn("__b", b)
     counts = {

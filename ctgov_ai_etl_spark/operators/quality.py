@@ -346,3 +346,48 @@ def boilerplate_oracle_sql(min_docs: int = 3, table: str = "documents") -> str:
            CAST(len(t.ls) - coalesce(r.n_kept, 0) AS INT) AS n_removed
     FROM t LEFT JOIN res r USING (doc_id)
     """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    keep_cols: list[str],
+    threshold: float = 3.5,
+) -> DataFrame:
+    """MEDIAN/MAD robust outlier flags per group — the single
+    definition shared by the ``anomaly_mad`` catalog query and the
+    runnable example (a second inline copy of the doubled-integer
+    median convention would drift).
+
+    Values fix to integer micro-units; medians compute over DOUBLED
+    integers so the even-count midpoint (a+b)/2 is an exactly-
+    representable integer double (both engines interpolate identical
+    int64s); robust z = 2*(2v − 2·median) / (1.4826 · 4·MAD) — the
+    exact arithmetic ORDER the DuckDB oracle replays.  Returns
+    ``keep_cols`` + ``group_col`` + ``value_col`` + unrounded
+    ``robust_z`` for rows with |z| ≥ ``threshold`` (zero-MAD groups
+    excluded).  Two grouped exact percentiles broadcast back; swap in
+    approx_percentile at 100 TB (documented in the query)."""
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = df.select(
+        *keep_cols, group_col, value_col, vm.alias("__vm")
+    )
+    med = base.groupBy(group_col).agg(
+        F.percentile(F.col("__vm") * 2, F.lit(0.5)).alias("__m2")
+    )
+    dev = base.join(F.broadcast(med), group_col).select(
+        *keep_cols,
+        group_col,
+        value_col,
+        ((F.col("__vm") * 2).cast("double") - F.col("__m2")).alias("__sdev2"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.abs(F.col("__sdev2")) * 2, F.lit(0.5)).alias("__mad4")
+    )
+    z = (F.lit(2) * F.col("__sdev2")) / (F.lit(1.4826) * F.col("__mad4"))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter((F.col("__mad4") > 0) & (F.abs(z) >= threshold))
+        .select(*keep_cols, group_col, value_col, z.alias("robust_z"))
+    )

@@ -43,23 +43,18 @@ _MERGE: dict[str, Callable[[str], Column]] = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
-    # count-style measures: native GROUPING SETS emits count()=0 for
-    # the grand-total row of an EMPTY input, while sum() over the
-    # empty cuboid is NULL — coalesce restores the 0.  For non-empty
-    # cuboids coalesce(sum, 0) == sum, so the merge is otherwise
-    # identical to 'sum'.
-    "count": lambda c: F.coalesce(F.sum(c), F.lit(0)),
 }
 
 
 @dataclass(frozen=True)
 class Measure:
     """One distributive measure: ``base`` aggregates fact rows to the
-    finest cuboid; ``merge`` ('sum' | 'min' | 'max' | 'count')
-    re-aggregates cuboid cells into coarser sets.  COUNT is declared
-    as ``Measure('n', F.count('*').cast('long'), 'count')`` — counts
-    merge by summing, with the empty-input grand total coalesced to 0
-    to match native GROUPING SETS."""
+    finest cuboid; ``merge`` ('sum' | 'min' | 'max') re-aggregates
+    cuboid cells into coarser sets.  COUNT is declared as
+    ``Measure('n', F.count('*').cast('long'), 'sum')`` — counts merge
+    by summing; cells are counts of NON-EMPTY groups, never NULL, and
+    an EMPTY input yields zero output rows (matching native Spark
+    GROUPING SETS — see the empty-set groupBy(lit) note below)."""
 
     name: str
     base: Column

@@ -39,6 +39,28 @@ def portable_hash60(c: Column, salt: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def _cms_cells(df: DataFrame, item_col: str, depth: int, width: int) -> DataFrame:
+    """One row per (item occurrence, seed) with its sketch cell: the
+    SINGLE definition of the cell-hash convention (md5 of
+    ``seed:item`` mod width) — build and estimate must agree on it
+    byte-for-byte, so neither inlines its own copy."""
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    return df.select(F.col(item_col).alias("item")).select(
+        "item", F.explode(seeds).alias("seed")
+    ).select(
+        "item",
+        "seed",
+        F.pmod(
+            portable_hash60(
+                F.concat(
+                    F.col("seed").cast("string"), F.lit(":"), F.col("item")
+                )
+            ),
+            F.lit(width),
+        ).cast("int").alias("bucket"),
+    )
+
+
 def cms_build(
     items: DataFrame, item_col: str, depth: int, width: int
 ) -> DataFrame:
@@ -53,25 +75,8 @@ def cms_build(
     per-partition partial aggregation does almost all of it map-side.
     Cell-wise SUM of two builds is the sketch of the concatenated
     corpora (mergeability is what makes it a sketch)."""
-    seeds = F.array(*[F.lit(i) for i in range(depth)])
     return (
-        items.select(F.col(item_col).alias("item"))
-        .select("item", F.explode(seeds).alias("seed"))
-        .select(
-            "seed",
-            (
-                F.pmod(
-                    portable_hash60(
-                        F.concat(
-                            F.col("seed").cast("string"),
-                            F.lit(":"),
-                            F.col("item"),
-                        )
-                    ),
-                    F.lit(width),
-                )
-            ).cast("int").alias("bucket"),
-        )
+        _cms_cells(items, item_col, depth, width)
         .groupBy("seed", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -85,21 +90,7 @@ def cms_estimate(
     (item, est).  The sketch is tiny (``depth * width`` rows) — the
     join broadcasts, so estimation is a map-side lookup however large
     the probe set is.  Absent cells read 0 (an item never inserted)."""
-    seeds = F.array(*[F.lit(i) for i in range(depth)])
-    cells = probes.select(F.col(item_col).alias("item")).select(
-        "item", F.explode(seeds).alias("seed")
-    ).select(
-        "item",
-        "seed",
-        F.pmod(
-            portable_hash60(
-                F.concat(
-                    F.col("seed").cast("string"), F.lit(":"), F.col("item")
-                )
-            ),
-            F.lit(width),
-        ).cast("int").alias("bucket"),
-    )
+    cells = _cms_cells(probes, item_col, depth, width)
     return (
         cells.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy("item")

@@ -830,7 +830,7 @@ def agg_grouping_sets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
         ],
         measures=[
-            Measure("n", F.count("*").cast("long"), "count"),
+            Measure("n", F.count("*").cast("long"), "sum"),
             Measure("total_cents", F.sum(cents("o_totalprice")), "sum"),
         ],
     )

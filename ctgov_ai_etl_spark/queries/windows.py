@@ -773,31 +773,17 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5 groups — at 100 TB swap F.percentile for approx_percentile
     and loosen the oracle to a bound check) broadcast back against
     the events; no global sort."""
+    from ctgov_ai_etl_spark.operators.quality import mad_outliers
+
     e = load_table(spark, sf_dir, "events")
-    vm = F.round(F.col("value") * 1_000_000).cast("long")
-    base = e.select("event_id", "event_type", "value", vm.alias("vm"))
-    med = base.groupBy("event_type").agg(
-        F.percentile(F.col("vm") * 2, F.lit(0.5)).alias("m2")
+    flagged = mad_outliers(
+        e, "event_type", "value", keep_cols=["event_id"], threshold=3.5
     )
-    dev = base.join(F.broadcast(med), "event_type").select(
+    return flagged.select(
         "event_id",
         "event_type",
-        "value",
-        ((F.col("vm") * 2).cast("double") - F.col("m2")).alias("sdev2"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.abs(F.col("sdev2")) * 2, F.lit(0.5)).alias("mad4")
-    )
-    z = (F.lit(2) * F.col("sdev2")) / (F.lit(1.4826) * F.col("mad4"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter((F.col("mad4") > 0) & (F.abs(z) >= 3.5))
-        .select(
-            "event_id",
-            "event_type",
-            F.round("value", 6).alias("value"),
-            F.round(z, 6).alias("robust_z"),
-        )
+        F.round("value", 6).alias("value"),
+        F.round("robust_z", 6).alias("robust_z"),
     )
 
 

@@ -416,6 +416,11 @@ def stateful_capped_sessions(
                 if len(chunks) > 1
                 else chunks[0]
             )
+            # NULL ts arrives as NaN (Arrow renders the nullable long
+            # as float64): drop corrupt rows like the batch twin does
+            # (its NULL micros propagate to NULL outputs) instead of
+            # crashing the whole query on int(NaN).
+            batch = batch.dropna(subset=["ts_us"])
             batch = batch.sort_values(["ts_us", "event_id"])
             for ts_us, event_id in zip(batch["ts_us"], batch["event_id"]):
                 ts_us = int(ts_us)

@@ -95,26 +95,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         64,
     ).collect()[0]
 
-    # 5. robust outliers: MAD-based, heavy-tail safe
-    vm = F.round(F.col("value") * 1_000_000).cast("long")
-    base = events.select("event_id", "event_type", "value", vm.alias("vm"))
-    med = base.groupBy("event_type").agg(
-        F.percentile(F.col("vm") * 2, F.lit(0.5)).alias("m2")
-    )
-    dev = base.join(F.broadcast(med), "event_type").select(
-        "event_id",
-        "event_type",
-        ((F.col("vm") * 2).cast("double") - F.col("m2")).alias("sdev2"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.abs(F.col("sdev2")) * 2, F.lit(0.5)).alias("mad4")
-    )
-    z = (F.lit(2) * F.col("sdev2")) / (F.lit(1.4826) * F.col("mad4"))
-    n_outliers = (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter((F.col("mad4") > 0) & (F.abs(z) >= 3.5))
-        .count()
-    )
+    # 5. robust outliers: MAD-based, heavy-tail safe (shared operator
+    # — the same definition the audited anomaly_mad query runs)
+    from ctgov_ai_etl_spark.operators.quality import mad_outliers
+
+    n_outliers = mad_outliers(
+        events, "event_type", "value", keep_cols=["event_id"], threshold=3.5
+    ).count()
 
     out = {
         "sequence_gaps": gaps,

@@ -41,7 +41,7 @@ def test_matches_native_grouping_sets(spark, facts):
         dims=["d1", "d2", "d3"],
         sets=SETS,
         measures=[
-            Measure("n", F.count("*").cast("long"), "count"),
+            Measure("n", F.count("*").cast("long"), "sum"),
             Measure("sv", F.sum("v"), "sum"),
             Measure("mx", F.max("v"), "max"),
             Measure("mn", F.min("v"), "min"),
@@ -65,7 +65,7 @@ def test_null_data_value_stays_distinct_from_subtotal(spark, facts):
         facts,
         dims=["d1", "d2"],
         sets=[["d1", "d2"], ["d1"]],
-        measures=[Measure("n", F.count("*").cast("long"), "count")],
+        measures=[Measure("n", F.count("*").cast("long"), "sum")],
     ).collect()
     # ('b', NULL) appears TWICE with different grouping_ids: once as the
     # data-NULL detail cell (gid 0) and once as b's subtotal (gid 1).
@@ -80,7 +80,7 @@ def test_plan_has_no_expand(spark, facts):
         facts,
         dims=["d1", "d2", "d3"],
         sets=SETS,
-        measures=[Measure("n", F.count("*").cast("long"), "count")],
+        measures=[Measure("n", F.count("*").cast("long"), "sum")],
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
@@ -90,7 +90,7 @@ def test_plan_has_no_expand(spark, facts):
 
 
 def test_validation_errors(spark, facts):
-    m = [Measure("n", F.count("*").cast("long"), "count")]
+    m = [Measure("n", F.count("*").cast("long"), "sum")]
     with pytest.raises(ValueError, match=">= 1 grouping set"):
         grouping_sets_multipass(facts, ["d1"], [], m)
     with pytest.raises(ValueError, match="not in dims"):
@@ -131,7 +131,7 @@ def test_multipass_fuzz_vs_native(spark):
         out = grouping_sets_multipass(
             df, dims, sets,
             [
-                Measure("n", F.count("*").cast("long"), "count"),
+                Measure("n", F.count("*").cast("long"), "sum"),
                 Measure("sv", F.sum("v"), "sum"),
                 Measure("mx", F.max("v"), "max"),
             ],
@@ -168,15 +168,15 @@ def test_multipass_fuzz_vs_native(spark):
 
 def test_empty_input_grand_total_count_zero(spark):
     """GROUPING SETS (()) over an EMPTY fact table must agree with
-    the native Expand plan (zero rows), and the 'count' merge must
-    never surface a sum-of-empty NULL where native would count 0."""
+    the native Expand plan: ZERO rows — a bare global .agg() for the
+    empty set would fabricate a grand-total row native never emits."""
     empty = spark.createDataFrame([], "d1 string, v long")
     out = grouping_sets_multipass(
         empty,
         dims=["d1"],
         sets=[[], ["d1"]],
         measures=[
-            Measure("n", F.count("*").cast("long"), "count"),
+            Measure("n", F.count("*").cast("long"), "sum"),
             Measure("sv", F.sum("v"), "sum"),
         ],
     )
