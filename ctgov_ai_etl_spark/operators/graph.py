@@ -311,3 +311,90 @@ def kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 5) -> str:
         + f"\n    SELECT d.node, d.deg FROM deg{rounds} d"
         + f" JOIN alive{rounds} a ON a.node = d.node"
     )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Min-hop BFS layers from a seed set over the undirected graph —
+    the neighborhood-expansion primitive (taint/contamination spread,
+    "within k links of a trusted seed" curation filters).  Returns
+    (node, hop) where hop is the minimum distance ≤ ``max_hops``;
+    unreached nodes are absent.
+
+    Frontier algorithm: each round joins the (narrow) frontier to the
+    symmetrized edge list, anti-joins the visited set, and checkpoints
+    the new layer — lineage stays flat and every round shuffles
+    O(frontier-adjacent edges), not O(graph).  The anti-join IS the
+    min-hop guarantee: a node enters ``visited`` in the first round
+    that reaches it, so no min-aggregation pass is needed.  State is
+    the visited set — narrow (node, hop) rows, the same bound the
+    connected-components operators carry.
+
+    ``seeds`` is a one-column (node) DataFrame; duplicate seed rows
+    are tolerated (deduped at hop 0).
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_layers requires max_hops >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    frontier = visited
+    for i in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+        )
+        # Same lineage rule as kcore: each layer's plan would contain
+        # the previous layer's twice (join + anti-join) — checkpoint
+        # keeps round cost flat.
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    sym.unpersist(blocking=False)
+    return visited.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+def bfs_oracle_sql(edges_sql: str, seeds_where: str, max_hops: int) -> str:
+    """Recursive-CTE replay of :func:`bfs_layers`: walk every path up
+    to ``max_hops`` (UNION dedupes (node, hop) pairs, bounding the
+    recursion), then min-hop per node — equivalent to the frontier
+    anti-join because first discovery IS the minimum hop.
+
+    ``edges_sql`` must yield columns (src, dst); ``seeds_where`` is a
+    predicate over the distinct node set selecting hop-0 seeds.
+    """
+    return f"""
+    WITH RECURSIVE raw AS ({edges_sql}),
+    sym AS (
+      SELECT src AS a, dst AS b FROM raw WHERE src <> dst
+      UNION
+      SELECT dst, src FROM raw WHERE src <> dst
+    ),
+    walk AS (
+      SELECT node, 0 AS hop FROM (
+        SELECT DISTINCT a AS node FROM sym
+        UNION SELECT DISTINCT b FROM sym
+      ) WHERE {seeds_where}
+      UNION
+      SELECT s.b, w.hop + 1 FROM walk w JOIN sym s ON s.a = w.node
+      WHERE w.hop < {max_hops}
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+    """

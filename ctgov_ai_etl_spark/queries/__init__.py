@@ -166,6 +166,7 @@ def load_all() -> dict[str, QuerySpec]:
         stream_batch,
         multimodal,
         graph,
+        analytics,
     )
 
     def rank(name: str) -> tuple[int, str]:

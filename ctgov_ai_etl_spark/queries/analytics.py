@@ -1,0 +1,331 @@
+"""Round-8 wave-2 analytics queries.
+
+Business-analytics shapes a warehouse user of the reference family
+runs daily — composed star joins (the TPC-H Q3 shape), Markov event
+transitions, marketing attribution, privacy k-anonymity gates,
+feature standardization — plus the two genuinely non-window
+operators added this wave: the clamped running balance (a
+value-dependent prefix scan, oracle = recursive CTE) and min-hop BFS
+layers (iterative frontier, oracle = recursive CTE).
+
+Exactness follows the repo conventions (functions/exact.py): money
+in integer cents, probabilities in integer ppm via floor division,
+timestamps in int64 micros, output doubles rounded identically on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.exact import cents, sql_sum_money, sum_money
+from ctgov_ai_etl_spark.operators.balance import (
+    balance_oracle_sql,
+    clamped_balance,
+    clamped_balance_chunked,
+)
+from ctgov_ai_etl_spark.operators.graph import bfs_layers, bfs_oracle_sql
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+# ---------------------------------------------------------------- Q3 shape
+
+
+@query(
+    "tpch_q3_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_sum_money("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 'shipping priority' shape adapted to the testdata
+    star schema: segment-filtered customers ⋈ date-filtered orders ⋈
+    ship-date-filtered lineitem, revenue = exact-cents discounted
+    price, top-10 by revenue.
+
+    Scale shape: both dimension-side filters reach the parquet scans
+    (PushedFilters), customer is the small side (broadcast under
+    AQE), the l⋈o join shuffles on the order key with partial
+    aggregation before the final TakeOrderedAndProject — no global
+    sort ever materializes.  Ties broken by (orderdate, orderkey) so
+    LIMIT 10 is deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ------------------------------------------------------- event sequences
+
+
+@query(
+    "seq_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_pairs,
+           (n_pairs * 1000000)
+             // sum(n_pairs) OVER (PARTITION BY from_type) AS prob_ppm
+    FROM cnt
+    """,
+)
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next=to | cur=from) in integer ppm (floor division —
+    exact, partition-order independent).  One window shuffle on
+    user_id for the lead, one partially-aggregated shuffle on the
+    (from, to) pair, one tiny per-from window — the 5×5 matrix is the
+    whole reduce-side state regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    total = F.sum("n_pairs").over(W.partitionBy("from_type"))
+    num = F.col("n_pairs") * 1_000_000
+    # Integer floor-div via pmod subtraction (exactness conventions).
+    ppm = ((num - F.pmod(num, total)) / total).cast("long")
+    return cnt.select("from_type", "to_type", "n_pairs", ppm.alias("prob_ppm"))
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT coalesce(touch_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           {sql_sum_money("value")} AS attributed_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch_type, 'none')
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the user's most recent non-purchase event before it
+    ('none' when the purchase opens the history).  One window shuffle
+    on user_id (running last_value with ignorenulls over the
+    preceding frame), then a 5-row aggregate of exact-cents money —
+    the attribution table is tiny no matter the corpus."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch_type"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            sum_money("value").alias("attributed_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------ governance
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 8 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): any equivalence class smaller than k=8
+    re-identifies its members and must be suppressed or generalized
+    before the table ships as training data.  One partially-aggregated
+    shuffle on the QI tuple; the flag is computed post-agg so the
+    whole audit is a single pass at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("group_size"),
+        (F.count("*") < 8).alias("at_risk"),
+    )
+
+
+@query(
+    "feature_scale_standard",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      FROM orders
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(xc) AS sx, sum(xc * xc) AS sxx,
+             min(xc) AS mn, max(xc) AS mx
+      FROM u
+    )
+    SELECT u.o_orderkey,
+           round((u.xc - CAST(m.sx AS DOUBLE) / m.n)
+                 / sqrt((CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n)
+                        / (m.n - 1)), 6) AS zscore,
+           round(CAST(u.xc - m.mn AS DOUBLE) / (m.mx - m.mn), 6) AS minmax
+    FROM u CROSS JOIN m
+    """,
+)
+def feature_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization (z-score + min-max) from exact integer
+    moments: the 1-row stats aggregate is broadcast back onto the
+    fact scan (crossJoin(broadcast)) so the whole thing is one lazy
+    plan — no driver collect, no second job.  Identical double
+    arithmetic order on both sides (moment formulas from
+    agg_stats_moments) keeps the rounded outputs bit-equal."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select("o_orderkey", cents("o_totalprice").alias("xc"))
+    xc_dec = F.col("xc").cast("decimal(20,0)")
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum(xc_dec * xc_dec).alias("sxx"),
+        F.min("xc").alias("mn"),
+        F.max("xc").alias("mx"),
+    )
+    j = u.crossJoin(F.broadcast(m))
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - 1)
+    return j.select(
+        "o_orderkey",
+        F.round((F.col("xc") - mean) / F.sqrt(var), 6).alias("zscore"),
+        F.round(
+            (F.col("xc") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")),
+            6,
+        ).alias("minmax"),
+    )
+
+
+# ------------------------------------------- sequential / iterative ops
+
+_BALANCE_CAP_CENTS = 2500  # $25 credit ceiling: both clamps actually bind
+
+
+@query("ts_clamped_cumsum", oracle=balance_oracle_sql(_BALANCE_CAP_CENTS))
+def ts_clamped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance (credits for purchase/signup, debits
+    otherwise, balance pinned to [0, $25]) — the value-dependent
+    prefix scan no window expression can state (operators/balance.py).
+    Per-key applyInPandas strategy; oracle is the literal per-row
+    recurrence as a DuckDB recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    return clamped_balance(ev, _BALANCE_CAP_CENTS)
+
+
+@query(
+    "ts_clamped_cumsum_chunked", oracle=balance_oracle_sql(_BALANCE_CAP_CENTS)
+)
+def ts_clamped_cumsum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME logical operator, SCALE physical strategy: the clamp
+    functions form a closed composition family, so per-(key, 2-day
+    chunk) triples + a tiny per-key fold + independent chunk replays
+    give a two-pass distributed scan — no task ever holds a whole
+    key's history (operators/balance.py:clamped_balance_chunked).
+    Identical oracle to ts_clamped_cumsum: two strategies, one
+    answer, proven bit-equal."""
+    ev = load_table(spark, sf_dir, "events")
+    return clamped_balance_chunked(ev, _BALANCE_CAP_CENTS)
+
+
+_EDGES_SQL = """SELECT DISTINCT l.l_suppkey AS src,
+           o.o_custkey + 1000000 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+_SEEDS_WHERE = "node % 7 = 0 AND node < 1000000"
+
+
+@query(
+    "graph_bfs_layers",
+    oracle=bfs_oracle_sql(_EDGES_SQL, _SEEDS_WHERE, max_hops=3),
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS layers (≤ 3 hops) from every-7th supplier over the
+    undirected supplier↔customer fulfilment graph — 'within k links
+    of a trusted seed' (operators/graph.py:bfs_layers).  Frontier
+    join + anti-join per round, layers checkpointed; oracle walks the
+    same graph with a recursive CTE and min-hops per node."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        (F.col("node") % 7 == 0) & (F.col("node") < 1_000_000)
+    )
+    return bfs_layers(edges, seeds, max_hops=3)

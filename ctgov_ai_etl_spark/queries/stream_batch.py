@@ -791,3 +791,28 @@ def stream_run_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), gap_seconds=1800, cap_seconds=3600
     )
     return run_stream_to_memory(stream, mode="update")
+
+
+from ctgov_ai_etl_spark.operators.balance import balance_oracle_sql as _balance_oracle
+
+
+@query("stream_run_running_balance", oracle=_balance_oracle(2500))
+def stream_run_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING clamped running balance: file micro-batch
+    source → custom stateful per-key scan
+    (operators/balance.py:stateful_balance, applyInPandasWithState,
+    ONE int64 of state per user) → memory sink.  The third physical
+    strategy for the same logical operator as ts_clamped_cumsum /
+    ts_clamped_cumsum_chunked — batch Python scan, batch JVM monoid
+    scan, and streaming stateful scan all hash-check against the one
+    recursive-CTE oracle."""
+    from ctgov_ai_etl_spark.operators.balance import stateful_balance
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = stateful_balance(
+        read_events_stream(spark, sf_dir), cap_cents=2500
+    )
+    return run_stream_to_memory(stream, mode="update")

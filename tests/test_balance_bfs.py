@@ -1,0 +1,136 @@
+"""Tests for the clamped-balance prefix scan and BFS layers.
+
+The clamp monoid is the load-bearing algebra of
+``clamped_balance_chunked`` (operators/balance.py): property-test the
+composition law against the sequential scan, then prove the three
+physical strategies (per-key Python scan, chunked JVM monoid scan)
+agree on real data — including a pathologically tiny chunk width that
+forces many chunk boundaries and empty gaps.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ctgov_ai_etl_spark.operators.balance import (
+    _INF,
+    _apply,
+    _compose,
+    clamped_balance,
+    clamped_balance_chunked,
+)
+from ctgov_ai_etl_spark.operators.graph import bfs_layers
+from ctgov_ai_etl_spark.tables import load_table
+
+from tests.conftest import SF_SMALL
+
+CAP = 2500
+
+
+def _scan(deltas, cap=CAP, start=0):
+    bal, out = start, []
+    for d in deltas:
+        bal = min(cap, max(0, bal + d))
+        out.append(bal)
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=-5000, max_value=5000), max_size=60),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_clamp_composition_law(deltas, n_chunks):
+    """Folding per-chunk composed (L,H,s) triples == sequential scan,
+    for ANY chunking of the delta sequence (including empty chunks)."""
+    # split deltas into n_chunks+1 contiguous chunks deterministically
+    k = n_chunks + 1
+    chunks = [
+        deltas[i * len(deltas) // k : (i + 1) * len(deltas) // k] for i in range(k)
+    ]
+    bal = 0
+    seq = _scan(deltas)
+    pos = 0
+    for ch in chunks:
+        f = (-_INF, _INF, 0)
+        for d in ch:
+            f = _compose(f, (0, CAP, d))
+        entry = bal
+        bal = _apply(f, bal)
+        # chunk-exit balance from the composed function must equal the
+        # sequential scan's balance at the chunk's last element
+        replay = _scan(ch, start=entry)
+        pos += len(ch)
+        if ch:
+            assert replay[-1] == seq[pos - 1]
+            assert bal == seq[pos - 1]
+    assert pos == len(deltas)
+
+
+@given(
+    st.lists(st.integers(min_value=-5000, max_value=5000), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=-5000, max_value=5000), max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_compose_associative(a, b):
+    """compose(f_a) then compose(f_b) == compose(f_a ++ f_b): the
+    monoid homomorphism the two-pass split relies on."""
+
+    def fold(ds):
+        f = (-_INF, _INF, 0)
+        for d in ds:
+            f = _compose(f, (0, CAP, d))
+        return f
+
+    fa, fb, fab = fold(a), fold(b), fold(a + b)
+    combined = _compose(fa, fb)
+    # the composed triples may differ in dead parameters; compare as
+    # functions over a spread of inputs instead
+    for x in (-1, 0, 1, 17, CAP // 2, CAP - 1, CAP, CAP + 100):
+        assert _apply(combined, x) == _apply(fab, x)
+
+
+def test_balance_strategies_agree(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    a = {
+        (r.user_id, r.event_id): r.balance_cents
+        for r in clamped_balance(ev, CAP).collect()
+    }
+    b = {
+        (r.user_id, r.event_id): r.balance_cents
+        for r in clamped_balance_chunked(ev, CAP).collect()
+    }
+    # pathological width: ~4-hour chunks => hundreds of boundaries and
+    # empty gaps per user
+    c = {
+        (r.user_id, r.event_id): r.balance_cents
+        for r in clamped_balance_chunked(ev, CAP, chunk_us=4 * 3_600_000_000).collect()
+    }
+    assert a and a == b == c
+    assert min(a.values()) == 0 and max(a.values()) == CAP  # both clamps bind
+
+
+def test_bfs_layers_small_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (2, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_layers(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    # max_hops=0: seeds only
+    got0 = {r.node: r.hop for r in bfs_layers(edges, seeds, max_hops=0).collect()}
+    assert got0 == {1: 0}
+    # disconnected component never appears
+    assert 10 not in got and 11 not in got
+
+
+def test_bfs_min_hop_on_diamond(spark):
+    # two paths of different lengths to node 4: hop must be the MIN
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_layers(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
