@@ -329,3 +329,229 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") % 7 == 0) & (F.col("node") < 1_000_000)
     )
     return bfs_layers(edges, seeds, max_hops=3)
+
+
+# ------------------------------------------------------ wave-3 additions
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_sum_money("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q5 'local supplier volume' shape: six-way star join
+    where customer and supplier must share a nation, revenue per
+    nation for one region-year.  The selective dimension chain
+    (region → nation → supplier) and the customer side are all
+    broadcast; only the orders⋈lineitem spine shuffles — the plan a
+    1000-executor cluster wants for a fact-heavy star."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey)
+            & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_temporal_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    ),
+    fact AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, d.status AS status_at_ship
+    FROM fact f LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of a fact stream to an SCD2 dimension: each
+    lineitem gets the customer's order status AS OF its ship date.
+
+    The naive formulation is an interval join (the oracle) — at scale
+    that's a range-join explosion.  The engine instead uses the union
+    trick from join_asof: dimension-change rows and fact rows union
+    into ONE per-customer timeline, sorted by (ts, kind, id) with
+    dims before facts on ties ([valid_from, valid_to) semantics), and
+    last(status, ignorenulls) carries the current version onto every
+    fact.  One shuffle, one window pass, zero-width superseded
+    versions handled for free (the later change at the same instant
+    overwrites the carry).  LEFT semantics: a fact before the
+    dimension's first version (late-arriving dimension) keeps NULL
+    status — pervasive in this synthetic data, where ~half the
+    lineitems 'ship' before their order date."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("uid"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    fact = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_micros(F.col("l_shipdate")).alias("ts_us"),
+            F.lit(1).alias("kind"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+            F.lit(None).cast("string").alias("status"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = (
+        W.partitionBy("custkey")
+        .orderBy("ts_us", "kind", "uid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = dim.unionByName(fact).withColumn(
+        "status_at_ship", F.last("status", ignorenulls=True).over(w)
+    )
+    return timeline.filter(F.col("kind") == 1).select(
+        "l_orderkey", "l_linenumber", "status_at_ship"
+    )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                             o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(xc) AS DOUBLE) / 100 AS lo,
+           CAST(max(xc) AS DOUBLE) / 100 AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram with exact ntile semantics —
+    WITHOUT the single-reducer global window the oracle uses.  The
+    distributed rank (operators/limits.py:global_rank — range
+    partition + per-partition rank + offsets) replaces `ntile() OVER
+    (ORDER BY …)`, and ntile's first-buckets-get-the-remainder split
+    is reproduced arithmetically from (rank, n, k).  Companion to
+    agg_histogram_fixed (equal-width): equal-POPULATION bins are what
+    feature binning and drift monitors actually want on skewed
+    money-like columns."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
+
+    k = 10
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(cents("o_totalprice").alias("xc"), "o_orderkey")
+    ranked, n = global_rank_with_count(u, ["xc", "o_orderkey"])
+    base, rem = n // k, n % k
+    pos = F.col("__pos")
+    # ntile: the first `rem` buckets hold base+1 rows, the rest base.
+    in_big = pos <= rem * (base + 1)
+    bucket = (
+        F.when(in_big, (pos - 1) / (base + 1))
+        .otherwise(rem + (pos - 1 - rem * (base + 1)) / base)
+        .cast("int")
+        + 1
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.min("xc").cast("double") / 100).alias("lo"),
+            (F.max("xc").cast("double") / 100).alias("hi"),
+        )
+    )
+
+
+@query(
+    "win_topk_two_stage",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rn <= 3
+    """,
+)
+def win_topk_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME answer as win_topk_per_group, SKEW-PROOF physical plan:
+    stage 1 takes top-3 within (segment, salt-of-rowkey) — 16
+    sub-groups per segment, so one hot segment spreads over 16 tasks —
+    stage 2 re-ranks the ≤ 48 survivors per segment.  Candidate-set
+    soundness: the global top-3 of a segment each rank ≤ 3 within
+    their own salt bucket, so stage 1 can never drop them.  This is
+    the two-stage top-k every skewed leaderboard needs at 100 TB;
+    proving it bit-equal to the one-window oracle is the point."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    salt = F.pmod(F.col("o_orderkey"), F.lit(16))
+    w1 = W.partitionBy("c_mktsegment", salt).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    stage1 = j.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= 3
+    )
+    w2 = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        stage1.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )

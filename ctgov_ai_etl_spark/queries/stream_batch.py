@@ -816,3 +816,37 @@ def stream_run_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), cap_cents=2500
     )
     return run_stream_to_memory(stream, mode="update")
+
+
+@query(
+    "stream_run_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           coalesce(touch, 'none') AS touch_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def stream_run_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING last-touch attribution: file micro-batch
+    source → stateful per-user touch memory (one string of state,
+    streaming/events.py:stateful_attribution) → memory sink.  The
+    row-level twin of the attribution_last_touch batch rollup; oracle
+    is the batch ignorenulls-window replay."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_attribution,
+    )
+
+    stream = stateful_attribution(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, mode="update")

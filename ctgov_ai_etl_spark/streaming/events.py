@@ -455,3 +455,68 @@ def stateful_capped_sessions(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_attribution(events: DataFrame) -> DataFrame:
+    """STREAMING last-touch attribution: per user, remember the most
+    recent non-purchase event type (ONE string of state) and stamp it
+    onto each purchase as it arrives — the real-time version of the
+    attribution_last_touch batch rollup.  Emits one row per purchase:
+    (user_id, event_id, touch_type, value_cents).
+
+    Same per-batch (ts, event_id) ordering and event-time-ordered
+    arrival assumption as the other stateful operators here."""
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+
+    def update(key, pdfs, state):
+        (touch,) = state.get if state.exists else (None,)
+        out = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.dropna(subset=["ts_us"])
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for event_id, etype, vc in zip(
+                batch["event_id"], batch["event_type"], batch["value_cents"]
+            ):
+                if etype == "purchase":
+                    out.append(
+                        (int(event_id), touch if touch is not None else "none", int(vc))
+                    )
+                else:
+                    touch = etype
+        state.update((touch,))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_id": [o[0] for o in out],
+                    "touch_type": [o[1] for o in out],
+                    "value_cents": [o[2] for o in out],
+                }
+            )
+
+    keyed = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, touch_type string, value_cents long"
+        ),
+        stateStructType="touch string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -134,3 +134,60 @@ def test_bfs_min_hop_on_diamond(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.hop for r in bfs_layers(edges, seeds, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_balance_and_attribution_state_across_microbatches(spark, tmp_path):
+    """Streaming balance carries the clamped balance across
+    micro-batches; streaming attribution carries the last touch."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.operators.balance import stateful_balance
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_attribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows1 = [
+        # user 7: +20.00 (purchase) clamps to cap 10.00; then -3.00
+        (1, t0, 7, "purchase", 20.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 3.0, "{}"),
+    ]
+    rows2 = [
+        # batch 2 continues from 7.00: -9.00 clamps to 0
+        (3, t0 + dt.timedelta(minutes=2), 7, "view", 9.0, "{}"),
+        # purchase in batch 2 must attribute to the batch-2 'view'
+        (4, t0 + dt.timedelta(minutes=3), 7, "purchase", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+
+    bal = run_stream_to_memory(
+        stateful_balance(stream(), cap_cents=1000), mode="update"
+    )
+    got = {r["event_id"]: r["balance_cents"] for r in bal.collect()}
+    assert got == {1: 1000, 2: 700, 3: 0, 4: 100}
+
+    att = run_stream_to_memory(stateful_attribution(stream()), mode="update")
+    touches = {r["event_id"]: (r["touch_type"], r["value_cents"]) for r in att.collect()}
+    # event 1: purchase before any touch -> 'none'; event 4: last
+    # non-purchase was the batch-2 view... but the batch-1 click also
+    # preceded it — 'view' is later, so it wins.
+    assert touches == {1: ("none", 2000), 4: ("view", 100)}
