@@ -555,3 +555,208 @@ def win_topk_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+# ------------------------------------------------------ wave-4 additions
+
+# Benford expected first-digit mass, integer ppm, computed ONCE in
+# Python and injected as literals into BOTH engines — log10 in two
+# engines' libm is not guaranteed bit-identical; a shared literal is.
+_BENFORD_PPM = {
+    d: int(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    cnt AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           (n * 1000000) // sum(n) OVER () AS observed_ppm,
+           CASE digit {_BENFORD_CASE} END AS expected_ppm
+    FROM cnt
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic fabricated-data / fraud screen a data-quality gate runs on
+    money columns.  First digit comes from the exact integer cents
+    (identical string rendering in both engines); observed mass is
+    integer-ppm floor division; the expected Benford mass is a Python-
+    computed literal shared by both sides (two libm log10s are not a
+    cross-engine contract).  One partially-aggregated 9-group shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("int")
+    cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = F.sum("n").over(W.partitionBy())
+    num = F.col("n") * 1_000_000
+    observed = ((num - F.pmod(num, total)) / total).cast("long")
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for dp in _BENFORD_PPM.items() for x in dp]
+        ),
+        F.col("digit"),
+    ).cast("long")
+    return cnt.select(
+        "digit",
+        "n",
+        observed.alias("observed_ppm"),
+        expected.alias("expected_ppm"),
+    )
+
+
+@query(
+    "ts_ewma_window",
+    oracle="""
+    SELECT event_id, user_id,
+           round((
+             128 * CAST(round(value * 100) AS BIGINT)
+             + coalesce(64 * lag(CAST(round(value * 100) AS BIGINT), 1) OVER w, 0)
+             + coalesce(32 * lag(CAST(round(value * 100) AS BIGINT), 2) OVER w, 0)
+             + coalesce(16 * lag(CAST(round(value * 100) AS BIGINT), 3) OVER w, 0)
+             + coalesce( 8 * lag(CAST(round(value * 100) AS BIGINT), 4) OVER w, 0)
+             + coalesce( 4 * lag(CAST(round(value * 100) AS BIGINT), 5) OVER w, 0)
+             + coalesce( 2 * lag(CAST(round(value * 100) AS BIGINT), 6) OVER w, 0)
+             + coalesce( 1 * lag(CAST(round(value * 100) AS BIGINT), 7) OVER w, 0)
+           ) / CAST(
+             128
+             + CASE WHEN lag(ts, 1) OVER w IS NULL THEN 0 ELSE 64 END
+             + CASE WHEN lag(ts, 2) OVER w IS NULL THEN 0 ELSE 32 END
+             + CASE WHEN lag(ts, 3) OVER w IS NULL THEN 0 ELSE 16 END
+             + CASE WHEN lag(ts, 4) OVER w IS NULL THEN 0 ELSE 8 END
+             + CASE WHEN lag(ts, 5) OVER w IS NULL THEN 0 ELSE 4 END
+             + CASE WHEN lag(ts, 6) OVER w IS NULL THEN 0 ELSE 2 END
+             + CASE WHEN lag(ts, 7) OVER w IS NULL THEN 0 ELSE 1 END
+           AS DOUBLE) / 100, 6) AS ewma
+    FROM events WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life decay, 8-event
+    horizon) per user — EXACT: dyadic weights 2^(7-j) over integer
+    cents make the numerator/denominator pure int64, with one double
+    division at the end.  Unbounded float EWMA is sequential AND
+    order-dependent; the bounded dyadic form is the version that is
+    both distributable (one window shuffle, 8 lags) and bit-replayable
+    cross-engine.  Early rows renormalize over the weights present."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    xc = F.round(F.col("value") * 100).cast("long")
+    num = F.lit(128) * xc
+    den = F.lit(128)
+    for j in range(1, 8):
+        wt = 1 << (7 - j)
+        num = num + F.coalesce(F.lag(xc, j).over(w) * wt, F.lit(0))
+        den = den + F.when(F.lag("ts", j).over(w).isNull(), 0).otherwise(wt)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(num / den.cast("double") / 100, 6).alias("ewma"),
+    )
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS pos
+      FROM orders
+    ) WHERE pos % 20 = 1
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling on the DISTRIBUTED global rank
+    (operators/limits.py — range partition + offsets; the oracle's
+    `row_number() OVER (ORDER BY …)` is the single-reducer plan this
+    replaces).  Every 20th order in key order: deterministic, evenly
+    spread across the sort dimension — the property quota/mixture
+    samplers can't give and random samplers only give in expectation."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, ["o_orderkey"])
+    return ranked.filter(F.pmod(F.col("__pos"), 20) == 1).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS c_custkey, min(label) AS component
+             FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.c_custkey, comp.component,
+             row_number() OVER (
+               PARTITION BY comp.component
+               ORDER BY CAST(round(c.c_acctbal * 100) AS BIGINT) DESC,
+                        c.c_custkey) AS rn
+      FROM customer c JOIN comp USING (c_custkey)
+    ),
+    canon AS (SELECT component, c_custkey AS canonical_custkey
+              FROM ranked WHERE rn = 1)
+    SELECT r.c_custkey, r.component, canon.canonical_custkey,
+           r.c_custkey = canon.canonical_custkey AS is_canonical
+    FROM ranked r JOIN canon USING (component)
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: deletion-neighborhood fuzzy
+    match (operators/fuzzy.py, one equi-join — the oracle runs the
+    quadratic levenshtein it avoids) → connected components
+    (operators/dedup.py, min-label) → canonical record election per
+    entity cluster (richest account balance in exact cents, key
+    tie-break).  The master-data pipeline every warehouse dedups
+    customers with; all three stages are the engine's own bucketed /
+    iterative operators composed, and the oracle is the fragment
+    oracles composed verbatim."""
+    from ctgov_ai_etl_spark.operators.dedup import connected_components
+    from ctgov_ai_etl_spark.operators.fuzzy import fuzzy_self_join_lev1
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_self_join_lev1(c, "c_custkey", "c_name").select("id_a", "id_b")
+    comp = connected_components(
+        c.select(F.col("c_custkey").alias("id")), pairs
+    ).select(F.col("id").alias("c_custkey"), "component")
+    joined = c.join(comp, "c_custkey").select(
+        "c_custkey", "component", cents("c_acctbal").alias("bal_cents")
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey").asc()
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        joined.withColumn("canonical_custkey", F.first("c_custkey").over(wfull))
+        .withColumn(
+            "is_canonical", F.col("c_custkey") == F.col("canonical_custkey")
+        )
+        .select("c_custkey", "component", "canonical_custkey", "is_canonical")
+    )
