@@ -17,18 +17,45 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-8 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 23 queries NEW this round (interval banding and
-#     overlap joins, streaming CMS build,
-#     capped sessionization, MAD outliers, chunk-global dedup, CMS and
-#     KMV sketches, LOO target encoding, fixed histogram, PSI drift,
-#     ring negative sampling);
+#   block 0a — the 18 queries NEW in the round-8 continuation session
+#     (clamped balance x3 strategies, BFS layers, Q3/Q5 composites,
+#     transition matrix, attribution batch+streaming, k-anonymity,
+#     feature scaling, SCD2 PIT join, equi-depth histogram, two-stage
+#     top-k, Benford, dyadic EWMA, systematic sampling, entity
+#     resolution);
+#   block 0b — the 23 queries new earlier in round 8 (interval
+#     banding and overlap joins, streaming CMS build, capped
+#     sessionization, MAD outliers, chunk-global dedup, CMS and KMV
+#     sketches, LOO target encoding, fixed histogram, PSI drift, ring
+#     negative sampling);
 #   block 1 — queries whose implementation or oracle CHANGED this
 #     round (session-oracle tie ordering, multipass grouping-sets
 #     empty-input semantics, split-fraction rounding);
-#   block 2 — the 87 queries whose latest driver evidence is r5 or
+#   block 2 — the queries whose latest driver evidence is r5 or
 #     older (not sampled in CORRECTNESS_r06/r07), alphabetical;
 #   everything else (r6/r7-green, unchanged) follows alphabetically.
 _PRIORITY = (
+    "ts_downsample_ohlc",
+    "win_median_rolling",
+    "stream_run_ohlc",
+    "ts_clamped_cumsum",
+    "ts_clamped_cumsum_chunked",
+    "stream_run_running_balance",
+    "graph_bfs_layers",
+    "tpch_q3_priority",
+    "tpch_q5_local_supplier",
+    "seq_transition_matrix",
+    "attribution_last_touch",
+    "stream_run_attribution",
+    "dq_k_anonymity",
+    "feature_scale_standard",
+    "join_temporal_scd2",
+    "agg_histogram_equidepth",
+    "win_topk_two_stage",
+    "dq_benford",
+    "ts_ewma_window",
+    "sample_systematic",
+    "pipeline_entity_resolution",
     "join_interval_binned",
     "ts_sessionize_capped",
     "anomaly_mad",

@@ -760,3 +760,95 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "component", "canonical_custkey", "is_canonical")
     )
+
+
+# ------------------------------------------ wave-5: ordered downsampling
+
+_OHLC_ORACLE = """
+    SELECT user_id,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(min({'t': epoch_us(ts), 'i': event_id,
+                           'x': CAST(round(value * 100) AS BIGINT)}).x
+                      AS DOUBLE) / 100, 2) AS open,
+           round(CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS high,
+           round(CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS low,
+           round(CAST(max({'t': epoch_us(ts), 'i': event_id,
+                           'x': CAST(round(value * 100) AS BIGINT)}).x
+                      AS DOUBLE) / 100, 2) AS close
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY user_id, bucket_ts
+    """
+
+
+@query("ts_downsample_ohlc", oracle=_OHLC_ORACLE)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per user-hour) with NO
+    window function: open/close are order statistics smuggled through
+    min/max over (ts, event_id, value) structs — struct comparison is
+    lexicographic and the (ts, id) prefix is unique, so the min/max
+    struct IS the first/last event.  Everything partially aggregates
+    map-side; the classic 'first value per bucket' window plan
+    shuffles every row to sort it, this shuffles only the per-bucket
+    partial structs.  The financial-bar primitive, and the general
+    argmin-by-aggregation trick."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ts_us = F.unix_micros(F.col("ts"))
+    xc = F.round(F.col("value") * 100).cast("long")
+    keyed = ev.select(
+        "user_id",
+        F.timestamp_micros(
+            (F.expr("unix_micros(ts) div 3600000000") * 3_600_000_000)
+        ).alias("bucket_ts"),
+        ts_us.alias("t"),
+        F.col("event_id").alias("i"),
+        xc.alias("x"),
+    )
+    first_s = F.min(F.struct("t", "i", "x"))
+    last_s = F.max(F.struct("t", "i", "x"))
+    return keyed.groupBy("user_id", "bucket_ts").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(first_s.getField("x").cast("double") / 100, 2).alias("open"),
+        F.round(F.max("x").cast("double") / 100, 2).alias("high"),
+        F.round(F.min("x").cast("double") / 100, 2).alias("low"),
+        F.round(last_s.getField("x").cast("double") / 100, 2).alias("close"),
+    )
+
+
+@query(
+    "win_median_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(CAST(round(value * 100) AS BIGINT) * 2, 0.5)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                 / 200, 6) AS rolling_median
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing 8 events per user — the
+    robust counterpart of ts_ewma_window.  Doubled-integer trick
+    (exactness conventions): the frame's values are collected as
+    2·cents ints, the even-count midpoint (lo+hi)/2 is then an
+    exactly-representable integer, and one shared /200 division maps
+    to dollars — bit-equal to DuckDB's windowed quantile_cont.  One
+    user shuffle; frame state is 8 ints."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    x2 = (F.round(F.col("value") * 100).cast("long") * 2).alias("x2")
+    arr = F.array_sort(F.collect_list(x2).over(w))
+    m = F.size(arr)
+    lo = F.element_at(arr, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (m / 2 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2 / 200, 6).alias("rolling_median"),
+    )

@@ -850,3 +850,66 @@ def stream_run_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = stateful_attribution(read_events_stream(spark, sf_dir))
     return run_stream_to_memory(stream, mode="update")
+
+
+@query(
+    "stream_run_ohlc",
+    oracle="""
+    SELECT user_id,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS w_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(min({'t': epoch_us(ts), 'i': event_id,
+                           'x': CAST(round(value * 100) AS BIGINT)}).x
+                      AS DOUBLE) / 100, 2) AS open,
+           round(CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS high,
+           round(CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS low,
+           round(CAST(max({'t': epoch_us(ts), 'i': event_id,
+                           'x': CAST(round(value * 100) AS BIGINT)}).x
+                      AS DOUBLE) / 100, 2) AS close
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY user_id, w_start
+    """,
+)
+def stream_run_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING OHLC bars: the argmin-by-struct-aggregation
+    trick (ts_downsample_ohlc) run as a genuine tumbling-window
+    streaming aggregation — open/close need no per-window sort or
+    custom state because min/max over (ts, id, value) structs ARE the
+    order statistics, and struct min/max merge incrementally across
+    micro-batches like any aggregate.  Complete-mode memory sink over
+    the finite source; oracle is the batch bucket rollup."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ts_us = F.unix_micros(F.col("ts"))
+    xc = F.round(F.col("value") * 100).cast("long")
+    keyed = ev.select(
+        "user_id",
+        F.col("ts"),
+        ts_us.alias("t"),
+        F.col("event_id").alias("i"),
+        xc.alias("x"),
+    )
+    first_s = F.min(F.struct("t", "i", "x"))
+    last_s = F.max(F.struct("t", "i", "x"))
+    agg = (
+        keyed.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(first_s.getField("x").cast("double") / 100, 2).alias("open"),
+            F.round(F.max("x").cast("double") / 100, 2).alias("high"),
+            F.round(F.min("x").cast("double") / 100, 2).alias("low"),
+            F.round(last_s.getField("x").cast("double") / 100, 2).alias("close"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("w_start"),
+            "n", "open", "high", "low", "close",
+        )
+    )
+    return run_stream_to_memory(agg, mode="complete")

@@ -481,6 +481,125 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "tpch_q3_priority": [
+        ("segment filter pushed to parquet",
+         r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING"),
+        ("ship-date filter pushed to parquet",
+         r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate"),
+        ("customer side broadcast", r"BroadcastHashJoin"),
+        ("revenue partially aggregated on the order key", r"partial_sum"),
+        ("top-10 via TakeOrderedAndProject (no global sort)",
+         r"TakeOrderedAndProject"),
+    ],
+    "tpch_q5_local_supplier": [
+        ("region/nation/supplier/customer chain broadcast",
+         r"BroadcastHashJoin"),
+        ("no nested-loop for the nation equality",
+         r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("revenue partially aggregated before the 5-nation shuffle",
+         r"partial_sum"),
+    ],
+    "seq_transition_matrix": [
+        ("lead window on one user_id shuffle", r"hashpartitioning\(user_id"),
+        ("pair counts partially aggregated", r"partial_count"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "attribution_last_touch": [
+        ("single user_id shuffle for the carry window",
+         r"hashpartitioning\(user_id"),
+        ("attribution rollup partially aggregated", r"partial_sum"),
+    ],
+    "dq_k_anonymity": [
+        ("scan pruned to the quasi-identifiers",
+         r"ReadSchema: struct<c_nationkey:int,c_mktsegment:string>"),
+        ("QI group sizes partially aggregated", r"partial_count"),
+    ],
+    "feature_scale_standard": [
+        ("1-row stats broadcast back onto the scan (one lazy plan)",
+         r"Broadcast(NestedLoop|Hash)Join|BroadcastExchange"),
+        ("moments partially aggregated", r"partial_sum"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "ts_clamped_cumsum": [
+        # The per-key strategy IS the sanctioned Python escape hatch:
+        # assert it costs exactly one shuffle before the boundary.
+        ("per-key scan rides one user_id shuffle",
+         r"hashpartitioning\(user_id"),
+        ("grouped-map Python boundary (the strategy under audit)",
+         r"FlatMapGroupsInPandas"),
+    ],
+    "ts_clamped_cumsum_chunked": [
+        ("NO Python boundary (monoid fold is pure JVM)",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas))"),
+        ("chunk arrays gathered once (ObjectHashAggregate)",
+         r"ObjectHashAggregate"),
+        ("tiny entry-balance table broadcast back", r"BroadcastHashJoin"),
+    ],
+    "graph_bfs_layers": [
+        ("layers union (frontier rounds, lineage checkpointed)", r"Union"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "win_topk_two_stage": [
+        # the pmod salt is projected to a derived window column (_w0)
+        # before the exchange — assert the two-key partitioning
+        ("stage 1 shuffles on (segment, salt) — skew spread",
+         r"hashpartitioning\(c_mktsegment#\d+, _w0#\d+L?,"),
+        ("stage 2 re-ranks survivors per segment",
+         r"hashpartitioning\(c_mktsegment#\d+, 32"),
+        ("no nested loop", r"\A(?!.*BroadcastNestedLoopJoin)"),
+    ],
+    "join_temporal_scd2": [
+        ("union timeline: ONE custkey shuffle, no interval join",
+         r"hashpartitioning\(custkey"),
+        ("no BroadcastNestedLoopJoin (the oracle's plan, not ours)",
+         r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("dim/fact union feeds one window pass", r"Union"),
+    ],
+    "agg_histogram_equidepth": [
+        ("distributed rank: range partitioning, not a global window",
+         r"rangepartitioning\("),
+        ("no single-reducer stage", r"\A(?!.*SinglePartition)"),
+        ("bucket rollup partially aggregated", r"partial_count"),
+    ],
+    "dq_benford": [
+        ("digit counts partially aggregated (9 groups)", r"partial_count"),
+        ("scan pruned to the money column",
+         r"ReadSchema: struct<o_totalprice:double>"),
+    ],
+    "ts_ewma_window": [
+        ("all 8 lags ride ONE user_id shuffle",
+         r"hashpartitioning\(user_id"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "sample_systematic": [
+        ("distributed rank: range partitioning, not a global window",
+         r"rangepartitioning\("),
+        ("no single-reducer stage", r"\A(?!.*SinglePartition)"),
+    ],
+    "pipeline_entity_resolution": [
+        ("fuzzy stage is an equi-join on deletion variants, no n²",
+         r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("canonical election windows on the component key",
+         r"hashpartitioning\(component"),
+    ],
+    "ts_downsample_ohlc": [
+        ("open/close via struct min/max — NO window, NO per-bucket sort",
+         r"\A(?!.*Window)"),
+        ("order statistics partially aggregated map-side",
+         r"partial_min|partial_max"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "win_median_rolling": [
+        ("rolling frame rides one user_id shuffle",
+         r"hashpartitioning\(user_id"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
 }
 
 
