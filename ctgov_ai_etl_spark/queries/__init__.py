@@ -35,6 +35,12 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #     older (not sampled in CORRECTNESS_r06/r07), alphabetical;
 #   everything else (r6/r7-green, unchanged) follows alphabetically.
 _PRIORITY = (
+    "tpch_q18_top_customers",
+    "stat_chi_square",
+    "stat_ab_ttest",
+    "ml_linear_regression_exact",
+    "search_phrase_positions",
+    "stream_run_topk_window",
     "ts_downsample_ohlc",
     "win_median_rolling",
     "stream_run_ohlc",

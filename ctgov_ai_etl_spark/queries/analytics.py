@@ -852,3 +852,373 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((lo + hi) / 2 / 200, 6).alias("rolling_median"),
     )
+
+
+# --------------------------------- wave-6: one-pass ML + positional IR
+
+
+@query(
+    "ml_linear_regression_exact",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(round(l_quantity * 1000000) AS BIGINT) AS x1u,
+             CAST(round(l_discount * 1000000) AS BIGINT) AS x2u,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             sum(x1u) AS sx1, sum(x2u) AS sx2, sum(yc) AS sy,
+             sum(x1u * x1u) AS sx1x1, sum(x1u * x2u) AS sx1x2,
+             sum(x2u * x2u) AS sx2x2,
+             sum(x1u * yc) AS sx1y, sum(x2u * yc) AS sx2y
+      FROM u
+    ),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS a11,
+             CAST(sx1 AS DOUBLE) / 1e6 AS a12,
+             CAST(sx2 AS DOUBLE) / 1e6 AS a13,
+             CAST(sx1x1 AS DOUBLE) / 1e12 AS a22,
+             CAST(sx1x2 AS DOUBLE) / 1e12 AS a23,
+             CAST(sx2x2 AS DOUBLE) / 1e12 AS a33,
+             CAST(sy AS DOUBLE) / 1e2 AS b1,
+             CAST(sx1y AS DOUBLE) / 1e8 AS b2,
+             CAST(sx2y AS DOUBLE) / 1e8 AS b3,
+             CAST(n AS BIGINT) AS n
+      FROM m
+    )
+    SELECT n,
+           round(( b1 * (a22 * a33 - a23 * a23)
+                 - a12 * (b2 * a33 - a23 * b3)
+                 + a13 * (b2 * a23 - a22 * b3))
+                 / ( a11 * (a22 * a33 - a23 * a23)
+                   - a12 * (a12 * a33 - a23 * a13)
+                   + a13 * (a12 * a23 - a22 * a13)), 6) AS intercept,
+           round(( a11 * (b2 * a33 - a23 * b3)
+                 - b1 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * b3 - b2 * a13))
+                 / ( a11 * (a22 * a33 - a23 * a23)
+                   - a12 * (a12 * a33 - a23 * a13)
+                   + a13 * (a12 * a23 - a22 * a13)), 6) AS coef_quantity,
+           round(( a11 * (a22 * b3 - b2 * a23)
+                 - a12 * (a12 * b3 - b2 * a13)
+                 + b1 * (a12 * a23 - a22 * a13))
+                 / ( a11 * (a22 * a33 - a23 * a23)
+                   - a12 * (a12 * a33 - a23 * a13)
+                   + a13 * (a12 * a23 - a22 * a13)), 6) AS coef_discount
+    FROM d
+    """,
+)
+def ml_linear_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (price ~ quantity + discount) in ONE partial-
+    aggregation pass — 'ML training' as the engine does it without
+    MLlib: the 9 normal-equation moments accumulate as exact integers
+    in micro-units/cents (order-independent, like agg_corr_exact),
+    and Cramer's rule runs as a column expression on the single
+    aggregated row — no driver solve, no iteration, bit-identical
+    across engines because both evaluate the same IEEE formula on the
+    same exact integers.  At 100 TB this is one map-side-combined
+    shuffle of 9 numbers; the symmetric-matrix generalization (k²/2
+    moments) holds to ~100s of features before QR beats it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1u = F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    x2u = F.round(F.col("l_discount") * 1_000_000).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = li.select(x1u.alias("x1u"), x2u.alias("x2u"), yc.alias("yc"))
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x1u").alias("sx1"),
+        F.sum("x2u").alias("sx2"),
+        F.sum("yc").alias("sy"),
+        F.sum(dec(F.col("x1u")) * dec(F.col("x1u"))).alias("sx1x1"),
+        F.sum(dec(F.col("x1u")) * dec(F.col("x2u"))).alias("sx1x2"),
+        F.sum(dec(F.col("x2u")) * dec(F.col("x2u"))).alias("sx2x2"),
+        F.sum(dec(F.col("x1u")) * dec(F.col("yc"))).alias("sx1y"),
+        F.sum(dec(F.col("x2u")) * dec(F.col("yc"))).alias("sx2y"),
+    )
+    d = m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n").cast("double").alias("a11"),
+        (F.col("sx1").cast("double") / 1e6).alias("a12"),
+        (F.col("sx2").cast("double") / 1e6).alias("a13"),
+        (F.col("sx1x1").cast("double") / 1e12).alias("a22"),
+        (F.col("sx1x2").cast("double") / 1e12).alias("a23"),
+        (F.col("sx2x2").cast("double") / 1e12).alias("a33"),
+        (F.col("sy").cast("double") / 1e2).alias("b1"),
+        (F.col("sx1y").cast("double") / 1e8).alias("b2"),
+        (F.col("sx2y").cast("double") / 1e8).alias("b3"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det0 = (
+        b1 * (a22 * a33 - a23 * a23)
+        - a12 * (b2 * a33 - a23 * b3)
+        + a13 * (b2 * a23 - a22 * b3)
+    )
+    det1 = (
+        a11 * (b2 * a33 - a23 * b3)
+        - b1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    det2 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - a22 * a13)
+    )
+    return d.select(
+        "n",
+        F.round(det0 / det, 6).alias("intercept"),
+        F.round(det1 / det, 6).alias("coef_quantity"),
+        F.round(det2 / det, 6).alias("coef_discount"),
+    )
+
+
+@query(
+    "search_phrase_positions",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT a.doc_id, CAST(a.pos - 1 AS INT) AS pos
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'value' AND b.tok = 'table'
+    """,
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ('value table') over an inverted index
+    with positions: posexplode the token stream, filter each phrase
+    term's posting list FIRST (the selective step — the filter
+    reaches the exploded generator), then adjacency is one equi-join
+    on (doc_id, pos+1).  The n-term phrase generalizes to n-1 such
+    joins on ever-shrinking posting lists — the IR engine's phrase
+    plan, expressed relationally.  Returns every match occurrence
+    (doc, 0-based position)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    t1 = toks.filter(F.col("tok") == "value").select("doc_id", "pos")
+    t2 = toks.filter(F.col("tok") == "table").select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    # adjacency in the JOIN condition (equality on an expression), not
+    # a post-join residual: the hash key is (doc_id, pos+1) so a doc
+    # with many 'value's never fans out against all its 'table's.
+    return t1.join(
+        t2, (t1.doc_id == t2.doc_id) & (t2.pos2 == t1.pos + 1)
+    ).select(t1.doc_id, F.col("pos").cast("int").alias("pos"))
+
+
+# ----------------------------------- wave-7: BI composites + statistics
+
+
+@query(
+    "tpch_q18_top_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 250 * 100
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           {sql_sum_money("o.o_totalprice")} AS total_price, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q18 'large volume customer' shape: HAVING-filtered
+    order aggregate (orders whose total quantity exceeds 250) semi-
+    driving a customer join, top-20 by price.  The aggregate-then-
+    join order matters at scale: the HAVING filter shrinks the fact
+    side BEFORE any join, so the join input is the rare-order list,
+    not the lineitem table.  Exact integer-cents quantities and
+    deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qc).alias("qty_c"))
+        .filter(F.col("qty_c") > 250 * 100)
+        .select(
+            "l_orderkey",
+            (F.col("qty_c").cast("double") / 100).alias("total_qty"),
+        )
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .agg(sum_money("o_totalprice").alias("total_price"))
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "total_price", "total_qty",
+        )
+    )
+
+
+@query(
+    "stat_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT seg, prio, n,
+             sum(n) OVER (PARTITION BY seg) AS row_n,
+             sum(n) OVER (PARTITION BY prio) AS col_n,
+             sum(n) OVER () AS all_n
+      FROM obs
+    )
+    SELECT seg, prio, n,
+           round(CAST(row_n AS DOUBLE) * col_n / all_n, 6) AS expected,
+           round((n - CAST(row_n AS DOUBLE) * col_n / all_n)
+                 * (n - CAST(row_n AS DOUBLE) * col_n / all_n)
+                 / (CAST(row_n AS DOUBLE) * col_n / all_n), 6)
+             AS chi2_term
+    FROM tot
+    """,
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of (market segment × order
+    priority): per-cell observed vs expected counts and the chi²
+    contribution — the contingency-table screen for 'is this
+    categorical feature informative / is this split biased'.  One
+    partially-aggregated shuffle builds the contingency table; the
+    margins are windows over the TINY aggregated table (25 cells),
+    never raw rows.  All counts are exact integers; the expected/chi²
+    doubles follow one shared formula."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row_n = F.sum("n").over(W.partitionBy("seg"))
+    col_n = F.sum("n").over(W.partitionBy("prio"))
+    all_n = F.sum("n").over(W.partitionBy())
+    exp = row_n.cast("double") * col_n / all_n
+    return obs.select(
+        "seg",
+        "prio",
+        "n",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "stat_ab_ttest",
+    oracle="""
+    WITH armed AS (
+      SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      FROM orders
+    ),
+    m AS (
+      SELECT arm, count(*) AS n, sum(xc) AS sx, sum(xc * xc) AS sxx
+      FROM armed GROUP BY arm
+    ),
+    s AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             CAST(sx AS DOUBLE) / (100 * n) AS mean,
+             ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+               / 10000 AS var
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_welch
+    FROM s a JOIN s b ON a.arm = 'A' AND b.arm = 'B'
+    """,
+)
+def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic for a hash-split A/B experiment
+    (md5 of the order key assigns arms — deterministic, reproducible,
+    the engine's standard split device).  Means/variances come from
+    exact integer-cents moments per arm (2 rows of reduce state);
+    the t formula is one shared IEEE expression.  The experimentation
+    primitive: at 100 TB the whole analysis is one partial-agg pass
+    + a 2-row join."""
+    o = load_table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    xc = cents("o_totalprice")
+    xdec = xc.cast("decimal(20,0)")
+    m = (
+        o.select(arm.alias("arm"), xc.alias("xc"), xdec.alias("xd"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xc").alias("sx"),
+            F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        )
+    )
+    mean = F.col("sx").cast("double") / (100 * F.col("n"))
+    var = (
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    ) / 10000
+    s = m.select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean"),
+        var.alias("var"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    j = a.crossJoin(b)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            6,
+        ).alias("t_welch"),
+    )

@@ -913,3 +913,58 @@ def stream_run_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_run_topk_window",
+    oracle="""
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts) AS w_start, event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (
+               PARTITION BY date_trunc('hour', ts), event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                        event_id DESC) AS rn
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT w_start, event_type, CAST(rn AS INT) AS rank,
+           event_id, value_cents
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def stream_run_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING per-window leaderboard: top-3 events by value
+    per (hour, type), as a genuine streaming aggregation — the top-k
+    state is a sorted-struct array built by collect_list + sort +
+    slice in the projection AFTER the agg, so the windowed aggregate
+    itself merges incrementally across micro-batches and the k-limit
+    math never needs a rank window (rank windows don't stream).
+    Complete-mode memory sink; oracle is the batch rank replay with
+    the same (value, event_id) descending tie order."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    xc = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.collect_list(F.struct(xc.alias("v"), "event_id")).alias("all"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            F.posexplode(
+                F.slice(F.reverse(F.array_sort("all")), 1, 3)
+            ).alias("rank0", "e"),
+        )
+        .select(
+            "w_start",
+            "event_type",
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.v").alias("value_cents"),
+        )
+    )
+    return run_stream_to_memory(agg, mode="complete")

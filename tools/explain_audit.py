@@ -600,6 +600,38 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "ml_linear_regression_exact": [
+        ("all 9 moments in ONE partially-aggregated pass", r"partial_sum"),
+        ("no second scan of the fact table",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+        ("scan pruned to the 3 model columns",
+         r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"),
+    ],
+    "search_phrase_positions": [
+        ("adjacency is an equi-join (hash on doc_id, pos+1) — no theta",
+         r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("posting lists filtered before the join", r"Generate posexplode"),
+        ("hash join strategy",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "tpch_q18_top_customers": [
+        ("HAVING aggregate shrinks the fact side BEFORE any join",
+         r"partial_sum"),
+        ("customer broadcast", r"BroadcastHashJoin"),
+        ("top-20 via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ],
+    "stat_chi_square": [
+        ("contingency table partially aggregated", r"partial_count"),
+        # margins window over the 25-cell aggregate, never raw rows:
+        # the SinglePartition is over post-agg cardinality (documented)
+        ("margin windows run over aggregated rows",
+         r"Window.*SinglePartition|SinglePartition.*Window"),
+    ],
+    "stat_ab_ttest": [
+        ("per-arm moments partially aggregated", r"partial_sum"),
+        ("no Python boundary",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
 }
 
 
