@@ -520,3 +520,80 @@ def stateful_attribution(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_session_close(events: DataFrame, gap_seconds: int) -> DataFrame:
+    """Per-user session CLOSURE emission via EventTimeTimeout — the
+    state-expiry half of the stateful API the other operators here
+    don't need: instead of stamping rows as they arrive, this emits
+    ONE row per session when the event-time watermark passes the
+    session's gap deadline (last event + gap), i.e. when the session
+    is provably over.  State per user: (session start µs, last event
+    µs, event count).
+
+    This is how unbounded-key state stays bounded in production: every
+    state either extends (new event) or expires (timeout) — nothing
+    lives forever.  Requires a watermark on ``ts`` upstream."""
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    gap_ms = int(gap_seconds) * 1_000
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.dropna(subset=["ts_us"]).sort_values(
+                ["ts_us", "event_id"]
+            )
+            for ts_us in batch["ts_us"]:
+                ts_us = int(ts_us)
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n += 1
+        if last_us is not None:
+            state.update((start_us, last_us, n))
+            # deadline in epoch MILLIS (the API contract): when the
+            # watermark passes it, hasTimedOut fires and the session
+            # closes.
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    # keep the raw ts column: it CARRIES the upstream watermark — a
+    # projection that drops it strips the EventTimeWatermark marker
+    # and EventTimeTimeout refuses to plan.
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_start_us long, session_end_us long,"
+            " n_events long"
+        ),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )

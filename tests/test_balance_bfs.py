@@ -191,3 +191,60 @@ def test_balance_and_attribution_state_across_microbatches(spark, tmp_path):
     # non-purchase was the batch-2 view... but the batch-1 click also
     # preceded it — 'view' is later, so it wins.
     assert touches == {1: ("none", 2000), 4: ("view", 100)}
+
+
+def test_event_time_timeout_closes_sessions(spark, tmp_path):
+    """EventTimeTimeout: user 7's session must CLOSE (one emitted
+    closure row) once later micro-batches advance the watermark past
+    its gap deadline; user 9 (last batch, watermark never passes its
+    deadline on a finite stream) must stay open and emit nothing."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_session_close,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batches = [
+        [
+            (1, t0, 7, "view", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=1), 7, "view", 1.0, "{}"),
+        ],
+        # far-future event advances the watermark past 7's deadline
+        [(3, t0 + dt.timedelta(hours=2), 8, "view", 1.0, "{}")],
+        # a third batch so 8's... no: 9 keeps the stream moving and 8
+        # also times out (batch-3 watermark = t0+2h passes 8? no —
+        # 8's deadline is t0+2h+10min > t0+2h). Only 7 closes.
+        [(4, t0 + dt.timedelta(hours=2, minutes=5), 9, "view", 1.0, "{}")],
+    ]
+    src = str(tmp_path / "events_src")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .withWatermark("ts", "1 second")
+    )
+    out = run_stream_to_memory(
+        stateful_session_close(stream, gap_seconds=600), mode="update"
+    )
+    rows = out.collect()
+    closed = {r["user_id"]: (r["n_events"],) for r in rows}
+    assert 7 in closed and closed[7] == (2,)
+    assert 9 not in closed  # stream ended before its deadline passed
+    import datetime as dt2
+
+    start_us = int(t0.replace(tzinfo=dt2.timezone.utc).timestamp() * 1_000_000)
+    r7 = [r for r in rows if r["user_id"] == 7][0]
+    assert r7["session_start_us"] == start_us
+    assert r7["session_end_us"] == start_us + 60_000_000

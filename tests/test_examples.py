@@ -44,3 +44,17 @@ def test_telemetry_observability_pipeline_example(spark):
     # but must be non-negative ints
     for k in ("sequence_gaps", "purchases_in_incident_windows", "mad_outliers"):
         assert out[k] >= 0
+
+
+def test_business_analytics_pipeline_example(spark):
+    from examples.business_analytics_pipeline import main
+
+    out = main(SF_SMALL)
+    assert out["q3_top_orders"] > 0
+    assert out["q5_nations"] > 0
+    assert out["purchase_inbound_edges"] > 0
+    assert out["attribution_channels"] > 0
+    assert out["ohlc_bars"] > 0
+    assert out["balance_rows"] > 0 and out["cap_hits"] > 0
+    assert out["ab_n"] > 0
+    assert out["benford_digits"] == 9
