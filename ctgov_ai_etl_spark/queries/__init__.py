@@ -35,6 +35,8 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #     older (not sampled in CORRECTNESS_r06/r07), alphabetical;
 #   everything else (r6/r7-green, unchanged) follows alphabetically.
 _PRIORITY = (
+    "stat_gini_concentration",
+    "fn_bitwise_family",
     "tpch_q18_top_customers",
     "stat_chi_square",
     "stat_ab_ttest",

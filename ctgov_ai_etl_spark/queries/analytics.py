@@ -1222,3 +1222,101 @@ def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_welch"),
     )
+
+
+# --------------------------- wave-8: concentration stats + bit algebra
+
+
+@query(
+    "stat_gini_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                o_orderkey) AS i,
+             count(*) OVER () AS n
+      FROM orders
+    ),
+    m AS (
+      SELECT max(n) AS n, sum(xc) AS sx, sum(i * xc) AS six,
+             sum(CASE WHEN i > n - n // 10 THEN xc ELSE 0 END) AS top_x
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+           round(CAST(top_x AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+             AS top_decile_share
+    FROM m
+    """,
+)
+def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: exact Gini coefficient + top-decile
+    share over order totals.  Gini from the rank identity
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n with ranks from the DISTRIBUTED
+    global_rank (the oracle's `row_number() OVER (ORDER BY …)` +
+    `count(*) OVER ()` is the single-reducer replay this avoids).
+    Σ(i·x) accumulates exactly in decimal(38,0)/HUGEINT; the closing
+    formula is one shared IEEE expression.  The 'does 10% of the
+    catalog carry 90% of the value' question every curation/mixture
+    design asks — answered in two passes at any scale."""
+    from ctgov_ai_etl_spark.operators.limits import global_rank_with_count
+
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(cents("o_totalprice").alias("xc"), "o_orderkey")
+    ranked, n = global_rank_with_count(u, ["xc", "o_orderkey"])
+    thr = n - n // 10
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.sum("xc").alias("sx"),
+        F.sum(dec(F.col("__pos")) * dec(F.col("xc"))).alias("six"),
+        F.sum(F.when(F.col("__pos") > thr, F.col("xc")).otherwise(0)).alias(
+            "top_x"
+        ),
+    )
+    n_d = F.lit(float(n))
+    return m.select(
+        F.lit(n).cast("long").alias("n"),
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double")
+            / (n_d * F.col("sx").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d,
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_x").cast("double") / F.col("sx").cast("double"), 6
+        ).alias("top_decile_share"),
+    )
+
+
+@query(
+    "fn_bitwise_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           xor(o_orderkey, 255) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS b_pop
+    FROM orders
+    """,
+)
+def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (and/or/xor/shifts/popcount) — the bit
+    algebra the engine's own SimHash, PQ codes, and bucket masks are
+    built from, checked directly as a function-parity row.  Pure
+    whole-stage-codegen expressions; identical int64 semantics in
+    both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("b_and"),
+        F.expr("o_orderkey | 4096").alias("b_or"),
+        F.expr("o_orderkey ^ 255").alias("b_xor"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("b_shl"),
+        F.expr("shiftright(o_orderkey, 3)").alias("b_shr"),
+        F.bit_count(k).cast("int").alias("b_pop"),
+    )

@@ -632,6 +632,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no Python boundary",
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "stat_gini_concentration": [
+        ("distributed rank: range partitioning, not a global window",
+         r"rangepartitioning\("),
+        # a global-agg final merge IS a SinglePartition exchange (one
+        # row per task) — the forbidden shape is a rank WINDOW over
+        # one partition; assert the window partitions by __pid
+        ("rank window partitioned per range partition, not global",
+         r"windowspecdefinition\(__pid"),
+        ("weighted moments partially aggregated", r"partial_sum"),
+    ],
+    "fn_bitwise_family": [
+        ("pure codegen, no shuffle",
+         r"\A(?!.*Exchange)"),
+        ("scan pruned to the key",
+         r"ReadSchema: struct<o_orderkey:bigint>"),
+    ],
 }
 
 
