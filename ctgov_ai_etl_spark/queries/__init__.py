@@ -35,6 +35,9 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #     older (not sampled in CORRECTNESS_r06/r07), alphabetical;
 #   everything else (r6/r7-green, unchanged) follows alphabetically.
 _PRIORITY = (
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "sql_text_star_join",
     "stat_gini_concentration",
     "fn_bitwise_family",
     "tpch_q18_top_customers",

@@ -1320,3 +1320,130 @@ def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(o_orderkey, 3)").alias("b_shr"),
         F.bit_count(k).cast("int").alias("b_pop"),
     )
+
+
+# -------------------------- wave-9: TPC-H Q10/Q14 + the SQL-text surface
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_sum_money("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q10 'returned item reporting' shape: which customers
+    returned the most value in a half-year window.  Return-flag and
+    date filters both push to the scans; customer/nation broadcast;
+    top-20 via TakeOrderedAndProject with a key tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    )
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                                       THEN rev_c ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_c) AS DOUBLE), 6) AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM j
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q14 'promotion effect' shape: the share of one
+    month's revenue carried by a part class — conditional-sum /
+    total-sum as ONE aggregation pass (no self-join, no second scan),
+    both sums in exact cents, one shared division.  Part is the
+    broadcast side of the only join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", rev_c.alias("rev_c")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("rev_c")).otherwise(0))
+    return j.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum("rev_c").cast("double"), 6
+        ).alias("promo_share_pct"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+# ONE ANSI string both engines execute VERBATIM: Spark runs it via
+# spark.sql over temp views, DuckDB runs the same text as the oracle.
+# The strongest possible parity statement for the SQL-text surface —
+# there is no translation layer to hide a semantic gap in.
+_ANSI_SQL = """
+    SELECT n.n_name,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """
+
+
+@query("sql_text_star_join", oracle=_ANSI_SQL)
+def sql_text_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT API surface: the engine registers the tables as
+    views and executes ONE ANSI string — and the oracle is the SAME
+    string, character for character, in DuckDB.  No DataFrame
+    translation, no dialect shims; Catalyst still pushes the priority
+    filter and broadcasts the dimensions exactly as it does for the
+    DataFrame twin queries."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ANSI_SQL)

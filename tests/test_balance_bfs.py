@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.operators.balance import (
     _INF,
@@ -248,3 +249,42 @@ def test_event_time_timeout_closes_sessions(spark, tmp_path):
     r7 = [r for r in rows if r["user_id"] == 7][0]
     assert r7["session_start_us"] == start_us
     assert r7["session_end_us"] == start_us + 60_000_000
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """INSERT-OVERWRITE semantics at partition granularity: with
+    partitionOverwriteMode=dynamic, rewriting one partition's data
+    must leave sibling partitions untouched (static mode would wipe
+    the whole table) — the incremental-backfill contract every
+    partitioned warehouse write relies on."""
+    tgt = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+         (3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(tgt)
+
+    fixed = spark.createDataFrame(
+        [(3, "2024-01-02", 99.0)], "id long, day string, v double"
+    )
+    (
+        fixed.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tgt)
+    )
+    # partition-column type inference reads `day` back as DATE —
+    # normalize to the written string form for the comparison
+    got = {
+        (r["id"], r["day"]): r["v"]
+        for r in spark.read.parquet(tgt)
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 10.0,
+        (2, "2024-01-01"): 20.0,
+        (3, "2024-01-02"): 99.0,   # replaced
+        (4, "2024-01-03"): 40.0,   # sibling partitions intact
+    }

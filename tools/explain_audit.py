@@ -648,6 +648,26 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("scan pruned to the key",
          r"ReadSchema: struct<o_orderkey:bigint>"),
     ],
+    "tpch_q10_returned_items": [
+        ("return-flag filter pushed to parquet",
+         r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R"),
+        ("dimensions broadcast", r"BroadcastHashJoin"),
+        ("top-20 via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ],
+    "tpch_q14_promo_share": [
+        ("ship-date range pushed to parquet",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
+        ("part broadcast", r"BroadcastHashJoin"),
+        ("conditional + total sums in ONE partial-agg pass",
+         r"partial_sum"),
+    ],
+    "sql_text_star_join": [
+        ("SQL-text path still pushes the IN filter",
+         r"PushedFilters: \[[^\]]*In\(o_orderpriority"),
+        ("SQL-text path still broadcasts dimensions",
+         r"BroadcastHashJoin"),
+        ("revenue partially aggregated", r"partial_sum"),
+    ],
 }
 
 
