@@ -106,8 +106,9 @@ def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY from_type, to_type
     )
     SELECT from_type, to_type, n_pairs,
-           (n_pairs * 1000000)
-             // sum(n_pairs) OVER (PARTITION BY from_type) AS prob_ppm
+           CAST((n_pairs * 1000000)
+             // CAST(sum(n_pairs) OVER (PARTITION BY from_type) AS BIGINT)
+             AS BIGINT) AS prob_ppm
     FROM cnt
     """,
 )
@@ -582,7 +583,8 @@ _BENFORD_CASE = " ".join(
       SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
     )
     SELECT digit, n,
-           (n * 1000000) // sum(n) OVER () AS observed_ppm,
+           CAST((n * 1000000) // CAST(sum(n) OVER () AS BIGINT)
+                AS BIGINT) AS observed_ppm,
            CASE digit {_BENFORD_CASE} END AS expected_ppm
     FROM cnt
     """,

@@ -40,6 +40,51 @@ _TYPE_FAMILY = {
 }
 
 
+# Oracle-portability guard (VERDICT r8 item 2): the only DuckDB result
+# types allowed in an oracle contract.  Anything outside this set (most
+# notably HUGEINT, which `sum(BIGINT)` and `BIGINT // HUGEINT` produce)
+# is evaluated/canonicalized differently across DuckDB versions and MUST
+# be CAST away in the oracle SQL — leaving it in turns "passes my DuckDB"
+# into "fails the driver's DuckDB" (exactly the r8 seq_transition_matrix /
+# dq_benford incident).
+_PORTABLE_DUCK_TYPES = {
+    "tinyint", "smallint", "integer", "bigint",
+    "float", "double", "varchar", "boolean", "date",
+    "timestamp", "timestamp_ns", "blob",
+}
+
+
+def portable_type_problems(d_cols: list[str], d_types_raw: list) -> list[str]:
+    """Return a problem string per oracle column whose DuckDB type is
+    outside the portable allowlist (nested element types included)."""
+    out = []
+    for c, t in zip(d_cols, d_types_raw):
+        raw = str(t).strip().lower()
+        # strip nested wrappers down to the element types
+        inner = (
+            raw.replace("[]", " ")
+            .replace("struct(", " ")
+            .replace("map(", " ")
+            .replace(")", " ")
+            .replace(",", " ")
+        )
+        for tok in inner.split():
+            if tok.startswith("decimal"):
+                continue
+            if tok in _PORTABLE_DUCK_TYPES:
+                continue
+            # struct field names etc. — only flag known-bad scalars
+            if tok in ("hugeint", "uhugeint", "utinyint", "usmallint",
+                       "uinteger", "ubigint", "interval", "time", "uuid",
+                       "bit", "timestamptz", "timestamp_s", "timestamp_ms"):
+                out.append(
+                    f"non-portable oracle type[{c}]: {raw} — CAST it to a "
+                    f"portable type in the oracle SQL"
+                )
+                break
+    return out
+
+
 def type_family(type_name: str) -> str:
     t = type_name.strip().lower()
     if t.startswith("decimal"):
@@ -99,7 +144,7 @@ def compare(name: str, spec, spark, con, sf_dir: str) -> dict:
     d_rows = rel.fetchall()
     t_duck = time.time() - t0
 
-    problems = []
+    problems = portable_type_problems(d_cols, rel.types)
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     else:
@@ -185,6 +230,7 @@ def main() -> int:
         import json as _json
 
         summary = {
+            "duckdb_version": duckdb.__version__,
             "sf": args.sf,
             "n_pass": n_pass,
             "n_rows_only": n_rowsonly,
