@@ -168,7 +168,11 @@ def chunk_tokens(
     if overlap >= size:
         raise ValueError("overlap must be < size")
     stride = size - overlap
-    toks = F.split(text, r"\s+")
+    # Single-space split — the repo-wide tokenization contract shared
+    # with the DuckDB string_split(text, ' ') oracles (dedup_chunks_
+    # global, pipeline_curate_chunks); \s+ would diverge on tabs or
+    # consecutive spaces (advisor r8).
+    toks = F.split(text, " ")
     n = F.size(toks)
     n_chunks = F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))

@@ -210,7 +210,12 @@ def clamped_balance_chunked(
     ).select("user_id", F.col("e.chunk").alias("chunk"), F.col("e.entry").alias("entry"))
 
     # Pass 3: independent chunk replays from the entry balance.
-    joined = rows.join(F.broadcast(entry_bal), ["user_id", "chunk"])
+    # No broadcast hint: entry_bal has one row per (user_id, chunk),
+    # which grows linearly with key count — at many-million-key scale a
+    # forced broadcast would blow the driver/broadcast memory budget.
+    # Both sides hash-partition on (user_id, chunk); AQE may still pick
+    # a broadcast when the key count is actually small.
+    joined = rows.join(entry_bal, ["user_id", "chunk"])
     out_acc0 = F.struct(
         F.col("entry").alias("bal"),
         F.expr(

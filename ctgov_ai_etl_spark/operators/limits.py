@@ -380,15 +380,23 @@ def uniform_hash_rank(
     prefix order is most-significant, so bucket boundaries align with
     the global order), shift by the cumulative counts of lower
     buckets (one 256-row aggregate collected to the driver and
-    broadcast back).  TWO jobs total, no sampling, no persist, no
+    broadcast back).  TWO jobs total, no sampling, no
     skew risk beyond hash uniformity itself.
+
+    The bucketed frame is persisted (memory-and-disk) before the
+    counts collect, mirroring :func:`global_rank_with_count`: the
+    counts job and the ranking window are SEPARATE jobs, and a
+    nondeterministic upstream (sample / limit / first-wins dedup)
+    recomputed between them would make the offsets disagree with the
+    window counts — duplicate or gapped ranks.  The persist pins one
+    row set across both jobs.
 
     Returns (df + ``__pos``, total row count — free from the offsets
     collect).  Ranks are exact and deterministic: ties under the full
     ``(hash, *ties)`` ordering must not exist (pass a unique key)."""
     n_buckets = 256  # 2 hex chars; see docstring
     b = F.conv(F.substring(F.col(hash_col), 1, 2), 16, 10).cast("int")
-    bucketed = df.withColumn("__b", b)
+    bucketed = df.withColumn("__b", b).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["__b"]: r["cnt"]
         for r in bucketed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()

@@ -498,10 +498,18 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, rem = n // k, n % k
     pos = F.col("__pos")
     # ntile: the first `rem` buckets hold base+1 rows, the rest base.
+    # Bucket index via the repo's exact pmod-subtraction floor-div
+    # idiom (float truncation is only safe well under 2^53); base is
+    # clamped to >= 1 for the n < k case, where `rem = n` makes the
+    # in_big branch cover every row and the small-bucket divisor is
+    # never reached (the clamp keeps the dead branch well-defined).
+    def _fdiv(a, b):
+        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
     in_big = pos <= rem * (base + 1)
     bucket = (
-        F.when(in_big, (pos - 1) / (base + 1))
-        .otherwise(rem + (pos - 1 - rem * (base + 1)) / base)
+        F.when(in_big, _fdiv(pos - 1, base + 1))
+        .otherwise(rem + _fdiv(pos - 1 - rem * (base + 1), max(base, 1)))
         .cast("int")
         + 1
     )

@@ -2860,7 +2860,10 @@ def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ctgov_ai_etl_spark.operators.sketches import cms_build, cms_estimate
 
     d = load_table(spark, sf_dir, "documents")
-    occ = d.select(F.explode(F.split("text", r"\s+")).alias("item"))
+    # Single-space split: the repo-wide tokenization contract (matches
+    # every string_split(text, ' ') oracle; \s+ would diverge on tabs
+    # or consecutive spaces — advisor r8).
+    occ = d.select(F.explode(F.split("text", " ")).alias("item"))
     sketch = cms_build(occ, "item", _CMS_DEPTH, _CMS_WIDTH)
     exact = occ.groupBy("item").agg(F.count("*").cast("long").alias("exact"))
     est = cms_estimate(

@@ -753,7 +753,7 @@ def stream_run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + 1800000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (

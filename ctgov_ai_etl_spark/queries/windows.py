@@ -590,7 +590,14 @@ def win_ntile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price desc, key asc) order is total, so every rank function is
     deterministic and both engines agree exactly (percent_rank /
     cume_dist are ratios of integer ranks — exact in double until
-    astronomically wide partitions; rounded at 6 dp anyway)."""
+    astronomically wide partitions; rounded at 6 dp anyway).
+
+    Scale note: o_orderpriority has cardinality 5, so each partition
+    funnels into one task — correct as the family exemplar, but at
+    100x scale route quantile binning through global_rank's
+    distributed rank + arithmetic ntile instead (see
+    agg_histogram_equidepth and SCALE.md's low-cardinality-window
+    entry)."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
@@ -687,7 +694,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + 1800000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -724,7 +731,10 @@ def ts_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id — fully deterministic."""
     from ctgov_ai_etl_spark.operators.intervals import capped_sessions
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts carry no event time to sessionize — and Spark orders
+    # NULLS FIRST where DuckDB orders NULLS LAST, so leaving them in
+    # would silently diverge from the oracle (advisor r8).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return capped_sessions(
         ev, "user_id", "ts", "event_id", gap_seconds=1800, cap_seconds=3600
     )
