@@ -1,0 +1,250 @@
+"""Pure-stdlib image codecs for the multimodal decode seam.
+
+The container ships no PIL/turbojpeg/ffmpeg, but two real formats are
+decodable with nothing beyond the standard library:
+
+- **PPM/PGM (netpbm P6/P5)** — a header + raw raster; the lingua
+  franca of codec test suites.
+- **PNG** — 8-bit greyscale / RGB / RGBA, all five scanline filters
+  (None/Sub/Up/Average/Paeth), non-interlaced; IDAT inflates with
+  ``zlib`` (stdlib).  This is a genuine decoder: a wrong Paeth
+  predictor or a missed filter byte corrupts every pixel after it,
+  and the oracle-checked mean-luma would miss.
+
+Encoders for both formats live here too (the tests and the
+``mm_decode_real`` catalog query synthesize images on the executors,
+decode them back, and hash-check the features against a SQL oracle).
+JPEG and friends remain behind the explicit ``NotImplementedError``
+seam in ``operators/multimodal.py`` — install a codec on the
+executors and register it in ``_DISPATCH``.
+
+Reference parity: the reference pipeline has no media path at all
+(it is a RESTful text ETL, reference etl.py); this module is part of
+the training-data mandate (SURVEY.md §2.3 'multimodal columns').
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+# number of color channels per PNG color type (alpha included)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------- decode
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, int, int]:
+    """Decode a binary netpbm payload (P6 = RGB, P5 = grey).
+
+    Returns ``(width, height, luma_sum, n_samples)`` where
+    ``luma_sum`` is the exact integer sum of every color-sample byte
+    and ``n_samples`` their count — callers divide ONCE at the end so
+    the mean is a single IEEE division any SQL engine replays bit-for-
+    bit (exactness conventions).
+    """
+    m = re.match(
+        rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", data
+    )
+    if not m:
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    magic, w, h, maxval = (
+        m.group(1),
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+    )
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    raster = data[m.end() : m.end() + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated raster: want {n}, got {len(raster)}")
+    return w, h, sum(raster), n
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, int]:
+    """Decode an 8-bit non-interlaced greyscale/RGB/RGBA PNG.
+
+    Walks the chunk stream (IHDR → IDAT* → IEND), inflates, and
+    reverses the per-scanline filter (all five types).  Returns
+    ``(width, height, luma_sum, n_samples)`` over the COLOR samples
+    (alpha bytes excluded — luma is a color statistic).
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("decompressed size mismatch")
+    prev = bytearray(stride)
+    luma_sum = n = 0
+    color_ch = ch - 1 if color_type == 6 else ch  # drop alpha
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        for px in range(w):
+            base = px * ch
+            for k in range(color_ch):
+                luma_sum += line[base + k]
+                n += 1
+        prev = line
+    return w, h, luma_sum, n
+
+
+_DISPATCH = [
+    (lambda d: d[:8] == _PNG_SIG, decode_png),
+    (lambda d: d[:2] in (b"P5", b"P6"), decode_ppm),
+]
+
+
+def decode_image_bytes(data: bytes) -> tuple[int, int, float]:
+    """Sniff the payload's magic bytes and decode with the matching
+    real codec.  Returns ``(width, height, mean_luma)`` with
+    ``mean_luma = (luma_sum / n) / 255`` in [0, 1], rounded at 6 dp —
+    two fixed-order IEEE divisions over exact integers, so a SQL
+    oracle that derives the same integers reproduces the double
+    bit-for-bit.  Unknown formats raise ``NotImplementedError`` (the
+    honest codec seam: JPEG etc. need an executor-installed library).
+    """
+    for sniff, dec in _DISPATCH:
+        if sniff(data):
+            w, h, s, n = dec(data)
+            return w, h, round(s / n / 255.0, 6)
+    raise NotImplementedError(
+        "no codec for this payload in the stdlib-only environment "
+        "(PPM/PGM and 8-bit PNG are supported; install PIL/turbojpeg "
+        "on the executors and register the format in _DISPATCH)"
+    )
+
+
+# --------------------------------------------------------------- encode
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6): ``pixels`` is the w*h*3 RGB raster."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("raster size mismatch")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PGM (P5): ``pixels`` is the w*h grey raster."""
+    if len(pixels) != width * height:
+        raise ValueError("raster size mismatch")
+    return b"P5\n%d %d\n255\n" % (width, height) + pixels
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filter_per_row=None,
+) -> bytes:
+    """8-bit non-interlaced PNG encoder.  ``pixels`` is the unfiltered
+    raster (w*h*channels bytes).  ``filter_per_row(y) -> 0..4`` picks
+    the scanline filter — the tests and the oracle query deliberately
+    cycle through ALL FIVE so the decoder's unfilter path (Sub/Up/
+    Average/Paeth predictors) is exercised end-to-end, not just the
+    trivial filter-0 case."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError("raster size mismatch")
+    pick = filter_per_row or (lambda y: 0)
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        ftype = pick(y)
+        filt = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x - a
+            elif ftype == 2:
+                v = x - b
+            elif ftype == 3:
+                v = x - (a + b) // 2
+            elif ftype == 4:
+                v = x - _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            filt[i] = v & 0xFF
+        out.append(ftype)
+        out.extend(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )

@@ -5,11 +5,13 @@ Design: media travels as an opaque ``binary`` column plus a typed
 metadata struct; per-modality ops (decode, feature-extract, resize,
 frame-sample) are Arrow-batched ``mapInPandas`` stages so each task
 amortizes codec init and the bytes never round-trip through Python
-row objects.  The container image has no image/audio codecs, so the
-decode kernels are deterministic fakes behind the real Spark plumbing
-(schema, batching, partitioning) — swap ``_fake_decode`` for a PIL/
-ffmpeg call and nothing else changes; ``decode_image_real`` raises
-``NotImplementedError`` to mark the seam explicitly.
+row objects.  Two REAL codecs back the seam with nothing beyond the
+standard library — netpbm (P5/P6) and 8-bit PNG with all five
+scanline filters (``functions/imagecodec.py``) — dispatched by magic
+bytes in ``decode_image_real``; formats needing native libraries
+(JPEG etc.) still raise ``NotImplementedError`` from the dispatcher,
+keeping the seam honest.  ``decode_image_features`` remains the
+sha-derived deterministic fake whose oracle needs no codec at all.
 """
 
 from __future__ import annotations
@@ -36,13 +38,107 @@ def attach_blob(df: DataFrame, src_col: str, blob_col: str = "blob") -> DataFram
     return df.withColumn(blob_col, blob).withColumn("media_meta", meta)
 
 
-def decode_image_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
-    """The real-codec seam. Container lacks image libraries; a
-    deployment installs PIL/turbojpeg on executors and implements the
-    kernel inside decode_image_features' mapInPandas."""
-    raise NotImplementedError(
-        "no image codec in this environment — use decode_image_features "
-        "(deterministic fake) or install a codec on the executors"
+def render_test_images(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL image payloads deterministically from a text
+    column — the fixture generator for the genuine decode path (no
+    image files ship with the testdata).  Geometry and base luma
+    derive from md5(text) (engine-portable, so a SQL oracle replays
+    them); even ids render binary PPM, odd ids render 8-bit greyscale
+    PNG whose scanline filters cycle through all five types — a wrong
+    Sub/Up/Average/Paeth predictor in the decoder corrupts the raster
+    and fails the oracle.  Raster byte j = (v + j) % 256."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.imagecodec import encode_png, encode_ppm
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, blobs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w, h, v = 1 + dig[0] % 16, 1 + dig[1] % 16, dig[2]
+                if int(rid) % 2 == 0:
+                    raster = bytes((v + j) % 256 for j in range(w * h * 3))
+                    blob, fmt = encode_ppm(w, h, raster), "ppm"
+                else:
+                    raster = bytes((v + j) % 256 for j in range(w * h))
+                    blob, fmt = (
+                        encode_png(
+                            w, h, raster, color_type=0,
+                            filter_per_row=lambda y: y % 5,
+                        ),
+                        "png",
+                    )
+                ids.append(rid)
+                fmts.append(fmt)
+                blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, "fmt": fmts, "blob": blobs})
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, fmt string, blob binary"
+    )
+
+
+def decode_image_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL image decode over the blob column: magic-byte dispatch to
+    the stdlib codecs (netpbm / 8-bit PNG incl. all five filters —
+    functions/imagecodec.py); unsupported formats surface the honest
+    ``NotImplementedError`` seam.  Emits exact integer (luma_sum,
+    n_samples) so the caller makes the mean a single fixed-order
+    division (exactness conventions) — and the whole decode is
+    hash-checkable against a SQL oracle (mm_decode_real)."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_png, decode_ppm
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    keep = [c for c in df.columns if c != blob_col]
+    src = df.select(*keep, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums, ns = [], [], [], []
+            for data in pdf[blob_col]:
+                b = bytes(data)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, s, n = decode_png(b)
+                elif b[:2] in (b"P5", b"P6"):
+                    w, h, s, n = decode_ppm(b)
+                else:
+                    raise NotImplementedError(
+                        "no stdlib codec for this payload — install an "
+                        "image library on the executors and extend the "
+                        "dispatch"
+                    )
+                ws.append(w)
+                hs.append(h)
+                sums.append(s)
+                ns.append(n)
+            out = pdf[keep].copy()
+            out["width"] = ws
+            out["height"] = hs
+            out["luma_sum"] = sums
+            out["n_samples"] = ns
+            yield out
+
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != blob_col
+    )
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{keep_schema}, width int, height int, "
+            "luma_sum long, n_samples long"
+        ),
     )
 
 

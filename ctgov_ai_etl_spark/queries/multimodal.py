@@ -61,6 +61,62 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_decode_real",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 16 AS w,
+             1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 16 AS h,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           round(CAST(list_aggregate(
+                        list_transform(range(0, w * h * ch),
+                                       j -> (v + j) % 256),
+                        'sum') AS BIGINT)
+                 / CAST(w * h * ch AS BIGINT) / 255.0, 6) AS mean_luma
+    FROM base
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE image decode, hash-checked end-to-end: synthesize real
+    PPM (even doc_id) and 8-bit PNG payloads (odd doc_id, scanline
+    filters cycling through all five types) from md5-derived geometry,
+    then decode them back with the stdlib codecs
+    (functions/imagecodec.py) — byte-level header parsing, zlib
+    inflate, and Sub/Up/Average/Paeth unfiltering all sit between the
+    encoder and the emitted features, so any codec defect breaks the
+    oracle match.  The oracle never touches image bytes: it replays
+    the md5-derived geometry and the closed-form raster sum
+    ((v+j) % 256 over the raster) in SQL.  mean_luma is two
+    fixed-order IEEE divisions over exact integers on both sides.
+    Scale: two Arrow-batched mapInPandas stages, zero shuffle — codec
+    work distributes embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        decode_image_real,
+        render_test_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rendered = render_test_images(d, "doc_id")
+    decoded = decode_image_real(rendered, "doc_id")
+    return decoded.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        F.round(
+            F.col("luma_sum") / F.col("n_samples") / F.lit(255.0), 6
+        ).alias("mean_luma"),
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,120 @@
+"""Real image codec tests: stdlib PPM/PGM/PNG round-trips (all five
+PNG scanline filters, all three supported color types), magic-byte
+dispatch, the honest NotImplementedError seam, and the distributed
+render→decode path (operators/multimodal.py) against locally computed
+ground truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.imagecodec import (
+    decode_image_bytes,
+    decode_png,
+    decode_ppm,
+    encode_pgm,
+    encode_png,
+    encode_ppm,
+)
+
+CH = {0: 1, 2: 3, 6: 4}
+
+
+def test_ppm_pgm_roundtrip():
+    rng = random.Random(11)
+    for _ in range(8):
+        w, h = rng.randint(1, 25), rng.randint(1, 25)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_ppm(encode_ppm(w, h, px)) == (w, h, sum(px), w * h * 3)
+        g = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_ppm(encode_pgm(w, h, g)) == (w, h, sum(g), w * h)
+
+
+def test_ppm_header_comment_and_truncation():
+    px = bytes(range(12))
+    blob = b"P6\n# a comment\n2 2\n255\n" + px
+    assert decode_ppm(blob) == (2, 2, sum(px), 12)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + px[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 6])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_and_colortype(color_type, ftype):
+    rng = random.Random(100 * color_type + ftype)
+    w, h = rng.randint(1, 19), rng.randint(2, 15)
+    px = bytes(rng.randrange(256) for _ in range(w * h * CH[color_type]))
+    blob = encode_png(w, h, px, color_type, lambda y: ftype)
+    W, H, s, n = decode_png(blob)
+    if color_type == 6:  # alpha excluded from luma
+        exp_s = sum(b for i, b in enumerate(px) if i % 4 != 3)
+        exp_n = w * h * 3
+    else:
+        exp_s, exp_n = sum(px), w * h * CH[color_type]
+    assert (W, H, s, n) == (w, h, exp_s, exp_n)
+
+
+def test_png_mixed_filters_per_row():
+    rng = random.Random(42)
+    w, h = 13, 10
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    blob = encode_png(w, h, px, 2, lambda y: y % 5)
+    assert decode_png(blob) == (w, h, sum(px), w * h * 3)
+
+
+def test_dispatch_and_honest_seam():
+    px = bytes(range(6))
+    w, h, luma = decode_image_bytes(encode_ppm(1, 2, px))
+    assert (w, h) == (1, 2)
+    assert luma == round(sum(px) / 6 / 255.0, 6)
+    png = encode_png(2, 1, bytes([10, 250]), 0)
+    assert decode_image_bytes(png)[:2] == (2, 1)
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG magic
+
+
+def test_render_decode_distributed(spark):
+    """The Spark path: synthesize real PPM/PNG blobs from text, decode
+    with the real codecs, compare width/height/luma to a local replay
+    of the md5-derived geometry."""
+    import hashlib
+
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        decode_image_real,
+        render_test_images,
+    )
+
+    rows = [(i, f"document body {i} {'x' * (i % 7)}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_real(
+            render_test_images(df, "doc_id"), "doc_id"
+        ).collect()
+    }
+    assert len(out) == 40
+    for rid, text in rows:
+        dig = hashlib.md5(text.encode()).digest()
+        w, h, v = 1 + dig[0] % 16, 1 + dig[1] % 16, dig[2]
+        n = w * h * (3 if rid % 2 == 0 else 1)
+        exp_sum = sum((v + j) % 256 for j in range(n))
+        r = out[rid]
+        assert (r["width"], r["height"]) == (w, h), rid
+        assert (r["luma_sum"], r["n_samples"]) == (exp_sum, n), rid
+        assert r["fmt"] == ("ppm" if rid % 2 == 0 else "png")
+
+
+def test_decode_real_unsupported_format_raises(spark):
+    from ctgov_ai_etl_spark.operators.multimodal import decode_image_real
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xffnot-an-image"))],
+        "doc_id long, blob binary",
+    )
+    with pytest.raises(Exception, match="no stdlib codec"):
+        decode_image_real(df, "doc_id").collect()
