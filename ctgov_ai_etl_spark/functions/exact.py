@@ -49,3 +49,21 @@ def sql_avg_money(expr: str) -> str:
         f"CAST(SUM(CAST(round(({expr}) * 100) AS BIGINT)) AS DOUBLE)"
         f" / (COUNT({expr}) * 100)"
     )
+
+
+def fdiv(a: Column, b: Column | int) -> Column:
+    """Exact integer floor division of non-negative bigints via the
+    pmod-subtraction idiom: IEEE division of an exact multiple is
+    exact, where plain ``floor(a/b)`` in double can flip at exact
+    multiples once operands exceed 2^53 (exactness conventions)."""
+    bb = F.lit(b) if isinstance(b, int) else b
+    return ((a - F.pmod(a, bb)) / bb).cast("long")
+
+
+def sql_fdiv(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`fdiv`.  The divisor is CAST to BIGINT
+    so ``//`` stays BIGINT//BIGINT — a window ``sum(BIGINT)`` divisor
+    is HUGEINT and makes the result column HUGEINT, which is exactly
+    the non-portable oracle type that broke seq_transition_matrix /
+    dq_benford in round 8."""
+    return f"CAST(({a}) // CAST(({b}) AS BIGINT) AS BIGINT)"

@@ -205,6 +205,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         graph,
         analytics,
+        product,
     )
 
     def rank(name: str) -> tuple[int, str]:

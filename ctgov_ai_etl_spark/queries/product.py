@@ -1,0 +1,816 @@
+"""Round-9 wave: product analytics + frontier operators.
+
+The analytics suite a consumer-product warehouse runs on an events
+stream — multi-step funnels (unbounded and time-boxed), weekly
+retention cohorts, RFM segmentation, Kaplan-Meier survival — plus
+frontier relational operators: Pareto skyline, weighted median,
+market-basket pair affinity, arithmetic hierarchy rollup, column
+uniqueness profiling, correlated-subquery decorrelation, and robust
+(median/IQR) feature scaling.
+
+Every query follows the exactness conventions (functions/exact.py):
+money in integer cents, time in int64 microseconds with
+pmod-subtraction floor division, ratios in integer ppm, medians /
+quartiles over doubled / quadrupled integers, running products in a
+fixed ascending order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.exact import cents, fdiv, sql_fdiv
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+# ------------------------------------------------------------- funnels
+
+
+def _funnel_steps(
+    ev: DataFrame, bound_us: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Greedy earliest-completion funnel view -> click -> purchase:
+    step k+1 is each user's EARLIEST qualifying event strictly after
+    their step-k time (optionally within ``bound_us``).  The greedy
+    choice is deterministic (min is unique as a value) and complete:
+    if any qualifying chain exists, the greedy chain exists."""
+    ts_us = F.unix_micros(F.col("ts"))
+
+    def step(prev: DataFrame, etype: str, out: str, prev_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select(
+            "user_id", ts_us.alias("__t")
+        )
+        cond = F.col("__t") > F.col(prev_col)
+        if bound_us is not None:
+            cond = cond & (F.col("__t") <= F.col(prev_col) + bound_us)
+        return (
+            e.join(prev, "user_id")
+            .filter(cond)
+            .groupBy("user_id")
+            .agg(F.min("__t").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("t1"))
+    )
+    s2 = step(s1, "click", "t2", "t1")
+    s3 = step(s2, "purchase", "t3", "t2")
+    return s1, s2, s3
+
+
+def _funnel_counts(s1: DataFrame, s2: DataFrame, s3: DataFrame) -> DataFrame:
+    counts = (
+        s1.agg(F.lit(1).alias("step"), F.lit("view").alias("step_name"),
+               F.count("*").cast("long").alias("n_users"))
+        .unionAll(
+            s2.agg(F.lit(2).alias("step"), F.lit("click").alias("step_name"),
+                   F.count("*").cast("long").alias("n_users"))
+        )
+        .unionAll(
+            s3.agg(F.lit(3).alias("step"), F.lit("purchase").alias("step_name"),
+                   F.count("*").cast("long").alias("n_users"))
+        )
+    )
+    # conv_ppm vs step 1 — a 3-row window, not a data-scale shuffle.
+    w = W.orderBy("step").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    top = F.first("n_users").over(w)
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        fdiv(F.col("n_users") * 1_000_000, F.greatest(top, F.lit(1))).alias(
+            "conv_ppm"
+        ),
+    )
+
+
+_FUNNEL_ORACLE_TMPL = """
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 {bound2}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 {bound3}
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    )
+    SELECT CAST(step AS INT) AS step, step_name, n_users,
+           {conv} AS conv_ppm
+    FROM counts
+    """
+
+_CONV_SQL = sql_fdiv(
+    "n_users * 1000000",
+    "greatest(first_value(n_users) OVER "
+    "(ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "UNBOUNDED FOLLOWING), 1)",
+)
+
+
+@query(
+    "funnel_within_window",
+    oracle=_FUNNEL_ORACLE_TMPL.format(
+        bound2=f"AND epoch_us(e.ts) <= s1.t1 + {7 * _US_PER_DAY}",
+        bound3=f"AND epoch_us(e.ts) <= s2.t2 + {7 * _US_PER_DAY}",
+        conv=_CONV_SQL,
+    ),
+)
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel: each next step must land within 7 days of
+    the previous step (the product-analytics default — an unbounded
+    funnel overcounts users who 'converted' a quarter later).  Same
+    greedy chained min-aggregation plan as funnel_conversion; the
+    bound is one int64-microsecond conjunct pushed into each join
+    filter.  NOTE the greedy chain is the STANDARD windowed-funnel
+    semantics (anchor at the earliest step-k completion), not a
+    backtracking search over all chains.  Companion to the unbounded
+    funnel_conversion (queries/windows.py); conv_ppm is exact integer
+    ppm vs step 1 over a constant 3-row window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s1, s2, s3 = _funnel_steps(ev, 7 * _US_PER_DAY)
+    return _funnel_counts(s1, s2, s3)
+
+
+# ----------------------------------------------------------------- RFM
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(max({sql_fdiv("epoch_us(o_orderdate)", _US_PER_DAY)})
+                  AS BIGINT) AS last_day,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    anchored AS (
+      SELECT custkey,
+             CAST((SELECT max(last_day) FROM per_cust) - last_day AS INT)
+               AS r_days,
+             f, m_cents
+      FROM per_cust
+    )
+    SELECT custkey, r_days, f, m_cents,
+           CAST(ntile(5) OVER (ORDER BY r_days ASC,  custkey) AS INT) AS r_q,
+           CAST(ntile(5) OVER (ORDER BY f DESC,      custkey) AS INT) AS f_q,
+           CAST(ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS INT) AS m_q
+    FROM anchored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order, anchored at
+    the dataset's max order day), frequency, monetary (exact cents),
+    each quintiled with deterministic custkey tie-breaks (quintile 1 =
+    best).  One per-customer aggregation + three global ntile windows
+    over the AGGREGATED frame (one row per customer — already
+    compressed).  At 100x scale route the quintiles through
+    global_rank's distributed rank + arithmetic ntile instead of the
+    single-reducer windows (see agg_histogram_equidepth); this
+    exemplar keeps the declarative form the optimizer recognizes."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(fdiv(F.unix_micros("o_orderdate"), _US_PER_DAY)).alias(
+            "last_day"
+        ),
+        F.count("*").cast("long").alias("f"),
+        F.sum(cents("o_totalprice")).cast("long").alias("m_cents"),
+    )
+    anchor = F.max("last_day").over(
+        W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    anchored = per_cust.select(
+        "custkey",
+        (anchor - F.col("last_day")).cast("int").alias("r_days"),
+        "f",
+        "m_cents",
+    )
+    return anchored.select(
+        "custkey",
+        "r_days",
+        "f",
+        "m_cents",
+        F.ntile(5)
+        .over(W.orderBy(F.col("r_days").asc(), F.col("custkey")))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("f").desc(), F.col("custkey")))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("m_cents").desc(), F.col("custkey")))
+        .cast("int")
+        .alias("m_q"),
+    )
+
+
+# ------------------------------------------------------------ survival
+
+
+@query(
+    "survival_km",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS start_us
+      FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT max(epoch_us(ts)) AS h FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS event_us
+      FROM events e JOIN t0 USING (user_id)
+      WHERE e.event_type = 'error' AND epoch_us(e.ts) > t0.start_us
+      GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT t0.user_id,
+             coalesce(ev.event_us, horizon.h) - t0.start_us AS dur_us,
+             CASE WHEN ev.event_us IS NULL THEN 0 ELSE 1 END AS observed
+      FROM t0 LEFT JOIN ev USING (user_id) CROSS JOIN horizon
+    ),
+    grid AS (
+      SELECT dur_us,
+             CAST(sum(observed) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM subj GROUP BY dur_us
+    ),
+    risk AS (
+      SELECT dur_us, d,
+             CAST((SELECT count(*) FROM subj) AS BIGINT)
+               - CAST(coalesce(sum(leaving) OVER (ORDER BY dur_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT dur_us, n_risk, d AS n_events,
+           round(product(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                   OVER (ORDER BY dur_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS survival
+    FROM risk
+    WHERE d > 0
+    """,
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve: time from first signup to first
+    subsequent error, right-censored at the dataset horizon.  The
+    curve itself (distinct event durations) is bounded by the subject
+    count, so after two keyed aggregations the risk-set arithmetic
+    and the running product run on the COMPRESSED grid — the heavy
+    lifting (per-subject min/censor) partially aggregates map-side.
+    Exactness: durations are int64 micros; each KM factor is one
+    double division (n_risk - d)/n_risk of exact integers, and both
+    engines multiply the factors in the same ascending-duration order
+    (Spark: left fold over the sorted grid array; DuckDB: running
+    product window) — bit-identical before the 6-dp output rounding.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ts_us = F.unix_micros(F.col("ts"))
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("start_us"))
+    )
+    horizon = ev.agg(F.max(ts_us).alias("h"))
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", ts_us.alias("e_us"))
+        .join(t0, "user_id")
+        .filter(F.col("e_us") > F.col("start_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("event_us"))
+    )
+    subj = (
+        t0.join(err, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))  # 1-row horizon
+        .select(
+            "user_id",
+            (F.coalesce("event_us", "h") - F.col("start_us")).alias("dur_us"),
+            F.when(F.col("event_us").isNull(), 0).otherwise(1).alias("observed"),
+        )
+    )
+    grid = subj.groupBy("dur_us").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    # Fold the (small) grid in ascending duration order: risk set via
+    # running subtraction, survival via running product — one global
+    # aggregate over rows already compressed to distinct durations.
+    folded = grid.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur_us", "d", "leaving"))
+        ).alias("g"),
+        F.sum("leaving").cast("long").alias("n_total"),
+    )
+    acc0 = F.struct(
+        F.col("n_total").alias("n_risk"),
+        F.lit(1.0).alias("s"),
+        F.expr(
+            "CAST(array() AS array<struct<dur_us: bigint, n_risk: bigint,"
+            " n_events: bigint, survival: double>>)"
+        ).alias("rows"),
+    )
+
+    def fold(acc, g):
+        s_next = acc.s * (
+            (acc.n_risk - g.d).cast("double") / acc.n_risk.cast("double")
+        )
+        emit = F.concat(
+            acc.rows,
+            F.when(
+                g.d > 0,
+                F.array(
+                    F.struct(
+                        g.dur_us.alias("dur_us"),
+                        acc.n_risk.alias("n_risk"),
+                        g.d.alias("n_events"),
+                        F.round(s_next, 6).alias("survival"),
+                    )
+                ),
+            ).otherwise(F.expr(
+                "CAST(array() AS array<struct<dur_us: bigint, n_risk: bigint,"
+                " n_events: bigint, survival: double>>)"
+            )),
+        )
+        return F.struct(
+            (acc.n_risk - g.leaving).alias("n_risk"),
+            s_next.alias("s"),
+            emit.alias("rows"),
+        )
+
+    return (
+        folded.select(
+            F.explode(F.aggregate("g", acc0, fold).rows).alias("r")
+        )
+        .select("r.dur_us", "r.n_risk", "r.n_events", "r.survival")
+    )
+
+
+# ----------------------------------------------------------- skyline
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents,
+             CAST(count(*) AS BIGINT) AS f
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT p.m_cents, p.f
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.m_cents >= p.m_cents AND q.f >= p.f
+        AND (q.m_cents > p.m_cents OR q.f > p.f)
+    )
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over per-customer (total spend, order count):
+    the points no other point dominates in both dimensions.  The
+    oracle runs the O(n²) NOT-EXISTS definition; the engine runs the
+    O(n log n) sweep — group to distinct spend levels (max count per
+    level), then one ordered pass where a level survives iff its
+    count exceeds the running max of all higher-spend levels.  The
+    sweep's window runs over the AGGREGATED distinct-spend frame, and
+    at 100x the same sweep applies after range-partitioning by spend
+    with per-partition prefix maxima (the global_rank pattern);
+    dominance never crosses the sorted order."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(cents("o_totalprice")).cast("long").alias("m_cents"),
+            F.count("*").cast("long").alias("f"),
+        )
+        .select("m_cents", "f")
+        .distinct()
+    )
+    lvl = pts.groupBy("m_cents").agg(F.max("f").alias("fmax"))
+    prev_max = F.max("fmax").over(
+        W.orderBy(F.col("m_cents").desc()).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    return (
+        lvl.withColumn("__prev", prev_max)
+        .filter(F.col("__prev").isNull() | (F.col("fmax") > F.col("__prev")))
+        .select("m_cents", F.col("fmax").alias("f"))
+    )
+
+
+# ------------------------------------------------------ market basket
+
+
+@query(
+    "basket_pair_affinity",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM basket),
+    part_cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+      FROM basket GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_pair,
+           {sql_fdiv("n_pair * n_orders.n * 1000000", "ca.n_part * cb.n_part")}
+             AS lift_ppm
+    FROM pairs
+    JOIN part_cnt ca ON ca.l_partkey = part_a
+    JOIN part_cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN n_orders
+    ORDER BY n_pair DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: co-occurrence counts of part
+    pairs within orders, with exact integer-ppm lift
+    (P(a,b)/P(a)P(b)).  The self-join is keyed on l_orderkey, so the
+    pair blow-up is quadratic only in BASKET SIZE (small constant),
+    never corpus size — the same bounded-blocking argument as the
+    dedup family.  Lift joins are keyed on part; the 1-row order
+    count broadcasts.  Top-20 by support with full ordering
+    determinism via the (part_a, part_b) tie-break —
+    TakeOrderedAndProject, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    part_cnt = basket.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_part")
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))  # 1-row total
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            fdiv(
+                F.col("n_pair") * F.col("n") * 1_000_000,
+                F.col("na") * F.col("nb"),
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------ weighted median
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                        l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS BIGINT) AS total_qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(min(price_cents) AS BIGINT) AS w_median_cents,
+           CAST(min(total_qty) AS BIGINT) AS total_qty
+    FROM w
+    WHERE 2 * cum_qty >= total_qty
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median price per return flag: the
+    first price at which cumulative weight reaches half the total —
+    all in exact integers (price cents, integer quantities), so no
+    interpolation ambiguity exists between engines.  One window pass
+    per flag over the l_returnflag shuffle (Spark computes both the
+    running and total sums from the same exchange), then a tiny
+    filtered min-aggregation.  The weighted median is the robust
+    'typical price' a pricing monitor wants when line sizes vary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy(
+        "price_cents", "l_orderkey", "l_linenumber"
+    )
+    wall = W.partitionBy("l_returnflag")
+    staged = base.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("qty").over(wcum).cast("long").alias("cum_qty"),
+        F.sum("qty").over(wall).cast("long").alias("total_qty"),
+    )
+    return (
+        staged.filter(2 * F.col("cum_qty") >= F.col("total_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("long").alias("w_median_cents"),
+            F.min("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------- hierarchy rollup
+
+
+@query(
+    "hierarchy_rollup",
+    oracle="""
+    WITH val AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    anc AS (
+      SELECT c.c_custkey AS custkey,
+             unnest(list_distinct(list_transform(range(0, 8),
+               i -> CAST(c.c_custkey // CAST(power(10, i) AS BIGINT)
+                         AS BIGINT)))) AS node
+      FROM customer c
+    )
+    SELECT a.node,
+           CAST(sum(coalesce(v.v_cents, 0)) AS BIGINT) AS subtree_cents,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM anc a LEFT JOIN val v USING (custkey)
+    GROUP BY a.node
+    """,
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a decimal-digit hierarchy (node = custkey
+    with k trailing digits dropped; root 0): total spend and customer
+    count for every subtree.  The insight: an ARITHMETIC hierarchy
+    needs NO iterative joins and no recursive CTE — each leaf emits
+    its ≤ 8 ancestors map-side (explode of a distinct-ed literal
+    transform), and one groupBy(node) rolls everything up.  Compare
+    graph_bfs_layers, where the edges are data and iteration is
+    unavoidable; encoding hierarchies into keys (dates, org paths,
+    geo cells) converts tree traversal into map-side arithmetic at
+    any scale.  The oracle replays the same ancestor generation in
+    SQL."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    val = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("v_cents")
+    )
+    anc = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: fdiv(
+                        F.col("c_custkey"), F.pow(F.lit(10), i).cast("long")
+                    ),
+                )
+            )
+        ).alias("node"),
+    )
+    return (
+        anc.join(val, "custkey", "left")
+        .groupBy("node")
+        .agg(
+            F.sum(F.coalesce("v_cents", F.lit(0))).cast("long").alias(
+                "subtree_cents"
+            ),
+            F.count("*").cast("long").alias("n_customers"),
+        )
+    )
+
+
+# ------------------------------------------------------- profiling
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {sql_fdiv(f"count(DISTINCT {c}) * 1000000",
+                     "greatest(count(*), 1)")} AS uniq_ppm
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("dq_uniqueness_profile", oracle=_PROFILE_ORACLE)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level uniqueness/null profile of the orders table — the
+    data-catalog statistics pass (row count, null count, exact
+    distinct count, uniqueness ppm per column).  One aggregation per
+    column unioned (each distinct-count shuffles its own column only
+    — column pruning keeps every branch narrow); at 100 TB swap the
+    exact count-distincts for approx_count_distinct and keep the
+    identical output contract.  Exact here so the oracle hash-checks.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                (F.count("*") - F.count(c)).cast("long").alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+            ).select(
+                "col_name",
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                fdiv(
+                    F.col("n_distinct") * 1_000_000,
+                    F.greatest(F.col("n_rows"), F.lit(1)),
+                ).alias("uniq_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ------------------------------------------- correlated decorrelation
+
+
+@query(
+    "filter_correlated_avg",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+            * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def filter_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders strictly above their customer's average order value —
+    the canonical correlated scalar subquery, DECORRELATED: one
+    per-customer aggregate joined back on custkey (the optimizer
+    plan for the subquery form, written explicitly).  The comparison
+    is cross-multiplied (cents * n > sum_cents) so no division ever
+    happens — exact integers end to end, immune to float-average
+    representation differences.  One shuffle for the aggregate, one
+    keyed join reusing the custkey partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum(cents("o_totalprice")).cast("long").alias("sum_cents"),
+    )
+    return (
+        o.select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+        )
+        .join(per_cust, "o_custkey")
+        .filter(
+            F.col("price_cents") * F.col("n_cust") > F.col("sum_cents")
+        )
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )
+
+
+# --------------------------------------------------- robust scaling
+
+
+@query(
+    "feature_scale_robust",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) * 4 AS vm4
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(vm4, 0.25) AS p25,
+             quantile_cont(vm4, 0.50) AS p50,
+             quantile_cont(vm4, 0.75) AS p75
+      FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type,
+           round((CAST(b.vm4 AS DOUBLE) - q.p50) / (q.p75 - q.p25), 6)
+             AS robust_z
+    FROM base b JOIN q USING (event_type)
+    WHERE q.p75 > q.p25
+    """,
+)
+def feature_scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling (x - median) / IQR per event type — the
+    outlier-immune sibling of feature_scale_standard.  Exact
+    quartiles via QUADRUPLED integer micro-units: linear
+    interpolation at 0.25/0.5/0.75 lands on (n-1)*q with fractional
+    part in {0, ¼, ½, ¾}, and over multiples of 4 the interpolated
+    value is an exactly-representable integer double in both engines
+    (the doubled-median convention, extended to quartiles).  One
+    per-type aggregation broadcast back onto the stream — map-side
+    normalization, one shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        (F.round(F.col("value") * 1_000_000).cast("long") * 4).alias("vm4"),
+    )
+    q = base.groupBy("event_type").agg(
+        F.percentile("vm4", F.lit(0.25)).alias("p25"),
+        F.percentile("vm4", F.lit(0.50)).alias("p50"),
+        F.percentile("vm4", F.lit(0.75)).alias("p75"),
+    )
+    return (
+        base.join(F.broadcast(q), "event_type")  # one row per event type
+        .filter(F.col("p75") > F.col("p25"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("vm4").cast("double") - F.col("p50"))
+                / (F.col("p75") - F.col("p25")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
