@@ -814,3 +814,403 @@ def feature_scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# ------------------------------------------------------- path analysis
+
+
+@query(
+    "path_top_sequences",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS INT) AS island
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, island, event_type,
+             row_number() OVER (PARTITION BY user_id, island
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, island,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id, island
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+)
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths: 30-minute-gap sessions reduced to their first
+    five event types joined with '>', counted across the corpus — the
+    'what do users actually do' product analytic.  Gaps-and-islands
+    sessionization (one user_id window pass, exchange reused by the
+    per-session rank), then the path builds by AGGREGATION
+    (array_sort over (rn, type) structs — partial-aggregable), never
+    a per-session collect to the driver.  Path cardinality is bounded
+    by 5^|event types|, so the count shuffle is tiny; top-15 with a
+    full (count, path) tie-break is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(wo)
+    is_new = (
+        prev_us.isNull()
+        | (F.unix_micros("ts") > prev_us + 1_800_000_000)
+    ).cast("int")
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_new.alias("is_new")
+    ).withColumn(
+        "island",
+        F.sum("is_new")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int"),
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id", "island").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = (
+        ranked.groupBy("user_id", "island")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+# ------------------------------------------------------------- CUSUM
+
+_CUSUM_K_MICRO = 600_000  # drift allowance per observation (0.6 in micro)
+_CUSUM_H_MICRO = 2_000_000  # alarm threshold (2.0 in micro)
+
+
+@query(
+    "anomaly_cusum",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) - {_CUSUM_K_MICRO}
+               AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn,
+             GREATEST(0, delta) AS s_micro
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             GREATEST(0, r.s_micro + s.delta)
+      FROM seq s JOIN rec r
+        ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, s_micro,
+           s_micro > {_CUSUM_H_MICRO} AS alarm
+    FROM rec
+    """,
+)
+def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user: S_i = max(0,
+    S_(i-1) + (x_i - k)), alarm when S crosses h — the classic
+    sequential drift detector.  The recurrence is the clamp monoid
+    with no upper cap (operators/balance.py family: f(b) = min(H,
+    max(L, b + s)) is closed under composition), so it distributes as
+    a pure-JVM two-pass fold: compose each key's row functions
+    map-side, fold the tiny per-key composition chain, replay.  Here
+    the per-key history is short enough that one array fold per key
+    does both passes in a single aggregation; the chunked variant
+    (ts_clamped_cumsum_chunked) is the long-history layout.  All
+    arithmetic in exact int64 micro-units; oracle = the recurrence as
+    a recursive CTE, literally."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    rows = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (
+            F.round(F.col("value") * 1_000_000).cast("long")
+            - F.lit(_CUSUM_K_MICRO)
+        ).alias("delta"),
+    )
+    per_key = rows.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "delta"))
+        ).alias("evs")
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.expr(
+            "CAST(array() AS array<struct<event_id: bigint, s_micro: bigint>>)"
+        ).alias("arr"),
+    )
+
+    def fold(acc, e):
+        nxt = F.greatest(F.lit(0).cast("long"), acc.s + e.delta)
+        return F.struct(
+            nxt.alias("s"),
+            F.concat(
+                acc.arr,
+                F.array(
+                    F.struct(
+                        e.event_id.alias("event_id"), nxt.alias("s_micro")
+                    )
+                ),
+            ).alias("arr"),
+        )
+
+    return (
+        per_key.select(
+            "user_id",
+            F.explode(F.aggregate("evs", acc0, fold).arr).alias("o"),
+        )
+        .select(
+            "user_id",
+            F.col("o.event_id").alias("event_id"),
+            F.col("o.s_micro").alias("s_micro"),
+            (F.col("o.s_micro") > _CUSUM_H_MICRO).alias("alarm"),
+        )
+    )
+
+
+# ------------------------------------------------------------ KS drift
+
+
+@query(
+    "dq_drift_ks",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(round(value * 1000000) AS BIGINT) AS v FROM events
+      WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT CAST(round(value * 1000000) AS BIGINT) AS v FROM events
+      WHERE event_type = 'view'
+    ),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM b),
+    grid AS (
+      SELECT v,
+             CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS cb
+      FROM (SELECT v, 0 AS side FROM a UNION ALL SELECT v, 1 FROM b)
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_b
+      FROM grid
+    )
+    SELECT CAST(max(abs(cum_a * nb.n2 - cum_b * na.n1)) AS BIGINT) AS d_num,
+           CAST(na.n1 * nb.n2 AS BIGINT) AS d_den,
+           {sql_fdiv("max(abs(cum_a * nb.n2 - cum_b * na.n1)) * 1000000",
+                     "na.n1 * nb.n2")} AS ks_ppm
+    FROM cum CROSS JOIN na CROSS JOIN nb
+    GROUP BY na.n1, nb.n2
+    """,
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event populations — the drift test that,
+    unlike PSI (dq_drift_psi), needs no binning choice.  EXACT in
+    integers: D = max |F1 - F2| evaluates as max |c1*n2 - c2*n1| over
+    the merged value grid (cross-multiplied — no per-row float
+    division anywhere), reported as integer ppm.  The grid compresses
+    to distinct values before the cumulative pass, so the single
+    ordered window runs on an aggregated frame (at 100x,
+    range-partition the grid and prefix-sum per partition with offset
+    correction — the global_rank layout; the max then combines
+    map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    a = ev.filter(F.col("event_type") == "click").select(vm.alias("v"))
+    b = ev.filter(F.col("event_type") == "view").select(vm.alias("v"))
+    na = a.count()
+    nb = b.count()
+    tagged = a.select("v", F.lit(0).alias("side")).unionAll(
+        b.select("v", F.lit(1).alias("side"))
+    )
+    grid = tagged.groupBy("v").agg(
+        F.count(F.when(F.col("side") == 0, 1)).cast("long").alias("ca"),
+        F.count(F.when(F.col("side") == 1, 1)).cast("long").alias("cb"),
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grid.select(
+        F.sum("ca").over(wc).cast("long").alias("cum_a"),
+        F.sum("cb").over(wc).cast("long").alias("cum_b"),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.lit(nb) - F.col("cum_b") * F.lit(na))
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    return d.select(
+        "d_num",
+        F.lit(na * nb).cast("long").alias("d_den"),
+        fdiv(F.col("d_num") * 1_000_000, F.lit(na * nb)).alias("ks_ppm"),
+    )
+
+
+# ------------------------------------------------- embedding moments
+
+
+@query(
+    "emb_covariance_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x1,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS x2,
+             CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT) AS x3,
+             CAST(round(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) AS x4
+      FROM embeddings
+    ),
+    long_form AS (
+      SELECT vec_id, 1 AS dim, x1 AS v FROM m
+      UNION ALL SELECT vec_id, 2, x2 FROM m
+      UNION ALL SELECT vec_id, 3, x3 FROM m
+      UNION ALL SELECT vec_id, 4, x4 FROM m
+    ),
+    pairs AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(a.v) AS si, sum(b.v) AS sj,
+             sum(CAST(a.v AS HUGEINT) * b.v) AS sij
+      FROM long_form a JOIN long_form b USING (vec_id)
+      WHERE a.dim <= b.dim
+      GROUP BY 1, 2
+    )
+    SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+           round((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * sj / n)
+                 / (n - 1) / 1000000000000.0, 9) AS cov
+    FROM pairs
+    """,
+)
+def emb_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the first 4 embedding
+    dimensions — the feature-correlation screen run before whitening
+    or PCA.  Exact integer moments (micro-unit values, Σxy in
+    decimal/HUGEINT so products never overflow), ONE double
+    expression at the end replicated operation-for-operation in both
+    engines (exactness conventions).  The long-form explode is
+    map-side; the d² pair aggregation shuffles d²·(n-partial) tiny
+    moment rows, never the vectors — at 1000-dim scale you'd block
+    the pair grid, but the shuffle story is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = [1, 2, 3, 4]
+    long_form = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 4)
+        ).alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x") * 1_000_000).cast("long").alias("v"),
+    )
+    a = long_form.alias("a")
+    b = long_form.alias("b")
+    vdec = F.col("a.v").cast("decimal(20,0)")
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("a.dim") <= F.col("b.dim"))
+        .groupBy(
+            F.col("a.dim").cast("int").alias("dim_i"),
+            F.col("b.dim").cast("int").alias("dim_j"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("a.v").alias("si"),
+            F.sum("b.v").alias("sj"),
+            F.sum(vdec * F.col("b.v")).alias("sij"),
+        )
+    )
+    cov = (
+        (
+            F.col("sij").cast("double")
+            - F.col("si").cast("double") * F.col("sj") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / 1_000_000_000_000.0
+    )
+    return pairs.select(
+        "dim_i", "dim_j", F.round(cov, 9).alias("cov")
+    )
+
+
+# -------------------------------------------- sliding distinct count
+
+
+@query(
+    "win_distinct_sliding",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS INT) AS n_users_1h
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour DISTINCT user count per event — the live
+    'unique actives right now' metric.  Spark has no count(DISTINCT)
+    window function; the engine expresses it as size(collect_set)
+    over an exact integer-microsecond RANGE frame — same frame, same
+    inclusive bounds, as DuckDB's native windowed distinct.  The
+    value-range frame makes the result order-insensitive under ties
+    (tied timestamps are frame PEERS), so no tie-break column is
+    needed.  State per frame is the distinct-user set of one trailing
+    hour per event type — bounded by active users, not events; at
+    100x this is the stream_run_topk_window family's state story in
+    batch form."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("int").alias(
+            "n_users_1h"
+        ),
+    )

@@ -968,3 +968,71 @@ def stream_run_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, mode="complete")
+
+
+from ctgov_ai_etl_spark.queries.product import (  # noqa: E402
+    _CONV_SQL as _FUNNEL_CONV_SQL,
+    _FUNNEL_ORACLE_TMPL,
+    _US_PER_DAY as _FUNNEL_DAY_US,
+)
+
+
+@query(
+    "stream_run_funnel",
+    oracle=_FUNNEL_ORACLE_TMPL.format(
+        bound2=f"AND epoch_us(e.ts) <= s1.t1 + {7 * 86_400_000_000}",
+        bound3=f"AND epoch_us(e.ts) <= s2.t2 + {7 * 86_400_000_000}",
+        conv=_FUNNEL_CONV_SQL,
+    ),
+)
+def stream_run_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING funnel: file micro-batch source → stateful
+    per-user greedy chain (streaming/events.py:stateful_funnel,
+    applyInPandasWithState, one int64 of state per step) → memory
+    sink, then a tiny batch rollup of per-user progress into step
+    counts (explode(sequence(1, reached)) makes the counts cumulative
+    without a self-join).  Oracle: the batch funnel_within_window SQL
+    — the streaming in-order scan's 'first qualifying event' equals
+    the batch chained-min, so the two strategies hash-check against
+    the same contract.  7-day step bound, exact int64 micros."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_funnel,
+    )
+
+    stream = stateful_funnel(
+        read_events_stream(spark, sf_dir), bound_us=7 * _FUNNEL_DAY_US
+    )
+    per_user = run_stream_to_memory(stream, mode="update")
+    final = per_user.groupBy("user_id").agg(
+        F.max("step_reached").alias("reached")
+    )
+    counts = (
+        final.filter(F.col("reached") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("step")
+        )
+        .groupBy("step")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    from pyspark.sql import Window as W
+
+    names = F.create_map(
+        F.lit(1), F.lit("view"), F.lit(2), F.lit("click"),
+        F.lit(3), F.lit("purchase"),
+    )
+    w = W.orderBy("step").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    top = F.first("n_users").over(w)
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+
+    return counts.select(
+        F.col("step").cast("int").alias("step"),
+        F.element_at(names, F.col("step")).alias("step_name"),
+        "n_users",
+        fdiv(F.col("n_users") * 1_000_000, F.greatest(top, F.lit(1))).alias(
+            "conv_ppm"
+        ),
+    )

@@ -597,3 +597,74 @@ def stateful_session_close(events: DataFrame, gap_seconds: int) -> DataFrame:
         outputMode="update",
         timeoutConf="EventTimeTimeout",
     )
+
+
+def stateful_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    bound_us: int | None = None,
+) -> DataFrame:
+    """STREAMING multi-step funnel: per-user greedy earliest-chain
+    progress (step k+1 = first qualifying event strictly after step k,
+    optionally within ``bound_us``) carried across micro-batches as
+    one int64 per step.  Because rows process in event-time order,
+    'first qualifying seen' IS the minimum the batch twin
+    (queries/product.py:funnel_within_window) computes — the greedy
+    chain is order-insensitive only in aggregate, so per-key
+    event-time ordering is a precondition (true for the replayed
+    file feed; production fronts this with a watermark sort).
+
+    Emits (user_id, step_reached) per batch in update mode; the
+    caller aggregates the LAST emission per user into step counts.
+    State: len(steps) int64 timestamps (-1 = not reached) — bounded
+    per user on an unbounded stream.
+    """
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    k = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state):
+        t = list(state.get) if state.exists else [-1] * k
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.dropna(subset=["ts_us"]).sort_values(
+                ["ts_us", "event_id"]
+            )
+            for ts_us, etype in zip(batch["ts_us"], batch["event_type"]):
+                i = step_of.get(etype)
+                if i is None or t[i] != -1:
+                    continue
+                if i == 0:
+                    t[0] = int(ts_us)
+                elif t[i - 1] != -1 and int(ts_us) > t[i - 1] and (
+                    bound_us is None or int(ts_us) <= t[i - 1] + bound_us
+                ):
+                    t[i] = int(ts_us)
+        state.update(tuple(t))
+        reached = sum(1 for x in t if x != -1)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "step_reached": [reached]}
+        )
+
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, step_reached int",
+        stateStructType=", ".join(f"t{i} long" for i in range(k)),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
