@@ -1059,8 +1059,6 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     vm = F.round(F.col("value") * 1_000_000).cast("long")
     a = ev.filter(F.col("event_type") == "click").select(vm.alias("v"))
     b = ev.filter(F.col("event_type") == "view").select(vm.alias("v"))
-    na = a.count()
-    nb = b.count()
     tagged = a.select("v", F.lit(0).alias("side")).unionAll(
         b.select("v", F.lit(1).alias("side"))
     )
@@ -1068,22 +1066,29 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("side") == 0, 1)).cast("long").alias("ca"),
         F.count(F.when(F.col("side") == 1, 1)).cast("long").alias("cb"),
     )
+    # Totals as a 1-row broadcast, not driver-side .count() actions —
+    # the whole statistic stays one lazy plan.
+    totals = grid.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+    )
     wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = grid.select(
         F.sum("ca").over(wc).cast("long").alias("cum_a"),
         F.sum("cb").over(wc).cast("long").alias("cum_b"),
     )
-    d = cum.agg(
+    d = cum.crossJoin(F.broadcast(totals)).agg(
         F.max(
-            F.abs(F.col("cum_a") * F.lit(nb) - F.col("cum_b") * F.lit(na))
+            F.abs(F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1"))
         )
         .cast("long")
-        .alias("d_num")
+        .alias("d_num"),
+        F.first(F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
     )
     return d.select(
         "d_num",
-        F.lit(na * nb).cast("long").alias("d_den"),
-        fdiv(F.col("d_num") * 1_000_000, F.lit(na * nb)).alias("ks_ppm"),
+        "d_den",
+        fdiv(F.col("d_num") * 1_000_000, F.col("d_den")).alias("ks_ppm"),
     )
 
 
