@@ -52,18 +52,27 @@ def sql_avg_money(expr: str) -> str:
 
 
 def fdiv(a: Column, b: Column | int) -> Column:
-    """Exact integer floor division of non-negative bigints via the
+    """Exact integer FLOOR division of bigints via the
     pmod-subtraction idiom: IEEE division of an exact multiple is
     exact, where plain ``floor(a/b)`` in double can flip at exact
-    multiples once operands exceed 2^53 (exactness conventions)."""
+    multiples once operands exceed 2^53 (exactness conventions).
+    Spark's pmod is always non-negative, so this floors for negative
+    dividends too."""
     bb = F.lit(b) if isinstance(b, int) else b
     return ((a - F.pmod(a, bb)) / bb).cast("long")
 
 
 def sql_fdiv(a: str, b: str) -> str:
-    """DuckDB mirror of :func:`fdiv`.  The divisor is CAST to BIGINT
-    so ``//`` stays BIGINT//BIGINT — a window ``sum(BIGINT)`` divisor
-    is HUGEINT and makes the result column HUGEINT, which is exactly
-    the non-portable oracle type that broke seq_transition_matrix /
-    dq_benford in round 8."""
-    return f"CAST(({a}) // CAST(({b}) AS BIGINT) AS BIGINT)"
+    """DuckDB mirror of :func:`fdiv` — the SAME pmod-subtraction
+    arithmetic, not ``//``, for two reasons: (1) DuckDB ``//``
+    truncates toward zero on negative dividends while pmod-subtraction
+    floors (they agree only on the non-negative domain — the
+    dq_l_diversity negative-balance incident); (2) an un-CAST window
+    ``sum(BIGINT)`` divisor is HUGEINT and would make the result
+    column HUGEINT, the non-portable oracle type that broke
+    seq_transition_matrix / dq_benford in round 8.  DuckDB ``%``
+    follows the dividend's sign, so the double-mod normalizes it to
+    Spark's non-negative pmod."""
+    bb = f"CAST(({b}) AS BIGINT)"
+    pm = f"((({a}) % {bb}) + {bb}) % {bb}"
+    return f"CAST((({a}) - ({pm})) / {bb} AS BIGINT)"

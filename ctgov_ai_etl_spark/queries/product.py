@@ -1219,3 +1219,165 @@ def win_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_1h"
         ),
     )
+
+
+# ----------------------------------------------------- privacy (cont.)
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+               AS bal_band
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+           count(DISTINCT bal_band) < 3 AS at_risk
+    FROM tagged
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the refinement of k-anonymity
+    (dq_k_anonymity) that catches the homogeneity attack: a
+    quasi-identifier group is at risk when its SENSITIVE attribute
+    (account-balance band, $1000 buckets in exact cents) takes fewer
+    than l=3 distinct values, even if the group itself is large.  One
+    partially-aggregated count-distinct shuffle on the QI tuple; the
+    band floor-division is exact integer arithmetic on both engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    # +$1000 shift keeps the dividend non-negative: DuckDB's // on
+    # negatives truncates toward zero while the pmod idiom floors —
+    # they agree only on the non-negative domain (TPC-H acctbal
+    # bottoms at -999.99).
+    band = fdiv(cents("c_acctbal") + 100_000, 100_000)
+    return (
+        c.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.countDistinct("bal_band").cast("long").alias("l_distinct"),
+            (F.countDistinct("bal_band") < 3).alias("at_risk"),
+        )
+    )
+
+
+# ----------------------------------------------- schema-drift union
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(NULL AS VARCHAR) AS priority
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT),
+           o_orderpriority
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: a legacy extract lacking the priority
+    column unions with the current extract via
+    unionByName(allowMissingColumns=True) — the name-resolved,
+    null-padding union that positional UNION ALL gets silently wrong
+    when column order drifts.  The companion of
+    parquet_schema_evolution at the operator (not scan) layer; both
+    branches stay pushdown-filtered scans of the same file."""
+    o = load_table(spark, sf_dir, "orders")
+    legacy = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", cents("o_totalprice").alias("price_cents")
+    )
+    current = o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return legacy.unionByName(current, allowMissingColumns=True)
+
+
+# ------------------------------------------------ seasonal backtest
+
+
+@query(
+    "ts_forecast_seasonal_naive",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             {sql_fdiv("epoch_us(ts)", _US_PER_WEEK)} AS week_idx,
+             {sql_fdiv("epoch_us(ts) % {day}".format(day=_US_PER_DAY),
+                       3_600_000_000)} AS hour_of_day,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE ts IS NOT NULL
+    ),
+    split AS (
+      SELECT *,
+             week_idx = (SELECT max(week_idx) FROM base) AS is_test
+      FROM base
+    ),
+    model AS (
+      SELECT event_type, hour_of_day,
+             {sql_fdiv("sum(vm)", "count(*)")} AS pred_vm
+      FROM split WHERE NOT is_test
+      GROUP BY event_type, hour_of_day
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(abs(s.vm - m.pred_vm)) AS BIGINT) AS abs_err_sum,
+           {sql_fdiv("sum(abs(s.vm - m.pred_vm))", "count(*)")} AS mae_vm
+    FROM split s JOIN model m USING (event_type, hour_of_day)
+    WHERE s.is_test
+    GROUP BY s.event_type
+    """,
+)
+def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each event's value in
+    the final week from the (event type, hour-of-day) training mean of
+    all earlier weeks, and report per-type MAE — the baseline every
+    forecasting pipeline must beat, run the way a pipeline actually
+    evaluates (temporal split, never random).  All arithmetic is
+    exact int64 micro-units: epoch-anchored week/hour indices by
+    pmod-subtraction floor division, the model mean as FLOOR-average
+    (documented — an integer contract both engines replay, unlike a
+    float mean), integer absolute errors.  One training aggregation
+    (24 x types rows) broadcast onto the test week — map-side scoring
+    at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "event_type",
+        fdiv(us, _US_PER_WEEK).alias("week_idx"),
+        fdiv(F.pmod(us, _US_PER_DAY), 3_600_000_000).alias("hour_of_day"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    max_week = base.agg(F.max("week_idx").alias("mw"))
+    split = base.crossJoin(F.broadcast(max_week)).withColumn(
+        "is_test", F.col("week_idx") == F.col("mw")
+    )
+    model = (
+        split.filter(~F.col("is_test"))
+        .groupBy("event_type", "hour_of_day")
+        .agg(fdiv(F.sum("vm"), F.count("*")).alias("pred_vm"))
+    )
+    return (
+        split.filter(F.col("is_test"))
+        .join(F.broadcast(model), ["event_type", "hour_of_day"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.abs(F.col("vm") - F.col("pred_vm")))
+            .cast("long")
+            .alias("abs_err_sum"),
+            fdiv(
+                F.sum(F.abs(F.col("vm") - F.col("pred_vm"))), F.count("*")
+            ).alias("mae_vm"),
+        )
+    )
