@@ -15,103 +15,65 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # first ~40-50 per round, so ``load_all`` re-orders the registry each
 # round to put queries with no (or stale) driver evidence first.
 #
-# Round-8 priority, continuing the rotation (the belt-and-braces LOCAL
+# Round-9 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0a — the 18 queries NEW in the round-8 continuation session
-#     (clamped balance x3 strategies, BFS layers, Q3/Q5 composites,
-#     transition matrix, attribution batch+streaming, k-anonymity,
-#     feature scaling, SCD2 PIT join, equi-depth histogram, two-stage
-#     top-k, Benford, dyadic EWMA, systematic sampling, entity
-#     resolution);
-#   block 0b — the 23 queries new earlier in round 8 (interval
-#     banding and overlap joins, streaming CMS build, capped
-#     sessionization, MAD outliers, chunk-global dedup, CMS and KMV
-#     sketches, LOO target encoding, fixed histogram, PSI drift, ring
-#     negative sampling);
-#   block 1 — queries whose implementation or oracle CHANGED this
-#     round (session-oracle tie ordering, multipass grouping-sets
-#     empty-input semantics, split-fraction rounding);
-#   block 2 — the queries whose latest driver evidence is r5 or
-#     older (not sampled in CORRECTNESS_r06/r07), alphabetical;
-#   everything else (r6/r7-green, unchanged) follows alphabetically.
+#   block 0 — the 20 queries NEW in round 9 (real-codec multimodal
+#     decode, product analytics: time-boxed + streaming funnel, RFM,
+#     Kaplan-Meier, path sequences; frontier ops: Pareto skyline,
+#     basket affinity, weighted median, hierarchy rollup, CUSUM, KS
+#     drift, embedding covariance, sliding distinct, l-diversity,
+#     uniqueness profile, correlated-avg filter, robust scaling,
+#     unionByName drift, seasonal-naive backtest);
+#   block 1 — queries whose implementation or oracle CHANGED in round
+#     9 (the two HUGEINT oracle casts, null-ts session oracles,
+#     single-space tokenization alignment, equi-depth floor-div,
+#     uniform_hash_rank persist, chunked-balance broadcast drop);
+#   block 2 — the queries whose latest driver evidence is r4/r5
+#     (not sampled since), stalest first (also re-verified locally
+#     this round via tools/check_oracle.py — see COVERAGE.md);
+#   everything else (r6-r8-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "sql_text_star_join",
-    "stat_gini_concentration",
-    "fn_bitwise_family",
-    "tpch_q18_top_customers",
-    "stat_chi_square",
-    "stat_ab_ttest",
-    "ml_linear_regression_exact",
-    "search_phrase_positions",
-    "stream_run_topk_window",
-    "ts_downsample_ohlc",
-    "win_median_rolling",
-    "stream_run_ohlc",
-    "ts_clamped_cumsum",
-    "ts_clamped_cumsum_chunked",
-    "stream_run_running_balance",
-    "graph_bfs_layers",
-    "tpch_q3_priority",
-    "tpch_q5_local_supplier",
+    # -- block 0: new in round 9
+    "mm_decode_real",
+    "funnel_within_window",
+    "stream_run_funnel",
+    "rfm_segmentation",
+    "survival_km",
+    "path_top_sequences",
+    "pareto_frontier",
+    "basket_pair_affinity",
+    "agg_weighted_median",
+    "hierarchy_rollup",
+    "anomaly_cusum",
+    "dq_drift_ks",
+    "emb_covariance_matrix",
+    "win_distinct_sliding",
+    "dq_l_diversity",
+    "dq_uniqueness_profile",
+    "filter_correlated_avg",
+    "feature_scale_robust",
+    "set_union_by_name",
+    "ts_forecast_seasonal_naive",
+    # -- block 1: changed in round 9
     "seq_transition_matrix",
-    "attribution_last_touch",
-    "stream_run_attribution",
-    "dq_k_anonymity",
-    "feature_scale_standard",
-    "join_temporal_scd2",
-    "agg_histogram_equidepth",
-    "win_topk_two_stage",
     "dq_benford",
-    "ts_ewma_window",
-    "sample_systematic",
-    "pipeline_entity_resolution",
-    "join_interval_binned",
-    "ts_sessionize_capped",
-    "anomaly_mad",
-    "dedup_chunks_global",
-    "sketch_cms_freq",
-    "sketch_kmv_intersect",
-    "feature_target_encode_loo",
-    "agg_histogram_fixed",
-    "dq_drift_psi",
-    "sample_negatives_ring",
-    "join_interval_overlap",
-    "stream_run_cms_sketch",
-    "stream_run_interval_join",
-    "agg_mode_deterministic",
-    "dq_sequence_gaps",
-    "win_time_range_frame",
-    "pipeline_curate_chunks",
-    "fn_hash_family",
-    "agg_corr_exact",
-    "join_asof_tolerance",
-    "win_streak_longest",
-    "join_null_safe",
     "stream_run_capped_sessions",
-    "stream_session_window",
-    "stream_run_session_window",
-    "agg_grouping_sets_multi",
-    "split_group_aware",
-    "agg_filtered_conditional",
-    "agg_global",
+    "ts_sessionize_capped",
+    "sketch_cms_freq",
+    "dedup_chunks_global",
+    "pipeline_curate_chunks",
+    "agg_histogram_equidepth",
+    "sample_negatives_ring",
+    "ts_clamped_cumsum_chunked",
+    "text_chunked",
+    # -- block 2: stalest driver evidence (r4/r5), oldest first
     "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_pricing_summary",
     "agg_rollup",
-    "agg_stats_moments",
     "cdc_snapshot_diff",
     "cluster_kmeans",
-    "csv_scan_roundtrip",
-    "ctgov_flatten_parity",
-    "ctgov_pipeline_e2e",
     "curriculum_order",
     "dedup_embedding_blocked",
     "dedup_embedding_cosine",
-    "dedup_exact_group",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "distinct_rows",
     "essie_predicates",
     "essie_search_text",
@@ -119,7 +81,6 @@ _PRIORITY = (
     "filter_like_regex",
     "filter_range_bool",
     "fn_array_family",
-    "fn_datetime_family",
     "fn_math_family",
     "fn_null_family",
     "fn_partial_date_normalize",
@@ -128,59 +89,24 @@ _PRIORITY = (
     "incremental_agg_refresh",
     "inline_values_table",
     "join_anti",
-    "join_broadcast_star",
     "join_bucket_colocated",
     "join_cross",
     "join_full_outer",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_range_nonequi",
     "join_right_outer",
     "join_semi",
     "limit_offset",
     "llm_classify_bucket_cap",
-    "llm_classify_cost_cap",
-    "llm_classify_documents",
-    "maintenance_zorder",
-    "merge_upsert_orders",
-    "mm_binary_plumbing",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "orc_scan_roundtrip",
     "parquet_schema_evolution",
-    "partition_pruned_scan",
-    "pipeline_curate",
     "proj_rename_nested",
-    "sample_stratified",
     "scan_project_filter",
-    "search_bm25",
-    "search_hybrid_rrf",
     "set_except_all",
     "set_intersect",
     "set_union_all",
     "set_union_distinct",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
     "sim_topk_ivf_trained",
-    "sim_topk_lsh",
     "sim_topk_pq",
-    "skew_salted_agg",
-    "skew_salted_join",
     "sort_limit_deterministic",
     "sort_nulls_ordering",
-    "stream_run_upsert",
-    "text_chunked",
-    "text_fingerprint",
-    "text_langid_quality",
-    "text_pack_sequences",
-    "text_tfidf_top_term",
-    "text_token_stats",
-    "text_top_tokens",
-    "ts_resample_ffill",
-    "udtf_tokenize",
-    "when_otherwise_buckets",
-    "win_rank_family",
-    "win_topk_per_group",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 

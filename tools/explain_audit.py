@@ -668,6 +668,107 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"BroadcastHashJoin"),
         ("revenue partially aggregated", r"partial_sum"),
     ],
+    # ---------------------------------------------------- round 9
+    "funnel_within_window": [
+        ("step minima partially aggregated", r"partial_min"),
+        ("funnel chained on user_id partitioning",
+         r"hashpartitioning\(user_id"),
+        ("event-type filters pushed to parquet",
+         r"PushedFilters: \[[^\]]*event_type"),
+    ],
+    "rfm_segmentation": [
+        ("per-customer metrics partially aggregated", r"partial_sum"),
+        ("one shuffle on the customer key", r"hashpartitioning\(o_custkey"),
+    ],
+    "survival_km": [
+        ("subject minima partially aggregated", r"partial_min"),
+        ("1-row horizon broadcast (not shuffled)",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
+    "pareto_frontier": [
+        ("spend levels partially aggregated", r"partial_max"),
+        ("no nested-loop join anywhere (pure sweep)",
+         r"\A(?!.*NestedLoop)"),
+    ],
+    "basket_pair_affinity": [
+        ("pair self-join keyed on the basket (order) key",
+         r"(hashpartitioning\(l_orderkey|SortMergeJoin \[l_orderkey|ShuffledHashJoin \[l_orderkey)"),
+        ("top-20 via TakeOrderedAndProject (no global sort)",
+         r"TakeOrderedAndProject"),
+    ],
+    "agg_weighted_median": [
+        ("both window sums on ONE returnflag shuffle",
+         r"hashpartitioning\(l_returnflag"),
+        ("post-window min partially aggregated", r"partial_min"),
+    ],
+    "hierarchy_rollup": [
+        ("ancestors generated map-side (explode, no iteration)",
+         r"Generate explode"),
+        ("rollup shuffle keyed on node", r"hashpartitioning\(node"),
+    ],
+    "dq_uniqueness_profile": [
+        ("every per-column branch partially aggregated", r"partial_count"),
+        ("scans column-pruned per branch", r"ReadSchema"),
+    ],
+    "filter_correlated_avg": [
+        ("correlated subquery decorrelated to ONE aggregate + join",
+         r"partial_sum"),
+        ("join keyed on o_custkey",
+         r"(hashpartitioning\(o_custkey|BroadcastHashJoin)"),
+    ],
+    "feature_scale_robust": [
+        ("quartile frame broadcast onto the stream", r"BroadcastHashJoin"),
+        ("exact percentiles aggregated (not windowed)",
+         r"(ObjectHashAggregate|SortAggregate|HashAggregate)"),
+    ],
+    "path_top_sequences": [
+        ("sessionization windows share the user_id shuffle",
+         r"hashpartitioning\(user_id"),
+        ("top-15 via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ],
+    "anomaly_cusum": [
+        ("per-key fold on one user_id shuffle",
+         r"hashpartitioning\(user_id"),
+        ("no Python in the fold (pure JVM HOF)",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "dq_drift_ks": [
+        ("value grid partially aggregated before the cumulative pass",
+         r"partial_count"),
+        ("1-row totals broadcast",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
+    "emb_covariance_matrix": [
+        ("pair join keyed on vec_id",
+         r"(hashpartitioning\(vec_id|SortMergeJoin \[vec_id|ShuffledHashJoin \[vec_id)"),
+        ("moment sums partially aggregated", r"partial_sum"),
+    ],
+    "win_distinct_sliding": [
+        ("RANGE frame on the event_type shuffle",
+         r"hashpartitioning\(event_type"),
+        ("no Python anywhere (collect_set window is JVM)",
+         r"\A(?!.*(BatchEvalPython|ArrowEvalPython))"),
+    ],
+    "dq_l_diversity": [
+        ("count-distinct via partial aggregation", r"partial_count"),
+        ("one shuffle family on the QI tuple",
+         r"hashpartitioning\(c_nationkey"),
+    ],
+    "set_union_by_name": [
+        ("both branches remain pushdown-filtered scans",
+         r"PushedFilters: \[[^\]]*o_orderstatus"),
+        ("union is a no-shuffle operator", r"\A(?!.*Exchange hashpartitioning.*Union)"),
+    ],
+    "ts_forecast_seasonal_naive": [
+        ("training model broadcast onto the test week",
+         r"BroadcastHashJoin"),
+        ("model means partially aggregated", r"partial_sum"),
+    ],
+    "mm_decode_real": [
+        ("render and decode are Arrow-batched mapInPandas stages",
+         r"MapInPandas"),
+        ("no shuffle in the codec path", r"\A(?!.*Exchange hashpartitioning)"),
+    ],
 }
 
 
