@@ -1457,3 +1457,220 @@ def sql_text_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_ANSI_SQL)
+
+
+# ------------------------------------------- round-9 TPC-H shapes
+
+
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                                         + 60 * 86400000000
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one
+    quarter having AT LEAST ONE late line item (shipped > 60 days
+    after the order date — adapted to this fixture's columns), counted
+    by priority.  The EXISTS subquery plans as a LEFT SEMI join — the
+    fact table is filtered by date BEFORE the join (pushed to the
+    parquet scan), and the semi join deduplicates matches without a
+    distinct shuffle.  Exact int64-microsecond date arithmetic."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_micros("l_shipdate").alias("ship_us")
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("ship_us")
+            > F.unix_micros("o_orderdate") + 60 * 86_400_000_000
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one filtered scan,
+    one global sum — the purest predicate-pushdown showcase (date
+    range, discount band, quantity cap all reach the parquet reader;
+    PLANS.md asserts it).  Revenue = Σ price·discount computed as
+    exact integer cents × integer discount-percent (the discount
+    lands on a 1% grid — rounding to percent is exact), divided once
+    at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & disc_pct.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        (
+            F.sum(cents("l_extendedprice") * disc_pct).cast("double") / 10_000
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): how many
+    customers placed exactly N orders — INCLUDING the zero-order
+    customers a plain inner join silently drops (the left join +
+    count(key) is the point of Q13).  Two aggregations: the first
+    keyed on custkey (partially aggregated), the second over the tiny
+    (count → customers) histogram."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q17_small_qty",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 700 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pa.n < pa.sq
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): line items
+    under 20% of their part's average quantity, for one brand.  The
+    correlated AVG subquery decorrelates to one per-part aggregate
+    joined back (same pattern as filter_correlated_avg); the
+    comparison cross-multiplies (qty·5·n < Σqty) so no float average
+    exists anywhere.  The brand filter broadcasts the part dimension;
+    the per-part aggregate shuffles on the join key it's consumed
+    with."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("n") < F.col("sq")
+        )
+    )
+    return joined.agg(
+        (F.sum(cents("l_extendedprice")).cast("double") / 700).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three brand/size/quantity conjunct arms across the
+    join — the classic test of whether an optimizer can still push
+    the COMMON parts of a disjunction (derivable brand IN-list and
+    size/quantity envelopes reach the scans) and evaluate the
+    residual after the join.  Revenue = Σ price·(1−discount) in
+    exact integer cents × integer percent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(arm)
+    return joined.agg(
+        (
+            F.sum(cents("l_extendedprice") * (100 - disc_pct)).cast("double")
+            / 10_000
+        ).alias("revenue")
+    )
