@@ -17,13 +17,14 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-9 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 20 queries NEW in round 9 (real-codec multimodal
+#   block 0 — the 25 queries NEW in round 9 (real-codec multimodal
 #     decode, product analytics: time-boxed + streaming funnel, RFM,
 #     Kaplan-Meier, path sequences; frontier ops: Pareto skyline,
 #     basket affinity, weighted median, hierarchy rollup, CUSUM, KS
 #     drift, embedding covariance, sliding distinct, l-diversity,
 #     uniqueness profile, correlated-avg filter, robust scaling,
-#     unionByName drift, seasonal-naive backtest);
+#     unionByName drift, seasonal-naive backtest, and the five
+#     remaining fixture-expressible TPC-H shapes Q4/Q6/Q13/Q17/Q19);
 #   block 1 — queries whose implementation or oracle CHANGED in round
 #     9 (the two HUGEINT oracle casts, null-ts session oracles,
 #     single-space tokenization alignment, equi-depth floor-div,
@@ -54,6 +55,11 @@ _PRIORITY = (
     "feature_scale_robust",
     "set_union_by_name",
     "ts_forecast_seasonal_naive",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
     # -- block 1: changed in round 9
     "seq_transition_matrix",
     "dq_benford",

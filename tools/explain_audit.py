@@ -773,6 +773,38 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"MapInPandas"),
         ("no shuffle in the codec path", r"\A(?!.*Exchange hashpartitioning)"),
     ],
+    "tpch_q4_priority_check": [
+        ("EXISTS planned as LEFT SEMI (no distinct shuffle)",
+         r"LeftSemi"),
+        ("quarter filter pushed to the orders scan",
+         r"PushedFilters: \[[^\]]*o_orderdate"),
+    ],
+    "tpch_q6_forecast_revenue": [
+        ("date + quantity predicates pushed to parquet",
+         r"PushedFilters: \[[^\]]*l_shipdate[^\]]*l_quantity"
+         r"|PushedFilters: \[[^\]]*l_quantity[^\]]*l_shipdate"),
+        ("revenue partially aggregated", r"partial_sum"),
+        ("scan pruned to the 4 referenced columns",
+         r"ReadSchema: struct<l_quantity[^\n>]*l_discount"),
+    ],
+    "tpch_q13_custdist": [
+        ("left join keyed on the customer key",
+         r"(hashpartitioning\(c_custkey|hashpartitioning\(o_custkey|"
+         r"BroadcastHashJoin \[c_custkey)"),
+        ("per-customer counts partially aggregated", r"partial_count"),
+    ],
+    "tpch_q17_small_qty": [
+        ("brand dimension broadcast", r"BroadcastHashJoin"),
+        ("per-part average decorrelated into a partial-agg join",
+         r"partial_sum"),
+    ],
+    "tpch_q19_disjunctive": [
+        ("part-side disjunct arms pushed to the part scan",
+         r"PushedFilters: \[[^\]]*Or\(Or\(And\(EqualTo\(p_brand"),
+        ("lineitem-side quantity envelope pushed to the fact scan",
+         r"PushedFilters: \[[^\]]*Or\(Or\(And\(GreaterThanOrEqual\(l_quantity"),
+        ("residual evaluated on a broadcast join", r"BroadcastHashJoin"),
+    ],
 }
 
 
