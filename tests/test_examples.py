@@ -58,3 +58,18 @@ def test_business_analytics_pipeline_example(spark):
     assert out["balance_rows"] > 0 and out["cap_hits"] > 0
     assert out["ab_n"] > 0
     assert out["benford_digits"] == 9
+
+
+def test_product_analytics_pipeline_example(spark):
+    from examples.product_analytics_pipeline import main
+
+    out = main(SF_SMALL)
+    assert out["funnel_steps"] == 3
+    assert out["funnel_view_users"] > 0
+    assert out["cohort_cells"] > 0
+    assert out["top_paths"] > 0
+    assert out["rfm_customers"] > 0
+    assert out["km_event_times"] > 0
+    assert 0.0 <= out["km_final_survival"] <= 1.0
+    assert out["ks_ppm"] >= 0
+    assert out["profiled_columns"] == 6

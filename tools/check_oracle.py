@@ -184,10 +184,37 @@ def main() -> int:
         "the artifact the round checklist commits as "
         "CORRECTNESS_FULL_local_r{N}.json",
     )
+    ap.add_argument(
+        "--stalest",
+        type=int,
+        metavar="N",
+        help="instead of explicit names, re-verify the N queries whose "
+        "latest DRIVER evidence (CORRECTNESS_r0*.json) is oldest — the "
+        "age-based re-verification pass each round runs so nothing "
+        "drifts silently while the driver samples only new work "
+        "(VERDICT r8 item 8)",
+    )
     args = ap.parse_args()
 
     registry = load_all()
-    names = args.names or list(registry)
+    if args.stalest:
+        import glob as _glob
+        import json as _json
+        import re as _re
+
+        last_seen: dict[str, int] = {}
+        for f in sorted(_glob.glob("CORRECTNESS_r0*.json")):
+            rnd = int(_re.search(r"r0(\d+)", f).group(1))
+            for n in _json.load(open(f)):
+                if n in registry:
+                    last_seen[n] = max(last_seen.get(n, 0), rnd)
+        ordered = sorted(last_seen.items(), key=lambda kv: (kv[1], kv[0]))
+        names = [n for n, _ in ordered[: args.stalest]]
+        print(f"stalest {len(names)} (driver evidence round shown):")
+        for n, r in ordered[: args.stalest]:
+            print(f"  r{r} {n}")
+    else:
+        names = args.names or list(registry)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
