@@ -1381,3 +1381,225 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae_vm"),
         )
     )
+
+
+# ------------------------------------------------ linear attribution
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS INT) AS conv_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    grp AS (
+      SELECT user_id, conv_id,
+             max(CASE WHEN event_type = 'purchase' THEN v_cents END)
+               AS p_cents,
+             CAST(sum(CASE WHEN event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_touch,
+             max(CASE WHEN event_type <> 'purchase'
+                      THEN {'t': epoch_us(ts), 'i': event_id} END)
+               AS last_touch
+      FROM ordered
+      GROUP BY user_id, conv_id
+    ),
+    credits AS (
+      SELECT o.event_type AS touch_type,
+             CAST((g.p_cents - (((g.p_cents % g.n_touch) + g.n_touch)
+                                % g.n_touch)) / g.n_touch AS BIGINT)
+             + CASE WHEN epoch_us(o.ts) = g.last_touch.t
+                     AND o.event_id = g.last_touch.i
+                    THEN g.p_cents
+                         - CAST((g.p_cents
+                                 - (((g.p_cents % g.n_touch) + g.n_touch)
+                                    % g.n_touch)) / g.n_touch AS BIGINT)
+                           * g.n_touch
+                    ELSE 0 END AS credit_cents
+      FROM ordered o
+      JOIN grp g ON o.user_id = g.user_id AND o.conv_id = g.conv_id
+      WHERE o.event_type <> 'purchase'
+        AND g.p_cents IS NOT NULL AND g.n_touch > 0
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_cents) AS DOUBLE) / 100 AS attributed_value
+    FROM credits
+    GROUP BY touch_type
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each purchase's value splits
+    EQUALLY across every touch since the user's previous purchase
+    (last-touch's sibling; see attribution_last_touch).  The split is
+    exact-integer: share = floor(cents / n_touches) with the
+    remainder credited to the final touch, so credits always sum to
+    the purchase exactly — no float leakage, deterministic under the
+    (ts, event_id) order.  One user_id window assigns conversion
+    groups (running purchase count over the preceding frame); one
+    keyed aggregate per (user, conversion) computes the purse, touch
+    count, and last-touch identity (max over a (ts, id) struct — no
+    second window); one keyed join fans the credit back to touches.
+    All shuffles share the user_id family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        cents("value").alias("v_cents"),
+        F.coalesce(F.sum(is_p).over(wprev), F.lit(0))
+        .cast("int")
+        .alias("conv_id"),
+    )
+    grp = ordered.groupBy("user_id", "conv_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("v_cents"))
+        ).alias("p_cents"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_touch"),
+        F.max(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                ),
+            )
+        ).alias("last_touch"),
+    )
+    touches = ordered.filter(F.col("event_type") != "purchase")
+    j = touches.join(grp, ["user_id", "conv_id"]).filter(
+        F.col("p_cents").isNotNull() & (F.col("n_touch") > 0)
+    )
+    share = fdiv(F.col("p_cents"), F.col("n_touch"))
+    is_last = (F.unix_micros("ts") == F.col("last_touch.t")) & (
+        F.col("event_id") == F.col("last_touch.i")
+    )
+    credit = share + F.when(
+        is_last, F.col("p_cents") - share * F.col("n_touch")
+    ).otherwise(0)
+    return (
+        j.select(
+            F.col("event_type").alias("touch_type"),
+            credit.alias("credit_cents"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            (F.sum("credit_cents").cast("double") / 100).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- max concurrency
+
+
+@query(
+    "ts_max_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + 3600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS INT) AS island,
+             ts
+      FROM marked
+    ),
+    iv AS (
+      SELECT min(epoch_us(ts)) AS lo,
+             max(epoch_us(ts)) + 3600000000 AS hi
+      FROM sess GROUP BY user_id, island
+    ),
+    deltas AS (
+      SELECT lo AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT hi AS t, -1 FROM iv
+    ),
+    sweep AS (
+      SELECT t, d,
+             CAST(sum(d) OVER (ORDER BY t, d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS load
+      FROM deltas
+    )
+    SELECT CAST(max(load) AS BIGINT) AS peak_concurrency,
+           CAST(min(t) FILTER (WHERE load = (SELECT max(load) FROM sweep))
+                AS BIGINT) AS peak_at_us
+    FROM sweep
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions: 1-hour-gap user sessions become
+    [start, last+1h) intervals; a +1/−1 boundary sweep (the classic
+    'maximum overlap' algorithm) finds the highest simultaneous load
+    and the earliest instant it occurs — the capacity-planning number
+    an ops team sizes for.  The sweep's global running sum runs over
+    the AGGREGATED boundary list (two rows per session, not per
+    event); ends sort before starts at equal timestamps (ORDER BY t,
+    d with d = −1 first), matching the half-open interval semantics.
+    At 100x, range-partition the boundary list and prefix-sum with
+    per-partition offsets (the global_rank layout).  Everything is
+    exact int64 micros."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(wo)
+    is_new = (
+        prev_us.isNull()
+        | (F.unix_micros("ts") > prev_us + 3_600_000_000)
+    ).cast("int")
+    sess = ev.select(
+        "user_id", "ts", "event_id", is_new.alias("is_new")
+    ).withColumn(
+        "island",
+        F.sum("is_new")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int"),
+    )
+    iv = sess.groupBy("user_id", "island").agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        (F.max(F.unix_micros("ts")) + 3_600_000_000).alias("hi"),
+    )
+    deltas = iv.select(F.col("lo").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("hi").alias("t"), F.lit(-1).alias("d"))
+    )
+    wsweep = W.orderBy("t", "d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sweep = deltas.select(
+        "t", F.sum("d").over(wsweep).cast("long").alias("load")
+    )
+    peak = sweep.agg(F.max("load").alias("peak"))
+    return (
+        sweep.crossJoin(F.broadcast(peak))  # 1-row peak
+        .filter(F.col("load") == F.col("peak"))
+        .agg(
+            F.first("peak").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("peak_at_us"),
+        )
+    )

@@ -856,3 +856,15 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+CHECKS["attribution_linear"] = [
+    ("conversion grouping + credit join share the user_id family",
+     r"hashpartitioning\(user_id"),
+    ("group purses partially aggregated", r"partial_(max|sum)"),
+]
+CHECKS["ts_max_concurrency"] = [
+    ("sweep runs over aggregated session boundaries (partial agg first)",
+     r"partial_min"),
+    ("1-row peak broadcast",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
