@@ -118,3 +118,61 @@ def test_decode_real_unsupported_format_raises(spark):
     )
     with pytest.raises(Exception, match="no stdlib codec"):
         decode_image_real(df, "doc_id").collect()
+
+
+def test_png_malformed_inputs():
+    import struct
+    import zlib
+
+    from ctgov_ai_etl_spark.functions.imagecodec import _chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr8 = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(sig + _chunk(b"IEND", b""))
+    # 16-bit depth unsupported
+    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(sig + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b""))
+    # palette color type unsupported
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(sig + _chunk(b"IHDR", ihdr_pal) + _chunk(b"IEND", b""))
+    # truncated IDAT -> decompressed size mismatch (or zlib error)
+    good_raw = bytes([0, 10, 20])  # filter0 + 2 px
+    idat = zlib.compress(good_raw[:-1])
+    with pytest.raises(Exception):
+        decode_png(sig + _chunk(b"IHDR", ihdr8) + _chunk(b"IDAT", idat)
+                   + _chunk(b"IEND", b""))
+    # bad filter byte
+    bad = zlib.compress(bytes([7, 10, 20]))
+    with pytest.raises(ValueError, match="filter"):
+        decode_png(sig + _chunk(b"IHDR", ihdr8) + _chunk(b"IDAT", bad)
+                   + _chunk(b"IEND", b""))
+    # the happy path next to them, for contrast
+    ok = zlib.compress(good_raw)
+    assert decode_png(
+        sig + _chunk(b"IHDR", ihdr8) + _chunk(b"IDAT", ok)
+        + _chunk(b"IEND", b"")
+    ) == (2, 1, 30, 2)
+
+
+def test_png_multi_idat_chunks():
+    import struct
+    import zlib
+
+    from ctgov_ai_etl_spark.functions.imagecodec import _chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 1, 2, 0, 3, 4])
+    z = zlib.compress(raw)
+    half = len(z) // 2
+    blob = (
+        sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z[:half])
+        + _chunk(b"IDAT", z[half:]) + _chunk(b"IEND", b"")
+    )
+    assert decode_png(blob) == (2, 2, 10, 4)
