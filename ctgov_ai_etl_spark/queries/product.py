@@ -1603,3 +1603,221 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").cast("long").alias("peak_at_us"),
         )
     )
+
+
+# -------------------------------------------------- governance cascade
+
+
+@query(
+    "gov_right_to_erasure",
+    oracle="""
+    WITH tombstones AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 5
+    ),
+    o_purge AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM tombstones)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM tombstones) AS BIGINT) AS n_purged,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM o_purge) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_purge))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def gov_right_to_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact cascade: a deterministic md5-bucket
+    tombstone set (5% of customers — standing in for the day's GDPR
+    delete queue) propagated through the foreign-key chain
+    (customer -> orders -> lineitem), reporting purge counts per
+    table — the blast-radius report a compliance pipeline emits
+    BEFORE executing deletes.  Each hop is a LEFT SEMI join keyed on
+    the parent key (the dual of the anti-join the actual purge runs);
+    the tombstone set is hash-derived, so the whole cascade is
+    engine-reproducible.  At scale each semi join is a keyed shuffle;
+    the per-table counts are 1-row aggregates unioned."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tomb = c.filter(hash_bucket(F.col("c_custkey"), 100) < 5).select(
+        "c_custkey"
+    )
+    o_purge = o.join(
+        tomb, o.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_purge = li.join(
+        o_purge, li.l_orderkey == o_purge.o_orderkey, "left_semi"
+    )
+
+    def count_row(name, purged, total):
+        return (
+            purged.agg(F.count("*").cast("long").alias("n_purged"))
+            .crossJoin(
+                F.broadcast(
+                    total.agg(F.count("*").cast("long").alias("n_total"))
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"), "n_purged", "n_total"
+            )
+        )
+
+    return (
+        count_row("customer", tomb, c)
+        .unionAll(count_row("orders", o_purge, o))
+        .unionAll(count_row("lineitem", li_purge, li))
+    )
+
+
+# ------------------------------------------------- ratio-to-report
+
+
+@query(
+    "agg_ratio_to_report",
+    oracle=f"""
+    WITH n AS (
+      SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey, n.n_name, n.n_regionkey
+    )
+    SELECT n_name,
+           CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+           {sql_fdiv("rev_cents * 1000000",
+                     "sum(rev_cents) OVER (PARTITION BY n_regionkey)")}
+             AS share_of_region_ppm,
+           {sql_fdiv("rev_cents * 1000000", "sum(rev_cents) OVER ()")}
+             AS share_of_total_ppm
+    FROM n
+    """,
+)
+def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as an exact integer-ppm
+    share of its region and of the grand total — the percent-of-total
+    OLAP idiom (Oracle's RATIO_TO_REPORT) Spark expresses as window
+    sums over the aggregated frame.  The fact table reduces to one
+    row per nation BEFORE any window runs (25 rows regardless of
+    corpus); dimensions broadcast; integer ppm floor division keeps
+    the shares bit-identical.  NOTE sql_fdiv CASTs the window-sum
+    divisor — sum(BIGINT) OVER is HUGEINT in DuckDB, the r8
+    portability trap."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_cents"))
+    )
+    w_region = W.partitionBy("n_regionkey")
+    w_all = W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        fdiv(
+            F.col("rev_cents") * 1_000_000,
+            F.sum("rev_cents").over(w_region),
+        ).alias("share_of_region_ppm"),
+        fdiv(
+            F.col("rev_cents") * 1_000_000, F.sum("rev_cents").over(w_all)
+        ).alias("share_of_total_ppm"),
+    )
+
+
+# ------------------------------------------------- churn / activation
+
+
+@query(
+    "seq_user_churn",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             {sql_fdiv("epoch_us(ts)", _US_PER_WEEK)} AS week_idx
+      FROM events WHERE ts IS NOT NULL
+    ),
+    weeks AS (SELECT DISTINCT week_idx FROM wk WHERE week_idx >
+              (SELECT min(week_idx) FROM wk))
+    SELECT CAST(w.week_idx AS INT) AS week_idx,
+           CAST((SELECT count(*) FROM wk cur
+                 WHERE cur.week_idx = w.week_idx
+                   AND NOT EXISTS (SELECT 1 FROM wk prv
+                                   WHERE prv.user_id = cur.user_id
+                                     AND prv.week_idx = w.week_idx - 1))
+                AS BIGINT) AS n_new_or_resurrected,
+           CAST((SELECT count(*) FROM wk prv
+                 WHERE prv.week_idx = w.week_idx - 1
+                   AND NOT EXISTS (SELECT 1 FROM wk cur
+                                   WHERE cur.user_id = prv.user_id
+                                     AND cur.week_idx = w.week_idx))
+                AS BIGINT) AS n_churned,
+           CAST((SELECT count(*) FROM wk cur
+                 WHERE cur.week_idx = w.week_idx
+                   AND EXISTS (SELECT 1 FROM wk prv
+                               WHERE prv.user_id = cur.user_id
+                                 AND prv.week_idx = w.week_idx - 1))
+                AS BIGINT) AS n_retained
+    FROM weeks w
+    """,
+)
+def seq_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week activation accounting: for every week, how many
+    active users were retained from the previous week, how many are
+    new or resurrected, and how many of last week's actives churned —
+    the growth-accounting triplet (new + retained − churned = WoW
+    delta).  The engine form is ONE self-join of the distinct
+    (user, week) activity table against itself shifted by one week
+    (full outer on user within adjacent weeks), partially aggregated;
+    the oracle states the same sets as correlated EXISTS — the
+    declarative spec the join implements.  Distinct activity
+    compresses events to user-weeks before any join at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = ev.select(
+        "user_id", fdiv(F.unix_micros("ts"), _US_PER_WEEK).alias("week_idx")
+    ).distinct()
+    cur = wk.alias("cur")
+    prv = wk.select(
+        "user_id", (F.col("week_idx") + 1).alias("week_idx")
+    ).alias("prv")
+    joined = cur.join(prv, ["user_id", "week_idx"], "full_outer").select(
+        "week_idx",
+        F.col("cur.user_id").isNotNull().alias("in_cur"),
+        F.col("prv.user_id").isNotNull().alias("in_prv"),
+    )
+    # censor the phantom week AFTER the observation window: the
+    # shifted prv side fabricates (last_week + 1) rows whose churn is
+    # unknowable — the oracle's weeks list only contains observed
+    # weeks, so bound by max too.
+    bounds = wk.agg(F.min("week_idx").alias("mw"), F.max("week_idx").alias("xw"))
+    return (
+        joined.crossJoin(F.broadcast(bounds))
+        .filter((F.col("week_idx") > F.col("mw")) & (F.col("week_idx") <= F.col("xw")))
+        .groupBy(F.col("week_idx").cast("int").alias("week_idx"))
+        .agg(
+            F.sum(F.when(F.col("in_cur") & ~F.col("in_prv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_or_resurrected"),
+            F.sum(F.when(F.col("in_prv") & ~F.col("in_cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+            F.sum(F.when(F.col("in_cur") & F.col("in_prv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+        )
+    )

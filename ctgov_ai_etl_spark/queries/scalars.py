@@ -403,3 +403,55 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
         ).alias("h_composite"),
     )
+
+
+@query(
+    "fn_regex_family",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(substring(text, 1, 60), '[0-9]+') AS all_numbers,
+           CAST(len(regexp_extract_all(substring(text, 1, 120), '[A-Za-z]+'))
+                AS INT) AS n_words,
+           regexp_extract(text, '([a-z]+)([0-9]+)', 2) AS first_tail_digits,
+           regexp_replace(substring(text, 1, 50), '[0-9]+', '#', 'g')
+             AS numbers_masked,
+           regexp_matches(text, '(data|model|train)') AS mentions_ml,
+           CAST(CASE WHEN regexp_matches(substring(text, 1, 30), '^[A-Z]')
+                     THEN 1 ELSE 0 END AS INT) AS starts_upper
+    FROM documents
+    """,
+)
+def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family beyond the single extract/replace in
+    fn_string_family: extract-ALL (array result), match counting,
+    group selection, global replacement, boolean matching, and an
+    anchored class test — the text-wrangling surface every cleaning
+    pipeline leans on.  Patterns stay inside the POSIX-class subset
+    where Java (Spark) and RE2-style (DuckDB) dialects agree
+    character-for-character; everything is map-side whole-stage
+    codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.substring("text", 1, 60), F.lit("[0-9]+"), 0
+        ).alias("all_numbers"),
+        F.size(
+            F.regexp_extract_all(
+                F.substring("text", 1, 120), F.lit("[A-Za-z]+"), 0
+            )
+        )
+        .cast("int")
+        .alias("n_words"),
+        F.regexp_extract("text", r"([a-z]+)([0-9]+)", 2).alias(
+            "first_tail_digits"
+        ),
+        F.regexp_replace(F.substring("text", 1, 50), "[0-9]+", "#").alias(
+            "numbers_masked"
+        ),
+        F.col("text").rlike("(data|model|train)").alias("mentions_ml"),
+        F.when(F.substring("text", 1, 30).rlike("^[A-Z]"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("starts_upper"),
+    )

@@ -868,3 +868,24 @@ CHECKS["ts_max_concurrency"] = [
     ("1-row peak broadcast",
      r"BroadcastNestedLoopJoin|BroadcastExchange"),
 ]
+
+CHECKS["fn_regex_family"] = [
+    ("map-side only: no shuffle", r"\A(?!.*hashpartitioning)"),
+    ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+]
+CHECKS["gov_right_to_erasure"] = [
+    ("cascade hops are LEFT SEMI joins", r"LeftSemi"),
+    ("no cartesian beyond the 1-row count unions",
+     r"\A(?!.*CartesianProduct)"),
+]
+CHECKS["agg_ratio_to_report"] = [
+    ("dimensions broadcast", r"BroadcastHashJoin"),
+    ("windows run over the 25-row aggregated frame (partial agg first)",
+     r"partial_sum"),
+]
+CHECKS["seq_user_churn"] = [
+    ("activity compressed to distinct user-weeks before the join",
+     r"partial_"),
+    ("adjacent-week self-join keyed on (user, week)",
+     r"(hashpartitioning\(user_id|SortMergeJoin \[user_id|FullOuter)"),
+]
