@@ -328,3 +328,94 @@ def balance_oracle_sql(cap_cents: int) -> str:
     )
     SELECT user_id, event_id, balance_cents FROM rec
     """
+
+
+# ------------------------------------------------ event-time token bucket
+
+
+def token_bucket_scan(
+    events: DataFrame,
+    cap: int,
+    refill_per_us: int,
+    cost: int,
+) -> DataFrame:
+    """Per-key EVENT-TIME token bucket (the reference's R13 rate
+    limiter re-expressed over event streams; reference etl.py applies
+    the same token/refill arithmetic per wall-clock call): each user
+    starts with a full bucket; tokens refill linearly with elapsed
+    event time up to ``cap``; an event is admitted iff ``cost``
+    tokens are available (and then spends them).
+
+    Unlike the clamp balance, the recurrence branches on its own
+    state (spend only when admitted), so the function family is NOT
+    closed under composition and no pure-JVM monoid fold exists —
+    this is the honest per-key sequential scan (applyInPandas, one
+    user_id shuffle, one sorted pass per key).  The streaming twin
+    (streaming/events.py:stateful_rate_limiter) carries (tokens,
+    last_ts) across micro-batches; both hash-check against the same
+    recursive-CTE oracle.  All arithmetic in exact int64 micro-token
+    units.
+    """
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    cap_i, refill_i, cost_i = int(cap), int(refill_per_us), int(cost)
+
+    def scan(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        tokens, last = None, None
+        allowed, after = [], []
+        for ts in zip(pdf["ts_us"], pdf["event_id"]):
+            ts_us = int(ts[0])
+            avail = (
+                cap_i
+                if tokens is None
+                else min(cap_i, tokens + (ts_us - last) * refill_i)
+            )
+            ok = avail >= cost_i
+            tokens = avail - cost_i if ok else avail
+            last = ts_us
+            allowed.append(ok)
+            after.append(tokens)
+        pdf = pdf.assign(allowed=allowed, tokens_after=after)
+        return pdf[["user_id", "event_id", "allowed", "tokens_after"]]
+
+    rows = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return rows.groupBy("user_id").applyInPandas(
+        scan, "user_id long, event_id long, allowed boolean, tokens_after long"
+    )
+
+
+def token_bucket_oracle_sql(cap: int, refill_per_us: int, cost: int) -> str:
+    """DuckDB recursive-CTE replay of the token-bucket recurrence."""
+    c, r, k = int(cap), int(refill_per_us), int(cost)
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts_us, rn,
+             {c} >= {k} AS allowed,
+             CASE WHEN {c} >= {k} THEN {c} - {k} ELSE {c} END AS tokens_after
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts_us, s.rn,
+             LEAST({c}, r.tokens_after + (s.ts_us - r.ts_us) * {r}) >= {k},
+             CASE WHEN LEAST({c}, r.tokens_after
+                             + (s.ts_us - r.ts_us) * {r}) >= {k}
+                  THEN LEAST({c}, r.tokens_after
+                             + (s.ts_us - r.ts_us) * {r}) - {k}
+                  ELSE LEAST({c}, r.tokens_after
+                             + (s.ts_us - r.ts_us) * {r}) END
+      FROM seq s JOIN rec r
+        ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, allowed,
+           CAST(tokens_after AS BIGINT) AS tokens_after
+    FROM rec
+    """

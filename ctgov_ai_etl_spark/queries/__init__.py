@@ -17,7 +17,7 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-9 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 31 queries NEW in round 9 (real-codec multimodal
+#   block 0 — the 33 queries NEW in round 9 (real-codec multimodal
 #     decode, product analytics: time-boxed + streaming funnel, RFM,
 #     Kaplan-Meier, path sequences; frontier ops: Pareto skyline,
 #     basket affinity, weighted median, hierarchy rollup, CUSUM, KS
@@ -66,6 +66,8 @@ _PRIORITY = (
     "gov_right_to_erasure",
     "agg_ratio_to_report",
     "seq_user_churn",
+    "ops_rate_limit",
+    "stream_run_rate_limit",
     # -- block 1: changed in round 9
     "seq_transition_matrix",
     "dq_benford",

@@ -1821,3 +1821,34 @@ def seq_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_retained"),
         )
     )
+
+
+# ---------------------------------------------------- rate limiting
+
+from ctgov_ai_etl_spark.operators.balance import (  # noqa: E402
+    token_bucket_oracle_sql,
+    token_bucket_scan,
+)
+
+_TB_CAP = 3_000_000_000_000  # 3 tokens in pico-token units
+_TB_COST = 1_000_000_000_000  # 1 token per event
+_TB_REFILL = 17  # pico-tokens per microsecond ≈ 1.47 tokens/day
+
+
+@query(
+    "ops_rate_limit",
+    oracle=token_bucket_oracle_sql(_TB_CAP, _TB_REFILL, _TB_COST),
+)
+def ops_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time token bucket over each user's event stream
+    (burst 3, ≈1.5 tokens/day refill): which requests a quota gate
+    ADMITS vs DROPS — the reference's R13 rate-limiter semantics
+    (reference etl.py wall-clock token bucket) replayed over event
+    time, where it becomes a testable, deterministic operator.  The
+    admit decision branches on the bucket's own state, so no window
+    or monoid fold expresses it (contrast ts_clamped_cumsum_chunked)
+    — this is the honest per-key sequential class: one user_id
+    shuffle, applyInPandas scan per key; oracle = the recurrence as a
+    recursive CTE.  Exact int64 pico-token arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return token_bucket_scan(ev, _TB_CAP, _TB_REFILL, _TB_COST)

@@ -1036,3 +1036,38 @@ def stream_run_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_ppm"
         ),
     )
+
+
+from ctgov_ai_etl_spark.queries.product import (  # noqa: E402
+    _TB_CAP,
+    _TB_COST,
+    _TB_REFILL,
+)
+from ctgov_ai_etl_spark.operators.balance import (  # noqa: E402
+    token_bucket_oracle_sql as _tb_oracle,
+)
+
+
+@query(
+    "stream_run_rate_limit",
+    oracle=_tb_oracle(_TB_CAP, _TB_REFILL, _TB_COST),
+)
+def stream_run_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING token-bucket rate limiter: file micro-batch
+    source → stateful per-user bucket
+    (streaming/events.py:stateful_rate_limiter, applyInPandasWithState,
+    TWO int64s of state per user: tokens + last event time) → memory
+    sink.  The deployable form of ops_rate_limit — same recurrence,
+    same recursive-CTE oracle, state carried across micro-batches
+    instead of a per-key batch scan.  Completes the batch/streaming
+    twin set alongside balance and capped sessions."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_rate_limiter,
+    )
+
+    stream = stateful_rate_limiter(
+        read_events_stream(spark, sf_dir), _TB_CAP, _TB_REFILL, _TB_COST
+    )
+    return run_stream_to_memory(stream, mode="update")

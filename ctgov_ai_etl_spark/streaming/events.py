@@ -668,3 +668,73 @@ def stateful_funnel(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_rate_limiter(
+    events: DataFrame, cap: int, refill_per_us: int, cost: int
+) -> DataFrame:
+    """STREAMING event-time token bucket (R13's rate limiter as a
+    stateful stream operator): per-user (tokens, last_ts) carried
+    across micro-batches; admit iff ``cost`` micro-tokens are
+    available after linear event-time refill up to ``cap``.  Same
+    recurrence as the batch scan
+    (operators/balance.py:token_bucket_scan) — both hash-check
+    against one recursive-CTE oracle.  Assumes per-key event-time
+    order across batches (the replayed file feed; production buffers
+    behind a watermark first)."""
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    cap_i, refill_i, cost_i = int(cap), int(refill_per_us), int(cost)
+
+    def update(key, pdfs, state):
+        tokens, last = state.get if state.exists else (None, None)
+        ids, oks, toks = [], [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.dropna(subset=["ts_us"]).sort_values(
+                ["ts_us", "event_id"]
+            )
+            for ts_us, event_id in zip(batch["ts_us"], batch["event_id"]):
+                ts_us = int(ts_us)
+                avail = (
+                    cap_i
+                    if tokens is None
+                    else min(cap_i, tokens + (ts_us - last) * refill_i)
+                )
+                ok = avail >= cost_i
+                tokens = avail - cost_i if ok else avail
+                last = ts_us
+                ids.append(int(event_id))
+                oks.append(ok)
+                toks.append(tokens)
+        state.update((tokens, last))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ids),
+                    "event_id": ids,
+                    "allowed": oks,
+                    "tokens_after": toks,
+                }
+            )
+
+    keyed = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, allowed boolean, tokens_after long"
+        ),
+        stateStructType="tokens long, last_us long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

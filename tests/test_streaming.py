@@ -536,3 +536,86 @@ def test_capped_sessions_state_across_microbatches(spark, tmp_path):
     assert got[4] == (1, 1)   # same session, cap slice 1 (batch-1 anchor)
     assert got[3] == (1, 0)
     assert got[5] == (2, 0)   # gap exceeded across the batch boundary
+
+
+def test_rate_limiter_state_across_microbatches(spark, tmp_path):
+    """The token bucket's (tokens, last_ts) must carry across
+    micro-batches: user 1 burns the 3-token burst in batch 1, so the
+    batch-2 event one second later (negligible refill) is DENIED;
+    after ~exactly one token of refill the next event is admitted."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_rate_limiter,
+    )
+
+    cap, cost = 3_000_000, 1_000_000  # 3-token burst, micro-tokens
+    refill = 1  # 1 micro-token per microsecond = 1 token/second
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows1 = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(microseconds=1), 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(microseconds=2), 1, "view", 1.0, "{}"),
+    ]
+    rows2 = [
+        # 1s later: refill ≈ 1 token, bucket had ~0 -> admit, then broke
+        (4, t0 + dt.timedelta(seconds=1), 1, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=1, microseconds=1), 1, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "rl_src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = run_stream_to_memory(
+        stateful_rate_limiter(stream, cap, refill, cost), mode="update"
+    )
+    got = {r["event_id"]: r["allowed"] for r in out.collect()}
+    # batch 1: full burst admits 3
+    assert got[1] and got[2] and got[3]
+    # batch 2: ~1 token refilled across the batch boundary -> one admit
+    assert got[4] is True
+    assert got[5] is False
+
+
+def test_token_bucket_batch_matches_python_reference(spark):
+    import random
+
+    from ctgov_ai_etl_spark.operators.balance import token_bucket_scan
+
+    rng = random.Random(13)
+    cap, refill, cost = 5_000_000, 2, 1_000_000
+    rows, t = [], 0
+    for i in range(60):
+        t += rng.randint(1, 2_000_000)
+        rows.append((i, t, 1 + i % 3))
+    df = spark.createDataFrame(
+        [(e, u, t) for e, t, u in rows], "event_id long, user_id long, us long"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    got = {
+        r["event_id"]: (r["allowed"], r["tokens_after"])
+        for r in token_bucket_scan(df, cap, refill, cost).collect()
+    }
+    state = {}
+    for e, t, u in rows:  # rows are already time-ordered
+        tok, last = state.get(u, (None, None))
+        avail = cap if tok is None else min(cap, tok + (t - last) * refill)
+        ok = avail >= cost
+        state[u] = (avail - cost if ok else avail, t)
+        assert got[e] == (ok, state[u][0]), e
