@@ -889,3 +889,10 @@ CHECKS["seq_user_churn"] = [
     ("adjacent-week self-join keyed on (user, week)",
      r"(hashpartitioning\(user_id|SortMergeJoin \[user_id|FullOuter)"),
 ]
+
+CHECKS["ops_rate_limit"] = [
+    ("per-key scan on ONE user_id shuffle",
+     r"hashpartitioning\(user_id"),
+    ("Arrow-batched python boundary (FlatMapGroupsInPandas)",
+     r"FlatMapGroupsInPandas"),
+]
