@@ -1852,3 +1852,81 @@ def ops_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE.  Exact int64 pico-token arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     return token_bucket_scan(ev, _TB_CAP, _TB_REFILL, _TB_COST)
+
+
+# ---------------------------------------------- discrete percentiles
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    grid AS (
+      SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY event_type, vm
+    ),
+    cum AS (
+      SELECT event_type, vm,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM grid
+    )
+    SELECT event_type,
+           round(CAST(min(CASE WHEN 100 * cum_c >= 50 * n THEN vm END)
+                      AS DOUBLE) / 1000000, 6) AS p50,
+           round(CAST(min(CASE WHEN 100 * cum_c >= 95 * n THEN vm END)
+                      AS DOUBLE) / 1000000, 6) AS p95,
+           round(CAST(min(CASE WHEN 100 * cum_c >= 99 * n THEN vm END)
+                      AS DOUBLE) / 1000000, 6) AS p99
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (SQL-standard PERCENTILE_DISC: the
+    smallest OBSERVED value whose cumulative share reaches p) — what
+    latency SLO reporting wants, where an interpolated p99 names a
+    latency no request ever had (contrast agg_percentiles'
+    continuous interpolation).  Engine-portable by construction: the
+    threshold test is pure integer cross-multiplication
+    (100·cum ≥ p·n — no division, no interpolation contract), and the
+    cumulative pass runs on the value GRID (distinct values per
+    group, partial-agg compressed), not raw rows.  One groupBy + one
+    per-type window + one tiny conditional-min aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 1_000_000).cast("long").alias("vm")
+    )
+    grid = base.groupBy("event_type", "vm").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "vm",
+        F.sum("c").over(wcum).cast("long").alias("cum_c"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+
+    def pick(pct: int, name: str):
+        return F.round(
+            F.min(
+                F.when(100 * F.col("cum_c") >= pct * F.col("n"), F.col("vm"))
+            ).cast("double")
+            / 1_000_000,
+            6,
+        ).alias(name)
+
+    return cum.groupBy("event_type").agg(
+        pick(50, "p50"), pick(95, "p95"), pick(99, "p99")
+    )

@@ -896,3 +896,10 @@ CHECKS["ops_rate_limit"] = [
     ("Arrow-batched python boundary (FlatMapGroupsInPandas)",
      r"FlatMapGroupsInPandas"),
 ]
+
+CHECKS["agg_percentile_disc"] = [
+    ("cumulative pass runs on the compressed value grid",
+     r"partial_count"),
+    ("per-type window on one event_type shuffle",
+     r"hashpartitioning\(event_type"),
+]
