@@ -1930,3 +1930,149 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("event_type").agg(
         pick(50, "p50"), pick(95, "p95"), pick(99, "p99")
     )
+
+
+# ------------------------------------------------- audience overlap
+
+
+@query(
+    "seq_audience_overlap",
+    oracle=f"""
+    WITH aud AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM aud GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           {sql_fdiv("n_both * 1000000", "sa.n + sb.n - n_both")}
+             AS jaccard_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def seq_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of behaviors, how many
+    users do both, with exact integer-ppm Jaccard — the segment
+    planning table (upsell targeting, cannibalization checks).
+    Activity compresses to DISTINCT (behavior, user) before the
+    self-join, which is keyed on user_id — pair blow-up is quadratic
+    only in behaviors-per-user (≤ 5 here; bounded by the taxonomy,
+    never the corpus).  The |types|² output joins the tiny size table
+    twice (broadcast).  At 100 TB with huge taxonomies, swap the
+    exact pair counts for KMV sketch intersections
+    (sketch_kmv_intersect) under the same output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = aud.alias("a")
+    b = aud.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            fdiv(
+                F.col("n_both") * 1_000_000,
+                F.col("n_a") + F.col("n_b") - F.col("n_both"),
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------- skew diagnostics
+
+
+@query(
+    "dq_skew_report",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM per_key
+    )
+    SELECT 'lineitem.l_orderkey' AS key_col,
+           n_keys, n_rows, max_c,
+           {sql_fdiv("max_c * n_keys * 1000000", "n_rows")}
+             AS hot_over_mean_ppm,
+           (SELECT CAST(count(*) AS BIGINT) FROM per_key
+            WHERE c * n_keys * 100 > n_rows * 200) AS n_keys_over_2x
+    FROM stats
+    """,
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew report: hottest-key multiple of the
+    mean (integer ppm) and the count of keys above 2× mean — the
+    diagnostic that decides WHETHER a join needs salting or AQE skew
+    handling before anyone burns a cluster discovering it (the
+    engine's own salting operators — skew_salted_agg/join — are the
+    remedy this report gates).  One partially-aggregated count per
+    key, then 1-row statistics; thresholds are integer
+    cross-multiplications, no float ratios."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    over = (
+        per_key.crossJoin(F.broadcast(stats))  # 1-row stats
+        .filter(F.col("c") * F.col("n_keys") * 100 > F.col("n_rows") * 200)
+        .agg(F.count("*").cast("long").alias("n_keys_over_2x"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(over))  # 1-row x 1-row
+        .select(
+            F.lit("lineitem.l_orderkey").alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_c",
+            fdiv(
+                F.col("max_c") * F.col("n_keys") * 1_000_000,
+                F.col("n_rows"),
+            ).alias("hot_over_mean_ppm"),
+            "n_keys_over_2x",
+        )
+    )

@@ -176,3 +176,53 @@ def test_png_multi_idat_chunks():
         + _chunk(b"IDAT", z[half:]) + _chunk(b"IEND", b"")
     )
     assert decode_png(blob) == (2, 2, 10, 4)
+
+
+# --------------------------- hypothesis property tests (pure python)
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ct=st.sampled_from([0, 2, 6]),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, ct, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * CH[ct],
+                    max_size=w * h * CH[ct],
+                )
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        blob = encode_png(w, h, px, ct, lambda y: filters[y])
+        W_, H_, s, n = decode_png(blob)
+        if ct == 6:
+            exp_s = sum(b for i, b in enumerate(px) if i % 4 != 3)
+            exp_n = w * h * 3
+        else:
+            exp_s, exp_n = sum(px), w * h * CH[ct]
+        assert (W_, H_, s, n) == (w, h, exp_s, exp_n)
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 20), h=st.integers(1, 20), data=st.data())
+    def test_ppm_roundtrip_property(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_ppm(encode_ppm(w, h, px)) == (w, h, sum(px), w * h * 3)
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass

@@ -903,3 +903,14 @@ CHECKS["agg_percentile_disc"] = [
     ("per-type window on one event_type shuffle",
      r"hashpartitioning\(event_type"),
 ]
+
+CHECKS["seq_audience_overlap"] = [
+    ("audience compressed to distinct pairs before the self-join",
+     r"partial_"),
+    ("size tables broadcast onto the pair matrix", r"BroadcastHashJoin"),
+]
+CHECKS["dq_skew_report"] = [
+    ("per-key counts partially aggregated", r"partial_count"),
+    ("1-row statistics broadcast (no data-scale cartesian)",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
