@@ -52,27 +52,34 @@ def sql_avg_money(expr: str) -> str:
 
 
 def fdiv(a: Column, b: Column | int) -> Column:
-    """Exact integer FLOOR division of bigints via the
-    pmod-subtraction idiom: IEEE division of an exact multiple is
-    exact, where plain ``floor(a/b)`` in double can flip at exact
-    multiples once operands exceed 2^53 (exactness conventions).
-    Spark's pmod is always non-negative, so this floors for negative
-    dividends too."""
+    """Exact integer FLOOR division over the FULL int64 range.
+
+    ``a - pmod(a, b)`` is an exact int64 multiple of ``b`` (Spark's
+    pmod is always non-negative, so this floors for negative
+    dividends too); the final division runs in DECIMAL, not double —
+    a double division is only exact while the multiple stays under
+    2^53, and ppm numerators like ``cents * 1_000_000`` blow past
+    that at sf0.1 already (the agg_ratio_to_report ±1 incident).
+    The decimal quotient of an exact multiple has zero fraction, so
+    its scale rounding can never flip the integer."""
     bb = F.lit(b) if isinstance(b, int) else b
-    return ((a - F.pmod(a, bb)) / bb).cast("long")
+    mult = (a - F.pmod(a, bb)).cast("decimal(38,0)")
+    return (mult / bb.cast("decimal(38,0)")).cast("long")
 
 
 def sql_fdiv(a: str, b: str) -> str:
-    """DuckDB mirror of :func:`fdiv` — the SAME pmod-subtraction
-    arithmetic, not ``//``, for two reasons: (1) DuckDB ``//``
-    truncates toward zero on negative dividends while pmod-subtraction
-    floors (they agree only on the non-negative domain — the
-    dq_l_diversity negative-balance incident); (2) an un-CAST window
-    ``sum(BIGINT)`` divisor is HUGEINT and would make the result
-    column HUGEINT, the non-portable oracle type that broke
-    seq_transition_matrix / dq_benford in round 8.  DuckDB ``%``
-    follows the dividend's sign, so the double-mod normalizes it to
-    Spark's non-negative pmod."""
+    """DuckDB mirror of :func:`fdiv` — pmod-subtraction then INTEGER
+    division of the exact multiple.  Three traps this form dodges:
+    (1) DuckDB ``//`` alone truncates toward zero on negative
+    dividends while pmod-subtraction floors (the dq_l_diversity
+    negative-balance incident); (2) DuckDB ``/`` on integers is
+    DOUBLE division — inexact past 2^53 exactly like the Spark double
+    path (the agg_ratio_to_report sf0.1 incident), so the multiple is
+    divided with ``//`` (exact on an exact multiple, any sign);
+    (3) the final CAST keeps a HUGEINT-widened window-sum divisor out
+    of the result schema (the r8 seq_transition_matrix / dq_benford
+    driver failures).  DuckDB ``%`` follows the dividend's sign, so
+    the double-mod normalizes it to Spark's non-negative pmod."""
     bb = f"CAST(({b}) AS BIGINT)"
     pm = f"((({a}) % {bb}) + {bb}) % {bb}"
-    return f"CAST((({a}) - ({pm})) / {bb} AS BIGINT)"
+    return f"CAST((({a}) - ({pm})) // {bb} AS BIGINT)"

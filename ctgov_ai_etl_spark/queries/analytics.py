@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ctgov_ai_etl_spark.functions.exact import cents, sql_sum_money, sum_money
+from ctgov_ai_etl_spark.functions.exact import cents, fdiv, sql_sum_money, sum_money
 from ctgov_ai_etl_spark.operators.balance import (
     balance_oracle_sql,
     clamped_balance,
@@ -130,8 +130,9 @@ def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum("n_pairs").over(W.partitionBy("from_type"))
     num = F.col("n_pairs") * 1_000_000
-    # Integer floor-div via pmod subtraction (exactness conventions).
-    ppm = ((num - F.pmod(num, total)) / total).cast("long")
+    # fdiv divides the exact multiple in decimal — the plain double
+    # division flips once ppm numerators pass 2^53 (sf0.1 incident).
+    ppm = fdiv(num, total)
     return cnt.select("from_type", "to_type", "n_pairs", ppm.alias("prob_ppm"))
 
 
@@ -504,7 +505,7 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in_big branch cover every row and the small-bucket divisor is
     # never reached (the clamp keeps the dead branch well-defined).
     def _fdiv(a, b):
-        return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+        return fdiv(a, F.lit(b))
 
     in_big = pos <= rem * (base + 1)
     bucket = (
@@ -612,7 +613,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum("n").over(W.partitionBy())
     num = F.col("n") * 1_000_000
-    observed = ((num - F.pmod(num, total)) / total).cast("long")
+    observed = fdiv(num, total)
     expected = F.element_at(
         F.create_map(
             *[F.lit(x) for dp in _BENFORD_PPM.items() for x in dp]
