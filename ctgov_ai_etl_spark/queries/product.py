@@ -2076,3 +2076,203 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys_over_2x",
         )
     )
+
+
+# --------------------------------------------------- rolling bivariate
+
+
+@query(
+    "win_rolling_corr",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS x,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS y
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+      SELECT user_id, event_id, x, y,
+             CAST(count(*) OVER r AS BIGINT) AS n,
+             CAST(sum(x) OVER r AS BIGINT) AS sx,
+             CAST(sum(y) OVER r AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER r AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) OVER r AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) OVER r AS HUGEINT) AS sxy
+      FROM base WHERE y IS NOT NULL
+      WINDOW r AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(n AS INT) AS n_window,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
+                 6) AS rho
+    FROM f
+    WHERE n >= 5
+      AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) > 0
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between event value and
+    inter-arrival gap over a trailing 20-event frame per user — the
+    'does engagement intensity track spend' monitor, and the rolling
+    BIVARIATE-moment pattern: five windowed integer sums (Σx Σy Σx²
+    Σy² Σxy in decimal — exact at any magnitude) share ONE user_id
+    exchange, and the correlation is a single shared IEEE formula at
+    the end (the same moment discipline as agg_corr_exact, windowed).
+    F.corr OVER would stream float updates in partition order —
+    non-replayable; this is exact until the final expression.
+    Degenerate frames (zero variance, n<5) are filtered identically
+    on both sides."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("x"),
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(wo)
+        ).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    r = wo.rowsBetween(-19, 0)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    f = base.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(r).cast("long").alias("n"),
+        F.sum("x").over(r).cast("long").alias("sx"),
+        F.sum("y").over(r).cast("long").alias("sy"),
+        F.sum(xd * F.col("x")).over(r).alias("sxx"),
+        F.sum(yd * F.col("y")).over(r).alias("syy"),
+        F.sum(xd * F.col("y")).over(r).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    return (
+        f.filter((n >= 5) & (vx * vy > 0))
+        .select(
+            "user_id",
+            "event_id",
+            n.cast("int").alias("n_window"),
+            F.round(cov / F.sqrt(vx * vy), 6).alias("rho"),
+        )
+    )
+
+
+# ------------------------------------------------ composed pipeline
+
+
+@query(
+    "pipeline_churn_digest",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day_idx
+      FROM events WHERE ts IS NOT NULL
+    ),
+    last_w AS (SELECT max(day_idx) AS w FROM wk),
+    churned AS (
+      SELECT p.user_id FROM wk p CROSS JOIN last_w
+      WHERE p.day_idx = last_w.w - 1
+        AND NOT EXISTS (SELECT 1 FROM wk c
+                        WHERE c.user_id = p.user_id
+                          AND c.day_idx = last_w.w)
+    ),
+    cusum AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_alarms
+      FROM (
+        WITH RECURSIVE seq AS (
+          SELECT user_id, event_id,
+                 CAST(round(value * 1000000) AS BIGINT) - 600000 AS delta,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events WHERE ts IS NOT NULL
+        ),
+        rec AS (
+          SELECT user_id, event_id, rn, GREATEST(0, delta) AS s_micro
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.event_id, s.rn,
+                 GREATEST(0, r.s_micro + s.delta)
+          FROM seq s JOIN rec r
+            ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id FROM rec WHERE s_micro > 2000000
+      ) a GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS lifetime_cents,
+           max({{'t': epoch_us(e.ts), 'i': e.event_id,
+                'y': e.event_type}}).y AS last_event_type,
+           CAST(coalesce(min(cu.n_alarms), 0) AS BIGINT) AS n_cusum_alarms
+    FROM churned c
+    JOIN events e ON e.user_id = c.user_id AND e.ts IS NOT NULL
+    LEFT JOIN cusum cu ON cu.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def pipeline_churn_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END churn-risk digest: the users active the day before
+    the final observed day who went silent on it (the seq_user_churn
+    fragment at DAY granularity — weekly churn is empty on this
+    always-on fixture), joined to
+    their lifetime profile — event count, exact-cents lifetime value,
+    last action (struct-max order statistic, no window), and how many
+    CUSUM drift alarms they tripped (the anomaly_cusum fragment) —
+    the handoff table a retention team actually works.  Every stage
+    is an existing catalog fragment composed: the oracle is the
+    fragment oracles composed verbatim (recursive CTE included), the
+    engine side reuses the same operators; churned-user filtering is
+    a semi-join before the profile aggregation, so the heavy rollup
+    runs only over the churned slice."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = ev.select(
+        "user_id", fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day_idx")
+    ).distinct()
+    last_w = wk.agg(F.max("day_idx").alias("w"))
+    act = wk.crossJoin(F.broadcast(last_w))
+    prev = act.filter(F.col("day_idx") == F.col("w") - 1).select("user_id")
+    cur = act.filter(F.col("day_idx") == F.col("w")).select("user_id")
+    churned = prev.join(cur, "user_id", "left_anti")
+
+    # CUSUM alarm counts per user (anomaly_cusum fragment, reused)
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    cusum = (
+        REGISTRY["anomaly_cusum"].fn(spark, sf_dir)
+        .filter(F.col("alarm"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_alarms"))
+    )
+    profile = (
+        ev.join(churned, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(cents("value")).cast("long").alias("lifetime_cents"),
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.col("event_type").alias("y"),
+                )
+            )["y"].alias("last_event_type"),
+        )
+    )
+    return profile.join(cusum, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "lifetime_cents",
+        "last_event_type",
+        F.coalesce("n_alarms", F.lit(0)).cast("long").alias("n_cusum_alarms"),
+    )

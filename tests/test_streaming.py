@@ -619,3 +619,57 @@ def test_token_bucket_batch_matches_python_reference(spark):
         ok = avail >= cost
         state[u] = (avail - cost if ok else avail, t)
         assert got[e] == (ok, state[u][0]), e
+
+
+def test_funnel_state_across_microbatches(spark, tmp_path):
+    """Funnel chain state must carry across micro-batches: user 1's
+    view arrives in batch 1, click + purchase in batch 2 (within
+    bound) -> full chain; user 2's click arrives BEFORE its view
+    (split across batches) -> stuck at step 1."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_funnel,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows1 = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 2, "click", 1.0, "{}"),
+    ]
+    rows2 = [
+        (3, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=2), 1, "purchase", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=1), 2, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "funnel_src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = run_stream_to_memory(
+        stateful_funnel(stream, bound_us=7 * 86_400_000_000), mode="update"
+    )
+    from pyspark.sql import functions as FF
+
+    final = {
+        r["user_id"]: r["reached"]
+        for r in out.groupBy("user_id")
+        .agg(FF.max("step_reached").alias("reached"))
+        .collect()
+    }
+    assert final[1] == 3  # chain completed across the batch boundary
+    assert final[2] == 1  # click-before-view never counts

@@ -914,3 +914,14 @@ CHECKS["dq_skew_report"] = [
     ("1-row statistics broadcast (no data-scale cartesian)",
      r"BroadcastNestedLoopJoin|BroadcastExchange"),
 ]
+
+CHECKS["win_rolling_corr"] = [
+    ("all five moment sums on ONE user_id exchange",
+     r"hashpartitioning\(user_id"),
+    ("no Python anywhere", r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+]
+CHECKS["pipeline_churn_digest"] = [
+    ("churn slice applied as a semi-join before the rollup",
+     r"LeftSemi"),
+    ("profile rollup partially aggregated", r"partial_sum"),
+]
