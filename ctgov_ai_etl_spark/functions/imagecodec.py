@@ -10,6 +10,9 @@ decodable with nothing beyond the standard library:
   ``zlib`` (stdlib).  This is a genuine decoder: a wrong Paeth
   predictor or a missed filter byte corrupts every pixel after it,
   and the oracle-checked mean-luma would miss.
+- **WAV (RIFF PCM-16)** — chunk-stream walk (unknown chunks skipped,
+  odd-size RIFF padding honored), little-endian int16 frames; the
+  audio leg of the multimodal family (``mm_decode_audio``).
 
 Encoders for both formats live here too (the tests and the
 ``mm_decode_real`` catalog query synthesize images on the executors,
@@ -248,3 +251,56 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(out)))
         + _chunk(b"IEND", b"")
     )
+
+
+# ------------------------------------------------------------ audio
+
+
+def encode_wav(
+    sample_rate: int, channels: int, samples: bytes
+) -> bytes:
+    """Minimal RIFF/WAVE PCM-16 encoder: ``samples`` is the raw
+    little-endian int16 frame data (len = n_frames * channels * 2)."""
+    if len(samples) % (2 * channels):
+        raise ValueError("sample byte count not a frame multiple")
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int]:
+    """Decode a RIFF/WAVE PCM-16 payload by walking the chunk stream
+    (fmt then data; unknown chunks skipped, odd sizes padded per the
+    RIFF spec).  Returns ``(channels, sample_rate, n_frames,
+    abs_sum)`` where ``abs_sum`` is the exact integer sum of |sample|
+    over every int16 — the loudness statistic a SQL oracle replays
+    without touching bytes."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # RIFF pads odd chunks
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    bits = fmt[5]
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM-16 supported")
+    n = len(pcm) // 2
+    vals = struct.unpack(f"<{n}h", pcm[: n * 2])
+    abs_sum = sum(v if v >= 0 else -v for v in vals)
+    return channels, sample_rate, n // channels, abs_sum

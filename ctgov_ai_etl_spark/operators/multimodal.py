@@ -210,3 +210,83 @@ def frame_sample(
             )
 
     return src.mapInPandas(run, schema=f"{id_col} long, frame_idx int, frame_sig string")
+
+
+def render_test_audio(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL RIFF/PCM-16 WAV payloads deterministically from
+    a text column (the audio sibling of render_test_images): channel
+    count, frame count, and the PCM pattern derive from md5(text), so
+    a SQL oracle replays the expected loudness statistic without ever
+    touching bytes.  Sample at flat index j:
+    ((v·131 + j·7919) mod 65536) − 32768 — full int16 range,
+    byte-order sensitive (a wrong endianness or chunk walk corrupts
+    the decoded sum)."""
+    import hashlib as _hl
+    import struct as _st
+
+    from ctgov_ai_etl_spark.functions.imagecodec import encode_wav
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                ch = 1 + dig[0] % 2
+                n_frames = 50 + dig[1]
+                v = dig[2]
+                n = n_frames * ch
+                vals = [((v * 131 + j * 7919) % 65536) - 32768 for j in range(n)]
+                blob = encode_wav(8000, ch, _st.pack(f"<{n}h", *vals))
+                ids.append(rid)
+                blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def decode_audio_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE chunk walk + PCM-16 unpack
+    (functions/imagecodec.py:decode_wav), Arrow-batched.  Emits exact
+    integer (abs_sum, n_samples) so the loudness mean is one
+    fixed-order division downstream — hash-checkable end to end
+    (mm_decode_audio)."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_wav
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            chs, rates, frames, sums = [], [], [], []
+            for data in pdf[blob_col]:
+                ch, rate, nf, s = decode_wav(bytes(data))
+                chs.append(ch)
+                rates.append(rate)
+                frames.append(nf)
+                sums.append(s)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "channels": chs,
+                    "sample_rate": rates,
+                    "n_frames": frames,
+                    "abs_sum": sums,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, channels int, sample_rate int,"
+            " n_frames int, abs_sum long"
+        ),
+    )

@@ -135,3 +135,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte positions). Sampled on a 50-doc slice."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return frame_sample(attach_blob(d, "text"), "doc_id", every_n=40)
+
+
+@query(
+    "mm_decode_audio",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 2 AS ch,
+             50 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS n_frames,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ch AS INT) AS channels,
+           8000 AS sample_rate,
+           CAST(n_frames AS INT) AS n_frames,
+           round(CAST(list_aggregate(
+                   list_transform(range(0, n_frames * ch),
+                     j -> abs(((v * 131 + j * 7919) % 65536) - 32768)),
+                   'sum') AS BIGINT)
+                 / CAST(n_frames * ch AS BIGINT) / 32768.0, 6) AS mean_abs
+    FROM base
+    """,
+)
+def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE audio decode, hash-checked end-to-end (the audio leg of
+    mm_decode_real): synthesize RIFF/PCM-16 WAV payloads from
+    md5-derived parameters, decode them back with the stdlib chunk
+    walker + int16 unpack — endianness, RIFF padding, and the
+    fmt/data layout all sit between encoder and statistic, so any
+    codec defect breaks the oracle match.  The oracle replays the
+    closed-form PCM pattern in SQL, never touching bytes.  Two
+    Arrow-batched mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        decode_audio_real,
+        render_test_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_audio_real(render_test_audio(d, "doc_id"), "doc_id")
+    return decoded.select(
+        "doc_id",
+        "channels",
+        F.lit(8000).alias("sample_rate"),
+        "n_frames",
+        F.round(
+            F.col("abs_sum")
+            / (F.col("n_frames").cast("long") * F.col("channels"))
+            / F.lit(32768.0),
+            6,
+        ).alias("mean_abs"),
+    )

@@ -226,3 +226,50 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the image
     pass
+
+
+def test_wav_roundtrip_and_malformed():
+    import struct
+    import random
+
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_wav, encode_wav
+
+    rng = random.Random(21)
+    for ch in (1, 2):
+        n = rng.randint(5, 200)
+        vals = [rng.randint(-32768, 32767) for _ in range(n * ch)]
+        pcm = struct.pack(f"<{len(vals)}h", *vals)
+        assert decode_wav(encode_wav(44100, ch, pcm)) == (
+            ch, 44100, n, sum(abs(v) for v in vals)
+        )
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all........")
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # 8-bit PCM unsupported
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(blob)
+
+
+def test_wav_skips_unknown_chunks_and_pads_odd():
+    import struct
+
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = struct.pack("<3h", 100, -200, 300)
+    junk = b"junk" + struct.pack("<I", 3) + b"abc"  # odd size -> 1 pad byte
+    body = (
+        b"WAVE"
+        + junk + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(blob) == (1, 8000, 3, 600)

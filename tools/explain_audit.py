@@ -925,3 +925,9 @@ CHECKS["pipeline_churn_digest"] = [
      r"LeftSemi"),
     ("profile rollup partially aggregated", r"partial_sum"),
 ]
+
+CHECKS["mm_decode_audio"] = [
+    ("render and decode are Arrow-batched mapInPandas stages",
+     r"MapInPandas"),
+    ("no shuffle in the codec path", r"\A(?!.*Exchange hashpartitioning)"),
+]
