@@ -304,3 +304,61 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int]:
     vals = struct.unpack(f"<{n}h", pcm[: n * 2])
     abs_sum = sum(v if v >= 0 else -v for v in vals)
     return channels, sample_rate, n // channels, abs_sum
+
+
+# ------------------------------------------------------------ video
+
+
+def encode_y4m(width: int, height: int, frames: list) -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) encoder, C420: each frame is the raw
+    w*h luma plane (bytes); chroma planes are written as flat 128s.
+    Even dimensions required by 4:2:0 subsampling."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    chroma = bytes([128]) * ((width // 2) * (height // 2))
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (width, height)
+    )
+    for y_plane in frames:
+        if len(y_plane) != width * height:
+            raise ValueError("luma plane size mismatch")
+        out += b"FRAME\n" + bytes(y_plane) + chroma + chroma
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, int, int]:
+    """Decode a YUV4MPEG2 stream (C420): parse the parameter header,
+    then walk FRAME markers, skipping chroma planes by computed size —
+    a mis-sized plane desynchronizes every following frame marker and
+    the luma statistic, so the walk is genuinely structural.  Returns
+    ``(width, height, n_frames, luma_sum)`` with ``luma_sum`` the
+    exact integer sum over every Y-plane byte."""
+    nl = data.index(b"\n")
+    header = data[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok.startswith(b"C420"):
+            raise ValueError(f"unsupported chroma mode {tok!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in header")
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    pos, n_frames, luma_sum = nl + 1, 0, 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("desynchronized FRAME marker")
+        fe = data.find(b"\n", pos)
+        if fe == -1:
+            raise ValueError("truncated FRAME header")
+        pos = fe + 1
+        if pos + y_size + 2 * c_size > len(data):
+            raise ValueError("truncated frame planes")
+        luma_sum += sum(data[pos : pos + y_size])
+        pos += y_size + 2 * c_size
+        n_frames += 1
+    return w, h, n_frames, luma_sum

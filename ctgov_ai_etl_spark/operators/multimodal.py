@@ -290,3 +290,81 @@ def decode_audio_real(
             " n_frames int, abs_sum long"
         ),
     )
+
+
+def render_test_video(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL YUV4MPEG2 (Y4M) video payloads deterministically
+    from a text column (the video sibling of render_test_images):
+    even dimensions, frame count, and luma pattern derive from
+    md5(text).  Y byte at (frame f, index j) = (v + f·17 + j) % 256 —
+    a closed form a SQL oracle replays without touching bytes."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.imagecodec import encode_y4m
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w = 2 * (1 + dig[0] % 8)
+                h = 2 * (1 + dig[1] % 8)
+                nf = 1 + dig[3] % 6
+                v = dig[2]
+                frames = [
+                    bytes((v + f * 17 + j) % 256 for j in range(w * h))
+                    for f in range(nf)
+                ]
+                ids.append(rid)
+                blobs.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def decode_video_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL video decode: YUV4MPEG2 header parse + structural FRAME
+    walk with computed plane skips (functions/imagecodec.py:
+    decode_y4m), Arrow-batched.  Emits exact integer (luma_sum,
+    n_frames) — the per-stream loudness/brightness statistic a SQL
+    oracle replays (mm_decode_video)."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_y4m
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nfs, sums = [], [], [], []
+            for data in pdf[blob_col]:
+                w, h, nf, s = decode_y4m(bytes(data))
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+                sums.append(s)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": nfs,
+                    "luma_sum": sums,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, width int, height int,"
+            " n_frames int, luma_sum long"
+        ),
+    )

@@ -17,7 +17,7 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #
 # Round-9 priority, continuing the rotation (the belt-and-braces LOCAL
 # full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 39 queries NEW in round 9 (real-codec multimodal
+#   block 0 — the 40 queries NEW in round 9 (real-codec multimodal
 #     decode, product analytics: time-boxed + streaming funnel, RFM,
 #     Kaplan-Meier, path sequences; frontier ops: Pareto skyline,
 #     basket affinity, weighted median, hierarchy rollup, CUSUM, KS
@@ -74,6 +74,7 @@ _PRIORITY = (
     "win_rolling_corr",
     "pipeline_churn_digest",
     "mm_decode_audio",
+    "mm_decode_video",
     # -- block 1: changed in round 9
     "seq_transition_matrix",
     "dq_benford",

@@ -187,3 +187,61 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs"),
     )
+
+
+@query(
+    "mm_decode_video",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             2 * (1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 8) AS w,
+             2 * (1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 8) AS h,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v,
+             1 + CAST(('0x' || substr(md5(text), 7, 2)) AS INT) % 6 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           round(CAST(list_aggregate(
+                   list_transform(range(0, nf * w * h),
+                     k -> (v + (k // (w * h)) * 17 + (k % (w * h))) % 256),
+                   'sum') AS BIGINT)
+                 / CAST(nf * w * h AS BIGINT) / 255.0, 6) AS mean_luma
+    FROM base
+    """,
+)
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE video decode, hash-checked end-to-end — the video leg
+    completing the multimodal family (image: mm_decode_real, audio:
+    mm_decode_audio): synthesize real YUV4MPEG2 streams from
+    md5-derived parameters, decode with the stdlib header parse +
+    structural FRAME walk (a mis-sized chroma skip desynchronizes
+    every later frame marker — the walk is load-bearing), and report
+    per-stream frame count + mean luma.  Oracle replays the
+    closed-form Y-plane pattern in SQL.  Two Arrow-batched
+    mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        decode_video_real,
+        render_test_video,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_video_real(render_test_video(d, "doc_id"), "doc_id")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round(
+            F.col("luma_sum")
+            / (
+                F.col("n_frames").cast("long")
+                * F.col("width")
+                * F.col("height")
+            )
+            / F.lit(255.0),
+            6,
+        ).alias("mean_luma"),
+    )

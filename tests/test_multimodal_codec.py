@@ -273,3 +273,34 @@ def test_wav_skips_unknown_chunks_and_pads_odd():
     )
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     assert decode_wav(blob) == (1, 8000, 3, 600)
+
+
+def test_y4m_roundtrip_and_malformed():
+    import random
+
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_y4m, encode_y4m
+
+    rng = random.Random(31)
+    w, h = 6, 4
+    frames = [
+        bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(3)
+    ]
+    assert decode_y4m(encode_y4m(w, h, frames)) == (
+        w, h, 3, sum(sum(f) for f in frames)
+    )
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"nope\nFRAME\n")
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(3, 4, [bytes(12)])
+    # corrupt a FRAME marker -> desynchronization detected
+    blob = bytearray(encode_y4m(w, h, frames))
+    idx = blob.index(b"FRAME", 20)
+    blob[idx] = ord("X")
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(bytes(blob))
+    # truncation anywhere is detected (as a short plane or a broken
+    # FRAME marker, depending on where the cut lands)
+    with pytest.raises(ValueError, match="truncated|FRAME"):
+        decode_y4m(bytes(encode_y4m(w, h, frames))[:-40])
+    with pytest.raises(ValueError, match="truncated|FRAME"):
+        decode_y4m(bytes(encode_y4m(w, h, frames))[:-5])

@@ -931,3 +931,9 @@ CHECKS["mm_decode_audio"] = [
      r"MapInPandas"),
     ("no shuffle in the codec path", r"\A(?!.*Exchange hashpartitioning)"),
 ]
+
+CHECKS["mm_decode_video"] = [
+    ("render and decode are Arrow-batched mapInPandas stages",
+     r"MapInPandas"),
+    ("no shuffle in the codec path", r"\A(?!.*Exchange hashpartitioning)"),
+]
