@@ -854,8 +854,6 @@ def main() -> int:
     return 1 if failures else 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
 
 CHECKS["attribution_linear"] = [
     ("conversion grouping + credit join share the user_id family",
@@ -937,3 +935,7 @@ CHECKS["mm_decode_video"] = [
      r"MapInPandas"),
     ("no shuffle in the codec path", r"\A(?!.*Exchange hashpartitioning)"),
 ]
+
+
+if __name__ == "__main__":
+    sys.exit(main())
