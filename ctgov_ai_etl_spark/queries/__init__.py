@@ -73,6 +73,10 @@ _PRIORITY = (
     "dq_skew_report",
     "win_rolling_corr",
     "pipeline_churn_digest",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_rich_customers",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

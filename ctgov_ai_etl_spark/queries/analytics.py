@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ctgov_ai_etl_spark.functions.exact import cents, fdiv, sql_sum_money, sum_money
+from ctgov_ai_etl_spark.functions.exact import (
+    cents,
+    fdiv,
+    sql_fdiv,
+    sql_sum_money,
+    sum_money,
+)
 from ctgov_ai_etl_spark.operators.balance import (
     balance_oracle_sql,
     clamped_balance,
@@ -1674,4 +1680,262 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_extendedprice") * (100 - disc_pct)).cast("double")
             / 10_000
         ).alias("revenue")
+    )
+
+
+# ------------------------------------------- wave-10: TPC-H completions
+#
+# With partsupp absent from the fixture and lineitem lacking
+# receipt/commit dates and ship modes, Q2/Q9/Q11/Q12/Q16/Q20/Q21 are
+# not expressible; Q7/Q8/Q15/Q22 below complete every
+# fixture-expressible TPC-H shape (Q1 = agg_pricing_summary,
+# Q3/Q4/Q5/Q6/Q10/Q13/Q14/Q17/Q18/Q19 in earlier waves).
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {sql_sum_money("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between two trading
+    nations, split by direction and ship year.
+
+    Scale story: both nation filters collapse supplier and customer
+    to ~2/25 of their rows BEFORE touching the fact spine, so the
+    two dimension sides broadcast; the only shuffle is the
+    orders⋈lineitem spine join.  The directed-pair disjunction is
+    evaluated after the joins on two broadcast-delivered name
+    columns — no cartesian, no re-shuffle."""
+    pair = ("NATION_1", "NATION_2")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS volume_cents,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           {sql_fdiv(
+               "sum(CASE WHEN supp_nation = 'NATION_1' "
+               "THEN volume_cents ELSE 0 END) * 1000000",
+               "sum(volume_cents)")} AS share_ppm
+    FROM volumes
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_1's share of ECONOMY-
+    part revenue sold into AMERICA, per order year, in exact ppm.
+
+    Scale story: every dimension (part 1/6, customer-nations-in-
+    region 1/5, supplier→nation name) broadcasts; the fact spine
+    shuffles once on the orders⋈lineitem key.  The share is a
+    conditional sum over ONE aggregation — not two passes joined —
+    and the ppm ratio uses the exact fdiv convention so the int64
+    numerator (cents × 1e6) never touches a double."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cust_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(fdiv(nat_vol * 1_000_000, F.sum(vol)).alias("share_ppm"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents =
+          (SELECT max(total_revenue_cents) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the global maximum.
+
+    Scale story: one shuffle aggregates revenue per supplier; the
+    global max is a second 1-ROW aggregate of that (tiny) frame,
+    broadcast back as a nested-loop filter — never a global sort or
+    a single-partition window.  Revenue stays in integer cents end
+    to end, so the max-equality join is an exact int64 comparison
+    (doubles would make 'equals the max' engine-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_revenue_cents")
+        )
+    )
+    best = revenue.agg(
+        F.max("total_revenue_cents").alias("best_cents")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue_cents") == F.col("best_cents"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.cnt > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and no order since 2000-01-01
+    (the fixture's 'lapsed' horizon), counted per market segment
+    (the analog of the phone-prefix country code).
+
+    Scale story: the decorrelated scalar subquery is a 1-row
+    aggregate broadcast onto the customer scan; 'above average' is
+    evaluated as the cross-multiplied integer predicate
+    cents·count > sum_cents — no division, so the threshold can
+    never straddle a double rounding boundary between engines.  The
+    NOT EXISTS is a broadcast/shuffled LEFT ANTI join on c_custkey,
+    and the final rollup partially aggregates per segment."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents("c_acctbal")).alias("sum_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(cents("c_acctbal") * F.col("cnt") > F.col("sum_cents"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(cents("c_acctbal")).alias("totacctbal_cents"),
+        )
     )

@@ -937,5 +937,30 @@ CHECKS["mm_decode_video"] = [
 ]
 
 
+
+CHECKS["tpch_q7_volume_shipping"] = [
+    ("nation-filtered supplier/customer sides broadcast",
+     r"BroadcastHashJoin"),
+    ("fact spine partially aggregated", r"partial_sum"),
+]
+CHECKS["tpch_q8_market_share"] = [
+    ("all dimensions broadcast onto the fact spine",
+     r"BroadcastHashJoin"),
+    ("single conditional-sum aggregation (no two-pass self-join)",
+     r"partial_sum"),
+]
+CHECKS["tpch_q15_top_supplier"] = [
+    ("per-supplier revenue partially aggregated", r"partial_sum"),
+    ("global max is a broadcast 1-row aggregate, not a sort",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ("no global sort", r"\A(?!.*rangepartitioning)"),
+]
+CHECKS["tpch_q22_idle_rich_customers"] = [
+    ("scalar threshold broadcast as a 1-row aggregate",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ("NOT EXISTS is an anti join", r"LeftAnti"),
+    ("segment rollup partially aggregated", r"partial_(sum|count)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
