@@ -77,6 +77,9 @@ _PRIORITY = (
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q22_idle_rich_customers",
+    "text_bpe_merge_rank",
+    "emb_quantize_int8",
+    "maintenance_zonemap_prune",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

@@ -2276,3 +2276,82 @@ def pipeline_churn_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_type",
         F.coalesce("n_alarms", F.lit(0)).cast("long").alias("n_cusum_alarms"),
     )
+
+
+# ---------------------------------------------- wave-10: embedding serving
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    mm AS (
+      SELECT label, xi,
+             list_max(list_transform(xi, v -> abs(v))) AS m
+      FROM base
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(len(xi)) AS BIGINT) AS n_elems,
+           CAST(sum(list_sum(list_transform(xi,
+                v -> abs(CAST(((254 * v + m) - ((((254 * v + m) % CAST((2 * m) AS BIGINT)) + CAST((2 * m) AS BIGINT)) % CAST((2 * m) AS BIGINT))) // CAST((2 * m) AS BIGINT) AS BIGINT) * m - 127 * v)))) AS BIGINT) AS sum_err127,
+           CAST(max(list_max(list_transform(xi,
+                v -> abs(CAST(((254 * v + m) - ((((254 * v + m) % CAST((2 * m) AS BIGINT)) + CAST((2 * m) AS BIGINT)) % CAST((2 * m) AS BIGINT))) // CAST((2 * m) AS BIGINT) AS BIGINT))))) AS BIGINT) AS max_abs_q
+    FROM mm
+    WHERE m > 0
+    GROUP BY label
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression every 100 TB vector-serving layout applies before
+    ANN — audited per label: vector/element counts, the exact total
+    reconstruction error, and the max |quantized| code (must stay
+    <= 127).
+
+    Exactness: elements are fixed to integer micro-units first, the
+    per-vector scale is the integer max-abs, and the int8 code is
+    round-half-up computed as floor((254·x + m) / (2m)) via the fdiv
+    pmod-subtraction idiom — no float division anywhere, so the code
+    assignment and the error sum are bit-identical across engines
+    (error is reported in micro-units x 127 to stay integral).
+
+    Scale story: quantization is a pure map-side array HOF chain
+    (transform / array_max / aggregate — all JVM codegen, no Python);
+    the only shuffle is the tiny per-label audit rollup.  Zero-vector
+    rows (m = 0) are excluded on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+    )
+    base = emb.select("label", xi.alias("xi"))
+    m = F.array_max(F.transform(F.col("xi"), lambda v: F.abs(v)))
+    mm = base.select("label", "xi", m.alias("m")).filter(F.col("m") > 0)
+
+    def q_of(v):
+        return fdiv(F.lit(254) * v + F.col("m"), F.lit(2) * F.col("m"))
+
+    err = F.transform(
+        F.col("xi"), lambda v: F.abs(q_of(v) * F.col("m") - F.lit(127) * v)
+    )
+    qabs = F.transform(F.col("xi"), lambda v: F.abs(q_of(v)))
+    per_vec = mm.select(
+        "label",
+        F.size("xi").cast("long").alias("n_elems"),
+        F.aggregate(
+            err, F.lit(0).cast("long"), lambda acc, e: acc + e
+        ).alias("vec_err"),
+        F.array_max(qabs).alias("vec_max_q"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("n_elems").cast("long").alias("n_elems"),
+        F.sum("vec_err").cast("long").alias("sum_err127"),
+        F.max("vec_max_q").cast("long").alias("max_abs_q"),
+    )

@@ -581,3 +581,98 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") - 1).alias("gap_end"),
         (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
     )
+
+
+_ZM_LO_DAY = 9862   # 1997-01-01 as epoch days (computed once, injected
+_ZM_HI_DAY = 10043   # into BOTH engines — exactness convention)
+
+
+@query(
+    "maintenance_zonemap_prune",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS day
+      FROM lineitem
+    ),
+    fa AS (
+      SELECT CAST(((l_orderkey) - ((((l_orderkey) % CAST((4096) AS BIGINT)) + CAST((4096) AS BIGINT)) % CAST((4096) AS BIGINT))) // CAST((4096) AS BIGINT) AS BIGINT) AS f,
+             min(day) AS mi, max(day) AS ma, count(*) AS n
+      FROM d GROUP BY f
+    ),
+    fb AS (
+      SELECT CAST(((day) - ((((day) % CAST((7) AS BIGINT)) + CAST((7) AS BIGINT)) % CAST((7) AS BIGINT))) // CAST((7) AS BIGINT) AS BIGINT) AS f,
+             min(day) AS mi, max(day) AS ma, count(*) AS n
+      FROM d GROUP BY f
+    )
+    SELECT 'orderkey_files' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ma < 9862 OR mi >= 10043 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_skipped,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN ma < 9862 OR mi >= 10043 THEN n ELSE 0 END)
+                AS BIGINT) AS rows_skipped
+    FROM fa
+    UNION ALL
+    SELECT 'shipdate_weeks' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN ma < 9862 OR mi >= 10043 THEN 1 ELSE 0 END)
+                AS BIGINT) AS files_skipped,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN ma < 9862 OR mi >= 10043 THEN n ELSE 0 END)
+                AS BIGINT) AS rows_skipped
+    FROM fb
+    """,
+)
+def maintenance_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer) pruning simulation: how much of a
+    half-year l_shipdate predicate two physical layouts let the
+    scanner SKIP.  Layout A buckets rows into 4096-order 'files' in
+    orderkey sequence (the natural ingest order); layout B clusters
+    by ship week.  Per layout: file count, files whose [min,max]
+    shipdate rectangle misses the predicate entirely, and the row
+    volume those skips avoid — the arithmetic behind parquet
+    row-group skipping / Delta file skipping, and the quantified
+    WHY of maintenance_zorder: clustering turns footer stats into
+    O(selectivity) scans at 100 TB, ingest order leaves them
+    useless.
+
+    Scale story: each layout is ONE partial-aggregated rollup over
+    the derived file id; the final per-layout summary aggregates a
+    file-count-sized frame to one row.  The epoch-day bounds are
+    computed once in Python and injected into both engines; bucket
+    ids use exact integer floor division (fdiv)."""
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    )
+
+    def layout_summary(files, tag):
+        skip = (F.col("ma") < _ZM_LO_DAY) | (F.col("mi") >= _ZM_HI_DAY)
+        return files.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(skip.cast("long")).cast("long").alias("files_skipped"),
+            F.sum("n").cast("long").alias("rows_total"),
+            F.sum(F.when(skip, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_skipped"),
+        ).select(F.lit(tag).alias("layout"), "*")
+
+    def footers(frame, file_col):
+        return frame.groupBy(file_col.alias("f")).agg(
+            F.min("day").alias("mi"),
+            F.max("day").alias("ma"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    fa = footers(d, fdiv(F.col("l_orderkey"), 4096))
+    fb = footers(d, fdiv(F.col("day"), 7))
+    return layout_summary(fa, "orderkey_files").unionAll(
+        layout_summary(fb, "shipdate_weeks")
+    )

@@ -3110,3 +3110,75 @@ def pipeline_curate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.floor((cum - F.col("n_tok")) / 512.0).cast("int").alias("seq_id"),
     )
+
+
+# ------------------------------------------------- wave-10: BPE training step
+
+
+@query(
+    "text_bpe_merge_rank",
+    oracle="""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wf
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substring(word, i, 2))) AS pair,
+             wf
+      FROM words
+    ),
+    freq AS (
+      SELECT pair, CAST(sum(wf) AS BIGINT) AS freq FROM pairs GROUP BY pair
+    )
+    SELECT pair, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT) AS rk
+    FROM freq
+    QUALIFY rk <= 20
+    """,
+)
+def text_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge-selection round, distributed: count every
+    adjacent symbol pair (character bigram at step 0) weighted by word
+    frequency across the corpus, and rank the top 20 merge candidates
+    — rank 1 is the pair a BPE trainer would merge next.  Iterating
+    this (re-tokenize with the merged symbol, re-count) IS tokenizer
+    training; one round is the exactly-verifiable unit.
+
+    Scale story: the corpus collapses to the distinct-WORD frame
+    first (Zipf: orders of magnitude smaller than the token stream),
+    pair generation is a map-side array HOF over that compressed
+    frame, and pair frequencies partially aggregate.  The ranking
+    window runs over the aggregated pair table — bounded by the
+    symbol-alphabet square, a few thousand rows regardless of corpus
+    size — so the single-partition sort is over KB, never the data.
+    Tokenization is the repo-wide single-space contract
+    (functions/text.py); ties break on the pair string so the rank
+    is total and engine-stable."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    freq = pairs.groupBy("pair").agg(F.sum("wf").cast("long").alias("freq"))
+    rk = F.row_number().over(W.orderBy(F.desc("freq"), F.asc("pair")))
+    return (
+        freq.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "freq", "rk")
+    )

@@ -962,5 +962,24 @@ CHECKS["tpch_q22_idle_rich_customers"] = [
     ("segment rollup partially aggregated", r"partial_(sum|count)"),
 ]
 
+CHECKS["text_bpe_merge_rank"] = [
+    ("corpus collapses to the distinct-word frame first (partial count)",
+     r"partial_count|partial_sum"),
+    ("pair generation is a map-side HOF (no Python boundary)",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+]
+CHECKS["emb_quantize_int8"] = [
+    ("quantization is pure JVM HOFs (no Python boundary)",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ("per-label audit partially aggregated", r"partial_(sum|count|max)"),
+    ("embedding scan prunes to the referenced columns",
+     r"ReadSchema: struct<embedding:array<float>,label:int>"),
+]
+CHECKS["maintenance_zonemap_prune"] = [
+    ("footer rollups partially aggregated", r"partial_(min|max|count)"),
+    ("scan reads only orderkey+shipdate",
+     r"ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp[^>]*>"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
