@@ -70,6 +70,31 @@ def decode_ppm(data: bytes) -> tuple[int, int, int, int]:
     return w, h, sum(raster), n
 
 
+def decode_ppm_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Like :func:`decode_ppm` but returns the raw raster:
+    ``(width, height, channels, raster_bytes)`` — the input to
+    sample-level kernels (resize, crop) that need pixels, not sums."""
+    m = re.match(
+        rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", data
+    )
+    if not m:
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    magic, w, h, maxval = (
+        m.group(1),
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+    )
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    raster = data[m.end() : m.end() + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated raster: want {n}, got {len(raster)}")
+    return w, h, channels, bytes(raster)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -110,13 +135,26 @@ def decode_png(data: bytes) -> tuple[int, int, int, int]:
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
     ch = _PNG_CHANNELS[color_type]
+    color_ch = ch - 1 if color_type == 6 else ch  # drop alpha
+    lines = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+    luma_sum = n = 0
+    for line in lines:
+        for px in range(w):
+            base = px * ch
+            for k in range(color_ch):
+                luma_sum += line[base + k]
+                n += 1
+    return w, h, luma_sum, n
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> list:
+    """Reverse the per-scanline filters (all five types) — the
+    load-bearing walk shared by the sum and pixel decoders."""
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
     if len(raw) != (stride + 1) * h:
         raise ValueError("decompressed size mismatch")
     prev = bytearray(stride)
-    luma_sum = n = 0
-    color_ch = ch - 1 if color_type == 6 else ch  # drop alpha
+    lines = []
     for y in range(h):
         off = y * (stride + 1)
         ftype = raw[off]
@@ -138,13 +176,75 @@ def decode_png(data: bytes) -> tuple[int, int, int, int]:
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad filter type {ftype}")
+        lines.append(line)
+        prev = line
+    return lines
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Like :func:`decode_png` but returns the raw color raster
+    ``(width, height, color_channels, raster_bytes)`` with alpha
+    dropped — the input to pixel-level kernels (resize, crop)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, idat, ihdr = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    color_ch = ch - 1 if color_type == 6 else ch
+    lines = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+    out = bytearray()
+    for line in lines:
         for px in range(w):
             base = px * ch
-            for k in range(color_ch):
-                luma_sum += line[base + k]
-                n += 1
-        prev = line
-    return w, h, luma_sum, n
+            out += line[base : base + color_ch]
+    return w, h, color_ch, bytes(out)
+
+
+def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-byte dispatch to the raster-returning decoders."""
+    if data[:8] == _PNG_SIG:
+        return decode_png_pixels(data)
+    if data[:2] in (b"P5", b"P6"):
+        return decode_ppm_pixels(data)
+    raise NotImplementedError(
+        "no pixel codec for this payload in the stdlib-only environment"
+    )
+
+
+def resize_nearest(
+    w: int, h: int, ch: int, raster: bytes, factor: int = 2
+) -> tuple[int, int, bytes]:
+    """Nearest-neighbor downscale by an integer factor: output pixel
+    (r, c) samples source pixel (r·factor, c·factor).  Output dims are
+    ceil(dim / factor), so 1-pixel inputs survive.  Pure byte
+    arithmetic — exactly replayable in a SQL oracle as index math."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    wo, ho = (w + factor - 1) // factor, (h + factor - 1) // factor
+    out = bytearray()
+    for r in range(0, h, factor):
+        row = r * w
+        for c in range(0, w, factor):
+            base = (row + c) * ch
+            out += raster[base : base + ch]
+    return wo, ho, bytes(out)
 
 
 _DISPATCH = [
@@ -348,7 +448,7 @@ def decode_y4m(data: bytes) -> tuple[int, int, int, int]:
     if not w or not h:
         raise ValueError("missing W/H in header")
     y_size, c_size = w * h, (w // 2) * (h // 2)
-    pos, n_frames, luma_sum = nl + 1, 0, 0
+    pos, frame_sums = nl + 1, []
     while pos < len(data):
         if data[pos : pos + 5] != b"FRAME":
             raise ValueError("desynchronized FRAME marker")
@@ -358,7 +458,42 @@ def decode_y4m(data: bytes) -> tuple[int, int, int, int]:
         pos = fe + 1
         if pos + y_size + 2 * c_size > len(data):
             raise ValueError("truncated frame planes")
-        luma_sum += sum(data[pos : pos + y_size])
+        frame_sums.append(sum(data[pos : pos + y_size]))
         pos += y_size + 2 * c_size
-        n_frames += 1
-    return w, h, n_frames, luma_sum
+    return w, h, len(frame_sums), sum(frame_sums)
+
+
+def decode_y4m_frames(data: bytes) -> tuple[int, int, list]:
+    """Like :func:`decode_y4m` but returns the per-FRAME luma sums —
+    the structural walk is identical (a mis-sized chroma skip still
+    desynchronizes every later marker); only the aggregation grain
+    changes from stream to frame.  Returns ``(w, h, [luma_sum, ...])``
+    in frame order."""
+    nl = data.index(b"\n")
+    header = data[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok.startswith(b"C420"):
+            raise ValueError(f"unsupported chroma mode {tok!r}")
+    if not w or not h:
+        raise ValueError("missing W/H in header")
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    pos, frame_sums = nl + 1, []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("desynchronized FRAME marker")
+        fe = data.find(b"\n", pos)
+        if fe == -1:
+            raise ValueError("truncated FRAME header")
+        pos = fe + 1
+        if pos + y_size + 2 * c_size > len(data):
+            raise ValueError("truncated frame planes")
+        frame_sums.append(sum(data[pos : pos + y_size]))
+        pos += y_size + 2 * c_size
+    return w, h, frame_sums

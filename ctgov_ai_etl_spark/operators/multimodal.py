@@ -368,3 +368,100 @@ def decode_video_real(
             " n_frames int, luma_sum long"
         ),
     )
+
+
+def resize_image_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob", factor: int = 2
+) -> DataFrame:
+    """REAL image resize over the blob column: decode to raw pixels
+    with the stdlib codecs (functions/imagecodec.py), nearest-neighbor
+    downscale by ``factor``, and emit the resized geometry plus the
+    exact integer luma sum of the RESIZED raster — so a SQL oracle
+    replays the kernel as pure index arithmetic over the source
+    pattern.  One Arrow-batched ``mapInPandas`` stage, zero shuffle:
+    the thumbnail pass of a 100 TB media pipeline distributes
+    embarrassingly."""
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_image_pixels,
+        resize_nearest,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    keep = [c for c in df.columns if c != blob_col]
+    src = df.select(*keep, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wos, hos, sums, ns = [], [], [], []
+            for data in pdf[blob_col]:
+                w, h, ch, raster = decode_image_pixels(bytes(data))
+                wo, ho, out = resize_nearest(w, h, ch, raster, factor)
+                wos.append(wo)
+                hos.append(ho)
+                sums.append(sum(out))
+                ns.append(len(out))
+            res = pdf[keep].copy()
+            res["width_out"] = wos
+            res["height_out"] = hos
+            res["luma_sum"] = sums
+            res["n_samples"] = ns
+            yield res
+
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != blob_col
+    )
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{keep_schema}, width_out int, height_out int, "
+            "luma_sum long, n_samples long"
+        ),
+    )
+
+
+def sample_video_frames_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob", every_n: int = 2
+) -> DataFrame:
+    """REAL video frame sampling: walk the YUV4MPEG2 stream
+    structurally (functions/imagecodec.py:decode_y4m_frames), keep
+    every ``every_n``-th frame, and emit ONE ROW PER SAMPLED FRAME
+    with its exact integer luma sum — the explode happens inside the
+    task, so a multi-GB stream never materializes as a single row.
+    One Arrow-batched ``mapInPandas`` stage, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_y4m_frames
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                w, h, frames = decode_y4m_frames(bytes(data))
+                for i in range(0, len(frames), every_n):
+                    ids.append(rid)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(frames[i])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "luma_sum": sums,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_idx int, width int, height int, "
+            "luma_sum long"
+        ),
+    )

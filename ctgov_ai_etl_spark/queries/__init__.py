@@ -80,6 +80,8 @@ _PRIORITY = (
     "text_bpe_merge_rank",
     "emb_quantize_int8",
     "maintenance_zonemap_prune",
+    "mm_resize_real",
+    "mm_frame_sample_real",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

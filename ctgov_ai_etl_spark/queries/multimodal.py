@@ -245,3 +245,103 @@ def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_luma"),
     )
+
+
+@query(
+    "mm_resize_real",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 16 AS w,
+             1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 16 AS h,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, w, h, v, ch,
+             (w + 1) // 2 AS wo, (h + 1) // 2 AS ho
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(wo AS INT) AS width_out,
+           CAST(ho AS INT) AS height_out,
+           round(CAST(list_aggregate(
+                   list_transform(range(0, wo * ho * ch),
+                     k -> (v + ((2 * (k // (wo * ch))) * w
+                                + 2 * ((k % (wo * ch)) // ch)) * ch
+                             + (k % ch)) % 256),
+                   'sum') AS BIGINT)
+                 / CAST(wo * ho * ch AS BIGINT) / 255.0, 6) AS mean_luma
+    FROM dims
+    """,
+)
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE image resize, hash-checked end-to-end: render real
+    PPM/PNG payloads, decode them to raw pixels (full PNG unfilter
+    walk included), nearest-neighbor downscale by 2, and report the
+    resized geometry + mean luma.  The oracle replays the resize as
+    pure index arithmetic over the closed-form source pattern
+    ((v + j) % 256 at source index ((2r)·w + 2c)·ch + t) — any
+    defect in the decoder, the unfilterer, or the sampling stride
+    breaks the hash.  Output dims are ceil(dim/2) so 1-pixel images
+    survive.  Two Arrow-batched mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_images,
+        resize_image_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_image_real(render_test_images(d, "doc_id"), "doc_id")
+    return resized.select(
+        "doc_id",
+        "width_out",
+        "height_out",
+        F.round(
+            F.col("luma_sum") / F.col("n_samples") / F.lit(255.0), 6
+        ).alias("mean_luma"),
+    )
+
+
+@query(
+    "mm_frame_sample_real",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             2 * (1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 8) AS w,
+             2 * (1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 8) AS h,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v,
+             1 + CAST(('0x' || substr(md5(text), 7, 2)) AS INT) % 6 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_aggregate(
+                  list_transform(range(0, w * h),
+                    j -> (v + i * 17 + j) % 256),
+                  'sum') AS BIGINT) AS luma_sum
+    FROM base, unnest(range(0, nf)) AS t(i)
+    WHERE i % 2 = 0
+    """,
+)
+def mm_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE video frame sampling, hash-checked per frame: walk the
+    real YUV4MPEG2 stream, keep every 2nd frame, emit one row per
+    sampled frame with its exact Y-plane sum.  Upgrades
+    mm_frame_sample's stub to the real container: the frame EXPLODE
+    happens inside the Arrow task (a long stream never materializes
+    as one row), and the structural chroma skips are load-bearing for
+    every sampled frame's byte offsets.  The oracle replays the
+    closed-form per-frame pattern (v + f·17 + j) % 256 for even f.
+    Zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_video,
+        sample_video_frames_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_video_frames_real(
+        render_test_video(d, "doc_id"), "doc_id", every_n=2
+    )

@@ -304,3 +304,65 @@ def test_y4m_roundtrip_and_malformed():
         decode_y4m(bytes(encode_y4m(w, h, frames))[:-40])
     with pytest.raises(ValueError, match="truncated|FRAME"):
         decode_y4m(bytes(encode_y4m(w, h, frames))[:-5])
+
+
+def test_pixel_decoders_and_resize():
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_image_pixels,
+        decode_png_pixels,
+        decode_ppm_pixels,
+        resize_nearest,
+    )
+
+    # PPM pixels round-trip
+    w, h = 5, 3
+    raster = bytes((7 + j) % 256 for j in range(w * h * 3))
+    assert decode_ppm_pixels(encode_ppm(w, h, raster)) == (w, h, 3, raster)
+
+    # PNG pixels round-trip through every filter type
+    w2, h2 = 7, 6
+    ras2 = bytes((13 + j) % 256 for j in range(w2 * h2))
+    png = encode_png(w2, h2, ras2, color_type=0, filter_per_row=lambda y: y % 5)
+    assert decode_png_pixels(png) == (w2, h2, 1, ras2)
+    assert decode_image_pixels(png) == (w2, h2, 1, ras2)
+
+    # RGBA: alpha dropped from the pixel raster
+    ras4 = bytes((j * 3) % 256 for j in range(4 * 2 * 4))
+    png4 = encode_png(4, 2, ras4, color_type=6)
+    w4, h4, ch4, out4 = decode_png_pixels(png4)
+    assert (w4, h4, ch4) == (4, 2, 3)
+    exp4 = bytes(
+        b for i, b in enumerate(ras4) if i % 4 != 3
+    )
+    assert out4 == exp4
+
+    # nearest-neighbor resize: stride-2 sampling, ceil dims
+    wo, ho, out = resize_nearest(w, h, 3, raster, 2)
+    assert (wo, ho) == (3, 2)
+    exp = bytearray()
+    for r in (0, 2):
+        for c in (0, 2, 4):
+            b0 = (r * w + c) * 3
+            exp += raster[b0 : b0 + 3]
+    assert out == bytes(exp)
+    assert resize_nearest(1, 1, 1, b"\x05", 2) == (1, 1, b"\x05")
+    assert resize_nearest(w, h, 3, raster, 1) == (w, h, raster)
+    with pytest.raises(ValueError, match="factor"):
+        resize_nearest(w, h, 3, raster, 0)
+
+
+def test_y4m_per_frame_sums():
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_y4m_frames,
+        encode_y4m,
+    )
+
+    w, h = 4, 2
+    frames = [bytes((i * 17 + j) % 256 for j in range(w * h)) for i in range(5)]
+    blob = encode_y4m(w, h, frames)
+    assert decode_y4m_frames(blob) == (w, h, [sum(f) for f in frames])
+    # the per-frame walk detects the same desync as the stream walk
+    bad = bytearray(blob)
+    bad[bad.index(b"FRAME", 20)] = ord("X")
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m_frames(bytes(bad))

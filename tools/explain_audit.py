@@ -981,5 +981,15 @@ CHECKS["maintenance_zonemap_prune"] = [
      r"ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp[^>]*>"),
 ]
 
+CHECKS["mm_resize_real"] = [
+    ("render, decode and resize are Arrow-batched mapInPandas stages",
+     r"(FlatMapGroupsInPandas|MapInPandas).*(FlatMapGroupsInPandas|MapInPandas)"),
+    ("no shuffle in the codec path", r"\A(?!.*hashpartitioning)"),
+]
+CHECKS["mm_frame_sample_real"] = [
+    ("frame explode happens inside the Arrow task", r"MapInPandas"),
+    ("no shuffle in the codec path", r"\A(?!.*hashpartitioning)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
