@@ -82,6 +82,9 @@ _PRIORITY = (
     "maintenance_zonemap_prune",
     "mm_resize_real",
     "mm_frame_sample_real",
+    "stat_winsorized_mean",
+    "stat_sprt",
+    "text_url_canonicalize",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

@@ -2355,3 +2355,283 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_err").cast("long").alias("sum_err127"),
         F.max("vec_max_q").cast("long").alias("max_abs_q"),
     )
+
+
+# ------------------------------------- wave-11: robust stats + sequential AB
+
+# SPRT constants for H0: p=0.4 vs H1: p=0.6, alpha=beta=0.05, in
+# integer log-micro-units.  Computed ONCE in Python and injected into
+# BOTH engines (exactness convention: two libm log()s are not
+# bit-contracted, one literal is).
+_SPRT_C1 = 405465        # round(ln(0.6/0.4) * 1e6)
+_SPRT_C0 = -405465       # round(ln(0.4/0.6) * 1e6)
+_SPRT_BOUND = 2944439    # round(ln(0.95/0.05) * 1e6)
+
+
+@query(
+    "stat_winsorized_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    th AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = (n + 9) // 10 THEN v END) AS lo_cents,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS hi_cents
+      FROM ranked
+      GROUP BY event_type
+    )
+    SELECT r.event_type,
+           t.n,
+           t.lo_cents,
+           t.hi_cents,
+           round(CAST(sum(least(greatest(r.v, t.lo_cents), t.hi_cents))
+                      AS DOUBLE) / t.n / 100.0, 6) AS wins_mean
+    FROM ranked r JOIN th t ON r.event_type = t.event_type
+    GROUP BY r.event_type, t.n, t.lo_cents, t.hi_cents
+    """,
+)
+def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values to the exact
+    discrete p10/p90 order statistics (rank ceil(q·n) under a total
+    (value, event_id) order), then average — the robust KPI that
+    survives sensor spikes where a plain mean doesn't.
+
+    Exactness: thresholds are VALUES AT RANKS (integer cents at
+    integer ranks — no interpolation, so no float percentile
+    semantics to reconcile); ceil(q·n) is pure integer arithmetic
+    ((n+9)//10); the clamped sum is exact int64 and the mean is one
+    fixed-order double division rounded at 6 dp.
+
+    Scale story: one shuffle on event_type serves both the ranking
+    window and the final rollup; the threshold frame is
+    5-rows-broadcast back onto the ranked stream."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = cents("value")
+    ranked = ev.select(
+        "event_type",
+        v.alias("v"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(v, "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("n"),
+    )
+    th = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == fdiv(F.col("n") + 9, 10), F.col("v"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(F.col("rn") == fdiv(9 * F.col("n") + 9, 10), F.col("v"))
+        ).alias("hi_cents"),
+    )
+    return (
+        ranked.drop("n")
+        .join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.round(
+                F.sum(
+                    F.least(
+                        F.greatest(F.col("v"), F.col("lo_cents")),
+                        F.col("hi_cents"),
+                    )
+                ).cast("double")
+                / F.col("n")
+                / F.lit(100.0),
+                6,
+            ).alias("wins_mean")
+        )
+        .select("event_type", "n", "lo_cents", "hi_cents", "wins_mean")
+    )
+
+
+@query(
+    "stat_sprt",
+    oracle=f"""
+    WITH walk AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                      THEN {_SPRT_C1} ELSE {_SPRT_C0} END)
+               OVER (PARTITION BY event_type
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS llr
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    crossing AS (
+      SELECT event_type,
+             min({{'r': rn, 'l': llr}}) AS hit
+      FROM walk
+      WHERE llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+      GROUP BY event_type
+    ),
+    final AS (
+      SELECT event_type,
+             max({{'r': rn, 'l': llr}}) AS fin
+      FROM walk GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CASE WHEN c.hit IS NULL THEN 'continue'
+                WHEN c.hit.l >= {_SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(c.hit.r, f.fin.r) AS BIGINT) AS n_at_decision,
+           CAST(coalesce(c.hit.l, f.fin.l) AS BIGINT) AS llr_micro
+    FROM final f LEFT JOIN crossing c ON f.event_type = c.event_type
+    """,
+)
+def stat_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald's SPRT) per event-type
+    stream: walk events in time order accumulating the Bernoulli
+    log-likelihood ratio for H1: p=0.6 vs H0: p=0.4 (success =
+    value > $50), stop at the first boundary crossing — the
+    early-stopping A/B monitor that decides in O(sqrt(n)) samples
+    instead of a fixed horizon.
+
+    Exactness: the two LLR increments and the decision boundary are
+    single Python-computed log literals injected into both engines;
+    the walk is an exact int64 cumulative sum; the first crossing is
+    the min-struct order statistic (rn, llr) — no row-at-a-time
+    scan.  Scale story: one shuffle on event_type, one window pass,
+    two 5-row aggregates."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    wo = W.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    inc = F.when(cents("value") > 5000, F.lit(_SPRT_C1)).otherwise(
+        F.lit(_SPRT_C0)
+    )
+    walk = ev.select(
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(inc)
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("llr"),
+    )
+    crossing = (
+        walk.filter(
+            (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.struct(F.col("rn").alias("r"), F.col("llr").alias("l"))
+            ).alias("hit")
+        )
+    )
+    final = walk.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.col("rn").alias("r"), F.col("llr").alias("l"))
+        ).alias("fin")
+    )
+    return final.join(crossing, "event_type", "left").select(
+        "event_type",
+        F.when(F.col("hit").isNull(), F.lit("continue"))
+        .when(F.col("hit.l") >= _SPRT_BOUND, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.coalesce(F.col("hit.r"), F.col("fin.r"))
+        .cast("long")
+        .alias("n_at_decision"),
+        F.coalesce(F.col("hit.l"), F.col("fin.l"))
+        .cast("long")
+        .alias("llr_micro"),
+    )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+                              ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.COM/a/B/'
+             || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=feed&ref=rss' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_replace(url, '^[A-Za-z]+://', '')),
+                 '^www\\.', ''),
+               '(/$|\\?.*$)', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS first_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every
+    web-corpus pipeline: strip scheme, lowercase, drop the www.
+    prefix, tracking query strings and trailing slashes, then count
+    how many raw variants collapse onto each canonical URL (keeping
+    the smallest doc_id as the representative).  The fixture carries
+    no real URLs, so both engines synthesize the SAME messy variants
+    deterministically from (doc_id, source) — the canonicalization
+    chain, not the corpus, is what's under test.
+
+    Scale story: synthesis + canonicalization are pure map-side
+    string expressions (whole-stage codegen, no UDF); the only
+    shuffle is the canonical-key rollup — at 100 TB this is one
+    hash-aggregate over the canonicalized key, exactly how a crawl
+    frontier dedups."""
+    d = load_table(spark, sf_dir, "documents")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HTTPS://"))
+    )
+    url = F.concat(
+        scheme,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/a/B/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&ref=rss"))
+        .otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, "^[A-Za-z]+://", "")),
+            r"^www\.",
+            "",
+        ),
+        r"(/$|\?.*$)",
+        "",
+    )
+    return (
+        d.select(canonical.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -991,5 +991,22 @@ CHECKS["mm_frame_sample_real"] = [
     ("no shuffle in the codec path", r"\A(?!.*hashpartitioning)"),
 ]
 
+CHECKS["stat_winsorized_mean"] = [
+    ("rank window and rollup share the event_type exchange",
+     r"hashpartitioning\(event_type"),
+    ("threshold frame broadcast back", r"BroadcastHashJoin"),
+]
+CHECKS["stat_sprt"] = [
+    ("LLR walk runs on ONE event_type exchange",
+     r"hashpartitioning\(event_type"),
+    ("crossing/final are partial-aggregated struct order statistics",
+     r"partial_(min|max)"),
+]
+CHECKS["text_url_canonicalize"] = [
+    ("canonicalization is map-side codegen (no UDF)",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ("canonical-key rollup partially aggregated", r"partial_count"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
