@@ -85,6 +85,8 @@ _PRIORITY = (
     "stat_winsorized_mean",
     "stat_sprt",
     "text_url_canonicalize",
+    "stream_run_sprt",
+    "sample_balanced_classes",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

@@ -2635,3 +2635,67 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    kmin AS (SELECT min(n) AS k FROM counts),
+    ranked AS (
+      SELECT label, vec_id,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                                1, 15)) AS BIGINT),
+                        vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT r.label,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.vec_id) AS BIGINT) AS kept_vec_id_sum
+    FROM ranked r, kmin
+    WHERE r.rn <= kmin.k
+    GROUP BY r.label
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen as the bottom-k by deterministic md5
+    rank — the rebalancing step before training a classifier on a
+    skewed corpus, reproducible on any cluster/partitioning/engine
+    (no rand(), no sample()).  Reported per label as (count, kept-id
+    checksum) so the oracle pins WHICH rows survive, not just how
+    many.
+
+    Scale story: one shuffle on label serves the ranking window; the
+    k threshold is a 1-row aggregate of the |labels|-row count frame,
+    broadcast back.  The md5 rank key is the repo's portable-hash
+    convention (conv hex→BIGINT on both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "vec_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(W.partitionBy("label").orderBy(h, "vec_id"))
+        .alias("rn"),
+    )
+    kmin = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    return (
+        ranked.join(F.broadcast(kmin))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("kept_vec_id_sum"),
+        )
+    )

@@ -1071,3 +1071,89 @@ def stream_run_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), _TB_CAP, _TB_REFILL, _TB_COST
     )
     return run_stream_to_memory(stream, mode="update")
+
+
+from ctgov_ai_etl_spark.queries.product import (  # noqa: E402
+    _SPRT_BOUND,
+    _SPRT_C0,
+    _SPRT_C1,
+)
+
+
+@query(
+    "stream_run_sprt",
+    oracle=f"""
+    WITH walk AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                      THEN {_SPRT_C1} ELSE {_SPRT_C0} END)
+               OVER (PARTITION BY event_type
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS llr
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    crossing AS (
+      SELECT event_type,
+             min({{'r': rn, 'l': llr}}) AS hit
+      FROM walk
+      WHERE llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+      GROUP BY event_type
+    ),
+    final AS (
+      SELECT event_type,
+             max({{'r': rn, 'l': llr}}) AS fin
+      FROM walk GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CASE WHEN c.hit IS NULL THEN 'continue'
+                WHEN c.hit.l >= {_SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(c.hit.r, f.fin.r) AS BIGINT) AS n_at_decision,
+           CAST(coalesce(c.hit.l, f.fin.l) AS BIGINT) AS llr_micro
+    FROM final f LEFT JOIN crossing c ON f.event_type = c.event_type
+    """,
+)
+def stream_run_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING Wald SPRT: file micro-batch source → stateful
+    per-event-type LLR walk (streaming/events.py:stateful_sprt, five
+    integers of state, first crossing frozen) → memory sink in update
+    mode → latest-snapshot reduce (max on the monotone rows_seen).
+    The streaming twin of stat_sprt: both hash-check against the one
+    batch windowed-walk oracle — early-stopping decisions computed on
+    live traffic equal the offline replay."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_sprt,
+    )
+
+    stream = stateful_sprt(
+        read_events_stream(spark, sf_dir),
+        c1=_SPRT_C1,
+        c0=_SPRT_C0,
+        bound=_SPRT_BOUND,
+    )
+    snapshots = run_stream_to_memory(stream, mode="update")
+    latest = snapshots.groupBy("event_type").agg(
+        F.max(
+            F.struct("rows_seen", "decided", "dec_r", "dec_l", "llr_now")
+        ).alias("s")
+    )
+    return latest.select(
+        "event_type",
+        F.when(F.col("s.decided") == 0, F.lit("continue"))
+        .when(F.col("s.dec_l") >= _SPRT_BOUND, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.when(F.col("s.decided") == 1, F.col("s.dec_r"))
+        .otherwise(F.col("s.rows_seen"))
+        .cast("long")
+        .alias("n_at_decision"),
+        F.when(F.col("s.decided") == 1, F.col("s.dec_l"))
+        .otherwise(F.col("s.llr_now"))
+        .cast("long")
+        .alias("llr_micro"),
+    )

@@ -738,3 +738,79 @@ def stateful_rate_limiter(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_sprt(
+    events: DataFrame, c1: int, c0: int, bound: int
+) -> DataFrame:
+    """STREAMING Wald SPRT monitor: per event-type stream, accumulate
+    the Bernoulli log-likelihood ratio (integer log-micro-units,
+    increments injected by the caller) and FREEZE the first boundary
+    crossing — the early-stopping A/B monitor running against live
+    traffic instead of a nightly batch.  State per key is five
+    integers; each micro-batch emits one UPDATE row carrying
+    (rows_seen, decided, crossing rn/llr, running llr) so the caller
+    reduces to the latest snapshot per key (max on the monotone
+    rows_seen) after the sink.
+
+    Same per-batch (ts_us, event_id) ordering and event-time-ordered
+    arrival assumption as the other stateful operators here; the llr
+    keeps accumulating after a crossing (the frozen decision fields
+    are what the SPRT reports) so never-crossing keys still yield the
+    batch twin's ('continue', total n, final llr) row."""
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+
+    def update(key, pdfs, state):
+        rn, llr, decided, dec_r, dec_l = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.dropna(subset=["ts_us", "value_cents"])
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for vc in batch["value_cents"]:
+                rn += 1
+                llr += c1 if int(vc) > 5000 else c0
+                if not decided and (llr >= bound or llr <= -bound):
+                    decided, dec_r, dec_l = 1, rn, llr
+        state.update((rn, llr, decided, dec_r, dec_l))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "rows_seen": [rn],
+                "decided": [decided],
+                "dec_r": [dec_r],
+                "dec_l": [dec_l],
+                "llr_now": [llr],
+            }
+        )
+
+    keyed = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, rows_seen long, decided int, "
+            "dec_r long, dec_l long, llr_now long"
+        ),
+        stateStructType=(
+            "rn long, llr long, decided int, dec_r long, dec_l long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -673,3 +673,80 @@ def test_funnel_state_across_microbatches(spark, tmp_path):
     }
     assert final[1] == 3  # chain completed across the batch boundary
     assert final[2] == 1  # click-before-view never counts
+
+
+def test_sprt_state_across_microbatches(spark, tmp_path):
+    """The SPRT state (rn, llr, frozen decision) must carry across
+    micro-batches: with increments ±405465 and bound 2944439 a key
+    needs 8 consecutive same-direction steps to decide — split 5 + 3
+    across two batches, the crossing lands in batch 2 at rn=8 with
+    state accumulated from batch 1.  A balanced key never decides and
+    reports the final (continue, n, llr) snapshot."""
+    import datetime as dt
+
+    from ctgov_ai_etl_spark.queries.product import (
+        _SPRT_BOUND,
+        _SPRT_C0,
+        _SPRT_C1,
+    )
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_sprt,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def ev(i, etype, val):
+        return (i, t0 + dt.timedelta(seconds=i), 1, etype, val, "{}")
+
+    # 'up': 5 successes batch 1 + 3 in batch 2 -> accept_h1 at rn 8
+    # 'down': 5 failures + 3 failures -> accept_h0 at rn 8
+    # 'flat': alternating 2+2 -> continue, llr 0 at rn 4
+    rows1 = (
+        [ev(i, "up", 60.0) for i in range(5)]
+        + [ev(10 + i, "down", 40.0) for i in range(5)]
+        + [ev(20, "flat", 60.0), ev(21, "flat", 40.0)]
+    )
+    rows2 = (
+        [ev(5 + i, "up", 60.0) for i in range(3)]
+        + [ev(15 + i, "down", 40.0) for i in range(3)]
+        + [ev(22, "flat", 60.0), ev(23, "flat", 40.0)]
+    )
+    src = str(tmp_path / "sprt_src")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    snaps = run_stream_to_memory(
+        stateful_sprt(stream, _SPRT_C1, _SPRT_C0, _SPRT_BOUND),
+        mode="update",
+    )
+    # latest snapshot per key = max rows_seen (monotone)
+    latest = {}
+    for r in snaps.collect():
+        if (
+            r["event_type"] not in latest
+            or r["rows_seen"] > latest[r["event_type"]]["rows_seen"]
+        ):
+            latest[r["event_type"]] = r
+    up, down, flat = latest["up"], latest["down"], latest["flat"]
+    assert (up["decided"], up["dec_r"], up["dec_l"]) == (
+        1, 8, 8 * _SPRT_C1,
+    )
+    assert (down["decided"], down["dec_r"], down["dec_l"]) == (
+        1, 8, 8 * _SPRT_C0,
+    )
+    assert flat["decided"] == 0
+    assert flat["rows_seen"] == 4 and flat["llr_now"] == 0
+    # two snapshots per key (one per micro-batch) prove cross-batch state
+    assert sum(1 for r in snaps.collect() if r["event_type"] == "up") == 2

@@ -1008,5 +1008,12 @@ CHECKS["text_url_canonicalize"] = [
     ("canonical-key rollup partially aggregated", r"partial_count"),
 ]
 
+CHECKS["sample_balanced_classes"] = [
+    ("ranking window and rollup share the label exchange",
+     r"hashpartitioning\(label"),
+    ("k threshold is a broadcast 1-row aggregate",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
