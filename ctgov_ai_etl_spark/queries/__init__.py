@@ -87,6 +87,7 @@ _PRIORITY = (
     "text_url_canonicalize",
     "stream_run_sprt",
     "sample_balanced_classes",
+    "pipeline_web_corpus",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

@@ -3182,3 +3182,120 @@ def text_bpe_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("pair", "freq", "rk")
     )
+
+
+@query(
+    "pipeline_web_corpus",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, source, text,
+             (CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+                              ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.COM/a/B/'
+             || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=feed&ref=rss' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, text,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_replace(url, '^[A-Za-z]+://', '')),
+                 '^www\\.', ''),
+               '(/$|\\?.*$)', '') AS canonical_url,
+             {_SQL_QUALITY} AS quality,
+             len(string_split(text, ' ')) AS n_tok
+      FROM raw
+    ),
+    keepers AS (
+      SELECT canonical_url, min(doc_id) AS doc_id
+      FROM scored GROUP BY canonical_url
+    ),
+    gated AS (
+      SELECT s.doc_id, s.source, s.canonical_url, s.n_tok
+      FROM scored s
+      JOIN keepers k ON s.canonical_url = k.canonical_url
+                    AND s.doc_id = k.doc_id
+      WHERE s.quality >= 0.5
+    )
+    SELECT doc_id, source, canonical_url, CAST(n_tok AS INT) AS n_tok,
+           CAST(floor((cum - n_tok) / 512.0) AS INT) AS seq_id
+    FROM (
+      SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM gated
+    )
+    """,
+)
+def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web-corpus recipe — the crawl-to-training-rows
+    composition: URL canonicalization + frontier dedup (min-doc_id
+    keeper per canonical URL) → quality gate (≥ 0.5) → 512-token
+    sequence packing per source.  Every stage is a catalog fragment
+    (text_url_canonicalize, the pipeline_curate quality gate,
+    text_pack_sequences) and the oracle composes those fragments
+    verbatim — the pipeline is the proof the operators compose.
+
+    Scale story: URL synthesis/canonicalization and scoring are
+    map-side codegen; the pipeline shuffles exactly twice (canonical-
+    URL keeper agg + re-join, then the per-source packing window) —
+    at 100 TB that is scan → exchange → exchange, with the quality
+    filter applied before the second exchange so packing sees only
+    survivors."""
+    from ctgov_ai_etl_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HTTPS://"))
+    )
+    url = F.concat(
+        scheme,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/a/B/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&ref=rss"))
+        .otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, "^[A-Za-z]+://", "")),
+            r"^www\.",
+            "",
+        ),
+        r"(/$|\?.*$)",
+        "",
+    )
+    # persist = optimizer barrier + branch reuse (the pipeline_curate
+    # lesson: filter pushdown would inline the scoring trees)
+    scored = track(
+        d.select(
+            "doc_id",
+            "source",
+            canonical.alias("canonical_url"),
+            quality_score(F.col("text")).alias("quality"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        ).persist()
+    )
+    keepers = scored.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    gated = scored.join(keepers, ["canonical_url", "doc_id"]).filter(
+        F.col("quality") >= 0.5
+    )
+    from pyspark.sql import Window as W
+
+    cum = F.sum("n_tok").over(W.partitionBy("source").orderBy("doc_id"))
+    return gated.select(
+        "doc_id",
+        "source",
+        "canonical_url",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.floor((cum - F.col("n_tok")) / 512.0).cast("int").alias("seq_id"),
+    )

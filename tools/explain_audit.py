@@ -1015,5 +1015,13 @@ CHECKS["sample_balanced_classes"] = [
      r"BroadcastNestedLoopJoin|BroadcastExchange"),
 ]
 
+CHECKS["pipeline_web_corpus"] = [
+    ("shuffles only on the keeper key and the packing key",
+     r"\A(?!.*hashpartitioning\((?!canonical_url|source)\w)"),
+    ("keeper agg partially aggregated", r"partial_min"),
+    ("scoring/canonicalization map-side (no UDF boundary)",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
