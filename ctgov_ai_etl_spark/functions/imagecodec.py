@@ -406,6 +406,32 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int]:
     return channels, sample_rate, n // channels, abs_sum
 
 
+def decode_wav_samples(data: bytes) -> tuple[int, int, tuple]:
+    """Like :func:`decode_wav` but returns the raw interleaved int16
+    samples — the input to sample-level kernels (decimation,
+    windowing).  Same chunk walk and PCM-16 contract."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # RIFF pads odd chunks
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    bits = fmt[5]
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM-16 supported")
+    n = len(pcm) // 2
+    return channels, sample_rate, struct.unpack(f"<{n}h", pcm[: n * 2])
+
+
 # ------------------------------------------------------------ video
 
 

@@ -465,3 +465,56 @@ def sample_video_frames_real(
             "luma_sum long"
         ),
     )
+
+
+def downsample_audio_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob", every_n: int = 2
+) -> DataFrame:
+    """REAL audio decimation: decode the RIFF/PCM-16 stream to raw
+    interleaved samples (functions/imagecodec.py:decode_wav_samples),
+    keep every ``every_n``-th FRAME (all channels of it), and emit the
+    decimated stream's exact loudness integers plus the reduced
+    sample rate — the audio leg of the resize/frame-sample kernel
+    family.  One Arrow-batched ``mapInPandas`` stage, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_wav_samples
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, rates, nfs, sums = [], [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                ch, rate, vals = decode_wav_samples(bytes(data))
+                n_frames = len(vals) // ch
+                abs_sum = 0
+                kept = 0
+                for f in range(0, n_frames, every_n):
+                    base = f * ch
+                    for c in range(ch):
+                        v = vals[base + c]
+                        abs_sum += v if v >= 0 else -v
+                    kept += 1
+                ids.append(rid)
+                chs.append(ch)
+                rates.append(rate // every_n)
+                nfs.append(kept)
+                sums.append(abs_sum)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "channels": chs,
+                    "sample_rate_out": rates,
+                    "n_frames_out": nfs,
+                    "abs_sum": sums,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, channels int, sample_rate_out int, "
+            "n_frames_out int, abs_sum long"
+        ),
+    )

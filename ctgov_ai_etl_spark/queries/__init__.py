@@ -88,6 +88,8 @@ _PRIORITY = (
     "stream_run_sprt",
     "sample_balanced_classes",
     "pipeline_web_corpus",
+    "mm_audio_downsample",
+    "fn_url_family",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

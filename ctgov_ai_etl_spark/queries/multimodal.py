@@ -345,3 +345,61 @@ def mm_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames_real(
         render_test_video(d, "doc_id"), "doc_id", every_n=2
     )
+
+
+@query(
+    "mm_audio_downsample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 2 AS ch,
+             50 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS nf,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v
+      FROM documents
+    ),
+    dims AS (SELECT doc_id, ch, nf, v, (nf + 1) // 2 AS nfo FROM base)
+    SELECT doc_id,
+           CAST(ch AS INT) AS channels,
+           4000 AS sample_rate_out,
+           CAST(nfo AS INT) AS n_frames_out,
+           round(CAST(list_aggregate(
+                   list_transform(range(0, nfo * ch),
+                     k -> abs(((v * 131
+                                + (2 * (k // ch) * ch + (k % ch)) * 7919)
+                               % 65536) - 32768)),
+                   'sum') AS BIGINT)
+                 / CAST(nfo * ch AS BIGINT) / 32768.0, 6) AS mean_abs
+    FROM dims
+    """,
+)
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE audio decimation, hash-checked end-to-end — the audio
+    leg of the sample-level kernel family (image: mm_resize_real,
+    video: mm_frame_sample_real): decode real RIFF/PCM-16 streams to
+    raw int16 samples, keep every 2nd frame (both channels of it),
+    and report the decimated loudness at the halved sample rate.
+    The oracle replays the kept-frame index arithmetic over the
+    closed-form PCM pattern — a wrong frame stride, channel
+    interleave, or endianness breaks the hash.  Two Arrow-batched
+    mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        downsample_audio_real,
+        render_test_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    dec = downsample_audio_real(
+        render_test_audio(d, "doc_id"), "doc_id", every_n=2
+    )
+    return dec.select(
+        "doc_id",
+        "channels",
+        "sample_rate_out",
+        "n_frames_out",
+        F.round(
+            F.col("abs_sum")
+            / (F.col("n_frames_out").cast("long") * F.col("channels"))
+            / F.lit(32768.0),
+            6,
+        ).alias("mean_abs"),
+    )

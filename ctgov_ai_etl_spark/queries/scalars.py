@@ -455,3 +455,69 @@ def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("starts_upper"),
     )
+
+
+@query(
+    "fn_url_family",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+                              ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.COM/a/B/'
+             || CAST(doc_id % 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=feed&ref=rss' ELSE '' END)
+               AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)) AS host,
+           regexp_extract(url, '^[A-Za-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           CAST(length(regexp_extract(url, '^[A-Za-z]+://[^/]+(/[^?#]*)', 1))
+                - length(replace(
+                    regexp_extract(url, '^[A-Za-z]+://[^/]+(/[^?#]*)', 1),
+                    '/', '')) AS INT) AS path_depth
+    FROM raw
+    """,
+)
+def fn_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar-extraction family — the parse side of
+    text_url_canonicalize: host (lowercased authority), path (query/
+    fragment stripped), a named query parameter, and path depth, all
+    as portable regexp_extract expressions (Spark's parse_url is a
+    Java-only builtin with no DuckDB mirror, so the contract is the
+    regex, which both engines evaluate identically on these
+    patterns).  Pure map-side codegen over the same deterministic
+    messy-URL synthesis both engines share."""
+    d = load_table(spark, sf_dir, "documents")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HTTPS://"))
+    )
+    url = F.concat(
+        scheme,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/a/B/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&ref=rss"))
+        .otherwise(F.lit("")),
+    )
+    path = F.regexp_extract(url, "^[A-Za-z]+://[^/]+(/[^?#]*)", 1)
+    return d.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, "^[A-Za-z]+://([^/]+)", 1)).alias(
+            "host"
+        ),
+        path.alias("path"),
+        F.regexp_extract(url, "[?&]ref=([^&#]*)", 1).alias("ref_param"),
+        (F.length(path) - F.length(F.regexp_replace(path, "/", "")))
+        .cast("int")
+        .alias("path_depth"),
+    )

@@ -1023,5 +1023,17 @@ CHECKS["pipeline_web_corpus"] = [
      r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
 ]
 
+CHECKS["mm_audio_downsample"] = [
+    ("render and decimate are Arrow-batched mapInPandas stages",
+     r"MapInPandas.*MapInPandas"),
+    ("no shuffle in the codec path", r"\A(?!.*hashpartitioning)"),
+]
+CHECKS["fn_url_family"] = [
+    ("URL parsing is map-side codegen (no UDF, no shuffle)",
+     r"\A(?!.*(hashpartitioning|BatchEvalPython|ArrowEvalPython))"),
+    ("scan prunes to doc_id+source",
+     r"ReadSchema: struct<doc_id:bigint,source:string>"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
