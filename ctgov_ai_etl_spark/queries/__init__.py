@@ -90,6 +90,8 @@ _PRIORITY = (
     "pipeline_web_corpus",
     "mm_audio_downsample",
     "fn_url_family",
+    "join_asof_nearest",
+    "ops_burn_rate",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9

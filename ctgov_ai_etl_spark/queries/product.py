@@ -2699,3 +2699,87 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("kept_vec_id_sum"),
         )
     )
+
+
+@query(
+    "ops_burn_rate",
+    oracle="""
+    WITH hours AS (
+      SELECT (epoch_us(ts) // 3600000000) AS hr,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY hr
+    ),
+    rolled AS (
+      SELECT hr, total, errors,
+             sum(errors) OVER (ORDER BY hr
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS err_s,
+             sum(total) OVER (ORDER BY hr
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS tot_s,
+             sum(errors) OVER (ORDER BY hr
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS err_l,
+             sum(total) OVER (ORDER BY hr
+                              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS tot_l
+      FROM hours
+    )
+    SELECT CAST(hr AS BIGINT) AS hr,
+           CAST(err_s AS BIGINT) AS err_short,
+           CAST(tot_s AS BIGINT) AS tot_short,
+           CAST(err_l AS BIGINT) AS err_long,
+           CAST(tot_l AS BIGINT) AS tot_long
+    FROM rolled
+    WHERE err_s * 5 > tot_s AND err_l * 5 > tot_l
+    """,
+)
+def ops_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alert (the SRE-workbook pattern):
+    fire only when BOTH a short (3 h) and a long (12 h) rolling error
+    ratio exceed the 20% budget-burn threshold — the short window
+    gives fast detection, the long window suppresses blips.
+
+    Exactness: the ratio comparisons are cross-multiplied integer
+    predicates (errors·5 > total — no division anywhere), so an
+    alert can never flip on a float rounding boundary between
+    engines.
+
+    Scale story: the raw stream collapses to one row per HOUR first
+    (partial-aggregated), so the rolling windows run over the tiny
+    hour spine — a single-partition window over hours is bounded by
+    the calendar, not the data (1 year ≈ 8.8k rows); a per-service
+    production variant adds the service key to both the rollup and
+    the window partition."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hours = ev.groupBy(
+        fdiv(F.unix_micros("ts"), 3_600_000_000).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("errors"),
+    )
+    ws = W.orderBy("hr").rowsBetween(-2, 0)
+    wl = W.orderBy("hr").rowsBetween(-11, 0)
+    rolled = hours.select(
+        "hr",
+        F.sum("errors").over(ws).alias("err_s"),
+        F.sum("total").over(ws).alias("tot_s"),
+        F.sum("errors").over(wl).alias("err_l"),
+        F.sum("total").over(wl).alias("tot_l"),
+    )
+    return rolled.filter(
+        (F.col("err_s") * 5 > F.col("tot_s"))
+        & (F.col("err_l") * 5 > F.col("tot_l"))
+    ).select(
+        F.col("hr").cast("long").alias("hr"),
+        F.col("err_s").cast("long").alias("err_short"),
+        F.col("tot_s").cast("long").alias("tot_short"),
+        F.col("err_l").cast("long").alias("err_long"),
+        F.col("tot_l").cast("long").alias("tot_long"),
+    )

@@ -1465,3 +1465,103 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(
         F.broadcast(dim), d["lang_key"].eqNullSafe(dim["lang_key"])
     ).select(d["doc_id"], d["lang_key"], dim["label"])
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    marked AS (
+      SELECT user_id, event_id, us, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_click_us,
+             first_value(CASE WHEN event_type = 'click' THEN us END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click_us
+      FROM ev
+    )
+    SELECT user_id, event_id,
+           CAST(CASE
+             WHEN prev_click_us IS NULL THEN next_click_us
+             WHEN next_click_us IS NULL THEN prev_click_us
+             WHEN us - prev_click_us <= next_click_us - us
+               THEN prev_click_us
+             ELSE next_click_us
+           END AS BIGINT) AS nearest_click_us,
+           CAST(CASE
+             WHEN prev_click_us IS NULL THEN next_click_us - us
+             WHEN next_click_us IS NULL THEN us - prev_click_us
+             ELSE least(us - prev_click_us, next_click_us - us)
+           END AS BIGINT) AS gap_us
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (bidirectional): each purchase pairs with
+    the temporally closest click of the same user — before OR after —
+    with ties resolved toward the earlier click.  Completes the as-of
+    family (backward join_asof, toleranced join_asof_tolerance): the
+    sensor-alignment shape where 'latest before' is wrong half the
+    time.
+
+    Scale story: the union trick again, but with BOTH a backward
+    carry (last click ≤ t) and a forward carry (first click ≥ t) on
+    the SAME user_id exchange and sort — two frame directions over
+    one window spec, so nearest-of-two is a row-local least().  No
+    range-join explosion, exact int64 microsecond arithmetic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "user_id", "event_id", us.alias("us"), "event_type"
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    marked = base.select(
+        "user_id",
+        "event_id",
+        "us",
+        "event_type",
+        F.last(click_us, ignorenulls=True).over(wb).alias("prev_click_us"),
+        F.first(click_us, ignorenulls=True).over(wf).alias("next_click_us"),
+    )
+    prev_gap = F.col("us") - F.col("prev_click_us")
+    next_gap = F.col("next_click_us") - F.col("us")
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("prev_click_us").isNull(), F.col("next_click_us"))
+        .when(F.col("next_click_us").isNull(), F.col("prev_click_us"))
+        .when(prev_gap <= next_gap, F.col("prev_click_us"))
+        .otherwise(F.col("next_click_us"))
+        .cast("long")
+        .alias("nearest_click_us"),
+        F.when(F.col("prev_click_us").isNull(), next_gap)
+        .when(F.col("next_click_us").isNull(), prev_gap)
+        .otherwise(F.least(prev_gap, next_gap))
+        .cast("long")
+        .alias("gap_us"),
+    )

@@ -1035,5 +1035,18 @@ CHECKS["fn_url_family"] = [
      r"ReadSchema: struct<doc_id:bigint,source:string>"),
 ]
 
+CHECKS["join_asof_nearest"] = [
+    ("both carry directions on ONE user_id exchange",
+     r"\A(?!.*hashpartitioning\((?!user_id)\w)"),
+    ("no range-join explosion (no BNLJ, no cartesian)",
+     r"\A(?!.*(BroadcastNestedLoopJoin|CartesianProduct))"),
+]
+CHECKS["ops_burn_rate"] = [
+    ("raw stream collapses to the hour spine first (partial agg)",
+     r"partial_(sum|count)"),
+    ("rolling windows run over the aggregated hour frame",
+     r"Window"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
