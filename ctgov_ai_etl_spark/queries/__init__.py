@@ -34,7 +34,28 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 #     this round via tools/check_oracle.py — see COVERAGE.md);
 #   everything else (r6-r8-green, unchanged) follows alphabetically.
 _PRIORITY = (
-    # -- block 0: new in round 9
+    # -- block 0a: waves 10-17 (newest, no sf0.1 artifact yet)
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_rich_customers",
+    "text_bpe_merge_rank",
+    "emb_quantize_int8",
+    "maintenance_zonemap_prune",
+    "mm_resize_real",
+    "mm_frame_sample_real",
+    "stat_winsorized_mean",
+    "stat_sprt",
+    "text_url_canonicalize",
+    "stream_run_sprt",
+    "sample_balanced_classes",
+    "pipeline_web_corpus",
+    "mm_audio_downsample",
+    "fn_url_family",
+    "join_asof_nearest",
+    "ops_burn_rate",
+    # -- block 0b: round-9 waves 1-9 (covered by the committed
+    #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",
     "funnel_within_window",
     "stream_run_funnel",
@@ -73,25 +94,6 @@ _PRIORITY = (
     "dq_skew_report",
     "win_rolling_corr",
     "pipeline_churn_digest",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q22_idle_rich_customers",
-    "text_bpe_merge_rank",
-    "emb_quantize_int8",
-    "maintenance_zonemap_prune",
-    "mm_resize_real",
-    "mm_frame_sample_real",
-    "stat_winsorized_mean",
-    "stat_sprt",
-    "text_url_canonicalize",
-    "stream_run_sprt",
-    "sample_balanced_classes",
-    "pipeline_web_corpus",
-    "mm_audio_downsample",
-    "fn_url_family",
-    "join_asof_nearest",
-    "ops_burn_rate",
     "mm_decode_audio",
     "mm_decode_video",
     # -- block 1: changed in round 9
