@@ -224,6 +224,112 @@ try:
         )
         assert decode_ppm(encode_ppm(w, h, px)) == (w, h, sum(px), w * h * 3)
 
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        ch=st.sampled_from([1, 3]),
+        factor=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_resize_nearest_property(w, h, ch, factor, data):
+        from ctgov_ai_etl_spark.functions.imagecodec import resize_nearest
+
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        wo, ho, out = resize_nearest(w, h, ch, px, factor)
+        # ceil dims; every output pixel equals its stride-sampled source
+        assert wo == (w + factor - 1) // factor
+        assert ho == (h + factor - 1) // factor
+        assert len(out) == wo * ho * ch
+        for r in range(ho):
+            for c in range(wo):
+                src_base = (r * factor * w + c * factor) * ch
+                dst_base = (r * wo + c) * ch
+                assert (
+                    out[dst_base : dst_base + ch]
+                    == px[src_base : src_base + ch]
+                )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.sampled_from([2, 4, 8]),
+        h=st.sampled_from([2, 4, 6]),
+        nf=st.integers(1, 8),
+        every_n=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_y4m_frame_walk_property(w, h, nf, every_n, data):
+        from ctgov_ai_etl_spark.functions.imagecodec import (
+            decode_y4m_frames,
+            encode_y4m,
+        )
+
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h,
+                        max_size=w * h,
+                    )
+                )
+            )
+            for _ in range(nf)
+        ]
+        W_, H_, sums = decode_y4m_frames(encode_y4m(w, h, frames))
+        assert (W_, H_) == (w, h)
+        assert sums == [sum(f) for f in frames]
+        # the decimated view any frame sampler derives
+        assert sums[::every_n] == [
+            sum(frames[i]) for i in range(0, nf, every_n)
+        ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ch=st.sampled_from([1, 2]),
+        nf=st.integers(1, 40),
+        every_n=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_wav_samples_decimation_property(ch, nf, every_n, data):
+        import struct as _st
+
+        from ctgov_ai_etl_spark.functions.imagecodec import (
+            decode_wav_samples,
+            encode_wav,
+        )
+
+        vals = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=nf * ch,
+                max_size=nf * ch,
+            )
+        )
+        blob = encode_wav(8000, ch, _st.pack(f"<{nf * ch}h", *vals))
+        ch_, rate, got = decode_wav_samples(blob)
+        assert (ch_, rate) == (ch, 8000)
+        assert list(got) == vals
+        # frame-stride decimation over the raw samples
+        kept = [
+            abs(vals[f * ch + c])
+            for f in range(0, nf, every_n)
+            for c in range(ch)
+        ]
+        assert sum(kept) == sum(
+            abs(v)
+            for f in range(0, nf, every_n)
+            for v in (vals[f * ch : f * ch + ch])
+        )
+
 except ImportError:  # pragma: no cover - hypothesis is in the image
     pass
 
