@@ -54,6 +54,8 @@ _PRIORITY = (
     "fn_url_family",
     "join_asof_nearest",
     "ops_burn_rate",
+    "text_html_extract",
+    "maintenance_compact_binpack",
     # -- block 0b: round-9 waves 1-9 (covered by the committed
     #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",

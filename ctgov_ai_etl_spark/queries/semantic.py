@@ -3299,3 +3299,154 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("int").alias("n_tok"),
         F.floor((cum - F.col("n_tok")) / 512.0).cast("int").alias("seq_id"),
     )
+
+
+@query(
+    "text_html_extract",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>' || source || '</title>'
+             || '<script>var x=' || CAST(doc_id AS VARCHAR)
+             || ';</script><style>.c{color:red}</style></head>'
+             || '<body><h1>' || upper(source) || '</h1><p>'
+             || substring(text, 1, 120)
+             || '</p><!-- crawler: drop --><div class="f">footer'
+             || '</div></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?s)<script.*?</script>', '', 'g'),
+                     '(?s)<style.*?</style>', '', 'g'),
+                   '(?s)<!--.*?-->', '', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS extracted
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(extracted) AS INT) AS n_chars,
+           md5(extracted) AS extract_md5
+    FROM stripped
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction — the step between the crawl and every
+    text operator in this catalog: drop script/style blocks and
+    comments (dot-all non-greedy), replace remaining tags with
+    spaces, collapse whitespace, trim.  The fixture carries no HTML,
+    so both engines wrap each document in the SAME deterministic
+    page skeleton (title/script/style/h1/comment/footer) — the
+    extraction chain, not the corpus, is under test, and the md5 of
+    the extracted text pins every character of the result.
+
+    Scale story: pure map-side regexp codegen, zero shuffle — the
+    boilerplate strip distributes embarrassingly, exactly like the
+    multimodal codec stages."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>.c{color:red}</style></head><body><h1>"),
+        F.upper(F.col("source")),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit('</p><!-- crawler: drop --><div class="f">footer'),
+        F.lit("</div></body></html>"),
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            html, r"(?s)<script.*?</script>", ""
+                        ),
+                        r"(?s)<style.*?</style>",
+                        "",
+                    ),
+                    r"(?s)<!--.*?-->",
+                    "",
+                ),
+                r"<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(extracted).cast("int").alias("n_chars"),
+        F.md5(extracted).alias("extract_md5"),
+    )
+
+
+@query(
+    "maintenance_compact_binpack",
+    oracle="""
+    WITH groups AS (
+      SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS sz
+      FROM documents GROUP BY source, lang
+    ),
+    ordered AS (
+      SELECT source, lang, sz,
+             sum(sz) OVER (ORDER BY sz DESC, source, lang) AS cum
+      FROM groups
+    ),
+    binned AS (
+      SELECT CAST(((cum - sz) - ((((cum - sz) % CAST((40000) AS BIGINT)) + CAST((40000) AS BIGINT)) % CAST((40000) AS BIGINT))) // CAST((40000) AS BIGINT) AS BIGINT) AS bin_id, sz FROM ordered
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS bytes,
+           CAST(((CAST(sum(sz) AS BIGINT) * 1000000) - ((((CAST(sum(sz) AS BIGINT) * 1000000) % CAST((40000) AS BIGINT)) + CAST((40000) AS BIGINT)) % CAST((40000) AS BIGINT))) // CAST((40000) AS BIGINT) AS BIGINT) AS fill_ppm
+    FROM binned
+    GROUP BY bin_id
+    """,
+)
+def maintenance_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNING — the sizing math maintenance_compact_files
+    executes: pack per-(source, lang) document groups into ~40 KB
+    target output files by next-fit over the size-descending order
+    (the deterministic streaming approximation of first-fit-
+    decreasing every table-maintenance service actually ships), and
+    report each planned file's group count, byte total, and exact
+    fill ratio in ppm.
+
+    Exactness: bin assignment is fdiv(cumsum - size, target) — pure
+    integer arithmetic over an exact int64 running sum with a total
+    (size DESC, source, lang) order, so the plan is bit-identical on
+    any engine.  Scale story: the group frame is |sources × langs|
+    (hundreds at 100 TB — file-level metadata, not data), so the
+    single-partition planning window is bounded by the catalog, not
+    the corpus; the partial-aggregated group rollup is the only
+    data-scale pass."""
+    from pyspark.sql import Window as W
+
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("sz")
+    )
+    cum = F.sum("sz").over(
+        W.orderBy(F.desc("sz"), "source", "lang").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    binned = groups.select(
+        fdiv(cum - F.col("sz"), 40_000).alias("bin_id"), "sz"
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("bytes"),
+        fdiv(F.sum("sz").cast("long") * 1_000_000, 40_000).alias("fill_ppm"),
+    )

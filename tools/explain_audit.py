@@ -1048,5 +1048,16 @@ CHECKS["ops_burn_rate"] = [
      r"Window"),
 ]
 
+CHECKS["text_html_extract"] = [
+    ("extraction is map-side regexp codegen (no UDF, no shuffle)",
+     r"\A(?!.*(hashpartitioning|BatchEvalPython|ArrowEvalPython))"),
+]
+CHECKS["maintenance_compact_binpack"] = [
+    ("group rollup partially aggregated (the only data-scale pass)",
+     r"partial_sum"),
+    ("planning window runs over the aggregated group frame",
+     r"Window"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
