@@ -1059,5 +1059,12 @@ CHECKS["maintenance_compact_binpack"] = [
      r"Window"),
 ]
 
+CHECKS["agg_bitmap_distinct_days"] = [
+    ("bitmap fold partially aggregated map-side (no count-distinct expand)",
+     r"partial_(bit_or|bitor|min)"),
+    ("one shuffle on user_id",
+     r"\A(?!.*hashpartitioning\((?!user_id)\w)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
