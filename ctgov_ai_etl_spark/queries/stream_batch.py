@@ -1157,3 +1157,48 @@ def stream_run_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("llr_micro"),
     )
+
+
+@query(
+    "stream_run_bitmap_days",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                    + 86400000000) % 86400000000)) // 86400000000
+                  AS BIGINT) - 19723 AS off
+      FROM events
+      WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS BIGINT)
+             AS day_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)))
+                AS INT) AS n_active_days
+    FROM d
+    GROUP BY user_id
+    """,
+)
+def stream_run_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-day bitmaps: the same int64 bit_or fold as
+    agg_bitmap_distinct_days running as a genuine micro-batch
+    streaming aggregation — ONE integer of state per user regardless
+    of stream length, merged across micro-batches by OR (the
+    mergeable-summary property, same as the streaming CMS).
+    Complete-mode memory sink; oracle is the batch fold over the same
+    rows — streaming-equals-batch for an idempotent monoid."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    off = (fdiv(F.unix_micros("ts"), 86_400_000_000) - 19_723).cast("int")
+    d = ev.select("user_id", off.alias("off"))
+    bitmap = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)"))
+    agg = d.groupBy("user_id").agg(
+        bitmap.cast("long").alias("day_bitmap"),
+        F.bit_count(bitmap).cast("int").alias("n_active_days"),
+    )
+    return run_stream_to_memory(agg, mode="complete")
