@@ -523,3 +523,45 @@ def decode_y4m_frames(data: bytes) -> tuple[int, int, list]:
         frame_sums.append(sum(data[pos : pos + y_size]))
         pos += y_size + 2 * c_size
     return w, h, frame_sums
+
+
+def resize_nearest_to(
+    w: int, h: int, ch: int, raster: bytes, wo: int, ho: int
+) -> bytes:
+    """Nearest-neighbor resample to an arbitrary target grid: output
+    pixel (r, c) samples source pixel (r·h // ho, c·w // wo) — the
+    standard floor index map, pure integer arithmetic so a SQL oracle
+    replays it exactly.  Upscales (tiny sources) and downscales with
+    the same rule."""
+    if wo < 1 or ho < 1:
+        raise ValueError("target dims must be >= 1")
+    out = bytearray()
+    for r in range(ho):
+        r_src = r * h // ho
+        for c in range(wo):
+            c_src = c * w // wo
+            base = (r_src * w + c_src) * ch
+            out += raster[base : base + ch]
+    return bytes(out)
+
+
+def dhash_bits(w: int, h: int, ch: int, raster: bytes) -> tuple[int, int]:
+    """Difference hash (dHash) over the first channel: resample to a
+    9x8 grid, bit (r, c) = 1 iff px[r][c] > px[r][c+1], packed
+    row-major into two 32-bit halves (hi = rows 0-3, lo = rows 4-7)
+    so the result stays inside non-negative int64 on every engine.
+    The canonical perceptual image fingerprint: stable under resize
+    and mild recompression, pure integer arithmetic end to end."""
+    grid = resize_nearest_to(w, h, ch, raster, 9, 8)
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            a = grid[(r * 9 + c) * ch]
+            b = grid[(r * 9 + c + 1) * ch]
+            bit = 1 if a > b else 0
+            k = r * 8 + c
+            if k < 32:
+                hi |= bit << k
+            else:
+                lo |= bit << (k - 32)
+    return hi, lo

@@ -518,3 +518,40 @@ def downsample_audio_real(
             "n_frames_out int, abs_sum long"
         ),
     )
+
+
+def dhash_images_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL perceptual image fingerprinting: decode the blob to raw
+    pixels, dHash it (functions/imagecodec.py:dhash_bits — 9x8
+    nearest resample + row-adjacent comparisons, packed as two
+    non-negative 32-bit halves).  One Arrow-batched ``mapInPandas``
+    stage, zero shuffle — the fingerprint pass of an image-dedup
+    pipeline; the bucket-join on the hash happens downstream exactly
+    like every other dedup blocking key in this repo."""
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_image_pixels,
+        dhash_bits,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                w, h, ch, raster = decode_image_pixels(bytes(data))
+                hi, lo = dhash_bits(w, h, ch, raster)
+                ids.append(rid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {id_col: ids, "hash_hi": his, "hash_lo": los}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, hash_hi long, hash_lo long"
+    )

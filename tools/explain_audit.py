@@ -1066,5 +1066,11 @@ CHECKS["agg_bitmap_distinct_days"] = [
      r"\A(?!.*hashpartitioning\((?!user_id)\w)"),
 ]
 
+CHECKS["mm_dedup_phash"] = [
+    ("fingerprinting is one Arrow-batched stage", r"MapInPandas"),
+    ("only exchange is the collision window on the hash key",
+     r"\A(?!.*hashpartitioning\((?!hash_hi)\w)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
