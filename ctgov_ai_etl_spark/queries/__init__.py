@@ -59,6 +59,8 @@ _PRIORITY = (
     "agg_bitmap_distinct_days",
     "stream_run_bitmap_days",
     "mm_dedup_phash",
+    "stream_run_burn_rate",
+    "gov_audit_chain",
     # -- block 0b: round-9 waves 1-9 (covered by the committed
     #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",

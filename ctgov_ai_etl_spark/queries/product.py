@@ -2836,3 +2836,77 @@ def agg_bitmap_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("off").cast("int").alias("first_day"),
         F.max("off").cast("int").alias("last_day"),
     )
+
+
+@query(
+    "gov_audit_chain",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events WHERE ts IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, rn,
+             md5('genesis:' || CAST(event_id AS VARCHAR)) AS chain
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             md5(r.chain || ':' || CAST(e.event_id AS VARCHAR))
+      FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(max(rn) AS BIGINT) AS n_events,
+           max({'r': rn, 'c': chain}).c AS final_hash
+    FROM rec
+    GROUP BY user_id
+    """,
+)
+def gov_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident audit-log verification: recompute each user's
+    md5 hash CHAIN (chain_t = md5(chain_{t-1} || ':' || event_id),
+    seeded 'genesis') over events in (ts, event_id) order and report
+    the head — the blockchain-lite integrity check a compliance
+    pipeline runs nightly; any inserted, dropped, or reordered row
+    changes every downstream link, so one string per user certifies
+    the whole history.
+
+    The chain is inherently sequential per key — the sanctioned
+    grouped-map Python boundary (same class as ts_clamped_cumsum),
+    one Arrow batch per user, md5 being the engine-portable hash.
+    Oracle: the recursive-CTE replay.  One user_id exchange; state
+    is one 32-char digest regardless of history length."""
+    import hashlib
+
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        h = "genesis"
+        n = 0
+        for eid in pdf["event_id"]:
+            h = hashlib.md5(f"{h}:{int(eid)}".encode()).hexdigest()
+            n += 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "final_hash": [h],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        chain, schema="user_id long, n_events long, final_hash string"
+    )

@@ -1202,3 +1202,90 @@ def stream_run_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bitmap).cast("int").alias("n_active_days"),
     )
     return run_stream_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_run_burn_rate",
+    oracle="""
+    WITH hours AS (
+      SELECT (epoch_us(ts) // 3600000000) AS hr,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY hr
+    ),
+    rolled AS (
+      SELECT hr, total, errors,
+             sum(errors) OVER (ORDER BY hr
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS err_s,
+             sum(total) OVER (ORDER BY hr
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS tot_s,
+             sum(errors) OVER (ORDER BY hr
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS err_l,
+             sum(total) OVER (ORDER BY hr
+                              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+               AS tot_l
+      FROM hours
+    )
+    SELECT CAST(hr AS BIGINT) AS hr,
+           CAST(err_s AS BIGINT) AS err_short,
+           CAST(tot_s AS BIGINT) AS tot_short,
+           CAST(err_l AS BIGINT) AS err_long,
+           CAST(tot_l AS BIGINT) AS tot_long
+    FROM rolled
+    WHERE err_s * 5 > tot_s AND err_l * 5 > tot_l
+    """,
+)
+def stream_run_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multi-window burn-rate: the data-scale pass (raw
+    events → per-hour error/total counts) runs as a genuine
+    micro-batch streaming aggregation with complete-mode state —
+    hour-bucket counters merge additively across batches, the same
+    bounded-state contract as the streaming CMS — and the rolling
+    3h/12h alert windows evaluate batch-side over the calendar-
+    bounded hour spine the sink materializes.  Oracle: the batch
+    ops_burn_rate replay — streaming-equals-batch because hour
+    counters are an additive monoid and the alert is a pure function
+    of the final spine."""
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    hours = ev.groupBy(
+        fdiv(F.unix_micros("ts"), 3_600_000_000).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("errors"),
+    )
+    spine = run_stream_to_memory(hours, mode="complete")
+    from pyspark.sql import Window as W
+
+    ws = W.orderBy("hr").rowsBetween(-2, 0)
+    wl = W.orderBy("hr").rowsBetween(-11, 0)
+    rolled = spine.select(
+        "hr",
+        F.sum("errors").over(ws).alias("err_s"),
+        F.sum("total").over(ws).alias("tot_s"),
+        F.sum("errors").over(wl).alias("err_l"),
+        F.sum("total").over(wl).alias("tot_l"),
+    )
+    return rolled.filter(
+        (F.col("err_s") * 5 > F.col("tot_s"))
+        & (F.col("err_l") * 5 > F.col("tot_l"))
+    ).select(
+        F.col("hr").cast("long").alias("hr"),
+        F.col("err_s").cast("long").alias("err_short"),
+        F.col("tot_s").cast("long").alias("tot_short"),
+        F.col("err_l").cast("long").alias("err_long"),
+        F.col("tot_l").cast("long").alias("tot_long"),
+    )

@@ -1072,5 +1072,12 @@ CHECKS["mm_dedup_phash"] = [
      r"\A(?!.*hashpartitioning\((?!hash_hi)\w)"),
 ]
 
+CHECKS["gov_audit_chain"] = [
+    ("per-user chain on ONE user_id exchange",
+     r"hashpartitioning\(user_id"),
+    ("sanctioned grouped-map boundary (Arrow batch per user)",
+     r"FlatMapGroupsInPandas"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
