@@ -61,6 +61,8 @@ _PRIORITY = (
     "mm_dedup_phash",
     "stream_run_burn_rate",
     "gov_audit_chain",
+    "mm_video_scene_cuts",
+    "stream_run_audit_chain",
     # -- block 0b: round-9 waves 1-9 (covered by the committed
     #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",

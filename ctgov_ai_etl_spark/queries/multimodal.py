@@ -473,3 +473,72 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_dupes"),
     )
+
+
+@query(
+    "mm_video_scene_cuts",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             2 * (1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 8) AS w,
+             2 * (1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 8) AS h,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v,
+             1 + CAST(('0x' || substr(md5(text), 7, 2)) AS INT) % 6 AS nf
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, w, h, i,
+             CAST(list_aggregate(
+               list_transform(range(0, w * h),
+                 j -> (v + i * 17 + j) % 256), 'sum') AS BIGINT) AS fsum
+      FROM base, unnest(range(0, nf)) AS t(i)
+    ),
+    deltas AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY i))
+               AS delta,
+             w * h AS px
+      FROM sums
+    )
+    SELECT doc_id, frame_idx, CAST(delta AS BIGINT) AS delta
+    FROM deltas
+    WHERE delta IS NOT NULL AND delta * 10 > CAST(px AS BIGINT) * 170
+    """,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection on the REAL video path: walk each Y4M
+    stream's frames (structural chroma skips load-bearing), take the
+    per-frame luma sums, and flag frames whose absolute luma delta
+    from the previous frame exceeds 17 per pixel — the cheap
+    first-pass cut detector every video pipeline runs before
+    expensive per-frame models.  The threshold compare is
+    cross-multiplied integers (delta·10 > pixels·170 — no division).
+
+    Scale story: frame sums come out of the zero-shuffle Arrow codec
+    stage one row per frame; the adjacent-frame lag is a per-doc
+    window over ≤ n_frames rows on one doc_id exchange.  Oracle:
+    closed-form per-frame sums + the same lag/threshold in SQL."""
+    from pyspark.sql import Window as W
+
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_video,
+        sample_video_frames_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_video_frames_real(
+        render_test_video(d, "doc_id"), "doc_id", every_n=1
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.abs(
+            F.col("luma_sum") - F.lag("luma_sum").over(w)
+        ).alias("delta"),
+        (F.col("width").cast("long") * F.col("height")).alias("px"),
+    )
+    return deltas.filter(
+        F.col("delta").isNotNull()
+        & (F.col("delta") * 10 > F.col("px") * 170)
+    ).select("doc_id", "frame_idx", F.col("delta").cast("long").alias("delta"))

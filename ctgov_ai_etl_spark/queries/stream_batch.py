@@ -1289,3 +1289,56 @@ def stream_run_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("err_l").cast("long").alias("err_long"),
         F.col("tot_l").cast("long").alias("tot_long"),
     )
+
+
+@query(
+    "stream_run_audit_chain",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events WHERE ts IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, rn,
+             md5('genesis:' || CAST(event_id AS VARCHAR)) AS chain
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             md5(r.chain || ':' || CAST(e.event_id AS VARCHAR))
+      FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(max(rn) AS BIGINT) AS n_events,
+           max({'r': rn, 'c': chain}).c AS final_hash
+    FROM rec
+    GROUP BY user_id
+    """,
+)
+def stream_run_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING audit hash chain: file micro-batch source →
+    stateful per-user md5 fold (streaming/events.py:
+    stateful_audit_chain, one digest + one counter of state) →
+    update-mode memory sink → latest-snapshot reduce.  The streaming
+    twin of gov_audit_chain; both hash-check against the one
+    recursive-CTE oracle — live tamper detection equals the batch
+    recompute."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_audit_chain,
+    )
+
+    snaps = run_stream_to_memory(
+        stateful_audit_chain(read_events_stream(spark, sf_dir)),
+        mode="update",
+    )
+    latest = snaps.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "final_hash")).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n_events").cast("long").alias("n_events"),
+        F.col("s.final_hash").alias("final_hash"),
+    )

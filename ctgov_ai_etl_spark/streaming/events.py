@@ -814,3 +814,57 @@ def stateful_sprt(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_audit_chain(events: DataFrame) -> DataFrame:
+    """STREAMING tamper-evident hash chain: per user, fold each event
+    into chain_t = md5(chain_{t-1} || ':' || event_id) — ONE 32-char
+    digest of state certifies the whole history seen so far; each
+    micro-batch emits an UPDATE snapshot (n_events, head digest) and
+    the caller keeps the latest per key (max on the monotone count).
+    The streaming twin of gov_audit_chain: live integrity monitoring
+    instead of the nightly batch recompute.  Same per-batch
+    (ts_us, event_id) ordering contract as the other stateful ops."""
+    import hashlib
+
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+
+    def update(key, pdfs, state):
+        n, h = state.get if state.exists else (0, "genesis")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.dropna(subset=["ts_us"])
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for eid in batch["event_id"]:
+                h = hashlib.md5(f"{h}:{int(eid)}".encode()).hexdigest()
+                n += 1
+        state.update((n, h))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "final_hash": [h],
+            }
+        )
+
+    keyed = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, final_hash string",
+        stateStructType="n long, h string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1079,5 +1079,12 @@ CHECKS["gov_audit_chain"] = [
      r"FlatMapGroupsInPandas"),
 ]
 
+CHECKS["mm_video_scene_cuts"] = [
+    ("frame sums come out of the zero-shuffle codec stage",
+     r"MapInPandas"),
+    ("adjacent-frame lag on one doc_id exchange",
+     r"\A(?!.*hashpartitioning\((?!doc_id)\w)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
