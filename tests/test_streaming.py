@@ -750,3 +750,48 @@ def test_sprt_state_across_microbatches(spark, tmp_path):
     assert flat["rows_seen"] == 4 and flat["llr_now"] == 0
     # two snapshots per key (one per micro-batch) prove cross-batch state
     assert sum(1 for r in snaps.collect() if r["event_type"] == "up") == 2
+
+
+def test_audit_chain_state_across_microbatches(spark, tmp_path):
+    """The chain digest must thread across micro-batches: three events
+    split 2 + 1 must produce md5(md5(md5('genesis:1'):2):3) — any
+    state reset between batches yields a 'genesis'-rooted hash for
+    batch 2 instead."""
+    import datetime as dt
+    import hashlib
+
+    from ctgov_ai_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        stateful_audit_chain,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows1 = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 7, "view", 1.0, "{}"),
+    ]
+    rows2 = [(3, t0 + dt.timedelta(seconds=2), 7, "view", 1.0, "{}")]
+    src = str(tmp_path / "chain_src")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    snaps = run_stream_to_memory(
+        stateful_audit_chain(stream), mode="update"
+    ).collect()
+    latest = max(snaps, key=lambda r: r["n_events"])
+    h = "genesis"
+    for eid in (1, 2, 3):
+        h = hashlib.md5(f"{h}:{eid}".encode()).hexdigest()
+    assert latest["n_events"] == 3 and latest["final_hash"] == h
+    assert len(snaps) == 2  # one snapshot per micro-batch
