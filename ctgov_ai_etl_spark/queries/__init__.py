@@ -63,6 +63,7 @@ _PRIORITY = (
     "gov_audit_chain",
     "mm_video_scene_cuts",
     "stream_run_audit_chain",
+    "filter_like_regex",
     # -- block 0b: round-9 waves 1-9 (covered by the committed
     #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",
@@ -129,7 +130,6 @@ _PRIORITY = (
     "essie_predicates",
     "essie_search_text",
     "filter_in_set",
-    "filter_like_regex",
     "filter_range_bool",
     "fn_array_family",
     "fn_math_family",

@@ -119,14 +119,20 @@ def filter_range_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_type
     FROM part
-    WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-f].*[0-9]$')
+    WHERE p_type LIKE '%MED%' OR regexp_matches(p_name, '^s.*o$')
     """,
 )
 def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text containment + regex filter (Essie SEARCH[Study] baseline)."""
+    """Text containment + regex filter (Essie SEARCH[Study] baseline).
+
+    Predicates target values the synthetic fixture actually contains
+    (MEDIUM types, 's…o' names like 'small gizmo') so the filter is
+    exercised with real survivors at every SF — the original
+    TPC-H-style '%BRASS%' matched nothing here and made this a
+    0-row green (weak evidence)."""
     p = load_table(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_type").like("%BRASS%") | F.col("p_name").rlike("^[a-f].*[0-9]$")
+        F.col("p_type").like("%MED%") | F.col("p_name").rlike("^s.*o$")
     ).select("p_partkey", "p_name", "p_type")
 
 
