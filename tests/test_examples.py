@@ -73,3 +73,14 @@ def test_product_analytics_pipeline_example(spark):
     assert 0.0 <= out["km_final_survival"] <= 1.0
     assert out["ks_ppm"] >= 0
     assert out["profiled_columns"] == 6
+
+
+def test_web_corpus_pipeline_example(spark):
+    from examples.web_corpus_pipeline import main
+
+    out = main("/root/testdata/sf0.001")
+    assert out["extracted_docs"] == 500
+    assert out["canonical_urls"] > 0
+    assert out["training_rows"] > 0
+    assert out["balanced_equal"] is True
+    assert out["audited_users"] > 0
