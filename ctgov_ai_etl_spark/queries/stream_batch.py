@@ -1342,3 +1342,109 @@ def stream_run_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").cast("long").alias("n_events"),
         F.col("s.final_hash").alias("final_hash"),
     )
+
+
+@query(
+    "stream_run_stream_join_outer",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS us_to_purchase
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND ts IS NOT NULL) a
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL) b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_run_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream LEFT OUTER join — the hard half of the
+    streaming-join surface: unmatched clicks can only emit their
+    null-extended row once the watermark proves no in-window purchase
+    can still arrive, so correctness depends on watermark-driven
+    state closure, not on match arrival.  A finite availableNow
+    stream never advances the watermark past its own tail, which
+    would withhold every late-window click forever; the fixture
+    therefore stages the events as batch 1 and appends two FAR-FUTURE
+    sentinel micro-batches (one click + one purchase each, negative
+    ids, filtered from the result) — sentinel batch N advances the
+    min-of-both-sides watermark that batch N+1 uses to flush closed
+    state.  Oracle: the plain batch LEFT range-join, valid because
+    the sentinels close every real window.  Same fixed-cost state
+    partitioning note as the inner twin (8 partitions here)."""
+    import os
+    import tempfile
+
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+    from ctgov_ai_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    stage = tempfile.mkdtemp(prefix="ssjo_")
+    b1 = os.path.join(stage, "batch1")
+    ev.write.mode("overwrite").parquet(b1)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    for i, gap_h in enumerate((3, 6), start=1):
+        sent = spark.createDataFrame(
+            [
+                (-2 * i, max_us + gap_h * 3_600_000_000, -1, "click", 0.0, "{}"),
+                (-2 * i - 1, max_us + gap_h * 3_600_000_000, -1, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, us long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"sentinel{i}")
+        )
+    schema = spark.read.parquet(b1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_stream_to_memory(joined, mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.filter(F.col("click_id") >= 0).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("long").alias(
+            "us_to_purchase"
+        ),
+    )
