@@ -2910,3 +2910,177 @@ def gov_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         chain, schema="user_id long, n_events long, final_hash string"
     )
+
+
+@query(
+    "agg_bitmap_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                % 86400000000)) // 86400000000 - 19723 AS off
+      FROM events WHERE ts IS NOT NULL
+    ),
+    bm AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS b
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(bit_count(b) AS INT) AS n_days,
+           CAST(bit_count(b & (b >> 1)) AS INT) AS n_pairs,
+           CAST(CASE WHEN bit_count(
+                  b & (b >> 1) & (b >> 2) & (b >> 3)
+                    & (b >> 4) & (b >> 5) & (b >> 6)) > 0
+                THEN 1 ELSE 0 END AS INT) AS has_week_streak
+    FROM bm
+    """,
+)
+def agg_bitmap_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streak analytics as pure bitmap algebra over the day bitmaps of
+    agg_bitmap_distinct_days: consecutive-day pairs are ONE shift-AND
+    (b & b>>1), and 'has a 7-day streak' is the 7-term AND chain —
+    retention math that at 100 TB runs as integer ops on one int64
+    per user, no self-joins, no windows, no date arithmetic.
+
+    Exactness: shifts and ANDs are identical on both engines; the
+    day index is the fdiv floor convention.  One partial-aggregated
+    user rollup, all streak logic map-side after it."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    off = (
+        fdiv(F.unix_micros("ts"), 86_400_000_000) - 19_723
+    ).cast("int")
+    bm = (
+        ev.select("user_id", off.alias("off"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)")).alias("b")
+        )
+    )
+    week = F.expr(
+        "b & shiftright(b,1) & shiftright(b,2) & shiftright(b,3)"
+        " & shiftright(b,4) & shiftright(b,5) & shiftright(b,6)"
+    )
+    return bm.select(
+        "user_id",
+        F.bit_count("b").cast("int").alias("n_days"),
+        F.bit_count(F.expr("b & shiftright(b, 1)"))
+        .cast("int")
+        .alias("n_pairs"),
+        F.when(F.bit_count(week) > 0, 1).otherwise(0)
+        .cast("int")
+        .alias("has_week_streak"),
+    )
+
+
+@query(
+    "stat_mann_whitney",
+    oracle="""
+    WITH armed AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events WHERE value IS NOT NULL
+    ),
+    grouped AS (
+      SELECT event_type, v,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(in_a) AS BIGINT) AS cnt_a
+      FROM armed GROUP BY event_type, v
+    ),
+    pos AS (
+      SELECT event_type, v, cnt, cnt_a,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v) - cnt
+               AS cumb
+      FROM grouped
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_a * (2 * cumb + cnt + 1)) AS BIGINT) AS s2a,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties_t
+      FROM pos GROUP BY event_type
+    )
+    SELECT event_type,
+           n_a,
+           CAST(n - n_a AS BIGINT) AS n_b,
+           CAST(s2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           round(CAST(s2a - n_a * (n_a + 1) - n_a * (n - n_a) AS DOUBLE)
+                 / sqrt(CAST(n_a AS DOUBLE) * (n - n_a)
+                        * ((n + 1) - CAST(ties_t AS DOUBLE) / (n * (n - 1)))
+                        / 3.0), 6) AS z
+    FROM stats
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) per event type: does
+    the md5-assigned A arm's value distribution stochastically
+    dominate B's?  The nonparametric sibling of stat_ab_ttest —
+    rank-based, so it needs no normality and survives outliers.
+
+    Exactness: tied ranks are handled with DOUBLED rank sums, which
+    turn the half-integer average ranks into exact int64
+    (2·avg_rank of a tie block = 2·cum_before + size + 1); U is
+    reported as 2U, and the tie-corrected variance enters one shared
+    double expression with identical operation order on both
+    engines.  Scale story: values compress to the distinct-(type,
+    value) frame first, the position window and both rollups share
+    the event_type exchange, arm assignment is the portable md5
+    split."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    armed = ev.select(
+        "event_type",
+        cents("value").alias("v"),
+        (hash_bucket(F.col("user_id"), 2) == 0).cast("long").alias("in_a"),
+    )
+    grouped = armed.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("in_a").alias("cnt_a")
+    )
+    w = W.partitionBy("event_type").orderBy("v")
+    pos = grouped.select(
+        "event_type",
+        "v",
+        "cnt",
+        "cnt_a",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cumb"),
+    )
+    stats = pos.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cumb") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("s2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("ties_t"),
+    )
+    n, na = F.col("n"), F.col("n_a")
+    u2a = F.col("s2a") - na * (na + 1)
+    z = F.round(
+        (u2a - na * (n - na)).cast("double")
+        / F.sqrt(
+            na.cast("double")
+            * (n - na)
+            * ((n + 1) - F.col("ties_t").cast("double") / (n * (n - 1)))
+            / 3.0
+        ),
+        6,
+    )
+    return stats.select(
+        "event_type",
+        "n_a",
+        (n - na).cast("long").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        z.alias("z"),
+    )

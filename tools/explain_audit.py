@@ -1086,5 +1086,18 @@ CHECKS["mm_video_scene_cuts"] = [
      r"\A(?!.*hashpartitioning\((?!doc_id)\w)"),
 ]
 
+CHECKS["agg_bitmap_streaks"] = [
+    ("one partial-aggregated user rollup; streak logic map-side after it",
+     r"partial_(bit_or|bitor)"),
+    ("no self-join, no window over raw rows",
+     r"\A(?!.*SortMergeJoin)"),
+]
+CHECKS["stat_mann_whitney"] = [
+    ("values compress to the distinct-(type,value) frame first",
+     r"partial_(count|sum)"),
+    ("position window and rollups share the event_type exchange",
+     r"hashpartitioning\(event_type"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
