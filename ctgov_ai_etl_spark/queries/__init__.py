@@ -67,6 +67,7 @@ _PRIORITY = (
     "stream_run_stream_join_outer",
     "agg_bitmap_streaks",
     "stat_mann_whitney",
+    "agg_bitmap_cohort_retention",
     # -- block 0b: round-9 waves 1-9 (covered by the committed
     #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
     "mm_decode_real",

@@ -3084,3 +3084,79 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2a.cast("long").alias("u2_a"),
         z.alias("z"),
     )
+
+
+@query(
+    "agg_bitmap_cohort_retention",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                % 86400000000)) // 86400000000 - 19723 AS off
+      FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+    ),
+    bm AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS b
+      FROM d GROUP BY user_id
+    ),
+    firsts AS (
+      SELECT user_id, b,
+             bit_count((b & -b) - 1) AS cohort_day
+      FROM bm
+    )
+    SELECT CAST(cohort_day AS INT) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum((b >> CAST(cohort_day + 1 AS INT)) & 1) AS BIGINT)
+             AS ret_d1,
+           CAST(sum((b >> CAST(cohort_day + 7 AS INT)) & 1) AS BIGINT)
+             AS ret_d7,
+           CAST(sum((b >> CAST(cohort_day + 14 AS INT)) & 1) AS BIGINT)
+             AS ret_d14
+    FROM firsts
+    GROUP BY cohort_day
+    """,
+)
+def agg_bitmap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cohort-retention matrix computed ENTIRELY from day
+    bitmaps (purchase activity, which spreads first-touch across the
+    month where all-event bitmaps collapse to cohort 0): a user's
+    cohort day is the lowest set bit
+    (bit_count((b & -b) − 1)) and day-k retention is one shifted bit
+    test ((b >> (cohort+k)) & 1) — the dashboard that normally takes
+    a self-join of the activity table against itself becomes integer
+    ops on one int64 per user.  Completes the bitmap suite
+    (distinct-days → streaks → cohorts).
+
+    Exactness: every step is bit arithmetic both engines define
+    identically on int64; the day base is the shared injected
+    literal.  Scale story: one partial-aggregated user rollup, then
+    a |cohort-days|-sized second rollup — no self-join, no window."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    off = (
+        fdiv(F.unix_micros("ts"), 86_400_000_000) - 19_723
+    ).cast("int")
+    bm = (
+        ev.select("user_id", off.alias("off"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)")).alias("b")
+        )
+    )
+    firsts = bm.select(
+        "b", F.expr("bit_count((b & -b) - 1)").alias("cohort_day")
+    )
+    ret = lambda k: F.sum(  # noqa: E731
+        F.expr(f"shiftright(b, CAST(cohort_day + {k} AS INT)) & 1")
+    ).cast("long")
+    return (
+        firsts.groupBy(F.col("cohort_day").cast("int").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            ret(1).alias("ret_d1"),
+            ret(7).alias("ret_d7"),
+            ret(14).alias("ret_d14"),
+        )
+    )

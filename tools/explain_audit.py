@@ -1099,5 +1099,11 @@ CHECKS["stat_mann_whitney"] = [
      r"hashpartitioning\(event_type"),
 ]
 
+CHECKS["agg_bitmap_cohort_retention"] = [
+    ("user rollup partially aggregated (bit_or fold)",
+     r"partial_(bit_or|bitor)"),
+    ("no self-join of the activity table", r"\A(?!.*SortMergeJoin)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
