@@ -394,9 +394,16 @@ def uniform_hash_rank(
     Returns (df + ``__pos``, total row count — free from the offsets
     collect).  Ranks are exact and deterministic: ties under the full
     ``(hash, *ties)`` ordering must not exist (pass a unique key)."""
+    from ctgov_ai_etl_spark.operators.cache import track
+
     n_buckets = 256  # 2 hex chars; see docstring
     b = F.conv(F.substring(F.col(hash_col), 1, 2), 16, 10).cast("int")
-    bucketed = df.withColumn("__b", b).persist(StorageLevel.MEMORY_AND_DISK)
+    # track() registers the pin so long-lived sessions (repeated
+    # catalog sweeps) can drop it at their barrier via release_all()
+    # instead of accumulating MEMORY_AND_DISK blocks (ADVICE r9).
+    bucketed = track(
+        df.withColumn("__b", b).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = {
         r["__b"]: r["cnt"]
         for r in bucketed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()

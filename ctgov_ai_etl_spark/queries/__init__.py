@@ -15,114 +15,50 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # first ~40-50 per round, so ``load_all`` re-orders the registry each
 # round to put queries with no (or stale) driver evidence first.
 #
-# Round-9 priority, continuing the rotation (the belt-and-braces LOCAL
-# full-catalog sweep — CORRECTNESS_FULL_local_r0*.json — runs on top):
-#   block 0 — the 40 queries NEW in round 9 (real-codec multimodal
-#     decode, product analytics: time-boxed + streaming funnel, RFM,
-#     Kaplan-Meier, path sequences; frontier ops: Pareto skyline,
-#     basket affinity, weighted median, hierarchy rollup, CUSUM, KS
-#     drift, embedding covariance, sliding distinct, l-diversity,
-#     uniqueness profile, correlated-avg filter, robust scaling,
-#     unionByName drift, seasonal-naive backtest, and the five
-#     remaining fixture-expressible TPC-H shapes Q4/Q6/Q13/Q17/Q19);
-#   block 1 — queries whose implementation or oracle CHANGED in round
-#     9 (the two HUGEINT oracle casts, null-ts session oracles,
-#     single-space tokenization alignment, equi-depth floor-div,
-#     uniform_hash_rank persist, chunked-balance broadcast drop);
-#   block 2 — the queries whose latest driver evidence is r4/r5
-#     (not sampled since), stalest first (also re-verified locally
-#     this round via tools/check_oracle.py — see COVERAGE.md);
-#   everything else (r6-r8-green, unchanged) follows alphabetically.
+# ROTATION RULE (codified after the r9 lesson, VERDICT r9 #1):
+#   previously-DRIVER-RED (fixed but never driver-re-confirmed)
+#   > changed this round > changed last round but never re-sampled
+#   > new this round > stalest driver evidence, oldest round first.
+# The r9 mistake was placing 66 new entries ahead of the two queries
+# the r8 driver itself had flagged red — the driver's ~50-query
+# window never reached its own reds.  Reds lead, always.
+#
+# Round-10 priority (the belt-and-braces LOCAL full-catalog sweep —
+# CORRECTNESS_FULL_local_r0*.json — runs on top):
 _PRIORITY = (
-    # -- block 0a: waves 10-17 (newest, no sf0.1 artifact yet)
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "tpch_q22_idle_rich_customers",
-    "text_bpe_merge_rank",
-    "emb_quantize_int8",
-    "maintenance_zonemap_prune",
-    "mm_resize_real",
-    "mm_frame_sample_real",
-    "stat_winsorized_mean",
-    "stat_sprt",
-    "text_url_canonicalize",
-    "stream_run_sprt",
-    "sample_balanced_classes",
-    "pipeline_web_corpus",
-    "mm_audio_downsample",
-    "fn_url_family",
-    "join_asof_nearest",
-    "ops_burn_rate",
-    "text_html_extract",
-    "maintenance_compact_binpack",
-    "agg_bitmap_distinct_days",
-    "stream_run_bitmap_days",
-    "mm_dedup_phash",
-    "stream_run_burn_rate",
-    "gov_audit_chain",
-    "mm_video_scene_cuts",
-    "stream_run_audit_chain",
-    "filter_like_regex",
-    "stream_run_stream_join_outer",
-    "agg_bitmap_streaks",
-    "stat_mann_whitney",
-    "agg_bitmap_cohort_retention",
-    # -- block 0b: round-9 waves 1-9 (covered by the committed
-    #    CORRECTNESS_SF01_r09_new.json sf0.1 artifact)
-    "mm_decode_real",
-    "funnel_within_window",
-    "stream_run_funnel",
-    "rfm_segmentation",
-    "survival_km",
-    "path_top_sequences",
-    "pareto_frontier",
-    "basket_pair_affinity",
-    "agg_weighted_median",
-    "hierarchy_rollup",
-    "anomaly_cusum",
-    "dq_drift_ks",
-    "emb_covariance_matrix",
-    "win_distinct_sliding",
-    "dq_l_diversity",
-    "dq_uniqueness_profile",
-    "filter_correlated_avg",
-    "feature_scale_robust",
-    "set_union_by_name",
-    "ts_forecast_seasonal_naive",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "attribution_linear",
-    "ts_max_concurrency",
-    "fn_regex_family",
-    "gov_right_to_erasure",
-    "agg_ratio_to_report",
-    "seq_user_churn",
-    "ops_rate_limit",
-    "stream_run_rate_limit",
-    "agg_percentile_disc",
-    "seq_audience_overlap",
-    "dq_skew_report",
-    "win_rolling_corr",
-    "pipeline_churn_digest",
-    "mm_decode_audio",
-    "mm_decode_video",
-    # -- block 1: changed in round 9
+    # -- block 0: previously DRIVER-RED (r8), fixed in r9 (HUGEINT
+    #    oracle casts), locally green ever since, but the driver has
+    #    never re-confirmed its own flags.  Close that loop first.
     "seq_transition_matrix",
     "dq_benford",
+    # -- block 1: changed in round 10 (ADVICE r9 fixes: explicit
+    #    0..63 bitmap-shift guards on both engines, streaming-funnel
+    #    step spine, attribution fdiv, churn observed-week semi-join,
+    #    uniform_hash_rank tracked persist)
+    "agg_bitmap_cohort_retention",
+    "agg_bitmap_distinct_days",
+    "agg_bitmap_streaks",
+    "stream_run_bitmap_days",
+    "stream_run_funnel",
+    "attribution_linear",
+    "seq_user_churn",
+    "sample_negatives_ring",
+    "stream_run_stream_join_outer",
+    # -- block 2: changed in round 9 but never driver-sampled (sat
+    #    behind 66 block-0 entries in the r9 ordering)
     "stream_run_capped_sessions",
     "ts_sessionize_capped",
     "sketch_cms_freq",
     "dedup_chunks_global",
     "pipeline_curate_chunks",
     "agg_histogram_equidepth",
-    "sample_negatives_ring",
     "ts_clamped_cumsum_chunked",
     "text_chunked",
-    # -- block 2: stalest driver evidence (r4/r5), oldest first
+    # -- block 3: NEW in round 10 (names uncommented as each lands —
+    #    the ghost assertion below keeps the list honest)
+    # -- block 4: stalest driver evidence (r4, never re-sampled
+    #    since), alphabetical; the r5 cohort follows in the registry
+    #    tail ordering below
     "agg_grouping_sets",
     "agg_rollup",
     "cdc_snapshot_diff",
@@ -162,6 +98,53 @@ _PRIORITY = (
     "sim_topk_pq",
     "sort_limit_deterministic",
     "sort_nulls_ordering",
+    "stream_run_upsert",
+    "ts_resample_ffill",
+    "when_otherwise_buckets",
+    "win_rank_family",
+    # -- block 5: r5-latest driver evidence, alphabetical
+    "agg_filtered_conditional",
+    "agg_global",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_stats_moments",
+    "csv_scan_roundtrip",
+    "ctgov_flatten_parity",
+    "ctgov_pipeline_e2e",
+    "dedup_exact_group",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fn_datetime_family",
+    "join_broadcast_star",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_range_nonequi",
+    "llm_classify_cost_cap",
+    "llm_classify_documents",
+    "maintenance_zorder",
+    "merge_upsert_orders",
+    "mm_binary_plumbing",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "orc_scan_roundtrip",
+    "partition_pruned_scan",
+    "pipeline_curate",
+    "sample_stratified",
+    "search_bm25",
+    "search_hybrid_rrf",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_fingerprint",
+    "text_langid_quality",
+    "text_pack_sequences",
+    "text_tfidf_top_term",
+    "text_token_stats",
+    "text_top_tokens",
+    "udtf_tokenize",
+    "win_topk_per_group",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 

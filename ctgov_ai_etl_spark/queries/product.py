@@ -1414,13 +1414,13 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     credits AS (
       SELECT o.event_type AS touch_type,
              CAST((g.p_cents - (((g.p_cents % g.n_touch) + g.n_touch)
-                                % g.n_touch)) / g.n_touch AS BIGINT)
+                                % g.n_touch)) // g.n_touch AS BIGINT)
              + CASE WHEN epoch_us(o.ts) = g.last_touch.t
                      AND o.event_id = g.last_touch.i
                     THEN g.p_cents
                          - CAST((g.p_cents
                                  - (((g.p_cents % g.n_touch) + g.n_touch)
-                                    % g.n_touch)) / g.n_touch AS BIGINT)
+                                    % g.n_touch)) // g.n_touch AS BIGINT)
                            * g.n_touch
                     ELSE 0 END AS credit_cents
       FROM ordered o
@@ -1800,14 +1800,19 @@ def seq_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur.user_id").isNotNull().alias("in_cur"),
         F.col("prv.user_id").isNotNull().alias("in_prv"),
     )
-    # censor the phantom week AFTER the observation window: the
-    # shifted prv side fabricates (last_week + 1) rows whose churn is
-    # unknowable — the oracle's weeks list only contains observed
-    # weeks, so bound by max too.
-    bounds = wk.agg(F.min("week_idx").alias("mw"), F.max("week_idx").alias("xw"))
+    # restrict to OBSERVED weeks: the shifted prv side fabricates
+    # rows for (week + 1) even when that calendar week had zero
+    # activity (a gap week, or the phantom week after the window) —
+    # the oracle's weeks CTE only contains observed weeks, so the
+    # engine semi-joins the same observed-week spine instead of a
+    # min/max bound (which would still admit interior gap weeks —
+    # ADVICE r9).
+    obs_weeks = wk.select("week_idx").distinct()
+    mw = wk.agg(F.min("week_idx").alias("mw"))
     return (
-        joined.crossJoin(F.broadcast(bounds))
-        .filter((F.col("week_idx") > F.col("mw")) & (F.col("week_idx") <= F.col("xw")))
+        joined.join(F.broadcast(obs_weeks), "week_idx", "semi")
+        .crossJoin(F.broadcast(mw))
+        .filter(F.col("week_idx") > F.col("mw"))
         .groupBy(F.col("week_idx").cast("int").alias("week_idx"))
         .agg(
             F.sum(F.when(F.col("in_cur") & ~F.col("in_prv"), 1).otherwise(0))
@@ -2791,12 +2796,13 @@ _BITMAP_LO_DAY = 19723  # 2024-01-01 as epoch days (both engines)
 @query(
     "agg_bitmap_distinct_days",
     oracle="""
-    WITH d AS (
+    WITH d0 AS (
       SELECT user_id,
              CAST(((epoch_us(ts)) - ((((epoch_us(ts)) % CAST((86400000000) AS BIGINT)) + CAST((86400000000) AS BIGINT)) % CAST((86400000000) AS BIGINT))) // CAST((86400000000) AS BIGINT) AS BIGINT) - 19723 AS off
       FROM events
       WHERE ts IS NOT NULL
-    )
+    ),
+    d AS (SELECT * FROM d0 WHERE off BETWEEN 0 AND 63)
     SELECT user_id,
            CAST(bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS BIGINT)
              AS day_bitmap,
@@ -2820,13 +2826,19 @@ def agg_bitmap_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the day index is exact integer floor-division of
     epoch micros (fdiv); the window base is a Python-computed literal
-    injected into both engines.  One shuffle (user rollup), map-side
-    partial bit_or."""
+    injected into both engines.  The int64 bitmap only holds days
+    0..63, and the engines DISAGREE outside that range (Spark's
+    shiftleft masks the shift to 6 bits, Java-style, silently
+    wrapping; DuckDB's << does not) — so the window membership is an
+    EXPLICIT guard on both sides, never an implicit wrap (ADVICE
+    r9).  One shuffle (user rollup), map-side partial bit_or."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     off = (
         fdiv(F.unix_micros("ts"), 86_400_000_000) - _BITMAP_LO_DAY
     ).cast("int")
-    d = ev.select("user_id", off.alias("off"))
+    d = ev.select("user_id", off.alias("off")).filter(
+        F.col("off").between(0, 63)
+    )
     # F.shiftleft requires a literal bit count; the SQL form takes a
     # column expression
     bitmap = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)"))
@@ -2915,12 +2927,13 @@ def gov_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_bitmap_streaks",
     oracle="""
-    WITH d AS (
+    WITH d0 AS (
       SELECT user_id,
              (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
                 % 86400000000)) // 86400000000 - 19723 AS off
       FROM events WHERE ts IS NOT NULL
     ),
+    d AS (SELECT * FROM d0 WHERE off BETWEEN 0 AND 63),
     bm AS (
       SELECT user_id,
              bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS b
@@ -2944,14 +2957,18 @@ def agg_bitmap_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user, no self-joins, no windows, no date arithmetic.
 
     Exactness: shifts and ANDs are identical on both engines; the
-    day index is the fdiv floor convention.  One partial-aggregated
-    user rollup, all streak logic map-side after it."""
+    day index is the fdiv floor convention; window membership
+    (off in 0..63) is an explicit filter on both sides because the
+    engines disagree on out-of-range shifts (Spark wraps mod 64,
+    DuckDB does not — ADVICE r9).  One partial-aggregated user
+    rollup, all streak logic map-side after it."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     off = (
         fdiv(F.unix_micros("ts"), 86_400_000_000) - 19_723
     ).cast("int")
     bm = (
         ev.select("user_id", off.alias("off"))
+        .filter(F.col("off").between(0, 63))
         .groupBy("user_id")
         .agg(
             F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)")).alias("b")
@@ -3089,12 +3106,13 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_bitmap_cohort_retention",
     oracle="""
-    WITH d AS (
+    WITH d0 AS (
       SELECT user_id,
              (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
                 % 86400000000)) // 86400000000 - 19723 AS off
       FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
     ),
+    d AS (SELECT * FROM d0 WHERE off BETWEEN 0 AND 63),
     bm AS (
       SELECT user_id,
              bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS b
@@ -3107,11 +3125,14 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cohort_day AS INT) AS cohort_day,
            CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum((b >> CAST(cohort_day + 1 AS INT)) & 1) AS BIGINT)
+           CAST(sum(CASE WHEN cohort_day + 1 <= 63
+                 THEN (b >> CAST(cohort_day + 1 AS INT)) & 1 END) AS BIGINT)
              AS ret_d1,
-           CAST(sum((b >> CAST(cohort_day + 7 AS INT)) & 1) AS BIGINT)
+           CAST(sum(CASE WHEN cohort_day + 7 <= 63
+                 THEN (b >> CAST(cohort_day + 7 AS INT)) & 1 END) AS BIGINT)
              AS ret_d7,
-           CAST(sum((b >> CAST(cohort_day + 14 AS INT)) & 1) AS BIGINT)
+           CAST(sum(CASE WHEN cohort_day + 14 <= 63
+                 THEN (b >> CAST(cohort_day + 14 AS INT)) & 1 END) AS BIGINT)
              AS ret_d14
     FROM firsts
     GROUP BY cohort_day
@@ -3129,9 +3150,13 @@ def agg_bitmap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-days → streaks → cohorts).
 
     Exactness: every step is bit arithmetic both engines define
-    identically on int64; the day base is the shared injected
-    literal.  Scale story: one partial-aggregated user rollup, then
-    a |cohort-days|-sized second rollup — no self-join, no window."""
+    identically on int64 *within* the 0..63 shift range — outside
+    it Spark wraps the shift mod 64 while DuckDB does not, so the
+    day-window filter and the cohort_day+k <= 63 retention guard are
+    explicit on both sides (NULL when the horizon leaves the bitmap
+    — ADVICE r9, medium).  Scale story: one partial-aggregated user
+    rollup, then a |cohort-days|-sized second rollup — no self-join,
+    no window."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & (F.col("event_type") == "purchase")
     )
@@ -3140,6 +3165,7 @@ def agg_bitmap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     bm = (
         ev.select("user_id", off.alias("off"))
+        .filter(F.col("off").between(0, 63))
         .groupBy("user_id")
         .agg(
             F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)")).alias("b")
@@ -3149,7 +3175,10 @@ def agg_bitmap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", F.expr("bit_count((b & -b) - 1)").alias("cohort_day")
     )
     ret = lambda k: F.sum(  # noqa: E731
-        F.expr(f"shiftright(b, CAST(cohort_day + {k} AS INT)) & 1")
+        F.expr(
+            f"CASE WHEN cohort_day + {k} <= 63 THEN "
+            f"shiftright(b, CAST(cohort_day + {k} AS INT)) & 1 END"
+        )
     ).cast("long")
     return (
         firsts.groupBy(F.col("cohort_day").cast("int").alias("cohort_day"))

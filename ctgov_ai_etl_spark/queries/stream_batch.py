@@ -1008,13 +1008,21 @@ def stream_run_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = per_user.groupBy("user_id").agg(
         F.max("step_reached").alias("reached")
     )
-    counts = (
+    reached_counts = (
         final.filter(F.col("reached") >= 1)
         .select(
             F.explode(F.sequence(F.lit(1), F.col("reached"))).alias("step")
         )
         .groupBy("step")
         .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    # A step no user reaches produces no exploded row, but the batch
+    # twin's oracle always emits all 3 steps (count over an empty
+    # step CTE = 0) — left-join a static 3-row spine so the row
+    # shapes agree on sparse fixtures too (ADVICE r9).
+    spine = spark.range(1, 4).select(F.col("id").cast("int").alias("step"))
+    counts = spine.join(reached_counts, "step", "left").select(
+        "step", F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users")
     )
     from pyspark.sql import Window as W
 
@@ -1162,14 +1170,15 @@ def stream_run_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_run_bitmap_days",
     oracle="""
-    WITH d AS (
+    WITH d0 AS (
       SELECT user_id,
              CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000
                     + 86400000000) % 86400000000)) // 86400000000
                   AS BIGINT) - 19723 AS off
       FROM events
       WHERE ts IS NOT NULL
-    )
+    ),
+    d AS (SELECT * FROM d0 WHERE off BETWEEN 0 AND 63)
     SELECT user_id,
            CAST(bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS BIGINT)
              AS day_bitmap,
@@ -1186,7 +1195,10 @@ def stream_run_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     of stream length, merged across micro-batches by OR (the
     mergeable-summary property, same as the streaming CMS).
     Complete-mode memory sink; oracle is the batch fold over the same
-    rows — streaming-equals-batch for an idempotent monoid."""
+    rows — streaming-equals-batch for an idempotent monoid.  The
+    bitmap-window membership (off in 0..63) is an explicit filter on
+    both engines: Spark's shiftleft wraps out-of-range shifts mod 64
+    while DuckDB's << does not (ADVICE r9)."""
     from ctgov_ai_etl_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -1195,7 +1207,9 @@ def stream_run_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     off = (fdiv(F.unix_micros("ts"), 86_400_000_000) - 19_723).cast("int")
-    d = ev.select("user_id", off.alias("off"))
+    d = ev.select("user_id", off.alias("off")).filter(
+        F.col("off").between(0, 63)
+    )
     bitmap = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)"))
     agg = d.groupBy("user_id").agg(
         bitmap.cast("long").alias("day_bitmap"),

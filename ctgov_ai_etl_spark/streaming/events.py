@@ -170,6 +170,8 @@ def stateful_user_stats_twsip(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
+            # Required StatefulProcessor hook; no per-task resources
+            # to release (state lives in the store, not the worker).
             pass
 
     return (
