@@ -2,10 +2,11 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line per the driver
 contract.
 
-The headline set runs first and its total is the round-over-round
-headline metric (same 14 queries, same order, as BENCH_r01.json); the
-rest of the catalog then runs so per-query regressions in the long
-tail stay visible between rounds.  A wall-clock budget
+The headline set runs first — three runs per query, per-query
+MEDIAN reported — and its total is the round-over-round headline
+metric (same 14 queries, same order, as BENCH_r01.json); the rest of
+the catalog then runs single-shot so per-query regressions in the
+long tail stay visible between rounds.  A wall-clock budget
 ($SPARK_GRAFT_BENCH_BUDGET, default 900 s) bounds the tail sweep —
 any queries it drops are listed in `tail_skipped` AND flagged
 loudly on stderr — a skip silently shrinks round-over-round
@@ -51,6 +52,17 @@ HEADLINE = [
     "pipeline_curate",
     "stream_tumbling_window",
 ]
+
+
+# Deep tier: correctness-tier variants that re-measure a floor the
+# bench already times through a cheaper representative.  The three
+# ~8 s dedup/CC queries all pay the same PPJoin pair-graph floor;
+# `dedup_components` stays in the default tail as the representative
+# and these two run only with --deep (or SPARK_GRAFT_BENCH_DEEP=1).
+# They remain in every correctness sweep (tools/check_oracle.py walks
+# the full registry) — this trims redundant BENCH wall-time, not
+# evidence (VERDICT r9 #7).
+DEEP_TIER = {"dedup_keep_best", "dedup_components_star"}
 
 
 def _run(fn, spark) -> float:
@@ -119,11 +131,29 @@ def main() -> None:
     t_start = time.time()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Headline queries run THREE times each and report the per-query
+    # MEDIAN: single runs sit in a ±10-30% JIT/machine-noise band
+    # (bisected in r8/r9 — identical code reproduced 23.9-28.2 s
+    # headline totals), and three rounds were spent re-litigating
+    # noise as regression.  Median-of-3 makes the headline number a
+    # property of the code again (VERDICT r9 #4).  The tail stays
+    # single-run: its job is spotting gross per-query regressions,
+    # not powering the round-over-round metric.
+    headline_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        timings[name] = _run(registry[name].fn, spark)
+        runs = [_run(registry[name].fn, spark) for _ in range(3)]
+        headline_runs[name] = runs
+        timings[name] = sorted(runs)[1]
     total = round(sum(timings.values()), 3)
 
-    tail = [n for n in registry if n not in timings]
+    deep = "--deep" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_DEEP"
+    ) == "1"
+    tail = [
+        n
+        for n in registry
+        if n not in timings and (deep or n not in DEEP_TIER)
+    ]
     tail_skipped: list[str] = []
     for name in tail:
         if time.time() - t_start > BUDGET_S:
@@ -137,10 +167,14 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
+        "value_median": total,  # sum of per-query medians-of-3
         "unit": "sec",
         "queries": timings,
+        "headline_runs": headline_runs,
         "sf": sf,
     }
+    if not deep:
+        out["deep_deferred"] = sorted(DEEP_TIER)
     if tail_skipped:
         out["tail_skipped"] = tail_skipped
         print(

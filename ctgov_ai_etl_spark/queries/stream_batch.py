@@ -1395,23 +1395,31 @@ def stream_run_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     stage = tempfile.mkdtemp(prefix="ssjo_")
     b1 = os.path.join(stage, "batch1")
-    ev.write.mode("overwrite").parquet(b1)
+    # ONE file → ONE trigger for the whole real-event slice.  With
+    # the default multi-file write, maxFilesPerTrigger=1 turned every
+    # task's output file into its own micro-batch, and each extra
+    # trigger re-paid the full state-store round-trip — 14 s of
+    # harness cost at sf0.1 for evidence that three triggers (events,
+    # sentinel 1, sentinel 2) already carry: the watermark closure
+    # and the cross-batch null flush live in the sentinel triggers,
+    # not in how many pieces batch 1 arrives (VERDICT r9 #2).
+    ev.coalesce(1).write.mode("overwrite").parquet(b1)
     max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
     for i, gap_h in enumerate((3, 6), start=1):
-        sent = spark.createDataFrame(
-            [
-                (-2 * i, max_us + gap_h * 3_600_000_000, -1, "click", 0.0, "{}"),
-                (-2 * i - 1, max_us + gap_h * 3_600_000_000, -1, "purchase", 0.0, "{}"),
-            ],
-            "event_id long, us long, user_id long, event_type string,"
-            " value double, props string",
-        ).select(
-            "event_id",
-            F.timestamp_micros(F.col("us")).alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+        # Build the 2-row sentinel JVM-side (range + literals):
+        # a local-rows createDataFrame plan spins up a Python worker
+        # per write job — ~5 s each, 10 s of pure harness cost at any
+        # SF (measured r10; this was most of the query's 14 s bill).
+        us = max_us + gap_h * 3_600_000_000
+        sent = spark.range(2).select(
+            (F.lit(-2 * i) - F.col("id")).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.when(F.col("id") == 0, "click")
+            .otherwise("purchase")
+            .alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
         )
         sent.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(stage, f"sentinel{i}")
