@@ -223,6 +223,10 @@ def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_png_pixels(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_ppm_pixels(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from ctgov_ai_etl_spark.functions.jpegcodec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)
     raise NotImplementedError(
         "no pixel codec for this payload in the stdlib-only environment"
     )
@@ -247,9 +251,18 @@ def resize_nearest(
     return wo, ho, bytes(out)
 
 
+def _decode_jpeg_lazy(data: bytes) -> tuple[int, int, int, int]:
+    # lazy import: jpegcodec pulls in numpy; keep the netpbm/PNG path
+    # stdlib-only for executors that never see a JPEG
+    from ctgov_ai_etl_spark.functions.jpegcodec import decode_jpeg
+
+    return decode_jpeg(data)
+
+
 _DISPATCH = [
     (lambda d: d[:8] == _PNG_SIG, decode_png),
     (lambda d: d[:2] in (b"P5", b"P6"), decode_ppm),
+    (lambda d: d[:3] == b"\xff\xd8\xff", _decode_jpeg_lazy),
 ]
 
 

@@ -1,0 +1,626 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+The last stdlib-feasible format behind the multimodal decode seam
+(``operators/multimodal.py``): PNG/netpbm/WAV/Y4M landed in round 9;
+baseline JPEG needs no zlib — just marker parsing, canonical Huffman
+decoding, dequantization, and an 8x8 inverse DCT.
+
+Decoder surface (``decode_jpeg`` / ``decode_jpeg_pixels``):
+
+- Markers: SOI, APPn/COM (skipped), DQT (8- and 16-bit tables), DRI,
+  DHT (multiple tables per segment), SOF0 (baseline), SOS, EOI.
+- Entropy stream: canonical Huffman per T.81 C.2 (code lengths 1-16),
+  0xFF00 byte-unstuffing, RST0-7 restart markers (byte-align + DC
+  predictor reset), DC differential coding, AC run-length with
+  ZRL/EOB.
+- Any (h, v) sampling factors with max 2 (4:4:4, 4:2:2, 4:2:0):
+  per-component planes reconstructed MCU-by-MCU, then upsampled by
+  pixel replication.  Grayscale (1 component) and YCbCr (3
+  components, JFIF round-half-even conversion) supported.
+- Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+  ``NotImplementedError`` — the same honest seam contract as the
+  other codecs (a real library replaces this module on executors
+  that need them).
+
+Encoder surface (``encode_jpeg_baseline``): grayscale or YCbCr
+4:4:4, caller-supplied quantization tables (default all-ones — with
+a flat table, constant-valued 8x8 blocks round-trip EXACTLY, which
+is what lets ``mm_decode_jpeg`` hash-check the full decode path
+against a closed-form SQL oracle: DC-only blocks reconstruct to
+round(F(0,0)/8) + 128 with sub-ulp float error, so integer block
+values survive encode->decode bit-for-bit).  Standard Annex K
+Huffman tables.  The IDCT/FDCT pair is the separable orthonormal
+8-point DCT as two 8x8 numpy matmuls — deterministic float64, same
+operation order everywhere.
+
+Reference parity: the reference pipeline has no media path
+(reference etl.py is a REST text ETL); this module is part of the
+training-data mandate (SURVEY.md §2.3 'multimodal columns': decode /
+feature-extract per media type).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# Zigzag scan: position in the 64-entry stream -> raster index 0..63.
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K (T.81) typical Huffman tables: (BITS[1..16], HUFFVAL).
+_DC_LUMA_BITS = bytes.fromhex("00010501010101010100000000000000")
+_DC_LUMA_VALS = bytes(range(12))
+_DC_CHROMA_BITS = bytes.fromhex("00030101010101010101010000000000")
+_DC_CHROMA_VALS = bytes(range(12))
+_AC_LUMA_BITS = bytes.fromhex("0002010303020403050504040000017d")
+_AC_LUMA_VALS = bytes.fromhex(
+    "01020300041105122131410613516107227114328191a1082342b1c11552d1"
+    "f02433627282090a161718191a25262728292a3435363738393a4344454647"
+    "48494a535455565758595a636465666768696a737475767778797a83848586"
+    "8788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9ba"
+    "c2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3"
+    "f4f5f6f7f8f9fa"
+)
+_AC_CHROMA_BITS = bytes.fromhex("00020102040403040705040400010277")
+_AC_CHROMA_VALS = bytes.fromhex(
+    "000102031104052131061241510761711322328108144291a1b1c109233352"
+    "f0156272d10a162434e125f11718191a262728292a35363738393a43444546"
+    "4748494a535455565758595a636465666768696a737475767778797a828384"
+    "85868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8"
+    "b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3"
+    "f4f5f6f7f8f9fa"
+)
+
+# Orthonormal 8-point DCT basis: M[x, u] = c(u)/2 * cos((2x+1)u*pi/16)
+# so pixels = M @ coeffs @ M.T and coeffs = M.T @ pixels @ M.
+_DCT_M = np.array(
+    [
+        [
+            (math.sqrt(0.125) if u == 0 else 0.5)
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+class JpegError(ValueError):
+    """Malformed or truncated JPEG payload."""
+
+
+def _build_huffman(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman per T.81 C.2: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise JpegError("DHT: more codes than symbols")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-stream bit reader: 0xFF00 unstuffing, RST awareness."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegError("entropy stream truncated")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise JpegError("hit restart marker mid-symbol")
+            else:
+                # EOI or another marker: scans may legally end with
+                # up to 7 padding bits — feed 1-bits (T.81 F.1.2.3
+                # pads with 1s) without consuming the marker.
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                if self.data[self.pos + 1] != 0xD0 + expected:
+                    raise JpegError("restart marker out of sequence")
+                self.pos += 2
+                return
+            self.pos += 1
+        raise JpegError("expected restart marker, hit end of stream")
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_planes(data: bytes):
+    """Decode a baseline JPEG into per-component planes.
+
+    Returns ``(width, height, [(comp_id, plane_2d_uint8), ...])``
+    where each plane is already upsampled to full image resolution.
+    """
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise JpegError("missing SOI marker")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (w, h, [(cid, h_i, v_i, tq)])
+    planes = None
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(data):
+            raise JpegError("truncated marker segment")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise JpegError("truncated marker segment body")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                if i + n > len(seg):
+                    raise JpegError("DQT overruns segment")
+                raw = seg[i : i + n]
+                vals = (
+                    struct.unpack(">64H", raw) if pq else tuple(raw)
+                )
+                t = np.zeros(64, dtype=np.int64)
+                for z, v in enumerate(vals):
+                    t[ZIGZAG[z]] = v
+                qt[tq] = t.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = seg[i + 1 : i + 17]
+                if len(bits) != 16:
+                    raise JpegError("DHT overruns segment")
+                nv = sum(bits)
+                vals = seg[i + 17 : i + 17 + nv]
+                if len(vals) != nv:
+                    raise JpegError("DHT overruns segment")
+                table = _build_huffman(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = table
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) is supported in the "
+                "stdlib-only environment (progressive/arithmetic need "
+                "an executor-installed codec)"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            planes = _decode_scan(
+                data,
+                pos + seglen,
+                frame,
+                scan,
+                qt,
+                huff_dc,
+                huff_ac,
+                restart_interval,
+            )
+            w, h, comps = frame
+            return w, h, planes
+        pos += seglen
+    raise JpegError("no SOS scan found")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    w, h, comps = frame
+    if {c[0] for c in comps} != {s[0] for s in scan}:
+        raise JpegError("scan components do not match frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component raster of 8x8 blocks (padded to MCU grid)
+    comp_info = []
+    for cid, hi, vi, tq in comps:
+        td = th = None
+        for cs, d, a in scan:
+            if cs == cid:
+                td, th = d, a
+        if td not in huff_dc or th not in huff_ac:
+            raise JpegError("scan references undefined Huffman table")
+        if tq not in qt:
+            raise JpegError("frame references undefined quant table")
+        plane = np.zeros(
+            (mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64
+        )
+        comp_info.append(
+            {
+                "cid": cid,
+                "h": hi,
+                "v": vi,
+                "q": qt[tq].astype(np.float64),
+                "dc": huff_dc[td],
+                "ac": huff_ac[th],
+                "pred": 0,
+                "plane": plane,
+            }
+        )
+    reader = _BitReader(data, pos)
+    rst_count = 0
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.align_restart(rst_count & 7)
+                rst_count += 1
+                for ci in comp_info:
+                    ci["pred"] = 0
+            for ci in comp_info:
+                for by in range(ci["v"]):
+                    for bx in range(ci["h"]):
+                        block = _decode_block(reader, ci)
+                        y0 = (my * ci["v"] + by) * 8
+                        x0 = (mx * ci["h"] + bx) * 8
+                        ci["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_idx += 1
+    out = []
+    for ci in comp_info:
+        # upsample by replication to full resolution, then crop
+        rep_y = vmax // ci["v"]
+        rep_x = hmax // ci["h"]
+        plane = ci["plane"]
+        if rep_y > 1 or rep_x > 1:
+            plane = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
+        plane = plane[:h, :w]
+        out.append(
+            (ci["cid"], np.clip(np.rint(plane) + 128, 0, 255).astype(np.uint8))
+        )
+    return out
+
+
+def _decode_block(reader: _BitReader, ci: dict) -> np.ndarray:
+    coef = np.zeros(64, dtype=np.float64)
+    s = reader.decode_symbol(ci["dc"])
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    ci["pred"] += diff
+    coef[0] = ci["pred"]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ci["ac"])
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run overflows block")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+        k += 1
+    dq = coef.reshape(8, 8) * ci["q"]
+    return _DCT_M @ dq @ _DCT_M.T
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (r, g, b)
+    ]
+
+
+def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode to an interleaved raster:
+    ``(width, height, channels, raster_bytes)`` — grayscale stays
+    1-channel; 3-component frames convert YCbCr->RGB (JFIF floats,
+    round-half-even)."""
+    w, h, planes = decode_jpeg_planes(data)
+    if len(planes) == 1:
+        return w, h, 1, planes[0][1].tobytes()
+    if len(planes) == 3:
+        rgb = _ycbcr_to_rgb(planes[0][1], planes[1][1], planes[2][1])
+        raster = np.stack(rgb, axis=-1)
+        return w, h, 3, raster.tobytes()
+    raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, int]:
+    """Feature-decoder contract shared with the PNG/netpbm codecs:
+    ``(width, height, luma_sum, n_samples)`` where luma_sum is the
+    exact integer sum over the decoded raster bytes (Y plane for
+    grayscale; R,G,B samples for color — same convention as
+    ``decode_ppm``)."""
+    w, h, ch, raster = decode_jpeg_pixels(data)
+    return w, h, int(np.frombuffer(raster, dtype=np.uint8).sum()), w * h * ch
+
+
+# --------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _encode_table(table: dict) -> dict:
+    """{symbol: (code, length)} from a canonical {(len, code): sym}."""
+    return {sym: (code, length) for (length, code), sym in table.items()}
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter, coef: np.ndarray, pred: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    dc = int(coef.flat[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    zz = [int(coef.flat[ZIGZAG[k]]) for k in range(64)]
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 1,
+    quant: bytes | None = None,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """Baseline sequential JPEG: grayscale (1 channel) or YCbCr
+    (3 channels — caller passes Y,Cb,Cr samples interleaved; no RGB
+    conversion happens here so tests stay in one color space).
+    ``quant`` is 64 bytes in zigzag order (default all-ones: constant
+    blocks then round-trip exactly — see module docstring).
+    ``subsampling``: '444' (one luma block per MCU) or '420' (2x2
+    luma blocks + box-averaged chroma per 16x16 MCU — exercises the
+    decoder's multi-block MCU walk and replication upsampler)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("4:2:0 needs 3 channels")
+    if len(raster) != width * height * channels:
+        raise ValueError("raster size mismatch")
+    q = bytes(quant) if quant is not None else b"\x01" * 64
+    if len(q) != 64:
+        raise ValueError("quant must be 64 bytes (zigzag order)")
+    qmat = np.zeros((8, 8), dtype=np.float64)
+    for z, v in enumerate(q):
+        if v == 0:
+            raise ValueError("quant entries must be nonzero")
+        qmat.flat[ZIGZAG[z]] = v
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q  # DQT 0
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        hv = 0x22 if (subsampling == "420" and c == 0) else 0x11
+        sof += bytes((c + 1, hv, 0))
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: luma DC/AC for component 1; chroma tables for 2,3
+    tabs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if channels == 3:
+        tabs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tid, bits, vals in tabs:
+        body = bytes([tid]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes((c + 1, 0x00 if c == 0 else 0x11))
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_luma = _encode_table(_build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS))
+    ac_luma = _encode_table(_build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS))
+    dc_chroma = _encode_table(_build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    ac_chroma = _encode_table(_build_huffman(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    # Per-component planes + (h, v) sampling factors.  4:2:0 chroma
+    # planes are 2x2 box means (floor-rounded — integer arithmetic,
+    # deterministic) over an edge-replicated even-sized luma grid.
+    comps = []
+    for c in range(channels):
+        plane = arr[:, :, c].astype(np.float64)
+        if subsampling == "420" and c > 0:
+            ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+            padded = np.empty((ph, pw))
+            padded[:height, :width] = plane
+            padded[height:, :width] = plane[-1:, :]
+            padded[:ph, width:] = padded[:ph, width - 1 : width]
+            plane = (
+                padded[0::2, 0::2]
+                + padded[0::2, 1::2]
+                + padded[1::2, 0::2]
+                + padded[1::2, 1::2]
+            ) // 4
+            comps.append((plane, 1, 1))
+        elif subsampling == "420":
+            comps.append((plane, 2, 2))
+        else:
+            comps.append((plane, 1, 1))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    bw = _BitWriter()
+    preds = [0] * channels
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    rst_count = 0
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes((0xFF, 0xD0 + (rst_count & 7)))
+                rst_count += 1
+                preds = [0] * channels
+            for c, (plane, hi, vi) in enumerate(comps):
+                ph, pw = plane.shape
+                for by in range(vi):
+                    for bx in range(hi):
+                        # edge blocks pad by replication (T.81 A.2.4)
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        ys = np.clip(np.arange(y0, y0 + 8), 0, ph - 1)
+                        xs = np.clip(np.arange(x0, x0 + 8), 0, pw - 1)
+                        block = plane[np.ix_(ys, xs)] - 128.0
+                        qc = np.rint((_DCT_M.T @ block @ _DCT_M) / qmat)
+                        preds[c] = _encode_block(
+                            bw,
+                            qc,
+                            preds[c],
+                            dc_luma if c == 0 else dc_chroma,
+                            ac_luma if c == 0 else ac_chroma,
+                        )
+            mcu_idx += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

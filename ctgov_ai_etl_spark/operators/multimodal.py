@@ -85,17 +85,81 @@ def render_test_images(
     )
 
 
+def render_test_jpegs(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL baseline-JPEG payloads deterministically from a
+    text column (the JPEG sibling of :func:`render_test_images`).
+    Geometry derives from md5(text): a grid of w8 x h8 constant-valued
+    8x8 blocks (block b = (v + 17*b) % 256) encoded grayscale with a
+    flat all-ones quantization table — constant blocks are DC-only,
+    and with q=1 the quantized DC round-trips the block value EXACTLY
+    (F(0,0) = 8*(g-128), IDCT of a DC-only block is F(0,0)/8 within
+    sub-ulp float error), so a closed-form SQL oracle predicts the
+    decoded raster sum without touching image bytes.  The entropy
+    stream still exercises real DC-differential Huffman coding across
+    blocks (values swing by 17 per block, hitting multiple magnitude
+    categories), per-block EOB symbols, byte stuffing, and — for odd
+    ids — a restart marker after every MCU (predictor resets make the
+    differentials restart too; a decoder that missed the reset would
+    corrupt every post-RST block)."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.jpegcodec import encode_jpeg_baseline
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rsts, blobs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w8, h8, v = 1 + dig[0] % 4, 1 + dig[1] % 4, dig[2]
+                arr = np.zeros((h8 * 8, w8 * 8), dtype=np.uint8)
+                for b in range(w8 * h8):
+                    by, bx = divmod(b, w8)
+                    arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        v + 17 * b
+                    ) % 256
+                rst = 1 if int(rid) % 2 else 0
+                blobs.append(
+                    encode_jpeg_baseline(
+                        w8 * 8,
+                        h8 * 8,
+                        arr.tobytes(),
+                        restart_interval=rst,
+                    )
+                )
+                ids.append(rid)
+                rsts.append(rst)
+            yield pd.DataFrame(
+                {id_col: ids, "rst": rsts, "blob": blobs}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, rst int, blob binary"
+    )
+
+
 def decode_image_real(
     df: DataFrame, id_col: str, blob_col: str = "blob"
 ) -> DataFrame:
     """REAL image decode over the blob column: magic-byte dispatch to
-    the stdlib codecs (netpbm / 8-bit PNG incl. all five filters —
-    functions/imagecodec.py); unsupported formats surface the honest
+    the pure-Python codecs (netpbm / 8-bit PNG incl. all five filters
+    — functions/imagecodec.py — and baseline JPEG incl. Huffman, DC
+    prediction, restart markers, and the 8x8 IDCT —
+    functions/jpegcodec.py); unsupported formats surface the honest
     ``NotImplementedError`` seam.  Emits exact integer (luma_sum,
     n_samples) so the caller makes the mean a single fixed-order
     division (exactness conventions) — and the whole decode is
-    hash-checkable against a SQL oracle (mm_decode_real)."""
+    hash-checkable against a SQL oracle (mm_decode_real,
+    mm_decode_jpeg)."""
     from ctgov_ai_etl_spark.functions.imagecodec import decode_png, decode_ppm
+    from ctgov_ai_etl_spark.functions.jpegcodec import decode_jpeg
     from ctgov_ai_etl_spark.session import ship_package
 
     ship_package(df.sparkSession)
@@ -111,11 +175,13 @@ def decode_image_real(
                     w, h, s, n = decode_png(b)
                 elif b[:2] in (b"P5", b"P6"):
                     w, h, s, n = decode_ppm(b)
+                elif b[:3] == b"\xff\xd8\xff":
+                    w, h, s, n = decode_jpeg(b)
                 else:
                     raise NotImplementedError(
-                        "no stdlib codec for this payload — install an "
-                        "image library on the executors and extend the "
-                        "dispatch"
+                        "no pure-Python codec for this payload — "
+                        "install an image library on the executors "
+                        "and extend the dispatch"
                     )
                 ws.append(w)
                 hs.append(h)

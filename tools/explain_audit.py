@@ -1105,5 +1105,12 @@ CHECKS["agg_bitmap_cohort_retention"] = [
     ("no self-join of the activity table", r"\A(?!.*SortMergeJoin)"),
 ]
 
+CHECKS["mm_decode_jpeg"] = [
+    ("JPEG encode+decode are Arrow-batched codec stages",
+     r"MapInPandas"),
+    ("zero shuffle: codec work distributes embarrassingly",
+     r"\A(?!.*Exchange hashpartitioning)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
