@@ -57,6 +57,13 @@ _PRIORITY = (
     # -- block 3: NEW in round 10 (names appended as each lands —
     #    the ghost assertion below keeps the list honest)
     "mm_decode_jpeg",
+    "gov_crypto_shred",
+    "dq_fd_miner",
+    "ts_holt_linear",
+    "stat_bootstrap_ci",
+    "graph_label_propagation",
+    "emb_pca_power_iteration",
+    "text_bigram_kneser_ney",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below
@@ -171,6 +178,7 @@ def load_all() -> dict[str, QuerySpec]:
         graph,
         analytics,
         product,
+        round10,
     )
 
     def rank(name: str) -> tuple[int, str]:

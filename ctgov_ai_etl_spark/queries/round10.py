@@ -1,0 +1,795 @@
+"""Round-10 wave: frontier operators extending the catalog sideways.
+
+Governance crypto-shredding, functional-dependency mining, an
+exact-integer Holt forecast recurrence, deterministic hash bootstrap
+CIs, K-round label-propagation communities, power-iteration PCA on an
+exact integer Gram matrix, and Kneser-Ney bigram smoothing — each
+with a full DuckDB oracle per the repo contract (zero rows-only
+entries).
+
+Exactness follows the repo conventions (functions/exact.py): money in
+integer cents, probabilities in integer ppm via exact floor division,
+timestamps in int64 epoch micros/days, md5 for any cross-engine hash,
+and iterative operators replayed as unrolled CTE chains.
+
+Reference parity: the reference (etl.py) is a REST text ETL with none
+of these; they belong to the SURVEY §2.3 training-data mandate
+(curation, dedup, analytics at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.functions.exact import cents, fdiv, sql_fdiv
+from ctgov_ai_etl_spark.queries.registry import query
+from ctgov_ai_etl_spark.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
+
+
+# --------------------------------------------------- crypto-shredding
+
+
+@query(
+    "gov_crypto_shred",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT user_id,
+             substr(md5('k:' || CAST(user_id AS VARCHAR)), 1, 16) AS ukey
+      FROM events
+      WHERE user_id % 17 <> 0
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN k.ukey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shredded,
+           CAST(count(DISTINCT CASE WHEN k.ukey IS NOT NULL
+                 THEN substr(md5(k.ukey || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 12)
+                 END) AS BIGINT) AS n_tokens
+    FROM events e LEFT JOIN keys k USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding erasure (the GDPR deletion pattern that works
+    on immutable storage): every user's identifiers are tokenized
+    under a per-user key held in a tiny key table; 'deleting' a user
+    destroys only their key row, after which their tokens are
+    unlinkable — no rewrite of the 100 TB fact store.  Here users
+    with user_id % 17 == 0 are shredded (their key rows are gone);
+    the audit rollup counts shredded events and surviving distinct
+    tokens per type.  The key table is users-sized (broadcast join —
+    the fact table never shuffles); tokenization is md5 keyed by the
+    user key, engine-portable so the oracle replays it.  Companion
+    to gov_right_to_erasure (hard delete) — this is the soft,
+    storage-immutable variant."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 17 != 0)
+        .select(
+            "user_id",
+            F.substring(
+                F.md5(F.concat(F.lit("k:"), F.col("user_id").cast("string"))),
+                1,
+                16,
+            ).alias("ukey"),
+        )
+    )
+    joined = ev.join(F.broadcast(keys), "user_id", "left")
+    token = F.when(
+        F.col("ukey").isNotNull(),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("ukey"), F.lit(":"), F.col("user_id").cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("ukey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shredded"),
+        F.count_distinct(token).cast("long").alias("n_tokens"),
+    )
+
+
+# --------------------------------------- Kneser-Ney bigram smoothing
+
+_KN_TOP_W1 = 20  # most frequent contexts reported
+_KN_TOP_W2 = 3  # continuations per context
+
+
+@query(
+    "text_bigram_kneser_ney",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, arr,
+             unnest(range(0, greatest(len(arr) - 1, 0))) AS i
+      FROM base
+    ),
+    bg AS (
+      SELECT arr[CAST(i + 1 AS INT)] AS w1,
+             arr[CAST(i + 2 AS INT)] AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM idx
+      GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1p_fwd
+      FROM bg GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM bg GROUP BY w2
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bg),
+    p AS (
+      SELECT bg.w1, bg.w2, bg.c12, ctx.c1,
+             CAST({sql_fdiv("greatest(4 * bg.c12 - 3, 0) * 1000000",
+                            "4 * ctx.c1")}
+                  + {sql_fdiv(
+                      "3 * ctx.n1p_fwd * "
+                      + sql_fdiv("cont.n1p_bwd * 1000000", "t.tt"),
+                      "4 * ctx.c1")}
+                  AS BIGINT) AS pkn_ppm
+      FROM bg
+      JOIN ctx USING (w1)
+      JOIN cont USING (w2)
+      CROSS JOIN t
+    ),
+    topc AS (
+      SELECT w1 FROM ctx
+      ORDER BY c1 DESC, w1 ASC LIMIT {_KN_TOP_W1}
+    ),
+    ranked AS (
+      SELECT p.w1, p.w2, p.c12, p.pkn_ppm,
+             row_number() OVER (PARTITION BY p.w1
+                                ORDER BY p.pkn_ppm DESC, p.w2 ASC) AS rk
+      FROM p JOIN topc USING (w1)
+    )
+    SELECT w1, w2, c12, pkn_ppm, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_KN_TOP_W2}
+    """,
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram language model over the corpus —
+    the smoothing that actually powers n-gram LM scoring (absolute
+    discount D = 3/4 plus a continuation-probability backoff that
+    asks 'how many distinct contexts does w2 follow?' rather than
+    'how often does w2 occur').  The entire estimate stays in exact
+    integer ppm: D = 3/4 clears denominators via the 4c - 3
+    trick, and the backoff term nests two floor divisions in the
+    same order on both engines.  Corpus-scale passes: tokenize
+    map-side (single-space contract), ONE bigram rollup, then
+    context/continuation rollups on frames that are vocabulary-sized
+    — the same collapse-to-distinct move as text_bpe_merge_rank.
+    Reports the top-3 smoothed continuations for the 20 heaviest
+    contexts (deterministic tie-breaks throughout)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    bg = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1p_bwd")
+    )
+    tt = bg.agg(F.count("*").cast("long").alias("tt"))
+    pcont_ppm = fdiv(F.col("n1p_bwd") * 1_000_000, F.col("tt"))
+    pkn = (
+        fdiv(
+            F.greatest(4 * F.col("c12") - 3, F.lit(0)) * 1_000_000,
+            4 * F.col("c1"),
+        )
+        + fdiv(3 * F.col("n1p_fwd") * pcont_ppm, 4 * F.col("c1"))
+    ).cast("long")
+    p = (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "c12", "c1", pkn.alias("pkn_ppm"))
+    )
+    topc = ctx.orderBy(F.col("c1").desc(), F.col("w1").asc()).limit(
+        _KN_TOP_W1
+    )
+    ranked = p.join(F.broadcast(topc.select("w1")), "w1").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("w1").orderBy(
+                F.col("pkn_ppm").desc(), F.col("w2").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= _KN_TOP_W2).select(
+        "w1", "w2", "c12", "pkn_ppm", F.col("rk").cast("int")
+    )
+
+
+# --------------------------------------- power-iteration PCA (exact)
+
+_PCA_D = 8  # leading embedding dims
+_PCA_ITERS = 6
+_PCA_GSCALE = 1_000_000_000  # Gram entries scaled down by 1e9
+
+
+def _pca_oracle(d: int, iters: int) -> str:
+    fd = sql_fdiv
+    parts = [
+        f"""m AS (
+      SELECT vec_id, dim - 1 AS dim,
+             CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, {d + 1})) AS t(dim))""",
+        f"""gram AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST({fd("sum(CAST(a.v AS HUGEINT) * b.v)", str(_PCA_GSCALE))}
+                  AS BIGINT) AS g
+      FROM m a JOIN m b USING (vec_id)
+      GROUP BY a.dim, b.dim)""",
+        f"""x0 AS (
+      SELECT unnest(range(0, {d})) AS i, CAST(1000000 AS BIGINT) AS x)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"y{k} AS (SELECT g.i, CAST(sum(g.g * x.x) AS BIGINT) AS y"
+            f" FROM gram g JOIN x{k - 1} x ON x.i = g.j GROUP BY g.i)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT CAST(max(abs(y)) AS BIGINT) AS mx FROM y{k})"
+        )
+        parts.append(
+            f"x{k} AS (SELECT y.i,"
+            f" CAST({fd('y.y', fd('m.mx', '1000000') + ' + 1')} AS BIGINT)"
+            f" AS x FROM y{k} y, m{k} m)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(x.i AS INT) AS dim, CAST(x.x AS BIGINT) AS eigvec_scaled
+    FROM x{iters} x"""
+    )
+
+
+@query(
+    "emb_pca_power_iteration", oracle=_pca_oracle(_PCA_D, _PCA_ITERS)
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding matrix by power
+    iteration on an EXACT integer Gram matrix — the distributed-PCA
+    decomposition MLlib's RowMatrix uses: ONE data-scale pass builds
+    the d x d Gram (long-form explode map-side, d^2 tiny moment rows
+    shuffled, never the vectors), then the d x d eigen-iteration runs
+    on the constant-size matrix.  Everything stays in int64: vector
+    components in micro-units, Gram entries floor-scaled by 1e9
+    (decimal accumulation so the inner products never overflow), and
+    each iterate renormalized by floor-dividing with
+    (max|y|/1e6 + 1) — both engines replay the identical integer
+    sequence, so a six-round eigenvector matches bit-for-bit where a
+    float power iteration would drift.  The iteration itself is
+    executed RELATIONALLY (matvec = join + group on the 64-row gram
+    frame; the iterate x is re-injected as an array literal each
+    round — no Python-rows plan, no data-sized driver collect; the
+    only collect is the d-row iterate, bounded and documented).
+    Oracle: Gram + the same six matvecs as unrolled CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long_form = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _PCA_D)
+        ).alias("dim", "xv"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xv") * 1_000_000).cast("long").alias("v"),
+    )
+    a, b = long_form.alias("a"), long_form.alias("b")
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            fdiv(
+                F.sum(F.col("a.v").cast("decimal(38,0)") * F.col("b.v")),
+                _PCA_GSCALE,
+            )
+            .cast("long")
+            .alias("g")
+        )
+    )
+    # Pin the 64-row gram across the K matvec jobs (and register the
+    # pin for barrier cleanup) so the data-scale pair join runs once.
+    from ctgov_ai_etl_spark.operators.cache import track
+
+    gram = track(gram.cache())
+    x = [1_000_000] * _PCA_D
+    for _ in range(_PCA_ITERS):
+        xcol = F.array(*[F.lit(int(v)) for v in x])
+        y = (
+            gram.select(
+                "i",
+                (
+                    F.col("g") * F.element_at(xcol, F.col("j") + 1)
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("y"))
+        )
+        rows = y.collect()  # bounded: d = 8 rows, documented
+        mx = max(abs(int(r["y"])) for r in rows)
+        denom = mx // 1_000_000 + 1
+        x_new = [0] * _PCA_D
+        for r in rows:
+            x_new[int(r["i"])] = int(r["y"]) // denom
+        x = x_new
+    return (
+        spark.range(_PCA_D)
+        .select(F.col("id").cast("int").alias("dim"))
+        .select(
+            "dim",
+            F.element_at(
+                F.array(*[F.lit(int(v)) for v in x]), F.col("dim") + 1
+            )
+            .cast("long")
+            .alias("eigvec_scaled"),
+        )
+    )
+
+
+# ------------------------------------------ deterministic bootstrap
+
+_BOOT_B = 100  # resamples
+_BOOT_M = 100  # m-out-of-n resample size
+# 2.5% / 97.5% order statistics of the B bootstrap means (1-indexed)
+_BOOT_LO_K = 3
+_BOOT_HI_K = 98
+_BOOT_IDX = (
+    "CAST(('0x' || substr(md5({t} || ':' || CAST({b} AS VARCHAR) || ':' "
+    "|| CAST({i} AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(value * 100), event_id)
+               AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv
+      FROM vals GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, s.n, g.b, g.i,
+             1 + ({_BOOT_IDX.format(t="s.event_type", b="g.b", i="g.i")})
+                 % s.n AS idx
+      FROM sizes s,
+           (SELECT bb.b, ii.i
+            FROM (SELECT unnest(range(0, {_BOOT_B})) AS b) bb,
+                 (SELECT unnest(range(0, {_BOOT_M})) AS i) ii) g
+    ),
+    boot AS (
+      SELECT g.event_type, g.b,
+             CAST({sql_fdiv("sum(v.v) * 1000000", str(_BOOT_M))} AS BIGINT)
+               AS mean_micro
+      FROM grid g JOIN vals v
+        ON v.event_type = g.event_type AND v.rn = g.idx
+      GROUP BY g.event_type, g.b
+    ),
+    ranked AS (
+      SELECT event_type, mean_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_micro, b) AS k
+      FROM boot
+    )
+    SELECT s.event_type,
+           s.n,
+           CAST({sql_fdiv("s.sv * 1000000", "s.n")} AS BIGINT)
+             AS mean_micro,
+           CAST(max(CASE WHEN r.k = {_BOOT_LO_K} THEN r.mean_micro END)
+                AS BIGINT) AS ci_lo_micro,
+           CAST(max(CASE WHEN r.k = {_BOOT_HI_K} THEN r.mean_micro END)
+                AS BIGINT) AS ci_hi_micro
+    FROM sizes s JOIN ranked r USING (event_type)
+    GROUP BY s.event_type, s.n, s.sv
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-type mean with a
+    DETERMINISTIC resampler: draw (b, i) of resample b picks value
+    rank 1 + md5(type:b:i) % n — reproducible across engines, runs,
+    and partitionings, where rand()-based resampling is none of
+    those (the repo's standard md5-for-randomness move, cf.
+    hash_bucket).  m-out-of-n bootstrap (m = 100 draws per
+    resample, B = 100 resamples) keeps the draw grid
+    SF-independent: the data-scale passes are the rank window and
+    the size/sum rollup; the resample join touches B*m rows per key
+    regardless of data size — the property that makes bootstrap
+    viable at 100 TB at all.  CI bounds are the 3rd / 98th order
+    statistics of the bootstrap means (exact integer selection, no
+    float percentile interpolation)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vals = ev.select(
+        "event_type",
+        cents("value").alias("v"),
+        "event_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("v", "event_id")
+        ),
+    )
+    sizes = vals.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    grid = (
+        F.broadcast(sizes)
+        .crossJoin(
+            spark.range(_BOOT_B).select(F.col("id").alias("b"))
+        )
+        .crossJoin(spark.range(_BOOT_M).select(F.col("id").alias("i")))
+    )
+    idx_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = grid.select(
+        "event_type", "b", (F.lit(1) + idx_hash % F.col("n")).alias("idx")
+    )
+    boot = (
+        draws.join(
+            vals.select("event_type", "rn", "v"),
+            (draws["event_type"] == vals["event_type"])
+            & (draws["idx"] == vals["rn"]),
+        )
+        .groupBy(draws["event_type"].alias("event_type"), "b")
+        .agg(fdiv(F.sum("v") * 1_000_000, _BOOT_M).alias("mean_micro"))
+    )
+    ranked = boot.withColumn(
+        "k",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("mean_micro", "b")
+        ),
+    )
+    return (
+        sizes.join(ranked, "event_type")
+        .groupBy("event_type", "n", "sv")
+        .agg(
+            F.max(
+                F.when(F.col("k") == _BOOT_LO_K, F.col("mean_micro"))
+            ).alias("ci_lo_micro"),
+            F.max(
+                F.when(F.col("k") == _BOOT_HI_K, F.col("mean_micro"))
+            ).alias("ci_hi_micro"),
+        )
+        .select(
+            "event_type",
+            "n",
+            fdiv(F.col("sv") * 1_000_000, F.col("n"))
+            .cast("long")
+            .alias("mean_micro"),
+            F.col("ci_lo_micro").cast("long"),
+            F.col("ci_hi_micro").cast("long"),
+        )
+    )
+
+
+# ------------------------------------------- Holt linear forecasting
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day,
+             CAST(count(*) * 1000000 AS BIGINT) AS xm
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, xm,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM d
+    ),
+    walk AS (
+      SELECT event_type, rn, CAST(xm AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             {sql_fdiv("s.xm + w.l + w.b", "2")} AS l,
+             {sql_fdiv(
+                 sql_fdiv("s.xm + w.l + w.b", "2") + " - w.l + w.b", "2"
+             )} AS b
+      FROM walk w JOIN seq s
+        ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    ),
+    final AS (
+      SELECT event_type, rn, l, b,
+             row_number() OVER (PARTITION BY event_type ORDER BY rn DESC)
+               AS rr
+      FROM walk
+    )
+    SELECT event_type,
+           CAST(rn AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(l + 7 * b AS BIGINT) AS forecast7_micro
+    FROM final WHERE rr = 1
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over each
+    event type's daily-count series, alpha = beta = 1/2, ENTIRELY in
+    exact int64 micro-units: l_t = floor((x_t*M + l + b)/2),
+    b_t = floor((l_t - l + b)/2) — the halving weights turn the
+    smoother into integer floor-division both engines replay
+    bit-for-bit (the repo's standard trick for float-free
+    recurrences).  The trend state couples into the level state, so
+    no window or monoid fold expresses the pair — the honest per-key
+    sequential class (one applyInPandas scan per key), but crucially
+    the scan runs over the PRE-AGGREGATED daily frame: the data-scale
+    pass is a plain partial-aggregated count rollup, and the
+    sequential part touches |keys| x |days| rows only.  Oracle: the
+    recurrence as a recursive CTE.  Output: final state + a 7-day
+    linear forecast per key."""
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.count("*") * 1_000_000).cast("long").alias("xm"))
+    )
+
+    def scan(pdf):
+        pdf = pdf.sort_values("day")
+        l = b = None
+        for xm in pdf["xm"]:
+            x = int(xm)
+            if l is None:
+                l, b = x, 0
+            else:
+                l_new = (x + l + b) // 2
+                b = (l_new - l + b) // 2
+                l = l_new
+        return pdf.iloc[:1].assign(
+            n_days=len(pdf),
+            level_micro=l,
+            trend_micro=b,
+            forecast7_micro=l + 7 * b,
+        )[
+            [
+                "event_type",
+                "n_days",
+                "level_micro",
+                "trend_micro",
+                "forecast7_micro",
+            ]
+        ]
+
+    return daily.groupBy("event_type").applyInPandas(
+        scan,
+        "event_type string, n_days long, level_micro long, "
+        "trend_micro long, forecast7_micro long",
+    )
+
+
+# -------------------------------------- label-propagation communities
+
+_LPA_ROUNDS = 3
+_LPA_CUST_OFFSET = 1_000_000
+_LPA_EDGES_SQL = f"""SELECT DISTINCT l.l_suppkey AS src,
+           o.o_custkey + {_LPA_CUST_OFFSET} AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+
+def _lpa_oracle(rounds: int) -> str:
+    parts = [
+        f"e0 AS ({_LPA_EDGES_SQL})",
+        "edges AS (SELECT src, dst FROM e0"
+        " UNION ALL SELECT dst, src FROM e0)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT e.dst AS node, l.lbl,"
+            f" CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM edges e JOIN l{r - 1} l ON l.node = e.src"
+            f" GROUP BY e.dst, l.lbl)"
+        )
+        parts.append(
+            f"l{r} AS (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, row_number() OVER (PARTITION BY node"
+            f" ORDER BY cnt DESC, lbl ASC) AS rk FROM c{r}) x"
+            f" WHERE rk = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM l{rounds}
+    GROUP BY lbl"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    supplier<->customer fulfilment graph, 3 rounds, fully
+    deterministic: each round every node adopts its neighbors'
+    most-frequent label with the tie broken toward the SMALLEST
+    label id (plain LPA is run-order dependent — the deterministic
+    argmax is what makes the operator oracle-checkable and
+    idempotent across partitionings).  Distinct from the dedup CC
+    family: mode-based adoption finds dense communities, not mere
+    connectivity.  Each round is one edge-keyed join + two partial
+    aggregations on the same dst exchange; K is a constant, so the
+    plan is K pipelined shuffle stages — no driver iteration on
+    data-sized frames, and the edge derivation itself is
+    distributed (lineitem join orders, then distinct).  Oracle:
+    the K rounds unrolled as CTE pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + _LPA_CUST_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("n2").orderBy(
+                        F.col("cnt").desc(), F.col("lbl").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select(F.col("n2").alias("node"), "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+# ------------------------------------- functional-dependency mining
+
+
+_FD_PAIRS = (
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for lhs, rhs in _FD_PAIRS:
+        parts.append(f"""
+    SELECT '{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST({sql_fdiv("sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000",
+                          "count(*)")} AS BIGINT) AS violation_ppm
+    FROM (SELECT CAST({lhs} AS VARCHAR) AS l,
+                 count(DISTINCT {rhs}) AS nd
+          FROM orders GROUP BY 1) g""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_fd_miner", oracle=_fd_oracle())
+def dq_fd_miner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency miner: for each candidate rule A -> B,
+    how many A-values map to more than one distinct B (violating
+    groups) and the violation rate in exact ppm — the profiling pass
+    schema-inference and DQ-rule systems run before trusting a
+    column as a key or denormalization target.  The engine form
+    stacks all candidate pairs into one long frame map-side (explode
+    of (fd, lhs, rhs) structs — ONE scan of the table for all rules)
+    and aggregates twice on the same fd,lhs exchange; the oracle
+    states each rule as its own aggregate and unions them.  At 100 TB
+    the single-scan stacking beats |rules| separate passes; the
+    second rollup is |distinct lhs|-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{lhs}->{rhs}").alias("fd"),
+                        F.col(lhs).cast("string").alias("l"),
+                        F.col(rhs).cast("string").alias("r"),
+                    )
+                    for lhs, rhs in _FD_PAIRS
+                ]
+            )
+        ).alias("x")
+    ).select("x.fd", "x.l", "x.r")
+    per_lhs = stacked.groupBy("fd", "l").agg(
+        F.count_distinct("r").alias("nd")
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count("*").cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        fdiv(
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) * 1_000_000,
+            F.count("*"),
+        )
+        .cast("long")
+        .alias("violation_ppm"),
+    )

@@ -1112,5 +1112,53 @@ CHECKS["mm_decode_jpeg"] = [
      r"\A(?!.*Exchange hashpartitioning)"),
 ]
 
+CHECKS["gov_crypto_shred"] = [
+    ("key table broadcast — the fact table never shuffles for the join",
+     r"BroadcastHashJoin.*LeftOuter"),
+    ("audit rollup partially aggregated", r"partial_(count|sum)"),
+]
+
+CHECKS["dq_fd_miner"] = [
+    ("all FD rules stacked into ONE scan (generate, not re-scan)",
+     r"Generate explode"),
+    ("per-lhs distinct partially aggregated", r"partial_count"),
+]
+
+CHECKS["ts_holt_linear"] = [
+    ("sequential scan runs over the PRE-AGGREGATED daily frame",
+     r"partial_count"),
+    ("sanctioned per-key sequential boundary",
+     r"FlatMapGroupsInPandas"),
+]
+
+CHECKS["stat_bootstrap_ci"] = [
+    ("sizes broadcast into the draw grid", r"BroadcastExchange"),
+    ("bootstrap means partially aggregated", r"partial_sum"),
+]
+
+CHECKS["graph_label_propagation"] = [
+    ("per-round label counts partially aggregated", r"partial_count"),
+    ("deterministic argmax via per-node rank window",
+     r"row_number"),
+]
+
+CHECKS["emb_pca_power_iteration"] = [
+    # The returned frame is the d-row literal-array projection — the
+    # Gram pass and the K matvecs execute inside the operator (their
+    # partial-agg shape is pinned by the near-identical
+    # emb_covariance_matrix checks); what the RESULT plan must prove
+    # is that no Python-rows or shuffle residue leaks into it.
+    ("result is a pure local projection (no Python-rows plan)",
+     r"\A(?!.*Scan ExistingRDD)"),
+    ("no shuffle residue in the result plan",
+     r"\A(?!.*Exchange hashpartitioning)"),
+]
+
+CHECKS["text_bigram_kneser_ney"] = [
+    ("bigram rollup partially aggregated", r"partial_count"),
+    ("context top-k is TakeOrderedAndProject, not a global sort",
+     r"TakeOrderedAndProject"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
