@@ -1,6 +1,7 @@
 """Runnable telemetry / observability pipeline example.
 
-Wires the round-8 temporal and sketch operators into the canonical
+Wires the round-8 temporal and sketch operators — plus the round-9
+bitmap analytics and sequential-test monitor — into the canonical
 event-stream workflow:
 
     feed completeness audit      sequence gaps over the id order
@@ -8,6 +9,14 @@ event-stream workflow:
       -> incident enrichment     interval banding join (no BNLJ)
       -> traffic sketches        count-min cells + KMV user overlap
       -> robust outliers         median/MAD per event type
+      -> bitmap retention        cohort matrix with NO self-join:
+                                 each user's activity is one int64
+                                 (bit i = active day i); cohort =
+                                 lowest set bit, day-k retention =
+                                 one shifted bit test
+      -> SPRT drift monitor      Wald sequential test on the
+                                 high-value-event rate, exact int64
+                                 log-likelihood walk
 
 Run:  python examples/telemetry_observability_pipeline.py [sf_dir]
 """
@@ -103,6 +112,73 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         events, "event_type", "value", keep_cols=["event_id"], threshold=3.5
     ).count()
 
+    # 6. retention WITHOUT a self-join: 64-day activity bitmaps.
+    # One partial-aggregated bit_or per user, then pure bit math —
+    # the 100 TB replacement for joining the activity table against
+    # itself per (cohort, horizon) cell.  The 0..63 window guard is
+    # explicit because Spark wraps out-of-range shifts mod 64.
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+
+    off = (fdiv(F.unix_micros("ts"), 86_400_000_000) - 19_723).cast("int")
+    # purchase activity spreads first-touch across the month (an
+    # all-events bitmap would collapse every cohort to day 0)
+    bitmaps = (
+        events.filter(
+            F.col("ts").isNotNull() & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", off.alias("off"))
+        .filter(F.col("off").between(0, 63))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), off)")).alias("b")
+        )
+    )
+    retention = (
+        bitmaps.select(
+            F.expr("bit_count((b & -b) - 1)").alias("cohort_day"), "b"
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cohort_day + 7 <= 63 THEN "
+                    "shiftright(b, CAST(cohort_day + 7 AS INT)) & 1 END"
+                )
+            ).alias("ret_d7"),
+        )
+        .collect()
+    )
+    d7_retained = sum(int(r["ret_d7"] or 0) for r in retention)
+
+    # 7. SPRT drift monitor: is the high-value-event rate 0.6 (H1)
+    # or 0.4 (H0)?  Wald's sequential test as an exact int64
+    # log-likelihood random walk (micro-log literals), decided at
+    # the FIRST boundary crossing — the always-on monitor that reads
+    # a fraction of the data a fixed-horizon test would.
+    from pyspark.sql import Window as W2
+
+    c1, c0, bound = 405_465, -405_465, 2_944_439  # ln-ratios * 1e6
+    wo = W2.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    walk = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.sum(
+            F.when(F.round(F.col("value") * 100) > 5000, c1).otherwise(c0)
+        )
+        .over(wo.rowsBetween(W2.unboundedPreceding, W2.currentRow))
+        .alias("llr"),
+    )
+    decisions = (
+        walk.filter((F.col("llr") >= bound) | (F.col("llr") <= -bound))
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+
     out = {
         "sequence_gaps": gaps,
         "sessions": n_sessions,
@@ -110,6 +186,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "cms_cells": cms_cells,
         "est_click_view_overlap": float(overlap["est_inter"]),
         "mad_outliers": n_outliers,
+        "cohort_cells": len(retention),
+        "d7_retained_users": d7_retained,
+        "sprt_decided_types": decisions,
     }
     for k, v in out.items():
         print(f"{k}: {v}")

@@ -44,6 +44,12 @@ def test_telemetry_observability_pipeline_example(spark):
     # but must be non-negative ints
     for k in ("sequence_gaps", "purchases_in_incident_windows", "mad_outliers"):
         assert out[k] >= 0
+    # bitmap retention: cohorts fit the 64-day window; d7 retention
+    # can't exceed the user population
+    assert 0 < out["cohort_cells"] <= 64
+    assert out["d7_retained_users"] >= 0
+    # SPRT: decisions are a subset of the 5 event types
+    assert 0 <= out["sprt_decided_types"] <= 5
 
 
 def test_business_analytics_pipeline_example(spark):
