@@ -64,6 +64,8 @@ _PRIORITY = (
     "graph_label_propagation",
     "emb_pca_power_iteration",
     "text_bigram_kneser_ney",
+    "text_vocab_coverage",
+    "graph_jaccard_link_prediction",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

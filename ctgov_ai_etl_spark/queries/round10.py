@@ -102,6 +102,180 @@ def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ tokenizer vocab coverage
+
+_VOCAB_SIZES = (100, 500, 1000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    types AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok ASC) AS rk,
+             sum(c) OVER (ORDER BY c DESC, tok ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS total,
+             count(*) OVER () AS n_types
+      FROM types
+    )
+    SELECT CAST(v.v AS INT) AS vocab_size,
+           CAST(max(CASE WHEN rk = least(v.v, n_types)
+                         THEN cum END) AS BIGINT) AS covered_occurrences,
+           CAST(max(total) AS BIGINT) AS total_occurrences,
+           CAST({sql_fdiv(
+               "max(CASE WHEN rk = least(v.v, n_types) THEN cum END)"
+               " * 1000000",
+               "max(total)")} AS BIGINT) AS coverage_ppm
+    FROM ranked,
+         (SELECT unnest([{", ".join(str(v) for v in _VOCAB_SIZES)}]) AS v)
+           v
+    GROUP BY v.v
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage curve: what fraction of corpus
+    token OCCURRENCES does a top-V type vocabulary cover, at V = 100
+    / 500 / 1000 — the first diagnostic run before sizing a
+    tokenizer or estimating OOV/UNK rates for an LM training mix.
+    Corpus collapses to the distinct-type frame in one
+    partial-aggregated rollup; the coverage curve is a rank +
+    cumulative-sum window over the vocabulary-sized frame (at real
+    scale: vocabulary << corpus, so the window input is tiny), and
+    the three V probes read the SAME ranked frame.  Deterministic
+    (count desc, token asc) ranking; coverage in exact integer ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    types = occ.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    wr = W.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = types.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c")
+        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("c")
+        .over(W.partitionBy())
+        .alias("total"),
+        F.count("*").over(W.partitionBy()).alias("n_types"),
+    )
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "v int"
+    )
+    probed = ranked.crossJoin(F.broadcast(sizes)).filter(
+        F.col("rk") == F.least(F.col("v"), F.col("n_types"))
+    )
+    return probed.groupBy(F.col("v").cast("int").alias("vocab_size")).agg(
+        F.max("cum").cast("long").alias("covered_occurrences"),
+        F.max("total").cast("long").alias("total_occurrences"),
+        fdiv(F.max("cum") * 1_000_000, F.max("total"))
+        .cast("long")
+        .alias("coverage_ppm"),
+    )
+
+
+# --------------------------------------- neighbor-Jaccard link scores
+
+_LINK_TOP = 20
+_LINK_DEG_CAP = 50
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS cd FROM e GROUP BY c),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS common
+      FROM e a
+      JOIN cdeg USING (c)
+      JOIN e b ON a.c = b.c AND a.s < b.s
+      WHERE cdeg.cd <= {_LINK_DEG_CAP}
+      GROUP BY a.s, b.s
+    ),
+    scored AS (
+      SELECT p.s1, p.s2, p.common,
+             CAST({sql_fdiv("p.common * 1000000",
+                            "da.d + db.d - p.common")} AS BIGINT)
+               AS jaccard_ppm
+      FROM pairs p
+      JOIN deg da ON da.s = p.s1
+      JOIN deg db ON db.s = p.s2
+    )
+    SELECT s1, s2, common, jaccard_ppm
+    FROM scored
+    ORDER BY jaccard_ppm DESC, s1 ASC, s2 ASC
+    LIMIT {_LINK_TOP}
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard on the bipartite
+    supplier-customer graph: supplier pairs serving many common
+    customers relative to their combined reach are likely future
+    co-suppliers — the classic common-neighbors recommender.  Pair
+    generation goes THROUGH the shared customer (one customer-keyed
+    self-join — never supplier x supplier), with a degree cap on hub
+    customers (cd <= {_LINK_DEG_CAP}) bounding the per-key pair
+    blow-up exactly like basket_pair_affinity bounds baskets: a hub
+    node's pairs are quadratic but uninformative (everyone shares
+    it), so capping is both the scale guard and standard practice.
+    Jaccard in exact integer ppm via inclusion-exclusion on the
+    degree frame; deterministic top-{_LINK_TOP}
+    (TakeOrderedAndProject, not a global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count("*").cast("long").alias("d"))
+    cdeg = e.groupBy("c").agg(F.count("*").cast("long").alias("cd"))
+    small = e.join(
+        F.broadcast(cdeg.filter(F.col("cd") <= _LINK_DEG_CAP)), "c"
+    ).select("s", "c")
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    da = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    scored = (
+        pairs.join(F.broadcast(da), "s1")
+        .join(F.broadcast(db), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            fdiv(
+                F.col("common") * 1_000_000,
+                F.col("d1") + F.col("d2") - F.col("common"),
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(_LINK_TOP)
+
+
 # --------------------------------------- Kneser-Ney bigram smoothing
 
 _KN_TOP_W1 = 20  # most frequent contexts reported

@@ -74,8 +74,16 @@ def test_dispatch_and_honest_seam():
     assert luma == round(sum(px) / 6 / 255.0, 6)
     png = encode_png(2, 1, bytes([10, 250]), 0)
     assert decode_image_bytes(png)[:2] == (2, 1)
+    # JPEG magic now routes to the real baseline decoder (round 10):
+    # a malformed payload raises the codec's own error, not the seam
+    from ctgov_ai_etl_spark.functions.jpegcodec import JpegError
+
+    with pytest.raises(JpegError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish")
+    # the honest NotImplementedError seam remains for formats with no
+    # pure-Python codec (e.g. GIF)
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG magic
+        decode_image_bytes(b"GIF89a\x00\x00")
 
 
 def test_render_decode_distributed(spark):
@@ -112,12 +120,21 @@ def test_render_decode_distributed(spark):
 def test_decode_real_unsupported_format_raises(spark):
     from ctgov_ai_etl_spark.operators.multimodal import decode_image_real
 
+    # JPEG magic now reaches the real decoder (its own malformed-input
+    # error); the executor-side honest seam fires for formats with no
+    # pure-Python codec at all
     df = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a-not-an-image"))],
+        "doc_id long, blob binary",
+    )
+    with pytest.raises(Exception, match="no pure-Python codec"):
+        decode_image_real(df, "doc_id").collect()
+    df2 = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xffnot-an-image"))],
         "doc_id long, blob binary",
     )
-    with pytest.raises(Exception, match="no stdlib codec"):
-        decode_image_real(df, "doc_id").collect()
+    with pytest.raises(Exception, match="marker"):
+        decode_image_real(df2, "doc_id").collect()
 
 
 def test_png_malformed_inputs():

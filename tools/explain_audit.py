@@ -1160,5 +1160,18 @@ CHECKS["text_bigram_kneser_ney"] = [
      r"TakeOrderedAndProject"),
 ]
 
+CHECKS["text_vocab_coverage"] = [
+    ("corpus collapses to the distinct-type frame first",
+     r"partial_count"),
+    ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
+]
+
+CHECKS["graph_jaccard_link_prediction"] = [
+    ("pairs generated through the shared customer, never supplier x supplier",
+     r"hashpartitioning\(c"),
+    ("top pairs via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ("degree frames broadcast", r"BroadcastHashJoin"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
