@@ -17,9 +17,11 @@ decodable with nothing beyond the standard library:
 Encoders for both formats live here too (the tests and the
 ``mm_decode_real`` catalog query synthesize images on the executors,
 decode them back, and hash-check the features against a SQL oracle).
-JPEG and friends remain behind the explicit ``NotImplementedError``
-seam in ``operators/multimodal.py`` — install a codec on the
-executors and register it in ``_DISPATCH``.
+Baseline JPEG gained its own pure-Python codec in round 10
+(``functions/jpegcodec.py``, registered in ``_DISPATCH`` below);
+formats with no pure-Python decoder (GIF, progressive JPEG, ...)
+remain behind the explicit ``NotImplementedError`` seam — install a
+codec on the executors and register it in ``_DISPATCH``.
 
 Reference parity: the reference pipeline has no media path at all
 (it is a RESTful text ETL, reference etl.py); this module is part of

@@ -5,13 +5,16 @@ Design: media travels as an opaque ``binary`` column plus a typed
 metadata struct; per-modality ops (decode, feature-extract, resize,
 frame-sample) are Arrow-batched ``mapInPandas`` stages so each task
 amortizes codec init and the bytes never round-trip through Python
-row objects.  Two REAL codecs back the seam with nothing beyond the
-standard library — netpbm (P5/P6) and 8-bit PNG with all five
-scanline filters (``functions/imagecodec.py``) — dispatched by magic
-bytes in ``decode_image_real``; formats needing native libraries
-(JPEG etc.) still raise ``NotImplementedError`` from the dispatcher,
-keeping the seam honest.  ``decode_image_features`` remains the
-sha-derived deterministic fake whose oracle needs no codec at all.
+row objects.  Three REAL image codecs back the seam in pure Python —
+netpbm (P5/P6) and 8-bit PNG with all five scanline filters
+(``functions/imagecodec.py``), and baseline JPEG with canonical
+Huffman, restart markers, and the 8x8 IDCT
+(``functions/jpegcodec.py``, round 10) — dispatched by magic bytes
+in ``decode_image_real``; formats with no pure-Python decoder (GIF,
+progressive JPEG, H.264 ...) still raise ``NotImplementedError``
+from the dispatcher, keeping the seam honest.
+``decode_image_features`` remains the sha-derived deterministic fake
+whose oracle needs no codec at all.
 """
 
 from __future__ import annotations

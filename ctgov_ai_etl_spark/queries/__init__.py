@@ -66,6 +66,7 @@ _PRIORITY = (
     "text_bigram_kneser_ney",
     "text_vocab_coverage",
     "graph_jaccard_link_prediction",
+    "llm_classify_dedup_prompts",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

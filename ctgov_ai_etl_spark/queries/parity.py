@@ -243,3 +243,65 @@ def stream_run_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overall_status"),
     )
     return run_stream_to_memory_until_done(flat, mode="append")
+
+
+# Metadata-classification rules: match on the RENDERED prompt (the
+# lang= / source= key below), so the oracle CASE runs over the same
+# rendered string on both engines.
+_META_RULES = KeywordRuleClient(
+    rules=(
+        ("lang=en", "ENGLISH"),
+        ("lang=es", "SPANISH"),
+        ("lang=de", "GERMAN"),
+        ("src1", "LONGTAIL"),
+    ),
+    default="OTHER",
+)
+
+
+@query(
+    "llm_classify_dedup_prompts",
+    oracle=f"""
+    SELECT doc_id,
+           {_META_RULES.as_sql_case(
+               "('classify lang=' || lang || ' source=' || source)")}
+             AS ai_label
+    FROM documents
+    """,
+)
+def llm_classify_dedup_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMPT-DEDUP cost governor: render every row's prompt, call
+    the LLM once per DISTINCT prompt, and broadcast the label table
+    back onto the rows — the single biggest inference cost lever a
+    metadata-classification pipeline has (here: |distinct
+    (lang, source)| calls instead of |documents| — ~100 prompts for
+    50k docs at sf0.1, a 500x call reduction; at 100 TB the
+    classified side stays vocabulary-sized while the fact side never
+    leaves its partitions).  Composes with every other governor
+    (rate limit, cost cap, bucket quota) because dedup happens
+    BEFORE the llm_classify boundary.  The oracle replays the rule
+    client's CASE over the rendered prompt per row — identical
+    labels whether or not the engine deduplicated, which is exactly
+    the contract (dedup must be semantics-preserving)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    prompts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("classify lang="),
+            F.col("lang"),
+            F.lit(" source="),
+            F.col("source"),
+        ).alias("prompt"),
+    )
+    distinct_prompts = prompts.select("prompt").distinct()
+    labeled = llm_classify(
+        distinct_prompts,
+        prompt_template="{prompt}",
+        out_col="ai_label",
+        client_factory=lambda: _META_RULES,
+    ).select("prompt", "ai_label")
+    return prompts.join(F.broadcast(labeled), "prompt").select(
+        "doc_id", "ai_label"
+    )

@@ -166,8 +166,10 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.count("*").over(W.partitionBy()).alias("n_types"),
     )
-    sizes = spark.range(0).sparkSession.createDataFrame(
-        [(v,) for v in _VOCAB_SIZES], "v int"
+    # JVM-side literal frame (a local-rows createDataFrame plan would
+    # drag a Python-worker spawn into every job over it — SCALE.md r10)
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _VOCAB_SIZES])).alias("v")
     )
     probed = ranked.crossJoin(F.broadcast(sizes)).filter(
         F.col("rk") == F.least(F.col("v"), F.col("n_types"))

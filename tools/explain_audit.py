@@ -1166,6 +1166,14 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["llm_classify_dedup_prompts"] = [
+    ("LLM boundary fed by the DISTINCT prompt frame, not the corpus",
+     r"partial_first|HashAggregate.*prompt"),
+    ("label table broadcast back onto the rows",
+     r"BroadcastHashJoin"),
+    ("classification stays an Arrow-batched stage", r"MapInPandas"),
+]
+
 CHECKS["graph_jaccard_link_prediction"] = [
     ("pairs generated through the shared customer, never supplier x supplier",
      r"hashpartitioning\(c"),
