@@ -67,6 +67,9 @@ _PRIORITY = (
     "text_vocab_coverage",
     "graph_jaccard_link_prediction",
     "llm_classify_dedup_prompts",
+    "dq_fk_orphans",
+    "ts_seasonal_decompose",
+    "stream_run_holt",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -102,6 +102,170 @@ def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- referential-integrity profile
+
+_FK_EDGES = (
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{child}.{ck}->{parent}.{pk}' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN NOT EXISTS
+                 (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST({sql_fdiv(
+               "sum(CASE WHEN NOT EXISTS "
+               f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}) "
+               "THEN 1 ELSE 0 END) * 1000000",
+               "count(*)")} AS BIGINT) AS orphan_ppm
+    FROM {child} c""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_fk_orphans", oracle=_fk_oracle())
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiler across the star schema's five
+    foreign keys: for each child->parent edge, how many child rows
+    have no matching parent (orphans) and the orphan rate in exact
+    ppm — the DQ gate every warehouse load runs before trusting a
+    join.  The engine form is one broadcast LEFT join per edge
+    against the DISTINCT parent keys (parent key sets are dim-sized;
+    the child side never shuffles) folded into a single global
+    aggregate — fully lazy, no driver-side counting — and the five
+    edges union into one frame; the oracle states each edge as the
+    declarative NOT EXISTS.  At 100 TB each edge is still one
+    broadcast probe per child partition; a bloom-filter pre-pass
+    (join_bloom_semi) slots in front unchanged."""
+    import functools
+
+    frames = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
+        )
+        joined = c.join(F.broadcast(p), c["k"] == p["__pk"], "left")
+        frames.append(
+            joined.agg(
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk"),
+                "n_child",
+                "n_orphans",
+                fdiv(F.col("n_orphans") * 1_000_000, F.col("n_child"))
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionAll(b), frames)
+
+
+# --------------------------------------- additive seasonal decompose
+
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT {sql_fdiv("epoch_us(o_orderdate)", _US_PER_DAY)} AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily0),
+    spine AS (
+      SELECT lo + CAST(i AS BIGINT) AS day
+      FROM bounds, (SELECT unnest(range(0, 100000)) AS i) g
+      WHERE lo + i <= hi
+    ),
+    dense AS (
+      SELECT s.day, coalesce(d.rev, 0) AS rev
+      FROM spine s LEFT JOIN daily0 d USING (day)
+    ),
+    trended AS (
+      SELECT day, rev,
+             sum(rev) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend7,
+             CAST(count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS w
+      FROM dense
+    ),
+    detr AS (
+      SELECT ((day % 7) + 7) % 7 AS dow,
+             7 * rev - trend7 AS d7
+      FROM trended WHERE w = 7
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST({sql_fdiv("sum(d7)", "count(*)")} AS BIGINT)
+             AS seasonal_x7_cents
+    FROM detr
+    GROUP BY dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal(dow) = mean of
+    the detrended series per day-of-week — the classic
+    trend/seasonal split, ENTIRELY in exact integers by working at
+    x7 scale (detrended*7 = 7*x - rolling_sum_7, so the moving
+    average never divides; one floor division at the dow rollup).
+    The day spine densifies calendar gaps to zero-revenue days
+    (revenue semantics) so the ROWS window is a true 7-day window;
+    edge days without a full window are excluded (w = 7) on both
+    engines.  One partial-aggregated daily rollup at data scale;
+    the window and dow rollup run on the calendar-sized frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily0 = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), _US_PER_DAY).alias("day")
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rev"))
+    bounds = daily0.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = spine.join(daily0, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = dense.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w7).alias("trend7"),
+        F.count("*").over(w7).cast("long").alias("w"),
+    )
+    detr = trended.filter(F.col("w") == 7).select(
+        F.pmod(F.col("day"), F.lit(7)).alias("dow"),
+        (7 * F.col("rev") - F.col("trend7")).alias("d7"),
+    )
+    return detr.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        fdiv(F.sum("d7"), F.count("*"))
+        .cast("long")
+        .alias("seasonal_x7_cents"),
+    )
+
+
 # ------------------------------------------ tokenizer vocab coverage
 
 _VOCAB_SIZES = (100, 500, 1000)

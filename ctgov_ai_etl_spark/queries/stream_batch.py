@@ -1470,3 +1470,54 @@ def stream_run_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "us_to_purchase"
         ),
     )
+
+
+from ctgov_ai_etl_spark.queries.round10 import (  # noqa: E402
+    ts_holt_linear as _batch_holt,
+)
+from ctgov_ai_etl_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "stream_run_holt",
+    oracle=_REG["ts_holt_linear"].oracle,
+)
+def stream_run_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING Holt linear-trend smoother: file micro-batch
+    source → stateful per-key daily fold
+    (streaming/events.py:stateful_holt, applyInPandasWithState —
+    state is the open day's counter plus the folded (level, trend)
+    pair) → update-mode memory sink → latest-snapshot reduce on the
+    monotone rows_seen.  The live forecasting twin of
+    ts_holt_linear; both hash-check against the one recursive-CTE
+    recurrence oracle — the forecast a dashboard serves mid-stream
+    equals the offline batch replay over the same rows.  Completes
+    the batch/streaming twin set alongside SPRT, audit chain,
+    bitmap days, funnel, rate limit, and burn rate."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_holt,
+    )
+
+    snaps = run_stream_to_memory(
+        stateful_holt(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    latest = snaps.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                "rows_seen",
+                "n_days",
+                "level_micro",
+                "trend_micro",
+                "forecast7_micro",
+            )
+        ).alias("s")
+    )
+    return latest.select(
+        "event_type",
+        F.col("s.n_days").cast("long").alias("n_days"),
+        F.col("s.level_micro").cast("long").alias("level_micro"),
+        F.col("s.trend_micro").cast("long").alias("trend_micro"),
+        F.col("s.forecast7_micro").cast("long").alias("forecast7_micro"),
+    )

@@ -818,6 +818,96 @@ def stateful_sprt(
     )
 
 
+def stateful_holt(events: DataFrame) -> DataFrame:
+    """STREAMING Holt linear-trend smoother over each key's DAILY
+    event counts (alpha = beta = 1/2, exact int64 micro-units — the
+    live twin of queries/round10.py:ts_holt_linear): state per key is
+    the open day's counter plus the folded (level, trend) pair; a
+    day rollover folds the closed day with the same floor-division
+    recurrence the batch twin replays as a recursive CTE.  Each
+    micro-batch emits an UPDATE snapshot with the open day folded
+    PROVISIONALLY (state itself is not mutated by emission), so the
+    latest snapshot per key — selected on the monotone rows_seen —
+    equals the batch answer over the same rows, where every observed
+    day counts as complete.  Same per-batch (ts_us, event_id)
+    ordering and event-time-ordered arrival contract as the other
+    stateful operators here."""
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    day_us = 86_400_000_000
+
+    def fold(level, trend, started, xm):
+        if not started:
+            return xm, 0
+        l_new = (xm + level + trend) // 2
+        return l_new, (l_new - level + trend) // 2
+
+    def update(key, pdfs, state):
+        cur_day, cnt, level, trend, nfold, rows, started = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for ts_us in batch["ts_us"]:
+                day = int(ts_us) // day_us
+                rows += 1
+                if cnt == 0:
+                    cur_day = day
+                if day != cur_day:
+                    level, trend = fold(
+                        level, trend, started, cnt * 1_000_000
+                    )
+                    started, nfold = 1, nfold + 1
+                    cur_day, cnt = day, 1
+                else:
+                    cnt += 1
+        state.update((cur_day, cnt, level, trend, nfold, rows, started))
+        # provisional fold of the open day for the snapshot
+        if cnt:
+            pl, pt = fold(level, trend, started, cnt * 1_000_000)
+            n_days = nfold + 1
+        else:
+            pl, pt, n_days = level, trend, nfold
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "rows_seen": [rows],
+                "n_days": [n_days],
+                "level_micro": [pl],
+                "trend_micro": [pt],
+                "forecast7_micro": [pl + 7 * pt],
+            }
+        )
+
+    keyed = events.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, rows_seen long, n_days long, "
+            "level_micro long, trend_micro long, forecast7_micro long"
+        ),
+        stateStructType=(
+            "cur_day long, cnt long, level long, trend long, "
+            "nfold long, rows long, started int"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stateful_audit_chain(events: DataFrame) -> DataFrame:
     """STREAMING tamper-evident hash chain: per user, fold each event
     into chain_t = md5(chain_{t-1} || ':' || event_id) — ONE 32-char

@@ -107,3 +107,43 @@ def test_power_iteration_is_unit_scaled_and_stable(spark):
     mags = [abs(v) for _, v in rows1]
     assert max(mags) <= 1_000_000  # normalized to max-abs <= 1e6
     assert max(mags) >= 400_000  # and not collapsed to zero
+
+
+def test_streaming_holt_equals_batch_twin(spark):
+    """The live smoother's latest snapshot must equal the batch
+    recurrence over the same rows — streaming-equals-batch for the
+    provisional-fold emission contract."""
+    reg = load_all()
+    batch = _rows(
+        reg["ts_holt_linear"].fn(spark, SF),
+        "event_type", "n_days", "level_micro", "trend_micro",
+        "forecast7_micro",
+    )
+    stream = _rows(
+        reg["stream_run_holt"].fn(spark, SF),
+        "event_type", "n_days", "level_micro", "trend_micro",
+        "forecast7_micro",
+    )
+    assert batch == stream
+
+
+def test_fk_orphans_zero_on_consistent_fixture(spark):
+    """The TPC-H-ish fixture is referentially consistent: every edge
+    must profile to zero orphans (a nonzero count here would mean
+    the profiler itself fabricates violations)."""
+    rows = load_all()["dq_fk_orphans"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_orphans"] == 0 and r["orphan_ppm"] == 0
+        assert r["n_child"] > 0
+
+
+def test_seasonal_decompose_components_sum_to_zeroish(spark):
+    """Additive seasonal components over a centered moving average
+    must roughly cancel: the dow means of the detrended series sum
+    near zero relative to series scale."""
+    rows = load_all()["ts_seasonal_decompose"].fn(spark, SF).collect()
+    assert len(rows) == 7
+    total = sum(r["seasonal_x7_cents"] for r in rows)
+    scale = max(abs(r["seasonal_x7_cents"]) for r in rows) or 1
+    assert abs(total) <= 7 * scale  # cancellation, not blow-up

@@ -1166,6 +1166,19 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["dq_fk_orphans"] = [
+    ("parent key sets broadcast; child side never shuffles",
+     r"BroadcastHashJoin.*LeftOuter"),
+    ("per-edge audit partially aggregated", r"partial_count"),
+]
+
+CHECKS["ts_seasonal_decompose"] = [
+    ("daily rollup partially aggregated at data scale",
+     r"partial_sum"),
+    ("no Python boundary — pure JVM window algebra",
+     r"\A(?!.*InPandas)"),
+]
+
 CHECKS["llm_classify_dedup_prompts"] = [
     ("LLM boundary fed by the DISTINCT prompt frame, not the corpus",
      r"partial_first|HashAggregate.*prompt"),
