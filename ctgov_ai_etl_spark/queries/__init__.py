@@ -70,6 +70,8 @@ _PRIORITY = (
     "dq_fk_orphans",
     "ts_seasonal_decompose",
     "stream_run_holt",
+    "ts_acf",
+    "stat_chi2_independence",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -102,6 +102,211 @@ def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- autocorrelation (ACF)
+
+_ACF_LAGS = (1, 7, 30)
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {sql_fdiv("epoch_us(o_orderdate)", _US_PER_DAY)} AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT lo + CAST(i AS BIGINT) AS day
+      FROM bounds, (SELECT unnest(range(0, 100000)) AS i) g
+      WHERE lo + i <= hi
+    ),
+    dense AS (
+      SELECT s.day, coalesce(d.rev, 0) AS rev
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev) AS BIGINT) AS s1,
+             sum(CAST(rev AS HUGEINT) * rev) AS s2
+      FROM dense
+    ),
+    lagged AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.rev AS HUGEINT) * b.rev) AS sxy,
+             CAST(sum(a.rev) AS BIGINT) AS sa,
+             CAST(sum(b.rev) AS BIGINT) AS sb
+      FROM (SELECT unnest([{", ".join(str(v) for v in _ACF_LAGS)}])
+              AS lag) l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.day = a.day + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(l.lag AS INT) AS lag,
+           l.n_pairs,
+           round((CAST(l.sxy AS DOUBLE) - CAST(l.sa AS DOUBLE) * l.sb
+                    / l.n_pairs)
+                 / (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1
+                    / m.n), 6) AS acf
+    FROM lagged l, mom m
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1 / 7 / 30
+    — the seasonality screen run before committing to any seasonal
+    model (a 7-lag spike says weekly structure; ts_seasonal_decompose
+    then extracts it).  All moments are exact integers (HUGEINT /
+    decimal cross-products of cents over the densified day spine);
+    the ACF ratio is ONE shared double expression replayed
+    operation-for-operation on both engines.  The lag join is an
+    equi-join on (day + lag) — calendar-sized, never data-sized —
+    and each lag reads the same dense frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), _US_PER_DAY).alias("day")
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rev"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    revdec = F.col("rev").cast("decimal(38,0)")
+    mom = dense.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s1"),
+        F.sum(revdec * F.col("rev")).alias("s2"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _ACF_LAGS])).alias("lag")
+    )
+    a = dense.alias("a").crossJoin(F.broadcast(lags))
+    b = dense.alias("b")
+    lagged = (
+        a.join(
+            b,
+            F.col("b.day") == F.col("a.day") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("a.rev").cast("decimal(38,0)") * F.col("b.rev"))
+            .alias("sxy"),
+            F.sum("a.rev").cast("long").alias("sa"),
+            F.sum("b.rev").cast("long").alias("sb"),
+        )
+    )
+    acf = (
+        F.col("sxy").cast("double")
+        - F.col("sa").cast("double") * F.col("sb") / F.col("n_pairs")
+    ) / (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(acf, 6).alias("acf"),
+        )
+    )
+
+
+# ------------------------------------ chi-square independence screen
+
+
+@query(
+    "stat_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST((({sql_fdiv("epoch_us(ts)", _US_PER_DAY)}) % 7 + 7) % 7
+                  AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+               FROM obs GROUP BY event_type),
+    cols_t AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+               FROM obs GROUP BY dow),
+    n_t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT o.event_type, o.dow, o.o, r.r, c.c, n.n,
+             CAST(o.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c
+               AS dev
+      FROM obs o JOIN rows_t r USING (event_type)
+      JOIN cols_t c USING (dow) CROSS JOIN n_t n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_obs,
+           round(sum(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * r * c)) * max(n), 6)
+             AS chi2
+    FROM cells
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event-type x
+    day-of-week contingency table — 'does activity mix shift by
+    weekday?', the categorical sibling of the KS drift check.  The
+    deviation per cell is computed as the EXACT integer cross
+    product o*n - r*c (HUGEINT/decimal — no per-cell float expected
+    counts), and chi2 = n * sum(dev^2 / (n^2 * r * c)) enters one
+    shared double expression with identical operation order on both
+    engines.  Contingency cells are |types| x 7 — three tiny
+    partial-aggregated rollups off one data-scale pass, broadcast
+    margins."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    obs = ev.groupBy(
+        "event_type",
+        F.pmod(fdiv(F.unix_micros("ts"), _US_PER_DAY), F.lit(7))
+        .cast("long")
+        .alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rows_t = obs.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    cols_t = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    n_t = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "o",
+            "r",
+            "c",
+            "n",
+            (
+                F.col("o").cast("decimal(38,0)") * F.col("n")
+                - F.col("r").cast("decimal(38,0)") * F.col("c")
+            ).alias("dev"),
+        )
+    )
+    chi2 = (
+        F.sum(
+            F.col("dev").cast("double")
+            * F.col("dev").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * F.col("r")
+                * F.col("c")
+            )
+        )
+        * F.max("n")
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_obs"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
 # ------------------------------------- referential-integrity profile
 
 _FK_EDGES = (

@@ -1166,6 +1166,18 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["ts_acf"] = [
+    ("daily moments partially aggregated", r"partial_sum"),
+    ("lag probe is an equi-join on day+lag, never a cross of the data",
+     r"SortMergeJoin|BroadcastHashJoin"),
+]
+
+CHECKS["stat_chi2_independence"] = [
+    ("contingency cells partially aggregated off one pass",
+     r"partial_count"),
+    ("margins broadcast onto the cell frame", r"BroadcastHashJoin"),
+]
+
 CHECKS["dq_fk_orphans"] = [
     ("parent key sets broadcast; child side never shuffles",
      r"BroadcastHashJoin.*LeftOuter"),
