@@ -72,6 +72,7 @@ _PRIORITY = (
     "stream_run_holt",
     "ts_acf",
     "stat_chi2_independence",
+    "seq_pattern_regex",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

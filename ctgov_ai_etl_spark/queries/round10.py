@@ -102,6 +102,90 @@ def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ sequence pattern match (regex)
+
+# one char per event type: the alphabet the pattern runs over
+_SEQ_INITIAL = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+# browse-then-buy with no error in between, anywhere in the journey
+_SEQ_PATTERN = "v+c+[vcs]*p"
+
+
+@query(
+    "seq_pattern_regex",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg({_SEQ_INITIAL}, ''
+                        ORDER BY epoch_us(ts), event_id) AS journey
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(journey, '{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+           CAST(sum(CASE WHEN regexp_matches(journey,
+                                             '^{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matching_from_start,
+           CAST(max(length(journey)) AS BIGINT) AS longest_journey
+    FROM seq
+    """,
+)
+def seq_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence pattern matching, the
+    Spark way: each user's journey compresses to ONE ordered string
+    (one char per event type, built by partial-aggregable ordered
+    aggregation — never a per-user collect), and the behavioral
+    pattern 'views, then clicks, then purchase with no error
+    between' becomes a plain regex over that string — CEP pattern
+    queries as string algebra, running scan-shaped at any scale
+    (journey length is bounded by per-user activity, not corpus
+    size).  Both engines run POSIX-class regexes with identical
+    semantics for this alphabet; the ordered aggregation uses the
+    repo's (ts, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("i"),
+                F.expr(_SEQ_INITIAL).alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return seq.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when(
+                F.col("journey").rlike(_SEQ_PATTERN), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matching"),
+        F.sum(
+            F.when(
+                F.col("journey").rlike("^" + _SEQ_PATTERN), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matching_from_start"),
+        F.max(F.length("journey")).cast("long").alias("longest_journey"),
+    )
+
+
 # --------------------------------------------- autocorrelation (ACF)
 
 _ACF_LAGS = (1, 7, 30)

@@ -1166,6 +1166,12 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["seq_pattern_regex"] = [
+    ("journeys built by partial-aggregable ordered aggregation",
+     r"partial_collect_list|ObjectHashAggregate"),
+    ("no per-user Python boundary", r"\A(?!.*InPandas)"),
+]
+
 CHECKS["ts_acf"] = [
     ("daily moments partially aggregated", r"partial_sum"),
     ("lag probe is an equi-join on day+lag, never a cross of the data",
