@@ -73,6 +73,7 @@ _PRIORITY = (
     "ts_acf",
     "stat_chi2_independence",
     "seq_pattern_regex",
+    "emb_mutual_knn_graph",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

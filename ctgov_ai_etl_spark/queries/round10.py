@@ -102,6 +102,118 @@ def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- mutual-kNN graph build
+
+_KNN_K = 5
+_KNN_CAP = 1000  # documented slice cap: quadratic tier stays bounded
+
+
+@query(
+    "emb_mutual_knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS iv
+      FROM embeddings WHERE vec_id < {_KNN_CAP}
+    ),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(list_aggregate(
+                    list_transform(range(1, len(a.iv) + 1),
+                                   j -> a.iv[CAST(j AS INT)]
+                                        * b.iv[CAST(j AS INT)]),
+                    'sum') AS BIGINT) AS dot
+      FROM v a CROSS JOIN v b
+      WHERE a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst, dot,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dot DESC, dst ASC) AS rk
+      FROM dots
+    )
+    SELECT k1.src AS a, k1.dst AS b, k1.dot AS dot_micro2
+    FROM knn k1 JOIN knn k2
+      ON k1.src = k2.dst AND k1.dst = k2.src
+     AND k1.rk <= {_KNN_K} AND k2.rk <= {_KNN_K}
+    WHERE k1.src < k1.dst
+    """,
+)
+def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN graph construction over the embedding table — the
+    graph-build step in front of SemDeDup clustering / spectral
+    methods: an edge survives only if each endpoint ranks the other
+    in its top-{_KNN_K} by inner product (mutuality prunes hub
+    false-neighbors that one-sided kNN keeps).  Exact integer MIPS:
+    micro-unit components make every dot product an exact int64
+    (64 dims x 1e12 per term ≈ 6.4e13 max), so the (dot desc, id)
+    ranking is deterministic — no float tie ambiguity.  This is the
+    guarded QUADRATIC correctness tier (vec_id < {_KNN_CAP} slice,
+    documented cap — same contract as sim_topk_bruteforce); the
+    scale path swaps the cross join for the IVF/LSH candidate
+    generation in operators/similarity.py and keeps the mutuality
+    join unchanged.  The mutual filter is a self-equi-join on the
+    (src, dst) pair key."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _KNN_CAP
+    )
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1_000_000).cast("long"),
+        ).alias("iv"),
+    )
+    # spread the probe side: the slice arrives as one parquet split,
+    # and a 1-partition crossJoin would compute every dot in one task
+    a = v.select(
+        F.col("vec_id").alias("src"), F.col("iv").alias("av")
+    ).repartition(32, "src")
+    b = v.select(F.col("vec_id").alias("dst"), F.col("iv").alias("bv"))
+    dots = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.aggregate(
+                F.zip_with(
+                    F.col("av"), F.col("bv"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    knn = dots.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("src").orderBy(
+                F.col("dot").desc(), F.col("dst").asc()
+            )
+        ),
+    ).filter(F.col("rk") <= _KNN_K)
+    k1 = knn.alias("k1")
+    k2 = knn.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    ).alias("k2")
+    return (
+        k1.join(
+            k2,
+            (F.col("k1.src") == F.col("k2.r_src"))
+            & (F.col("k1.dst") == F.col("k2.r_dst")),
+        )
+        .filter(F.col("k1.src") < F.col("k1.dst"))
+        .select(
+            F.col("k1.src").alias("a"),
+            F.col("k1.dst").alias("b"),
+            F.col("k1.dot").alias("dot_micro2"),
+        )
+    )
+
+
 # ------------------------------------ sequence pattern match (regex)
 
 # one char per event type: the alphabet the pattern runs over

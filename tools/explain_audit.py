@@ -1166,6 +1166,13 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["emb_mutual_knn_graph"] = [
+    ("quadratic tier parallelized: probe side repartitioned",
+     r"Exchange (hashpartitioning|RoundRobinPartitioning)"),
+    ("candidate side broadcast (no shuffle of the pair grid)",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+
 CHECKS["seq_pattern_regex"] = [
     ("journeys built by partial-aggregable ordered aggregation",
      r"partial_collect_list|ObjectHashAggregate"),
