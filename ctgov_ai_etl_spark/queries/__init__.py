@@ -74,6 +74,8 @@ _PRIORITY = (
     "stat_chi2_independence",
     "seq_pattern_regex",
     "emb_mutual_knn_graph",
+    "ts_cross_correlation",
+    "stream_run_chi2_drift",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

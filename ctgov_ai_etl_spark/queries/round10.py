@@ -411,6 +411,145 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ cross-correlation (CCF)
+
+_CCF_LAGS = (-7, -1, 0, 1, 7)
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+      GROUP BY 1
+    ),
+    buys AS (
+      SELECT {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    bounds AS (
+      SELECT least((SELECT min(day) FROM clicks),
+                   (SELECT min(day) FROM buys)) AS lo,
+             greatest((SELECT max(day) FROM clicks),
+                      (SELECT max(day) FROM buys)) AS hi
+    ),
+    spine AS (
+      SELECT lo + CAST(i AS BIGINT) AS day
+      FROM bounds, (SELECT unnest(range(0, 100000)) AS i) g
+      WHERE lo + i <= hi
+    ),
+    dense AS (
+      SELECT s.day, coalesce(c.x, 0) AS x, coalesce(b.y, 0) AS y
+      FROM spine s
+      LEFT JOIN clicks c USING (day)
+      LEFT JOIN buys b USING (day)
+    ),
+    lagged AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(a.x AS HUGEINT) * b.y) AS sxy,
+             CAST(sum(a.x) AS BIGINT) AS sx,
+             CAST(sum(b.y) AS BIGINT) AS sy,
+             sum(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+             sum(CAST(b.y AS HUGEINT) * b.y) AS syy
+      FROM (SELECT unnest([{", ".join(str(v) for v in _CCF_LAGS)}])
+              AS lag) l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.day = a.day + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy / n)), 6) AS ccf
+    FROM lagged
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily click VOLUME and daily
+    purchase REVENUE at lags -7/-1/0/+1/+7 — the lead/lag screen
+    ('do clicks today predict revenue next week?') that decides
+    which feature lags a forecasting model gets.  Same exact-moment
+    machinery as ts_acf generalized to two series: all five moments
+    are exact integers (HUGEINT/decimal cross-products over a shared
+    densified day spine), and the Pearson ratio per lag is ONE
+    shared double expression.  Negative lags probe the reverse
+    direction (revenue leading clicks) — the window is the same
+    calendar-sized equi-join on (day + lag)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    buys = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day"))
+        .agg(F.sum(cents("value")).cast("long").alias("y"))
+    )
+    bounds = clicks.select("day").unionAll(buys.select("day")).agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = (
+        spine.join(clicks, "day", "left")
+        .join(buys, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _CCF_LAGS])).alias("lag")
+    )
+    a = dense.alias("a").crossJoin(F.broadcast(lags))
+    b = dense.alias("b")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lagged = (
+        a.join(b, F.col("b.day") == F.col("a.day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec("a.x") * F.col("b.y")).alias("sxy"),
+            F.sum("a.x").cast("long").alias("sx"),
+            F.sum("b.y").cast("long").alias("sy"),
+            F.sum(dec("a.x") * F.col("a.x")).alias("sxx"),
+            F.sum(dec("b.y") * F.col("b.y")).alias("syy"),
+        )
+    )
+    ccf = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        * (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        )
+    )
+    return lagged.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(ccf, 6).alias("ccf"),
+    )
+
+
 # ------------------------------------ chi-square independence screen
 
 

@@ -1521,3 +1521,74 @@ def stream_run_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.trend_micro").cast("long").alias("trend_micro"),
         F.col("s.forecast7_micro").cast("long").alias("forecast7_micro"),
     )
+
+
+@query(
+    "stream_run_chi2_drift",
+    oracle=_REG["stat_chi2_independence"].oracle,
+)
+def stream_run_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING chi-square drift monitor: the data-scale pass (raw
+    events → event-type x day-of-week contingency counts) runs as a
+    genuine micro-batch streaming aggregation with complete-mode
+    state — cell counters merge additively across batches, the same
+    bounded-state contract as the streaming CMS and burn-rate — and
+    the chi-square statistic (exact integer o*n - r*c deviations,
+    one shared double expression) evaluates over the |types| x 7
+    snapshot the sink materializes.  The always-on version of
+    stat_chi2_independence; both hash-check the same oracle."""
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    obs_stream = ev.groupBy(
+        "event_type",
+        F.pmod(fdiv(F.unix_micros("ts"), 86_400_000_000), F.lit(7))
+        .cast("long")
+        .alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    obs = run_stream_to_memory(obs_stream, mode="complete")
+    # margins as windows over the |types| x 7 snapshot — no
+    # self-join of the memory-sink table (which trips attribute
+    # conflicts), and the frame is contingency-sized anyway
+    from pyspark.sql import Window as W2
+
+    cells = obs.select(
+        "o",
+        F.sum("o")
+        .over(W2.partitionBy("event_type"))
+        .cast("long")
+        .alias("r"),
+        F.sum("o").over(W2.partitionBy("dow")).cast("long").alias("c"),
+        F.sum("o").over(W2.partitionBy()).cast("long").alias("n"),
+    ).select(
+        "o",
+        "r",
+        "c",
+        "n",
+        (
+            F.col("o").cast("decimal(38,0)") * F.col("n")
+            - F.col("r").cast("decimal(38,0)") * F.col("c")
+        ).alias("dev"),
+    )
+    chi2 = (
+        F.sum(
+            F.col("dev").cast("double")
+            * F.col("dev").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * F.col("r")
+                * F.col("c")
+            )
+        )
+        * F.max("n")
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_obs"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -1166,6 +1166,12 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["ts_cross_correlation"] = [
+    ("per-series daily moments partially aggregated", r"partial_sum"),
+    ("lag probes are calendar-sized equi-joins",
+     r"SortMergeJoin|BroadcastHashJoin"),
+]
+
 CHECKS["emb_mutual_knn_graph"] = [
     ("quadratic tier parallelized: probe side repartitioned",
      r"Exchange (hashpartitioning|RoundRobinPartitioning)"),
