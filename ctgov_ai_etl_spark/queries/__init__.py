@@ -76,6 +76,7 @@ _PRIORITY = (
     "emb_mutual_knn_graph",
     "ts_cross_correlation",
     "stream_run_chi2_drift",
+    "dq_dataset_checksum",
     # -- block 4: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -102,6 +102,65 @@ def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ order-independent checksum
+
+_CKSUM_CANON = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' "
+    "|| CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+)
+
+
+@query(
+    "dq_dataset_checksum",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5({_CKSUM_CANON}), 1, 15))
+                  AS BIGINT) AS h60
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h60) AS BIGINT) AS xor_checksum,
+           CAST(sum(CAST(h60 AS HUGEINT))
+                % 2305843009213693951 AS BIGINT) AS sum_checksum
+    FROM h
+    """,
+)
+def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT dataset checksum — the cheap replication /
+    migration validator: every row canonicalizes to a stable string
+    (keys, status, exact cents — no raw doubles or timestamps whose
+    rendering differs across engines), hashes to a portable 60-bit
+    md5 integer, and the dataset digest is BOTH the XOR fold and the
+    sum mod the Mersenne prime 2^61-1 of those hashes.  Both folds
+    are commutative monoids: partial-aggregable, partition-order
+    independent, and MERGEABLE across shards/days/clusters — so two
+    100 TB copies compare by exchanging two integers, and a single
+    flipped row flips the digest (xor catches odd multiplicity
+    changes, the modular sum catches the duplicate-pair class xor
+    misses).  One map-side fold, one 1-row exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    h = o.select(h60.alias("h60"))
+    return h.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor("h60").cast("long").alias("xor_checksum"),
+        F.pmod(
+            F.sum(F.col("h60").cast("decimal(38,0)")),
+            F.lit(2305843009213693951).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("sum_checksum"),
+    )
+
+
 # ------------------------------------------- mutual-kNN graph build
 
 _KNN_K = 5

@@ -1166,6 +1166,13 @@ CHECKS["text_vocab_coverage"] = [
     ("V probes broadcast onto the ranked frame", r"BroadcastExchange"),
 ]
 
+CHECKS["dq_dataset_checksum"] = [
+    ("both digest folds partially aggregated (map-side monoids)",
+     r"partial_(bit_xor|bitxor|sum)"),
+    ("one 1-row exchange, no wide shuffle",
+     r"\A(?!.*Exchange hashpartitioning)"),
+]
+
 CHECKS["ts_cross_correlation"] = [
     ("per-series daily moments partially aggregated", r"partial_sum"),
     ("lag probes are calendar-sized equi-joins",
