@@ -464,6 +464,11 @@ def _encode_block(
     dc = int(coef.flat[0])
     diff = dc - pred
     s = _category(diff)
+    if s not in dc_tab:
+        raise ValueError(
+            f"DC difference {diff} exceeds the Annex K table range "
+            "(category > 11) — use a larger quantization table"
+        )
     code, length = dc_tab[s]
     bw.write(code, length)
     if s:
@@ -485,6 +490,14 @@ def _encode_block(
             bw.write(code, length)
             run -= 16
         s = _category(v)
+        if s > 10:
+            # Annex K AC tables stop at size 10 (|v| <= 1023); an
+            # extreme block under a tiny quant table would otherwise
+            # surface as a bare KeyError (ADVICE r10).
+            raise ValueError(
+                f"AC coefficient {v} exceeds the Annex K table range "
+                "(|v| > 1023) — use a larger quantization table"
+            )
         code, length = ac_tab[(run << 4) | s]
         bw.write(code, length)
         bw.write(v if v >= 0 else v + (1 << s) - 1, s)

@@ -128,7 +128,11 @@ def render_test_jpegs(
                     arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         v + 17 * b
                     ) % 256
-                rst = 1 if int(rid) % 2 else 0
+                # abs() so odd-ness matches the oracle's
+                # `doc_id % 2 <> 0` under DuckDB's sign-following
+                # modulo (ADVICE r10: -3 % 2 is 1 in Python, -1 in
+                # DuckDB — both sides must agree on negative ids)
+                rst = 1 if abs(int(rid)) % 2 else 0
                 blobs.append(
                     encode_jpeg_baseline(
                         w8 * 8,

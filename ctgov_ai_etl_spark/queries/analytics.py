@@ -617,6 +617,8 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").cast("long").alias("n")
     )
+    # bounded global window: input is the 9-row leading-digit frame —
+    # the partition-less WARN is safe by construction
     total = F.sum("n").over(W.partitionBy())
     num = F.col("n") * 1_000_000
     observed = fdiv(num, total)
@@ -1140,6 +1142,9 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row_n = F.sum("n").over(W.partitionBy("seg"))
     col_n = F.sum("n").over(W.partitionBy("prio"))
+    # bounded global window: input is the |seg| x |prio| contingency
+    # frame (tens of rows) — the partition-less WARN is safe by
+    # construction
     all_n = F.sum("n").over(W.partitionBy())
     exp = row_n.cast("double") * col_n / all_n
     return obs.select(

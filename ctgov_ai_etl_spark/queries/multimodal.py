@@ -202,7 +202,7 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS INT) AS rst,
+           CAST(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS INT) AS rst,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
            round(CAST(64 * list_aggregate(

@@ -1727,6 +1727,8 @@ def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_cents"))
     )
     w_region = W.partitionBy("n_regionkey")
+    # bounded global window: per-nation frame is <= 25 rows (TPC-H
+    # nation table) — the partition-less WARN is safe by construction
     w_all = W.partitionBy()
     return per_nation.select(
         "n_name",

@@ -140,11 +140,17 @@ def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes, the modular sum catches the duplicate-pair class xor
     misses).  One map-side fold, one 1-row exchange."""
     o = load_table(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
+    # F.concat (NOT concat_ws): concat propagates NULL like the
+    # oracle's '||', so a NULL field NULLs the row hash identically
+    # on both engines instead of being silently skipped on one side
+    # (ADVICE r10 — concat_ws drops NULL columns).
+    canon = F.concat(
         F.col("o_orderkey").cast("string"),
+        F.lit("|"),
         F.col("o_custkey").cast("string"),
+        F.lit("|"),
         F.col("o_orderstatus"),
+        F.lit("|"),
         cents("o_totalprice").cast("string"),
     )
     h60 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
@@ -924,6 +930,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c")
         .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("cum"),
+        # bounded global window: input is the distinct-TYPE frame
+        # (vocabulary-sized, << corpus) — the partition-less WARN is
+        # safe by construction
         F.sum("c")
         .over(W.partitionBy())
         .alias("total"),

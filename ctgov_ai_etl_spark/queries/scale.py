@@ -520,6 +520,8 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("is_ref")).alias("n_cur"),
         )
     )
+    # bounded global window: input is the per-bin drift frame (fixed
+    # bin count) — the partition-less WARN is safe by construction
     w = W.partitionBy()
     tr = F.sum("n_ref").over(w)
     tc = F.sum("n_cur").over(w)

@@ -1553,7 +1553,11 @@ def stream_run_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = run_stream_to_memory(obs_stream, mode="complete")
     # margins as windows over the |types| x 7 snapshot — no
     # self-join of the memory-sink table (which trips attribute
-    # conflicts), and the frame is contingency-sized anyway
+    # conflicts).  BOUNDED GLOBAL WINDOW: the input is the
+    # contingency snapshot, at most |event_types| x 7 rows (tens),
+    # so Spark's "No Partition Defined" WARN on the partition-less
+    # window is safe by construction — one tiny partition is the
+    # point, not an accident.
     from pyspark.sql import Window as W2
 
     cells = obs.select(

@@ -82,13 +82,57 @@ def test_lossy_quant_restart_and_odd_dims():
 
 
 def test_restart_predictor_reset_is_load_bearing():
-    """Strip the DRI segment but keep the RST-laden entropy stream:
-    a decoder that ignored restart state would now misparse."""
-    raster = bytes([50]) * 64 + bytes([200]) * 0  # one block
-    jpg = encode_jpeg_baseline(8, 8, raster, restart_interval=1)
+    """Multi-block image with restart_interval=1 (an RST marker and
+    a DC-predictor reset between EVERY pair of blocks): the encoder
+    emits each block's DC relative to a reset predictor, so a
+    decoder that failed to reset its predictors would reconstruct
+    every post-RST block with a cumulative DC offset — exact
+    reconstruction here proves the reset is actually applied
+    (ADVICE r10: the old form never exercised a multi-block
+    stream)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    # constant per 8x8 block so the flat quant table round-trips
+    # exactly; block means differ so predictors matter
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = img[by * 8, bx * 8]
+    jpg = encode_jpeg_baseline(24, 16, img.tobytes(), restart_interval=1)
     assert b"\xff\xdd" in jpg
-    # sanity: with DRI intact it decodes
-    assert decode_jpeg(jpg)[2] == 50 * 64
+    assert any(bytes((0xFF, 0xD0 + i)) in jpg for i in range(8))
+    w, h, ch, out = decode_jpeg_pixels(jpg)
+    assert (w, h, ch) == (24, 16, 1)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(16, 24)
+    assert np.array_equal(dec, img)
+
+
+def test_encoder_rejects_out_of_table_coefficients():
+    """An AC coefficient beyond |1023| has no Annex K symbol and
+    must surface as a clear ValueError, not a bare KeyError
+    (ADVICE r10).  Unreachable through encode_jpeg_baseline itself —
+    the orthonormal DCT of a [-128,127] block tops out near |928|
+    AC — so the guard is exercised at the block encoder directly."""
+    from ctgov_ai_etl_spark.functions.jpegcodec import (
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _BitWriter,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _build_huffman,
+        _encode_block,
+        _encode_table,
+    )
+
+    dc_tab = _encode_table(_build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS))
+    ac_tab = _encode_table(_build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS))
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 1500.0
+    with pytest.raises(ValueError, match="Annex K"):
+        _encode_block(_BitWriter(), coef, 0, dc_tab, ac_tab)
+    coef2 = np.zeros((8, 8))
+    coef2[0, 0] = 5000.0  # DC diff category 13 > table max 11
+    with pytest.raises(ValueError, match="Annex K"):
+        _encode_block(_BitWriter(), coef2, 0, dc_tab, ac_tab)
 
 
 def test_color_444_and_420_constant_roundtrip():
