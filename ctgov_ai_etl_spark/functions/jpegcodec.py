@@ -1,26 +1,38 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure-Python JPEG codec (ITU-T T.81): baseline sequential AND
+progressive DCT.
 
-The last stdlib-feasible format behind the multimodal decode seam
-(``operators/multimodal.py``): PNG/netpbm/WAV/Y4M landed in round 9;
-baseline JPEG needs no zlib — just marker parsing, canonical Huffman
-decoding, dequantization, and an 8x8 inverse DCT.
+The web-crawl formats behind the multimodal decode seam
+(``operators/multimodal.py``): PNG/netpbm/WAV/Y4M landed in round 9,
+baseline JPEG in round 10, and progressive JPEG (SOF2 — the most
+common encoding in real crawls) in round 11.  No zlib needed — just
+marker parsing, canonical Huffman decoding, dequantization, and an
+8x8 inverse DCT.
 
 Decoder surface (``decode_jpeg`` / ``decode_jpeg_pixels``):
 
 - Markers: SOI, APPn/COM (skipped), DQT (8- and 16-bit tables), DRI,
-  DHT (multiple tables per segment), SOF0 (baseline), SOS, EOI.
+  DHT (multiple tables per segment), SOF0 (baseline), SOF2
+  (progressive), SOS (one or many), EOI.
 - Entropy stream: canonical Huffman per T.81 C.2 (code lengths 1-16),
   0xFF00 byte-unstuffing, RST0-7 restart markers (byte-align + DC
   predictor reset), DC differential coding, AC run-length with
   ZRL/EOB.
+- Scan structure: a single interleaved SOF0 scan takes the direct
+  spatial fast path; everything else — progressive spectral
+  selection (Ss..Se bands), successive approximation (Ah/Al first
+  and refinement passes with EOB-run coding per T.81 G.1.2), and
+  multi-scan *sequential* files (per-component SOS under SOF0) —
+  routes through a coefficient-domain multi-scan decoder that
+  accumulates quantized coefficients per block and reconstructs
+  once at EOI.
 - Any (h, v) sampling factors with max 2 (4:4:4, 4:2:2, 4:2:0):
   per-component planes reconstructed MCU-by-MCU, then upsampled by
   pixel replication.  Grayscale (1 component) and YCbCr (3
   components, JFIF round-half-even conversion) supported.
-- Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-  ``NotImplementedError`` — the same honest seam contract as the
-  other codecs (a real library replaces this module on executors
-  that need them).
+- Arithmetic coding, hierarchical mode, lossless mode, and 12-bit
+  precision raise ``NotImplementedError`` — the same honest seam
+  contract as the other codecs (a real library replaces this module
+  on executors that need them).
 
 Encoder surface (``encode_jpeg_baseline``): grayscale or YCbCr
 4:4:4, caller-supplied quantization tables (default all-ones — with
@@ -203,7 +215,8 @@ def decode_jpeg_planes(data: bytes):
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (w, h, [(cid, h_i, v_i, tq)])
-    planes = None
+    progressive = False
+    state = None  # coefficient-domain multi-scan state
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -253,7 +266,7 @@ def decode_jpeg_planes(data: bytes):
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -262,33 +275,68 @@ def decode_jpeg_planes(data: bytes):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) is supported in the "
-                "stdlib-only environment (progressive/arithmetic need "
-                "an executor-installed codec)"
+                "only baseline (SOF0) and Huffman progressive (SOF2) "
+                "are supported in the stdlib-only environment "
+                "(arithmetic/hierarchical/lossless need an "
+                "executor-installed codec)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegError("SOS before SOF0")
+                raise JpegError("SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            planes = _decode_scan(
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if (
+                not progressive
+                and state is None
+                and {c[0] for c in frame[2]} == {s[0] for s in scan}
+            ):
+                # fast path: the common single-interleaved-scan SOF0
+                # file decodes straight to spatial, no coef storage
+                planes = _decode_scan(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan,
+                    qt,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+                w, h, comps = frame
+                return w, h, planes
+            # generic path: progressive bands/refinements, or a
+            # multi-scan sequential file (per-component SOS) —
+            # accumulate quantized coefficients, reconstruct at EOI
+            if state is None:
+                state = _init_coef_state(frame)
+            pos = _decode_scan_into(
                 data,
                 pos + seglen,
-                frame,
+                state,
                 scan,
-                qt,
                 huff_dc,
                 huff_ac,
                 restart_interval,
+                ss,
+                se,
+                ah,
+                al,
+                progressive,
             )
-            w, h, comps = frame
-            return w, h, planes
+            continue
         pos += seglen
+    if state is not None:
+        w, h, comps = frame
+        return w, h, _reconstruct_planes(state, qt)
     raise JpegError("no SOS scan found")
 
 
@@ -385,6 +433,299 @@ def _decode_block(reader: _BitReader, ci: dict) -> np.ndarray:
         k += 1
     dq = coef.reshape(8, 8) * ci["q"]
     return _DCT_M @ dq @ _DCT_M.T
+
+
+# ------------------------------- coefficient-domain multi-scan path
+#
+# Progressive (SOF2) and multi-scan sequential files cannot decode a
+# block in one visit: spectral-selection scans deliver disjoint
+# Ss..Se bands, successive-approximation scans deliver one magnitude
+# bit at a time (T.81 G.1.2), and sequential multi-scan files split
+# components across scans.  So the generic path stores QUANTIZED
+# coefficients per block (raster order within the 64) and runs
+# dequant + IDCT exactly once, at EOI.
+
+
+def _init_coef_state(frame) -> dict:
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    state = {
+        "w": w,
+        "h": h,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "comps": {},
+        "order": [],
+    }
+    for cid, hi, vi, tq in comps:
+        # non-interleaved scans walk only the blocks covering the
+        # component's own dimensions (T.81 A.2.2); interleaved scans
+        # walk the full MCU-padded grid
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        state["comps"][cid] = {
+            "cid": cid,
+            "h": hi,
+            "v": vi,
+            "tq": tq,
+            "coef": np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32),
+            "used_bw": -(-cw // 8),
+            "used_bh": -(-ch // 8),
+            "pred": 0,
+        }
+        state["order"].append(cid)
+    return state
+
+
+def _scan_data_end(data: bytes, pos: int) -> int:
+    """First offset at/after ``pos`` holding a real marker (not a
+    stuffed 0xFF00 byte, not an RST)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_scan_into(
+    data,
+    pos,
+    state,
+    scan,
+    huff_dc,
+    huff_ac,
+    restart_interval,
+    ss,
+    se,
+    ah,
+    al,
+    progressive,
+):
+    """Decode one SOS into the coefficient state; return the offset
+    of the marker following the entropy-coded data."""
+    if not 0 <= ss <= se <= 63:
+        raise JpegError("bad spectral band")
+    if progressive and ss == 0 and se != 0:
+        raise JpegError("progressive DC scan must have Se=0")
+    members = []
+    for cs, td, th in scan:
+        ci = state["comps"].get(cs)
+        if ci is None:
+            raise JpegError("scan references unknown component")
+        needs_dc = ss == 0
+        needs_ac = se > 0
+        if needs_dc and ah == 0 and td not in huff_dc:
+            raise JpegError("scan references undefined Huffman table")
+        if needs_ac and th not in huff_ac:
+            raise JpegError("scan references undefined Huffman table")
+        members.append(
+            {
+                "ci": ci,
+                "dc": huff_dc.get(td),
+                "ac": huff_ac.get(th),
+            }
+        )
+    if len(members) > 1 and ss != 0:
+        raise JpegError("AC scans must be non-interleaved")
+    for m in members:
+        m["ci"]["pred"] = 0
+    reader = _BitReader(data, pos)
+    scan_state = {"eobrun": 0}
+    rst_count = 0
+    unit_idx = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst_count
+        if (
+            restart_interval
+            and unit_idx
+            and unit_idx % restart_interval == 0
+        ):
+            reader.align_restart(rst_count & 7)
+            rst_count += 1
+            scan_state["eobrun"] = 0
+            for m in members:
+                m["ci"]["pred"] = 0
+
+    if len(members) > 1:
+        # interleaved: MCU walk over the frame-global grid
+        for my in range(state["mcus_y"]):
+            for mx in range(state["mcus_x"]):
+                maybe_restart()
+                for m in members:
+                    ci = m["ci"]
+                    for by in range(ci["v"]):
+                        for bx in range(ci["h"]):
+                            _decode_coef_block(
+                                reader,
+                                ci["coef"][my * ci["v"] + by, mx * ci["h"] + bx],
+                                m,
+                                ss,
+                                se,
+                                ah,
+                                al,
+                                scan_state,
+                            )
+                unit_idx += 1
+    else:
+        m = members[0]
+        ci = m["ci"]
+        for by in range(ci["used_bh"]):
+            for bx in range(ci["used_bw"]):
+                maybe_restart()
+                _decode_coef_block(
+                    reader, ci["coef"][by, bx], m, ss, se, ah, al, scan_state
+                )
+                unit_idx += 1
+    return _scan_data_end(data, reader.pos)
+
+
+def _decode_coef_block(reader, coef, m, ss, se, ah, al, scan_state):
+    ci = m["ci"]
+    if ss == 0:
+        if ah == 0:
+            s = reader.decode_symbol(m["dc"])
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            ci["pred"] += diff
+            coef[0] = ci["pred"] << al
+        else:
+            # DC refinement: one magnitude bit (two's-complement OR
+            # — Python ints follow two's-complement semantics)
+            if reader.read_bit():
+                coef[0] = int(coef[0]) | (1 << al)
+        if se == 0:
+            return
+        # sequential scan continues straight into the AC run-length
+        k = 1
+        while k <= se:
+            rs = reader.decode_symbol(m["ac"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                return  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC run overflows block")
+            coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return
+    if ah == 0:
+        _decode_ac_first(reader, coef, m["ac"], ss, se, al, scan_state)
+    else:
+        _decode_ac_refine(reader, coef, m["ac"], ss, se, al, scan_state)
+
+
+def _decode_ac_first(reader, coef, ac_tab, ss, se, al, scan_state):
+    """T.81 G.1.2.2: first AC pass of a band, with EOB-run coding."""
+    if scan_state["eobrun"] > 0:
+        scan_state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob = (1 << r) - 1
+            if r:
+                eob += reader.read_bits(r)
+            scan_state["eobrun"] = eob
+            return
+        k += r
+        if k > se:
+            raise JpegError("AC run overflows band")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, coef, ac_tab, ss, se, al, scan_state):
+    """T.81 G.1.2.3: AC refinement — newly-significant coefficients
+    arrive run-length coded over ZERO-HISTORY positions only, while
+    every already-nonzero position in the walked span contributes one
+    correction bit (add 1<<al toward larger magnitude when set)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(z: int) -> None:
+        v = int(coef[z])
+        if reader.read_bit() and (v & p1) == 0:
+            coef[z] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if scan_state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise JpegError("refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eob = (1 << r) - 1
+                    if r:
+                        eob += reader.read_bits(r)
+                    scan_state["eobrun"] = eob + 1  # includes this block
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZIGZAG[k]] = newval
+            k += 1
+    if scan_state["eobrun"] > 0:
+        # end-of-band: remaining nonzero positions still get bits
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        scan_state["eobrun"] -= 1
+
+
+def _reconstruct_planes(state, qt):
+    """Dequantize + IDCT every stored block, assemble planes."""
+    out = []
+    for cid in state["order"]:
+        ci = state["comps"][cid]
+        if ci["tq"] not in qt:
+            raise JpegError("frame references undefined quant table")
+        q = qt[ci["tq"]].astype(np.float64).reshape(64)
+        by, bx, _ = ci["coef"].shape
+        deq = ci["coef"].astype(np.float64) * q
+        blocks = deq.reshape(by, bx, 8, 8)
+        # pixels = M @ B @ M.T per block, batched
+        spat = np.einsum("ij,yxjk,lk->yxil", _DCT_M, blocks, _DCT_M)
+        plane = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        rep_y = state["vmax"] // ci["v"]
+        rep_x = state["hmax"] // ci["h"]
+        if rep_y > 1 or rep_x > 1:
+            plane = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
+        plane = plane[: state["h"], : state["w"]]
+        out.append(
+            (cid, np.clip(np.rint(plane) + 128, 0, 255).astype(np.uint8))
+        )
+    return out
 
 
 def _ycbcr_to_rgb(y, cb, cr):
@@ -636,4 +977,297 @@ def encode_jpeg_baseline(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------- progressive encoder
+#
+# Emits a legal SOF2 file exercising the full progressive decode
+# surface: an interleaved DC-first scan at Al=1, a DC refinement
+# pass, per-component spectral-selection AC scans (two bands) at
+# Al=1, and per-component AC refinement scans with EOB-run coding
+# and buffered correction bits (T.81 G.1.2 — the algorithm mirrors
+# libjpeg's jcphuff.c shape, re-derived from the spec text).
+#
+# Annex K AC tables define only EOB (0x00) and ZRL (0xF0) among the
+# zero-size symbols, so EOB runs longer than 1 are not codable with
+# them; progressive AC scans use a custom flat table instead: every
+# (run, size) symbol plus EOB1..EOB14 at a uniform 9-bit length
+# (canonical, Kraft-feasible, all-ones code unused).
+
+_PROG_AC_SYMS = tuple(range(0x00, 0xF0, 0x10)) + (0xF0,) + tuple(
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+)
+_PROG_AC_BITS = bytes(
+    (0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0)
+)
+_PROG_AC_VALS = bytes(_PROG_AC_SYMS)
+
+
+def _quantized_blocks(plane, qmat, by_n, bx_n):
+    """Quantized zigzag-ordered coefficient grid for one component:
+    int array (by_n, bx_n, 64) with the same arithmetic as the
+    baseline encoder (edge replication, rint of DCT/Q)."""
+    ph, pw = plane.shape
+    out = np.zeros((by_n, bx_n, 64), dtype=np.int32)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, ph - 1)
+            xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, pw - 1)
+            block = plane[np.ix_(ys, xs)] - 128.0
+            qc = np.rint((_DCT_M.T @ block @ _DCT_M) / qmat)
+            for k in range(64):
+                out[by, bx, k] = int(qc.flat[ZIGZAG[k]])
+    return out
+
+
+def _flush_eobrun(bw: _BitWriter, ac_tab: dict, st: dict) -> None:
+    n = st["eobrun"]
+    if n == 0:
+        return
+    nb = n.bit_length() - 1
+    code, length = ac_tab[nb << 4]
+    bw.write(code, length)
+    if nb:
+        bw.write(n & ((1 << nb) - 1), nb)
+    for b in st["ebits"]:
+        bw.write(b, 1)
+    st["eobrun"] = 0
+    st["ebits"] = []
+
+
+def _enc_ac_first(bw, ac_tab, zz, ss, se, al, st):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_tab, st)
+        while r > 15:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            r -= 16
+        s = a.bit_length()
+        code, length = ac_tab[(r << 4) | s]
+        bw.write(code, length)
+        x = a if v > 0 else -a
+        bw.write(x if x >= 0 else x + (1 << s) - 1, s)
+        r = 0
+    if r:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_tab, st)
+
+
+def _enc_ac_refine(bw, ac_tab, zz, ss, se, al, st):
+    absv = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+    eob_k = ss - 1  # position of the last NEWLY-significant coef
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob_k = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        a = absv[k]
+        if a == 0:
+            r += 1
+            continue
+        # ZRLs only when not foldable into the EOB run (k <= eob_k)
+        while r > 15 and k <= eob_k:
+            _flush_eobrun(bw, ac_tab, st)
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if a > 1:
+            # history-nonzero: correction bit, run of zero-history
+            # positions continues across it
+            br.append(a & 1)
+            continue
+        # newly significant at this level
+        _flush_eobrun(bw, ac_tab, st)
+        code, length = ac_tab[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["ebits"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_tab, st)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 1,
+    quant: bytes | None = None,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """Progressive (SOF2) JPEG with spectral selection AND successive
+    approximation.  Same color/quant/subsampling contract as
+    ``encode_jpeg_baseline`` — with identical inputs the two encoders
+    produce identical quantized coefficients, so their decodes match
+    bit-for-bit (the property the round-trip tests pin)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("4:2:0 needs 3 channels")
+    if len(raster) != width * height * channels:
+        raise ValueError("raster size mismatch")
+    q = bytes(quant) if quant is not None else b"\x01" * 64
+    if len(q) != 64:
+        raise ValueError("quant must be 64 bytes (zigzag order)")
+    qmat = np.zeros((8, 8), dtype=np.float64)
+    for z, v in enumerate(q):
+        if v == 0:
+            raise ValueError("quant entries must be nonzero")
+        qmat.flat[ZIGZAG[z]] = v
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        hv = 0x22 if (subsampling == "420" and c == 0) else 0x11
+        sof += bytes((c + 1, hv, 0))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    # DC tables: Annex K; AC: one custom flat table (id 0, see above)
+    tabs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _PROG_AC_BITS, _PROG_AC_VALS)]
+    if channels == 3:
+        tabs.append((0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    for tid, bits, vals in tabs:
+        body = bytes([tid]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_tabs = [
+        _encode_table(_build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)),
+        _encode_table(_build_huffman(_DC_CHROMA_BITS, _DC_CHROMA_VALS)),
+    ]
+    ac_tab = _encode_table(_build_huffman(_PROG_AC_BITS, _PROG_AC_VALS))
+
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    comps = []  # (plane, hi, vi) — same prep as the baseline encoder
+    for c in range(channels):
+        plane = arr[:, :, c].astype(np.float64)
+        if subsampling == "420" and c > 0:
+            ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+            padded = np.empty((ph, pw))
+            padded[:height, :width] = plane
+            padded[height:, :width] = plane[-1:, :]
+            padded[:ph, width:] = padded[:ph, width - 1 : width]
+            plane = (
+                padded[0::2, 0::2]
+                + padded[0::2, 1::2]
+                + padded[1::2, 0::2]
+                + padded[1::2, 1::2]
+            ) // 4
+            comps.append((plane, 1, 1))
+        elif subsampling == "420":
+            comps.append((plane, 2, 2))
+        else:
+            comps.append((plane, 1, 1))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    grids = []  # per comp: (zz grid, used_bw, used_bh)
+    for plane, hi, vi in comps:
+        grid = _quantized_blocks(plane, qmat, mcus_y * vi, mcus_x * hi)
+        cw = -(-width * hi // hmax)
+        ch = -(-height * vi // vmax)
+        grids.append((grid, -(-cw // 8), -(-ch // 8), hi, vi))
+
+    def sos_header(members, ss, se, ah, al):
+        sos = bytes([len(members)])
+        for c in members:
+            td = 0 if c == 0 else 1
+            sos += bytes((c + 1, (td << 4) | 0x00))
+        sos += bytes((ss, se, (ah << 4) | al))
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos_header(list(range(channels)), 0, 0, ah, al)
+        bw = _BitWriter()
+        preds = [0] * channels
+        rst = 0
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes((0xFF, 0xD0 + (rst & 7)))
+                    rst += 1
+                    preds = [0] * channels
+                for c, (grid, _, _, hi, vi) in enumerate(grids):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(grid[my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:
+                                t = dc >> al  # arithmetic shift (G.1.2.1)
+                                diff = t - preds[c]
+                                preds[c] = t
+                                s = _category(diff)
+                                code, length = dc_tabs[0 if c == 0 else 1][s]
+                                bw.write(code, length)
+                                if s:
+                                    bw.write(
+                                        diff if diff >= 0 else diff + (1 << s) - 1,
+                                        s,
+                                    )
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+                unit += 1
+        bw.flush()
+        out += bw.out
+
+    def ac_scan(c, ss, se, ah, al):
+        nonlocal out
+        grid, used_bw, used_bh, _, _ = grids[c]
+        sos = bytes([1, c + 1, 0x00])  # th=0: the custom AC table
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        st = {"eobrun": 0, "ebits": []}
+        rst = 0
+        unit = 0
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        for by in range(used_bh):
+            for bx in range(used_bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _flush_eobrun(bw, ac_tab, st)
+                    bw.flush()
+                    bw.out += bytes((0xFF, 0xD0 + (rst & 7)))
+                    rst += 1
+                enc(bw, ac_tab, grid[by, bx], ss, se, al, st)
+                unit += 1
+        _flush_eobrun(bw, ac_tab, st)
+        bw.flush()
+        out += bw.out
+
+    dc_scan(0, 1)  # DC first pass, point transform 1
+    for c in range(channels):
+        ac_scan(c, 1, 5, 0, 1)  # low band, first pass
+    for c in range(channels):
+        ac_scan(c, 6, 63, 0, 1)  # high band, first pass
+    dc_scan(1, 0)  # DC refinement
+    for c in range(channels):
+        ac_scan(c, 1, 5, 1, 0)  # low band refinement
+    for c in range(channels):
+        ac_scan(c, 6, 63, 1, 0)  # high band refinement
+    out += b"\xff\xd9"
     return bytes(out)

@@ -152,6 +152,66 @@ def render_test_jpegs(
     )
 
 
+def render_test_jpegs_progressive(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL progressive (SOF2) JPEG payloads — the
+    successive-approximation sibling of :func:`render_test_jpegs`,
+    with geometry drawn from DIFFERENT md5 bytes (7-12) so the two
+    fixtures diverge.  Constant 8x8 blocks under the flat quant table
+    are DC-only, and the progressive DC path (first pass at Al=1,
+    one refinement bit) reassembles the full DC exactly, so the same
+    closed-form block-sum oracle applies; the AC band scans of an
+    all-zero-AC image still exercise EOB-RUN coding across blocks
+    (runs span the whole image), and ids with abs(id) % 3 == 1 add a
+    restart marker per unit, resetting predictors and EOB runs
+    inside every scan."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rsts, blobs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w8, h8, v = 1 + dig[3] % 4, 1 + dig[4] % 4, dig[5]
+                arr = np.zeros((h8 * 8, w8 * 8), dtype=np.uint8)
+                for b in range(w8 * h8):
+                    by, bx = divmod(b, w8)
+                    arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        v + 23 * b
+                    ) % 256
+                # abs() keeps the parity rule aligned with DuckDB's
+                # sign-following modulo on negative ids
+                rst = 1 if abs(int(rid)) % 3 == 1 else 0
+                blobs.append(
+                    encode_jpeg_progressive(
+                        w8 * 8,
+                        h8 * 8,
+                        arr.tobytes(),
+                        restart_interval=rst,
+                    )
+                )
+                ids.append(rid)
+                rsts.append(rst)
+            yield pd.DataFrame(
+                {id_col: ids, "rst": rsts, "blob": blobs}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, rst int, blob binary"
+    )
+
+
 def decode_image_real(
     df: DataFrame, id_col: str, blob_col: str = "blob"
 ) -> DataFrame:

@@ -192,6 +192,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         product,
         round10,
+        round11,
     )
 
     def rank(name: str) -> tuple[int, str]:

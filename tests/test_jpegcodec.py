@@ -167,7 +167,9 @@ def test_malformed_inputs_raise():
         b"\xff\xd8",  # SOI only
         good[:20],  # truncated headers
         good[:-20],  # truncated entropy stream loses EOB budget
-        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+        # SOF2 with a baseline scan script: progressive DC scans
+        # must have Se=0 (T.81 G.1), so this is malformed
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),
     ]
     for bad in bad_cases:
         with pytest.raises((JpegError, ValueError, NotImplementedError)):
@@ -203,6 +205,158 @@ def test_constant_block_grid_property(w8, h8, v, step):
     W, H, s, n = decode_jpeg(encode_jpeg_baseline(w, h, arr.tobytes()))
     assert (W, H, n) == (w, h, w * h)
     assert s == int(arr.sum())
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _prog_cases():
+    q = bytes(min(255, 1 + z) for z in range(64))
+    return [
+        (8, 8, 1, "444", None, 0),
+        (21, 13, 1, "444", q, 0),
+        (24, 16, 1, "444", None, 3),  # restarts inside every scan
+        (16, 16, 3, "444", None, 0),
+        (17, 9, 3, "420", bytes([2] * 64), 0),
+        (32, 24, 3, "420", q, 2),
+    ]
+
+
+def test_progressive_decode_matches_baseline_decode():
+    """Progressive and baseline encoders quantize identically, so
+    their decodes must match BIT-FOR-BIT on random images — this
+    pins the whole SOF2 surface: spectral-selection bands, DC/AC
+    successive approximation, EOB-run coding, buffered correction
+    bits, per-scan restart markers, and subsampled component walks."""
+    from ctgov_ai_etl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for w, h, ch, sub, q, rst in _prog_cases():
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        base = encode_jpeg_baseline(
+            w, h, img.tobytes(), channels=ch, quant=q, subsampling=sub
+        )
+        prog = encode_jpeg_progressive(
+            w,
+            h,
+            img.tobytes(),
+            channels=ch,
+            quant=q,
+            restart_interval=rst,
+            subsampling=sub,
+        )
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+        assert prog.count(b"\xff\xda") > base.count(b"\xff\xda")
+        assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base), (
+            w,
+            h,
+            ch,
+            sub,
+            rst,
+        )
+
+
+def test_progressive_constant_blocks_exact():
+    """Constant 8x8 blocks under the flat quant table are DC-only and
+    round-trip EXACTLY through the progressive path too (DC first
+    pass at Al=1 plus one refinement bit reassembles the full DC) —
+    the property the mm_decode_jpeg_progressive oracle relies on."""
+    from ctgov_ai_etl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    arr = np.zeros((16, 24), dtype=np.uint8)
+    for b in range(6):
+        by, bx = divmod(b, 3)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (37 + 41 * b) % 256
+    jpg = encode_jpeg_progressive(24, 16, arr.tobytes())
+    w, h, s, n = decode_jpeg(jpg)
+    assert (w, h, n) == (24, 16, 24 * 16)
+    assert s == int(arr.sum())
+
+
+def test_progressive_truncation_raises():
+    from ctgov_ai_etl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    jpg = encode_jpeg_progressive(16, 16, bytes(range(256)))
+    for cut in (40, len(jpg) // 2, len(jpg) - 10):
+        with pytest.raises((JpegError, ValueError)):
+            decode_jpeg(jpg[:cut])
+
+
+def test_multiscan_sequential_decodes():
+    """A SOF0 file whose components arrive in SEPARATE sequential
+    scans (legal baseline-process JPEG; the r10 ADVICE seam) now
+    routes through the coefficient-domain path and must decode
+    identically to the single-scan interleaved encoding."""
+    from ctgov_ai_etl_spark.functions import jpegcodec as jc
+
+    rng = np.random.default_rng(5)
+    w, h = 16, 8
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    q = b"\x01" * 64
+
+    # headers: SOF0 + all four Annex K tables, then one SOS per comp
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c in range(3):
+        sof += bytes((c + 1, 0x11, 0))
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tid, bits, vals in (
+        (0x00, jc._DC_LUMA_BITS, jc._DC_LUMA_VALS),
+        (0x10, jc._AC_LUMA_BITS, jc._AC_LUMA_VALS),
+        (0x01, jc._DC_CHROMA_BITS, jc._DC_CHROMA_VALS),
+        (0x11, jc._AC_CHROMA_BITS, jc._AC_CHROMA_VALS),
+    ):
+        body = bytes([tid]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    qmat = np.ones((8, 8))
+    for c in range(3):
+        plane = img[:, :, c].astype(np.float64)
+        grid = jc._quantized_blocks(plane, qmat, h // 8, w // 8)
+        sos = bytes((1, c + 1, 0x00 if c == 0 else 0x11, 0, 63, 0))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = jc._BitWriter()
+        dc_tab = jc._encode_table(
+            jc._build_huffman(
+                *(
+                    (jc._DC_LUMA_BITS, jc._DC_LUMA_VALS)
+                    if c == 0
+                    else (jc._DC_CHROMA_BITS, jc._DC_CHROMA_VALS)
+                )
+            )
+        )
+        ac_tab = jc._encode_table(
+            jc._build_huffman(
+                *(
+                    (jc._AC_LUMA_BITS, jc._AC_LUMA_VALS)
+                    if c == 0
+                    else (jc._AC_CHROMA_BITS, jc._AC_CHROMA_VALS)
+                )
+            )
+        )
+        pred = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                spatial = np.zeros(64)
+                for k in range(64):
+                    spatial[jc.ZIGZAG[k]] = grid[by, bx, k]
+                pred = jc._encode_block(
+                    bw, spatial.reshape(8, 8), pred, dc_tab, ac_tab
+                )
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+
+    single = encode_jpeg_baseline(w, h, img.tobytes(), channels=3)
+    assert decode_jpeg_pixels(bytes(out)) == decode_jpeg_pixels(single)
 
 
 def test_dispatch_from_imagecodec():
