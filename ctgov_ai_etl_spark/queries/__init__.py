@@ -23,61 +23,34 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # the r8 driver itself had flagged red — the driver's ~50-query
 # window never reached its own reds.  Reds lead, always.
 #
-# Round-10 priority (the belt-and-braces LOCAL full-catalog sweep —
-# CORRECTNESS_FULL_local_r0*.json — runs on top):
+# Round-11 priority (the belt-and-braces LOCAL full-catalog sweep —
+# CORRECTNESS_FULL_local_r*.json — runs on top).  The r10 verdict
+# asked for a PURE stale-evidence head this round, presuming zero
+# changed/new queries; the r11 ADVICE fixes touched two queries and
+# the round added new ones, so the codified rule above still leads
+# with those (changed > new), and the stale r4 cohort fills the rest
+# of the driver's ~50-name window — the r5/r6 cohorts follow for the
+# next rounds' windows.  Every prior _PRIORITY block (r10's reds/
+# changed/new) is driver-green in CORRECTNESS_r10.json and rotates
+# out to the registry tail.
 _PRIORITY = (
-    # -- block 0: previously DRIVER-RED (r8), fixed in r9 (HUGEINT
-    #    oracle casts), locally green ever since, but the driver has
-    #    never re-confirmed its own flags.  Close that loop first.
-    "seq_transition_matrix",
-    "dq_benford",
-    # -- block 1: changed in round 10 (ADVICE r9 fixes: explicit
-    #    0..63 bitmap-shift guards on both engines, streaming-funnel
-    #    step spine, attribution fdiv, churn observed-week semi-join,
-    #    uniform_hash_rank tracked persist)
-    "agg_bitmap_cohort_retention",
-    "agg_bitmap_distinct_days",
-    "agg_bitmap_streaks",
-    "stream_run_bitmap_days",
-    "stream_run_funnel",
-    "attribution_linear",
-    "seq_user_churn",
-    "sample_negatives_ring",
-    "stream_run_stream_join_outer",
-    # -- block 2: changed in round 9 but never driver-sampled (sat
-    #    behind 66 block-0 entries in the r9 ordering)
-    "stream_run_capped_sessions",
-    "ts_sessionize_capped",
-    "sketch_cms_freq",
-    "dedup_chunks_global",
-    "pipeline_curate_chunks",
-    "agg_histogram_equidepth",
-    "ts_clamped_cumsum_chunked",
-    "text_chunked",
-    # -- block 3: NEW in round 10 (names appended as each lands —
-    #    the ghost assertion below keeps the list honest)
-    "mm_decode_jpeg",
-    "gov_crypto_shred",
-    "dq_fd_miner",
-    "ts_holt_linear",
-    "stat_bootstrap_ci",
-    "graph_label_propagation",
-    "emb_pca_power_iteration",
-    "text_bigram_kneser_ney",
-    "text_vocab_coverage",
-    "graph_jaccard_link_prediction",
-    "llm_classify_dedup_prompts",
-    "dq_fk_orphans",
-    "ts_seasonal_decompose",
-    "stream_run_holt",
-    "ts_acf",
-    "stat_chi2_independence",
-    "seq_pattern_regex",
-    "emb_mutual_knn_graph",
-    "ts_cross_correlation",
-    "stream_run_chi2_drift",
+    # -- block 0: CHANGED by the r11 ADVICE fixes (NULL-propagating
+    #    checksum canonicalization; abs() modulo in the JPEG fixture)
     "dq_dataset_checksum",
-    # -- block 4: stalest driver evidence (r4, never re-sampled
+    "mm_decode_jpeg",
+    # -- block 1: NEW in round 11 (names appended as each lands —
+    #    the ghost assertion below keeps the list honest)
+    "mm_decode_jpeg_progressive",
+    "geo_grid_rollup",
+    "geo_geohash_join",
+    "geo_fence_transitions",
+    "stat_kendall_tau",
+    "stat_theil_sen",
+    "dq_t_closeness",
+    "ml_isotonic_regression",
+    "ts_motif_ssd",
+    "sample_priority_weighted",
+    # -- block 2: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below
     "agg_grouping_sets",
@@ -123,7 +96,7 @@ _PRIORITY = (
     "ts_resample_ffill",
     "when_otherwise_buckets",
     "win_rank_family",
-    # -- block 5: r5-latest driver evidence, alphabetical
+    # -- block 3: r5-latest driver evidence, alphabetical
     "agg_filtered_conditional",
     "agg_global",
     "agg_percentiles",

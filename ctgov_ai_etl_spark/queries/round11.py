@@ -19,10 +19,863 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.functions.exact import cents, fdiv, sql_fdiv
+from ctgov_ai_etl_spark.operators.sketches import portable_hash60
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
 
 _US_PER_DAY = 86_400_000_000
+
+
+# ----------------------------------------------------- geospatial
+#
+# The tables carry no coordinates, so points derive deterministically
+# from md5 (portable_hash60 == DuckDB's ('0x'||substr(md5..))::BIGINT)
+# in integer MICRO-DEGREES — the exactness convention for coordinates:
+# lat in [-90e6, 90e6), lng in [-180e6, 180e6), all cell math exact
+# integer floor division on the shifted non-negative domain.
+
+_GEO_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash5_expr(lat_cell: str, lng_cell: str) -> str:
+    """Standard 5-character geohash from 12-bit lat / 13-bit lng cell
+    ids, as ONE SQL expression string parsed identically by Spark SQL
+    and DuckDB (only `>>`, `&`, `*`, `+`, substr, `||` — constants
+    keep every shift in 0..24 so engine shift-wrap semantics never
+    diverge).  Geohash interleaves bits lng-first, MSB-first
+    (public algorithm; en.wikipedia.org/wiki/Geohash)."""
+    terms = []
+    for i in range(25):  # bit position i (MSB first) of the 25-bit code
+        if i % 2 == 0:
+            src, bit = lng_cell, 12 - i // 2
+        else:
+            src, bit = lat_cell, 11 - (i - 1) // 2
+        terms.append(f"(({src} >> {bit}) & 1) * {1 << (24 - i)}")
+    gi = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{_GEO_ALPHABET}', (({gi} >> {5 * (4 - c)}) & 31) + 1, 1)"
+        for c in range(5)
+    ]
+    return " || ".join(chars)
+
+
+_GEO_PTS_SQL = """
+      SELECT c_custkey AS k,
+             CAST(('0x' || substring(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 180000000 - 90000000 AS lat,
+             CAST(('0x' || substring(md5('lng:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 360000000 - 180000000 AS lng,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+"""
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    lat = (
+        F.pmod(
+            portable_hash60(F.col("c_custkey"), salt="lat"),
+            F.lit(180_000_000),
+        )
+        - 90_000_000
+    )
+    lng = (
+        F.pmod(
+            portable_hash60(F.col("c_custkey"), salt="lng"),
+            F.lit(360_000_000),
+        )
+        - 180_000_000
+    )
+    return c.select(
+        F.col("c_custkey").alias("k"),
+        lat.alias("lat"),
+        lng.alias("lng"),
+        cents("c_acctbal").alias("bal_cents"),
+    )
+
+
+@query(
+    "geo_grid_rollup",
+    oracle=f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    cells AS (
+      SELECT k, bal_cents,
+             {sql_fdiv('(lat + 90000000) * 4096', '180000000')} AS lat_cell,
+             {sql_fdiv('(lng + 180000000) * 8192', '360000000')} AS lng_cell
+      FROM pts
+    ),
+    gh AS (
+      SELECT k, bal_cents,
+             {_geohash5_expr('lat_cell', 'lng_cell')} AS geohash5
+      FROM cells
+    )
+    SELECT CAST(lvl AS INT) AS zoom,
+           substr(geohash5, 1, lvl) AS cell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM gh CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl)
+    GROUP BY lvl, substr(geohash5, 1, lvl)
+    HAVING count(*) > 1
+    """,
+)
+def geo_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical geospatial rollup on GEOHASH prefixes: encode
+    every point to a 5-char geohash (pure integer bit-interleave +
+    base32 — the SAME generated SQL expression runs on both engines,
+    so the encoding is identical by construction), then aggregate
+    point count + balance at zoom levels 1-3 via prefix truncation —
+    the tile-pyramid pattern every map dashboard needs.  One explode
+    (3x fanout) + one partial-aggregated shuffle on the prefix; the
+    geohash itself is map-side scalar math, no UDF, no shuffle.
+    Prefix aggregation scales to 100 TB because coarser zooms are
+    strict prefixes of finer ones — a single pass serves the whole
+    pyramid."""
+    pts = _geo_points(spark, sf_dir)
+    cells = pts.select(
+        "k",
+        "bal_cents",
+        fdiv((F.col("lat") + 90_000_000) * 4096, F.lit(180_000_000)).alias(
+            "lat_cell"
+        ),
+        fdiv((F.col("lng") + 180_000_000) * 8192, F.lit(360_000_000)).alias(
+            "lng_cell"
+        ),
+    )
+    gh = cells.select(
+        "bal_cents",
+        F.expr(_geohash5_expr("lat_cell", "lng_cell")).alias("geohash5"),
+    )
+    lvls = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lvl")
+    return (
+        gh.select("bal_cents", "geohash5", lvls)
+        .groupBy(
+            F.col("lvl").cast("int").alias("zoom"),
+            F.expr("substr(geohash5, 1, lvl)").alias("cell"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .filter(F.col("n_points") > 1)
+    )
+
+
+_GEO_EPS = 2_000_000  # 2-degree Chebyshev radius, micro-degrees
+
+
+@query(
+    "geo_geohash_join",
+    oracle=f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    capped AS (SELECT * FROM pts WHERE k <= 2000)
+    SELECT a.k AS a, b.k AS b,
+           CAST(greatest(abs(a.lat - b.lat), abs(a.lng - b.lng))
+                AS BIGINT) AS cheb_micro
+    FROM capped a JOIN capped b
+      ON a.k < b.k
+     AND b.lat BETWEEN a.lat - {_GEO_EPS} AND a.lat + {_GEO_EPS}
+     AND b.lng BETWEEN a.lng - {_GEO_EPS} AND a.lng + {_GEO_EPS}
+    """,
+)
+def geo_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial epsilon-join (all point pairs within a 2-degree
+    Chebyshev radius) via GRID BUCKETING, the scalable spatial-join
+    pattern: each point lands in one eps-sized cell; the LEFT side
+    fans out to its 3x3 cell neighborhood (explode, 9x) and the join
+    is a plain EQUALITY shuffle join on the cell id — no cross join
+    anywhere — followed by the exact integer distance filter.  Each
+    qualifying pair matches in EXACTLY one bucket (the right point's
+    home cell), so no dedup pass is needed.  The oracle replays the
+    predicate declaratively (DuckDB's IEJoin); the engine's plan is
+    the one that survives 100 TB — shuffle on cell keys, fanout
+    bounded at 9x, skew bounded by eps-cell density.  The k-cap
+    keeps the sampled slice driver-comparable; the plan is
+    cap-independent."""
+    pts = _geo_points(spark, sf_dir).filter(F.col("k") <= 2000)
+    cell_y = fdiv(F.col("lat") + 90_000_000, F.lit(_GEO_EPS))
+    cell_x = fdiv(F.col("lng") + 180_000_000, F.lit(_GEO_EPS))
+    right = pts.select(
+        F.col("k").alias("b_k"),
+        F.col("lat").alias("b_lat"),
+        F.col("lng").alias("b_lng"),
+        cell_y.alias("cy"),
+        cell_x.alias("cx"),
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    left = pts.select(
+        F.col("k").alias("a_k"),
+        F.col("lat").alias("a_lat"),
+        F.col("lng").alias("a_lng"),
+        cell_y.alias("ay"),
+        cell_x.alias("ax"),
+        offs,
+    ).select(
+        "a_k",
+        "a_lat",
+        "a_lng",
+        (F.col("ay") + F.col("o.dy")).alias("cy"),
+        (F.col("ax") + F.col("o.dx")).alias("cx"),
+    )
+    pairs = left.join(right, ["cy", "cx"]).filter(
+        (F.col("a_k") < F.col("b_k"))
+        & (F.abs(F.col("a_lat") - F.col("b_lat")) <= _GEO_EPS)
+        & (F.abs(F.col("a_lng") - F.col("b_lng")) <= _GEO_EPS)
+    )
+    return pairs.select(
+        F.col("a_k").alias("a"),
+        F.col("b_k").alias("b"),
+        F.greatest(
+            F.abs(F.col("a_lat") - F.col("b_lat")),
+            F.abs(F.col("a_lng") - F.col("b_lng")),
+        )
+        .cast("long")
+        .alias("cheb_micro"),
+    )
+
+
+@query(
+    "geo_fence_transitions",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, event_id, ts,
+             CAST(('0x' || substring(md5('tx:' || CAST(user_id AS VARCHAR)
+                     || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 16 AS tile_x,
+             CAST(('0x' || substring(md5('ty:' || CAST(user_id AS VARCHAR)
+                     || ':' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 16 AS tile_y
+      FROM events WHERE ts IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id, event_id, ts,
+             tile_x * 16 + tile_y AS tile,
+             lag(tile_x * 16 + tile_y) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tile
+      FROM pos
+    )
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(prev_tile AS INT) AS from_tile,
+           CAST(tile AS INT) AS to_tile
+    FROM seq
+    WHERE prev_tile IS NOT NULL AND prev_tile <> tile
+    """,
+)
+def geo_fence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence transition detection: each user's daily position
+    (md5-derived 16x16 tile — users dwell in one tile per day, so
+    transitions cluster at day boundaries) is compared with the
+    previous event's tile via lag() and a boundary-crossing event is
+    emitted whenever the tile changes — the enter/exit stream a
+    location-alerting pipeline needs.  One window shuffle on user_id
+    with the (ts, event_id) unique ordering; everything else is
+    map-side scalar math.  At 100 TB this is the same shape as
+    sessionization: per-key ordered state, no global sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = fdiv(F.unix_micros("ts"), F.lit(_US_PER_DAY)).cast("string")
+    key = F.concat(F.col("user_id").cast("string"), F.lit(":"), day)
+    tile = (
+        F.pmod(portable_hash60(key, salt="tx"), F.lit(16)) * 16
+        + F.pmod(portable_hash60(key, salt="ty"), F.lit(16))
+    ).alias("tile")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_id", "ts", tile).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "tile",
+        F.lag("tile").over(w).alias("prev_tile"),
+    )
+    return seq.filter(
+        F.col("prev_tile").isNotNull() & (F.col("prev_tile") != F.col("tile"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("prev_tile").cast("int").alias("from_tile"),
+        F.col("tile").cast("int").alias("to_tile"),
+    )
+
+
+# ------------------------------------- rank / robust statistics
+#
+# Both operators run on the DAILY order frame — calendar-sized
+# (~2,400 rows at any SF), so the O(days^2) pair stage is
+# SF-INDEPENDENT: the data-scale pass is the one groupBy producing
+# the daily aggregates; everything after is bounded.
+
+_DAILY_ORDERS_SQL = """
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      GROUP BY 1
+"""
+
+
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(_US_PER_DAY)).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(cents("o_totalprice")).cast("long").alias("y"),
+    )
+
+
+@query(
+    "stat_kendall_tau",
+    oracle=f"""
+    WITH d AS ({_DAILY_ORDERS_SQL}),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dd,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_c, CAST(sum(dd) AS BIGINT) AS n_d,
+             CAST(sum(tx) AS BIGINT) AS ties_x,
+             CAST(sum(ty) AS BIGINT) AS ties_y,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    )
+    SELECT n_pairs, n_c, n_d, ties_x, ties_y,
+           round((CAST(n_c AS DOUBLE) - n_d)
+                 / sqrt((CAST(n_pairs AS DOUBLE) - ties_x)
+                        * (CAST(n_pairs AS DOUBLE) - ties_y)), 6) AS tau_b
+    FROM s
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between daily order count and
+    daily revenue — the robust, outlier-immune sibling of the exact
+    Pearson screen (agg_corr_exact): concordant/discordant/tied pair
+    counts are EXACT INTEGERS from a self-join of the daily frame,
+    and tau enters one shared double expression (sqrt is IEEE
+    correctly-rounded, so both engines agree bit-for-bit — unlike
+    log/exp, which the repo never compares).  The pair join is
+    calendar-bounded (~2,400 days -> ~2.9M pairs REGARDLESS of SF):
+    the only data-scale pass is the daily groupBy."""
+    d = _daily_orders(spark, sf_dir)
+    a, b = d.alias("a"), d.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("c"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("dd"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    s = pairs.agg(
+        F.sum("c").cast("long").alias("n_c"),
+        F.sum("dd").cast("long").alias("n_d"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    tau = F.round(
+        (F.col("n_c").cast("double") - F.col("n_d"))
+        / F.sqrt(
+            (F.col("n_pairs").cast("double") - F.col("ties_x"))
+            * (F.col("n_pairs").cast("double") - F.col("ties_y"))
+        ),
+        6,
+    )
+    return s.select(
+        "n_pairs", "n_c", "n_d", "ties_x", "ties_y", tau.alias("tau_b")
+    )
+
+
+@query(
+    "stat_theil_sen",
+    oracle=f"""
+    WITH d AS ({_DAILY_ORDERS_SQL}),
+    slopes AS (
+      SELECT {sql_fdiv('(b.y - a.y) * 1000000', '(b.day - a.day)')}
+               AS slope_ppm
+      FROM d a JOIN d b ON a.day < b.day
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_cont(slope_ppm * 2, 0.5) AS BIGINT)
+             AS median_slope_ppm_x2,
+           CAST(min(slope_ppm) AS BIGINT) AS min_slope_ppm,
+           CAST(max(slope_ppm) AS BIGINT) AS max_slope_ppm
+    FROM slopes
+    """,
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator for daily revenue: the median
+    of all pairwise slopes, immune to outlier days where least
+    squares (ml_linear_regression_exact) is not.  Slopes are
+    quantized to exact integer micro-units per day via floor
+    division (fdiv — identical on both engines), and the median
+    follows the doubled-integer convention (percentile of 2*slope is
+    an exactly-representable integer even at even pair counts).  The
+    pair stage is calendar-bounded (SF-independent ~2.9M pairs); the
+    data-scale pass is the daily groupBy."""
+    d = _daily_orders(spark, sf_dir)
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
+        fdiv(
+            (F.col("b.y") - F.col("a.y")) * 1_000_000,
+            F.col("b.day") - F.col("a.day"),
+        ).alias("slope_ppm")
+    )
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile(F.col("slope_ppm") * 2, F.lit(0.5))
+        .cast("long")
+        .alias("median_slope_ppm_x2"),
+        F.min("slope_ppm").cast("long").alias("min_slope_ppm"),
+        F.max("slope_ppm").cast("long").alias("max_slope_ppm"),
+    )
+
+
+# ----------------------------------------------- privacy: t-closeness
+
+
+@query(
+    "dq_t_closeness",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+               AS band
+      FROM customer
+    ),
+    gdist AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS gn FROM tagged GROUP BY band
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT band) AS BIGINT) AS m FROM tagged),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS ng
+      FROM tagged GROUP BY c_nationkey, c_mktsegment
+    ),
+    cellcnt AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tagged GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    dense AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.ng, b.band, b.gn,
+             coalesce(c.cnt, 0) AS cnt
+      FROM grp g CROSS JOIN gdist b
+      LEFT JOIN cellcnt c
+        ON c.c_nationkey = g.c_nationkey
+       AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, ng, band,
+             sum(CAST(cnt AS HUGEINT) * (SELECT n FROM tot)
+                 - CAST(gn AS HUGEINT) * ng) OVER
+               (PARTITION BY c_nationkey, c_mktsegment
+                ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dense
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(max(ng) AS BIGINT) AS group_size,
+           round(CAST(sum(abs(c)) AS DOUBLE)
+                 / (CAST(max(ng) AS DOUBLE) * (SELECT n FROM tot)
+                    * ((SELECT m FROM tot) - 1)), 6) AS t_emd,
+           round(CAST(sum(abs(c)) AS DOUBLE)
+                 / (CAST(max(ng) AS DOUBLE) * (SELECT n FROM tot)
+                    * ((SELECT m FROM tot) - 1)), 6) > 0.2 AS at_risk
+    FROM cum GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the privacy trio
+    (dq_k_anonymity, dq_l_diversity): a QI group leaks when the
+    DISTRIBUTION of its ordered sensitive attribute (balance band)
+    strays from the global distribution, measured by the earth-mover
+    distance, which for an ordered attribute is the mean |cumulative
+    difference| (Li et al., ICDE'07).  The per-band deviation is the
+    EXACT integer cross product cnt*N - gn*ng (no per-cell float
+    probabilities); one double division at the very end.  Frames:
+    one data-scale groupBy to band counts, then everything runs on
+    the |groups| x |bands| grid (hundreds of rows at any SF) with a
+    broadcast band spine — the dense grid is what makes absent bands
+    count as p_i = 0."""
+    c = load_table(spark, sf_dir, "customer")
+    band = fdiv(cents("c_acctbal") + 100_000, F.lit(100_000))
+    tagged = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    glob = tagged.groupBy("band").agg(F.count("*").cast("long").alias("gn"))
+    tot = tagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("band").cast("long").alias("m"),
+    )
+    grp = tagged.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("ng")
+    )
+    cellcnt = tagged.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    dense = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(
+            cellcnt, ["c_nationkey", "c_mktsegment", "band"], "left"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "band",
+            "n",
+            "m",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("n")
+                - F.col("gn").cast("decimal(38,0)") * F.col("ng")
+            ).alias("dev"),
+        )
+    )
+    wc = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "n",
+        "m",
+        F.sum("dev").over(wc).alias("c"),
+    )
+    t = F.round(
+        F.sum(F.abs(F.col("c"))).cast("double")
+        / (
+            F.max("ng").cast("double")
+            * F.max("n")
+            * (F.max("m") - 1)
+        ),
+        6,
+    )
+    return cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("ng").cast("long").alias("group_size"),
+        t.alias("t_emd"),
+        (t > 0.2).alias("at_risk"),
+    )
+
+
+# ------------------------------------------- isotonic calibration
+
+
+_ISO_BUCKET_CENTS = 6_000_000  # $60k score-bucket width
+
+
+@query(
+    "ml_isotonic_regression",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_ISO_BUCKET_CENTS))} AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hit) AS BIGINT) AS hits,
+             row_number() OVER (ORDER BY bucket) AS rn
+      FROM raw GROUP BY bucket
+    ),
+    pre AS (
+      SELECT bucket, n, hits, rn,
+             sum(n) OVER (ORDER BY rn) AS cn,
+             sum(hits) OVER (ORDER BY rn) AS ch
+      FROM b
+    ),
+    pairs AS (
+      SELECT a.rn AS j, z.rn AS k,
+             CAST(z.ch - a.ch + a.hits AS DOUBLE)
+               / CAST(z.cn - a.cn + a.n AS DOUBLE) AS avg_jk
+      FROM pre a JOIN pre z ON a.rn <= z.rn
+    ),
+    inner_min AS (
+      SELECT i.rn AS i, p.j, min(p.avg_jk) AS mn
+      FROM b i JOIN pairs p ON p.j <= i.rn AND p.k >= i.rn
+      GROUP BY i.rn, p.j
+    ),
+    fit AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY i)
+    SELECT b.bucket AS bucket, b.n AS n, b.hits AS hits,
+           round(CAST(b.hits AS DOUBLE) / b.n, 6) AS raw_rate,
+           round(f.iso, 6) AS iso_rate
+    FROM b JOIN fit f ON f.i = b.rn
+    """,
+)
+def ml_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of an empirical
+    rate curve — the classifier-calibration op every training
+    pipeline needs before thresholding scores: bucket the score
+    (total price, exact-cents bands), take the empirical hit rate
+    per bucket, and fit via the minimax characterization
+    iso(i) = max over j<=i of min over k>=i of avg(rate over j..k) —
+    computed DECLARATIVELY as two bounded joins + two aggregates on
+    the |buckets| frame (~100 rows at any SF; the (i,j,k) expansion
+    is ~170k tiny rows), engine and oracle running the IDENTICAL
+    formula so no PAVA-vs-minimax float-boundary risk exists.  Block
+    averages are double divisions of exact integer prefix sums —
+    IEEE-identical on both engines.  The only data-scale pass is the
+    bucket groupBy; at 100 TB the curve still has ~100 points."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_ISO_BUCKET_CENTS)).alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    b = (
+        raw.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("hit").cast("long").alias("hits"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "hits",
+            F.row_number().over(W.orderBy("bucket")).alias("rn"),
+        )
+    )
+    wp = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # bounded global windows: the bucket frame is ~100 rows at any SF
+    pre = b.select(
+        "bucket",
+        "n",
+        "hits",
+        "rn",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("hits").over(wp).alias("ch"),
+    )
+    a, z = pre.alias("a"), pre.alias("z")
+    pairs = a.join(
+        F.broadcast(z), F.col("a.rn") <= F.col("z.rn")
+    ).select(
+        F.col("a.rn").alias("j"),
+        F.col("z.rn").alias("k"),
+        (
+            (F.col("z.ch") - F.col("a.ch") + F.col("a.hits")).cast("double")
+            / (F.col("z.cn") - F.col("a.cn") + F.col("a.n")).cast("double")
+        ).alias("avg_jk"),
+    )
+    inner_min = (
+        b.select(F.col("rn").alias("i"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    fit = inner_min.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        b.join(F.broadcast(fit), b.rn == fit.i)
+        .select(
+            "bucket",
+            "n",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )
+
+
+# --------------------------------------- time-series motif discovery
+
+
+_MOTIF_M = 7  # window length (days)
+_MOTIF_TOPK = 5
+
+
+@query(
+    "ts_motif_ssd",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d
+    ),
+    win AS (
+      SELECT rn, day,
+             list(x) OVER (ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_MOTIF_M - 1} FOLLOWING) AS w
+      FROM idx
+      QUALIFY rn <= (SELECT max(rn) FROM idx) - {_MOTIF_M - 1}
+    ),
+    ssd AS (
+      SELECT a.day AS day_a, b.day AS day_b,
+             CAST(list_aggregate(
+               list_transform(range(1, {_MOTIF_M + 1}),
+                 t -> (a.w[CAST(t AS INT)] - b.w[CAST(t AS INT)])
+                      * (a.w[CAST(t AS INT)] - b.w[CAST(t AS INT)])),
+               'sum') AS BIGINT) AS ssd
+      FROM win a JOIN win b ON b.rn >= a.rn + {_MOTIF_M}
+    )
+    SELECT day_a, day_b, ssd,
+           CAST(row_number() OVER (ORDER BY ssd, day_a, day_b) AS INT) AS rk
+    FROM ssd
+    ORDER BY ssd, day_a, day_b LIMIT {_MOTIF_TOPK}
+    """,
+)
+def ts_motif_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series MOTIF DISCOVERY (the matrix-profile question —
+     'which two non-overlapping weeks look most alike?'): slide a
+    {_MOTIF_M}-day window over the daily order-count series, compare
+    every non-overlapping window pair by exact integer
+    sum-of-squared-differences, and return the top-{_MOTIF_TOPK}
+    closest pairs with deterministic (ssd, day_a, day_b) ranking.
+    Windows materialize as arrays via collect_list over an ordered
+    rows frame (frame order IS list order on both engines); the SSD
+    is a zip_with + aggregate, fully JVM-side.  The pair stage is
+    calendar-bounded (~2.9M pairs at ANY corpus size — the
+    data-scale pass is the daily groupBy), and the final top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(_US_PER_DAY)).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    # bounded global windows: daily frame, calendar-sized (~2,400)
+    idx = d.select(
+        "day", "x", F.row_number().over(W.orderBy("day")).alias("rn")
+    )
+    ww = W.orderBy("rn").rowsBetween(0, _MOTIF_M - 1)
+    nmax = idx.agg(F.max("rn").alias("mx"))
+    win = (
+        idx.select(
+            "rn", "day", F.collect_list("x").over(ww).alias("w")
+        )
+        .crossJoin(F.broadcast(nmax))
+        .filter(F.col("rn") <= F.col("mx") - (_MOTIF_M - 1))
+        .drop("mx")
+    )
+    a, b = win.alias("a"), win.alias("b")
+    diff = F.zip_with(
+        F.col("a.w"), F.col("b.w"), lambda x, y: (x - y) * (x - y)
+    )
+    ssd = a.join(
+        F.broadcast(b), F.col("b.rn") >= F.col("a.rn") + _MOTIF_M
+    ).select(
+        F.col("a.day").alias("day_a"),
+        F.col("b.day").alias("day_b"),
+        F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        .cast("long")
+        .alias("ssd"),
+    )
+    top = ssd.orderBy("ssd", "day_a", "day_b").limit(_MOTIF_TOPK)
+    return top.select(
+        "day_a",
+        "day_b",
+        "ssd",
+        F.row_number()
+        .over(W.orderBy("ssd", "day_a", "day_b"))
+        .cast("int")
+        .alias("rk"),
+    )
+
+
+# ------------------------------------- priority (weighted) sampling
+
+
+_PRIO_K = 100
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+             CAST(('0x' || substring(md5('pri:' ||
+                     CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+               AS u
+      FROM orders
+    ),
+    pri AS (
+      SELECT o_orderkey, w_cents,
+             CAST(w_cents AS DOUBLE) * 1152921504606846976.0 / u
+               AS priority
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM pri
+      ORDER BY priority DESC, o_orderkey LIMIT {_PRIO_K + 1}
+    ),
+    tau AS (SELECT min(priority) AS tau FROM top),
+    sel AS (
+      SELECT * FROM top
+      ORDER BY priority DESC, o_orderkey LIMIT {_PRIO_K}
+    )
+    SELECT s.o_orderkey, s.w_cents,
+           CAST(floor(greatest(CAST(s.w_cents AS DOUBLE), t.tau))
+                AS BIGINT) AS ht_cents
+    FROM sel s CROSS JOIN tau t
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield-Lund-Thorup): a weight-proportional
+    sample without replacement with unbiased Horvitz-Thompson
+    estimation — the 100-TB answer to 'keep {_PRIO_K} rows whose
+    weights still sum like the full table': each row draws priority
+    w/u from a deterministic md5 uniform (reproducible where rand()
+    is not), the top-k survive, and each survivor's HT weight is
+    max(w, tau) with tau the (k+1)-th priority — sums of HT weights
+    are unbiased for any subset total.  The top-(k+1) is a
+    TakeOrderedAndProject (per-partition heap + merge, NO global
+    sort); priorities are one double expression with fixed operation
+    order on both engines.  Mergeable across shards: union the
+    per-shard top-(k+1)s and re-take."""
+    o = load_table(spark, sf_dir, "orders")
+    u = portable_hash60(F.col("o_orderkey"), salt="pri") + 1
+    pri = o.select(
+        "o_orderkey",
+        cents("o_totalprice").alias("w_cents"),
+        (
+            cents("o_totalprice").cast("double")
+            * F.lit(1152921504606846976.0)
+            / u
+        ).alias("priority"),
+    )
+    top = pri.orderBy(
+        F.col("priority").desc(), F.col("o_orderkey")
+    ).limit(_PRIO_K + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    sel = top.orderBy(F.col("priority").desc(), F.col("o_orderkey")).limit(
+        _PRIO_K
+    )
+    # floor to integer cents: rounding a ~1e9 double at 6 dp exceeds
+    # the 15-16 significant digits a double carries, and the two
+    # engines disagree in the last ulp of the FORMATTED value; floor
+    # of the identical IEEE double is identical on both sides
+    return sel.crossJoin(F.broadcast(tau)).select(
+        "o_orderkey",
+        "w_cents",
+        F.floor(F.greatest(F.col("w_cents").cast("double"), F.col("tau")))
+        .cast("long")
+        .alias("ht_cents"),
+    )
 
 
 # ------------------------------------------ progressive JPEG decode
