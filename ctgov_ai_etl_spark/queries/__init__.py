@@ -50,6 +50,11 @@ _PRIORITY = (
     "ml_isotonic_regression",
     "ts_motif_ssd",
     "sample_priority_weighted",
+    "stream_run_geo_fence",
+    "ts_changepoint_binseg",
+    "sample_kcenter_coreset",
+    "ml_decision_stump",
+    "fn_uuid_deterministic",
     # -- block 2: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -943,3 +943,514 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("luma_sum") / F.col("n_samples") / F.lit(255.0), 6
         ).alias("mean_luma"),
     )
+
+
+# -------------------------------------- streaming geofence twin
+
+from ctgov_ai_etl_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "stream_run_geo_fence",
+    oracle=_REG["geo_fence_transitions"].oracle,
+)
+def stream_run_geo_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING geofence alerting: file micro-batch source →
+    stateful per-user tile tracker
+    (streaming/events.py:stateful_geo_fence, applyInPandasWithState —
+    state is two ints per user) → APPEND-mode memory sink.  Each tile
+    change emits exactly one alert row in the batch where it happens,
+    and the union over batches hash-checks against the SAME oracle as
+    the batch lag() twin (geo_fence_transitions) — the alert stream a
+    dashboard sees live equals the offline replay.  Bounded state,
+    bounded output per batch: the geofence monitor a 100 TB/day
+    location pipeline actually runs."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_geo_fence,
+    )
+
+    out = run_stream_to_memory(
+        stateful_geo_fence(read_events_stream(spark, sf_dir)),
+        mode="append",
+    )
+    return out.select(
+        "user_id", "event_id", "ts_us", "from_tile", "to_tile"
+    )
+
+
+# ------------------------------- binary-segmentation changepoints
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+    pre AS (
+      SELECT rn, day, sum(x) OVER (ORDER BY rn) AS sx,
+             (SELECT max(rn) FROM idx) AS n,
+             (SELECT sum(x) FROM idx) AS sxn
+      FROM idx
+    ),
+    c1 AS (
+      SELECT rn, day,
+             CAST(n * sx - rn * sxn AS DOUBLE)
+               * CAST(n * sx - rn * sxn AS DOUBLE)
+               / (CAST(rn AS DOUBLE) * (n - rn)) AS score
+      FROM pre WHERE rn < n
+      ORDER BY score DESC, rn LIMIT 1
+    ),
+    lseg AS (
+      SELECT p.rn, p.day, s1.rn AS m,
+             (SELECT sx FROM pre WHERE rn = s1.rn) AS sxm
+      FROM pre p CROSS JOIN c1 s1 WHERE p.rn < s1.rn
+    ),
+    c2 AS (
+      SELECT rn, day,
+             CAST(m * sx_local - rn * sxm AS DOUBLE)
+               * CAST(m * sx_local - rn * sxm AS DOUBLE)
+               / (CAST(rn AS DOUBLE) * (m - rn)) AS score
+      FROM (SELECT l.rn, l.day, l.m, l.sxm,
+                   (SELECT sx FROM pre WHERE rn = l.rn) AS sx_local
+            FROM lseg l)
+      ORDER BY score DESC, rn LIMIT 1
+    ),
+    rseg AS (
+      SELECT p.rn, p.day, p.n, p.sxn, s1.rn AS m,
+             (SELECT sx FROM pre WHERE rn = s1.rn) AS sxm,
+             p.sx
+      FROM pre p CROSS JOIN c1 s1 WHERE p.rn > s1.rn AND p.rn < p.n
+    ),
+    c3 AS (
+      SELECT rn, day,
+             CAST((n - m) * (sx - sxm) - (rn - m) * (sxn - sxm) AS DOUBLE)
+               * CAST((n - m) * (sx - sxm) - (rn - m) * (sxn - sxm)
+                      AS DOUBLE)
+               / (CAST(rn - m AS DOUBLE) * (n - rn)) AS score
+      FROM rseg
+      ORDER BY score DESC, rn LIMIT 1
+    )
+    SELECT 1 AS level, 'full' AS segment, day AS split_day,
+           round(score, 6) AS score FROM c1
+    UNION ALL
+    SELECT 2, 'left', day, round(score, 6) FROM c2
+    UNION ALL
+    SELECT 2, 'right', day, round(score, 6) FROM c3
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by BINARY SEGMENTATION (depth 2) on the
+    daily order-count series: the level-1 split maximizes the
+    between-segment CUSUM statistic (n*Sx_s - s*Sx_n)^2 / (s*(n-s)) —
+    the deviation term is an EXACT int64 cross product (no running
+    means), entering one double expression with identical operation
+    order on both engines — then each half is split again by the
+    same segment-local statistic.  Where anomaly_cusum flags points,
+    this finds the structural breaks a retraining scheduler keys on.
+    Every frame after the daily groupBy is calendar-bounded, the
+    argmaxes are TakeOrderedAndProject top-1s with deterministic
+    (score, rn) tie-breaks."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(_US_PER_DAY)).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    # bounded global windows: daily frame, calendar-sized (~2,400)
+    idx = d.select(
+        "day", "x", F.row_number().over(W.orderBy("day")).alias("rn")
+    )
+    wp = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tots = idx.agg(
+        F.max("rn").alias("n"), F.sum("x").cast("long").alias("sxn")
+    )
+    from ctgov_ai_etl_spark.operators import cache as _cache
+
+    # tracked persist (repo convention): the prefix frame feeds four
+    # downstream top-1s; calendar-sized, released via release_all()
+    pre = _cache.track(
+        idx.select("rn", "day", F.sum("x").over(wp).alias("sx"))
+        .crossJoin(F.broadcast(tots))
+        .persist()
+    )
+
+    def score_col(dev, lo, hi):
+        return (
+            dev.cast("double")
+            * dev.cast("double")
+            / (lo.cast("double") * hi)
+        )
+
+    c1 = (
+        pre.filter(F.col("rn") < F.col("n"))
+        .select(
+            "rn",
+            "day",
+            score_col(
+                F.col("n") * F.col("sx") - F.col("rn") * F.col("sxn"),
+                F.col("rn"),
+                F.col("n") - F.col("rn"),
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "rn")
+        .limit(1)
+    )
+    s1 = c1.select(
+        F.col("rn").alias("m"), F.col("day").alias("m_day")
+    ).join(pre.select(F.col("rn").alias("m"), F.col("sx").alias("sxm")), "m")
+    c2 = (
+        pre.crossJoin(F.broadcast(s1))
+        .filter(F.col("rn") < F.col("m"))
+        .select(
+            "rn",
+            "day",
+            score_col(
+                F.col("m") * F.col("sx") - F.col("rn") * F.col("sxm"),
+                F.col("rn"),
+                F.col("m") - F.col("rn"),
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "rn")
+        .limit(1)
+    )
+    c3 = (
+        pre.crossJoin(F.broadcast(s1))
+        .filter((F.col("rn") > F.col("m")) & (F.col("rn") < F.col("n")))
+        .select(
+            "rn",
+            "day",
+            score_col(
+                (F.col("n") - F.col("m")) * (F.col("sx") - F.col("sxm"))
+                - (F.col("rn") - F.col("m"))
+                * (F.col("sxn") - F.col("sxm")),
+                F.col("rn") - F.col("m"),
+                F.col("n") - F.col("rn"),
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "rn")
+        .limit(1)
+    )
+
+    def shape(df, level, seg):
+        return df.select(
+            F.lit(level).cast("int").alias("level"),
+            F.lit(seg).alias("segment"),
+            F.col("day").alias("split_day"),
+            F.round("score", 6).alias("score"),
+        )
+
+    out = (
+        shape(c1, 1, "full")
+        .unionAll(shape(c2, 2, "left"))
+        .unionAll(shape(c3, 2, "right"))
+    )
+    return out
+
+
+# ------------------------------------------ k-center coreset
+
+
+_KC_CAP = 500  # documented slice cap: quadratic-free, but bounded demo
+_KC_ROUNDS = 8
+
+
+def _kcenter_oracle(rounds: int, cap: int) -> str:
+    parts = [
+        f"""v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS iv
+      FROM embeddings WHERE vec_id < {cap}
+    )""",
+        """dist0 AS (
+      SELECT a.vec_id,
+             CAST(list_aggregate(
+               list_transform(range(1, len(a.iv) + 1),
+                 j -> (a.iv[CAST(j AS INT)] - c.iv[CAST(j AS INT)])
+                      * (a.iv[CAST(j AS INT)] - c.iv[CAST(j AS INT)])),
+               'sum') AS BIGINT) AS mind
+      FROM v a CROSS JOIN (SELECT iv FROM v WHERE vec_id = 0) c
+    )""",
+    ]
+    sel = ["SELECT 0 AS round, 0 AS center_id, NULL AS radius_sq"]
+    for r in range(1, rounds):
+        parts.append(
+            f"""c{r} AS (
+      SELECT vec_id, mind FROM dist{r - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        sel.append(
+            f"SELECT {r}, vec_id, mind FROM c{r}"
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"""dist{r} AS (
+      SELECT d.vec_id,
+             least(d.mind, CAST(list_aggregate(
+               list_transform(range(1, len(a.iv) + 1),
+                 j -> (a.iv[CAST(j AS INT)] - b.iv[CAST(j AS INT)])
+                      * (a.iv[CAST(j AS INT)] - b.iv[CAST(j AS INT)])),
+               'sum') AS BIGINT)) AS mind
+      FROM dist{r - 1} d
+      JOIN v a ON a.vec_id = d.vec_id
+      CROSS JOIN (SELECT v.iv FROM c{r} JOIN v ON v.vec_id = c{r}.vec_id) b
+    )"""
+            )
+    body = " UNION ALL ".join(sel)
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(round AS INT) AS round,
+           CAST(center_id AS BIGINT) AS center_id,
+           CAST(radius_sq AS BIGINT) AS radius_sq
+    FROM ({body})"""
+    )
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(_KC_ROUNDS, _KC_CAP),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez farthest-first
+    traversal): start from vector 0, then 7 rounds of 'add the point
+    farthest from every selected center' — the 2-approximation
+    coverage guarantee that makes it THE diverse-subset picker for
+    training-data curation (each radius_sq is the covering radius
+    when that center was chosen, a certified coverage curve).  Each
+    round is ONE broadcast join against the single new center plus a
+    running least() on the per-point min-distance column — k linear
+    passes, never a pairwise matrix — with exact integer micro-unit
+    L2 so the whole traversal hash-checks against the unrolled CTE
+    oracle.  The slice cap bounds the demo; at 100 TB the same plan
+    runs per-shard and the per-shard coresets union (composable
+    coresets)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _KC_CAP
+    )
+    iv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    v = e.select("vec_id", iv.alias("iv"))
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    c0 = v.filter(F.col("vec_id") == 0).select(F.col("iv").alias("civ"))
+    dist = v.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "iv", sq_dist(F.col("iv"), F.col("civ")).alias("mind")
+    )
+    # fully lazy farthest-first traversal: each round's argmax is a
+    # 1-row TakeOrdered frame that CARRIES the center's vector, so the
+    # next round's distance update is a broadcast crossJoin against
+    # it — no driver-side collect, no local-rows createDataFrame in a
+    # timed path (SCALE.md r10: those cost ~5 s of Python-worker spawn
+    # per write job), one single action at the end
+    picks = [
+        v.filter(F.col("vec_id") == 0).select(
+            F.lit(0).cast("int").alias("round"),
+            F.col("vec_id").cast("long").alias("center_id"),
+            F.lit(None).cast("long").alias("radius_sq"),
+        )
+    ]
+    for r in range(1, _KC_ROUNDS):
+        pick = dist.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+        picks.append(
+            pick.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("vec_id").cast("long").alias("center_id"),
+                F.col("mind").cast("long").alias("radius_sq"),
+            )
+        )
+        if r < _KC_ROUNDS - 1:
+            center = pick.select(F.col("iv").alias("civ"))
+            dist = dist.crossJoin(F.broadcast(center)).select(
+                "vec_id",
+                "iv",
+                F.least(
+                    F.col("mind"), sq_dist(F.col("iv"), F.col("civ"))
+                ).alias("mind"),
+            )
+    out = picks[0]
+    for p_ in picks[1:]:
+        out = out.unionAll(p_)
+    return out
+
+
+# ----------------------------------------------- decision stump
+
+
+_STUMP_BUCKET_CENTS = 3_000_000  # $30k feature buckets
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_STUMP_BUCKET_CENTS))} AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM raw GROUP BY bucket
+    ),
+    pre AS (
+      SELECT bucket,
+             sum(n) OVER (ORDER BY bucket) AS nl,
+             sum(p) OVER (ORDER BY bucket) AS pl,
+             (SELECT sum(n) FROM b) AS nt,
+             (SELECT sum(p) FROM b) AS pt
+      FROM b
+    ),
+    cand AS (
+      SELECT bucket, nl, pl, nt - nl AS nr, pt - pl AS pr,
+             CAST(pl * (nl - pl) AS DOUBLE) / nl
+               + CAST((pt - pl) * ((nt - nl) - (pt - pl)) AS DOUBLE)
+                 / (nt - nl) AS half_gini_x_n
+      FROM pre WHERE nl < nt
+    ),
+    best AS (
+      SELECT * FROM cand ORDER BY half_gini_x_n, bucket LIMIT 1
+    )
+    SELECT bucket AS split_bucket,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           round(2 * half_gini_x_n / (nl + nr), 6) AS weighted_gini,
+           round(2 * CAST((pl + pr) AS DOUBLE) * ((nl + nr) - (pl + pr))
+                 / (CAST(nl + nr AS DOUBLE) * (nl + nr)), 6) AS root_gini
+    FROM best
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction (the depth-1 CART split every
+    feature-importance screen and gradient-boosting round runs):
+    bucket the feature (total price, exact-cents bands), scan every
+    split threshold via CUMULATIVE class counts, and pick the split
+    minimizing weighted Gini impurity — the per-candidate score keeps
+    pos*neg cross products as EXACT integers and divides once per
+    side in double with fixed operation order, so the argmin (with
+    deterministic tie-break) matches the oracle bit-for-bit.  One
+    data-scale groupBy to the ~200-bucket frame; the candidate scan
+    is two bounded windows + a TakeOrdered top-1.  At 100 TB the
+    histogram-based split search is exactly how XGBoost/LightGBM
+    scale out."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_STUMP_BUCKET_CENTS)).alias(
+            "bucket"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    b = raw.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    # bounded global windows: bucket frame, ~200 rows at any SF
+    wp = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tots = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("p").cast("long").alias("pt"),
+    )
+    pre = b.select(
+        "bucket",
+        F.sum("n").over(wp).alias("nl"),
+        F.sum("p").over(wp).alias("pl"),
+    ).crossJoin(F.broadcast(tots))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - nl, F.col("pt") - pl
+    half = (pl * (nl - pl)).cast("double") / nl + (pr * (nr - pr)).cast(
+        "double"
+    ) / nr
+    cand = pre.filter(nl < F.col("nt")).select(
+        "bucket",
+        nl.alias("nl"),
+        pl.alias("pl"),
+        nr.alias("nr"),
+        pr.alias("pr"),
+        half.alias("half_gini_x_n"),
+    )
+    best = cand.orderBy("half_gini_x_n", "bucket").limit(1)
+    ntot = F.col("nl") + F.col("nr")
+    ptot = F.col("pl") + F.col("pr")
+    return best.select(
+        F.col("bucket").alias("split_bucket"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        F.round(2 * F.col("half_gini_x_n") / ntot, 6).alias("weighted_gini"),
+        F.round(
+            2 * ptot.cast("double") * (ntot - ptot)
+            / (ntot.cast("double") * ntot),
+            6,
+        ).alias("root_gini"),
+    )
+
+
+# ------------------------------------- deterministic content UUIDs
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('ctgov:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+             || substr(hx, 14, 3) || '-'
+             || substr('89ab',
+                       CAST(CAST(('0x' || substr(hx, 17, 1)) AS INT) % 4
+                            AS INT) + 1, 1)
+             || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid3
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed UUIDs (RFC 4122 version 3:
+    md5 of namespace+name with the version nibble forced to '3' and
+    the variant nibble to 8/9/a/b) — the stable record identity every
+    multi-source ingestion pipeline needs: re-ingesting the same
+    document yields the same id on any engine, any partitioning, any
+    day.  Pure map-side string algebra over md5 (the portable-hash
+    convention), zero shuffle, zero UDF — at 100 TB this is free
+    inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("ctgov:"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", hx.alias("hx"))
+    variant = F.substring(
+        F.lit("89ab"),
+        (
+            F.conv(F.substring("hx", 17, 1), 16, 10).cast("int") % 4 + 1
+        ).cast("int"),
+        1,
+    )
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-3"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            variant,
+            F.substring("hx", 18, 3),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("uuid3"),
+    )

@@ -960,3 +960,77 @@ def stateful_audit_chain(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_geo_fence(events: DataFrame) -> DataFrame:
+    """STREAMING geofence transition detector — the live twin of
+    queries/round11.py:geo_fence_transitions: per-user state is the
+    last seen tile (md5-derived daily 16x16 tile, the identical
+    portable derivation the batch twin and its oracle share); each
+    micro-batch walks its rows in (ts_us, event_id) order and emits
+    one APPEND row per tile change (enter/exit alert), so the union
+    of all batch outputs equals the batch lag()-based replay over the
+    same rows.  State is two ints per user — bounded regardless of
+    history length.  Same event-time-ordered arrival contract as the
+    other stateful operators here."""
+    import hashlib
+
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    day_us = 86_400_000_000
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def update(key, pdfs, state):
+        last_tile, rows = state.get if state.exists else (-1, 0)
+        uid = int(key[0])
+        out_eid, out_ts, out_from, out_to = [], [], [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            batch = batch.sort_values(["ts_us", "event_id"])
+            for eid, ts_us in zip(batch["event_id"], batch["ts_us"]):
+                day = int(ts_us) // day_us
+                k = f"{uid}:{day}"
+                tile = (h60(f"tx:{k}") % 16) * 16 + h60(f"ty:{k}") % 16
+                rows += 1
+                if last_tile >= 0 and tile != last_tile:
+                    out_eid.append(int(eid))
+                    out_ts.append(int(ts_us))
+                    out_from.append(last_tile)
+                    out_to.append(tile)
+                last_tile = tile
+        state.update((last_tile, rows))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(out_eid),
+                "event_id": out_eid,
+                "ts_us": out_ts,
+                "from_tile": pd.array(out_from, dtype="int32"),
+                "to_tile": pd.array(out_to, dtype="int32"),
+            }
+        )
+
+    keyed = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, ts_us long, "
+            "from_tile int, to_tile int"
+        ),
+        stateStructType="last_tile long, rows long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
