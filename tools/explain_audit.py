@@ -1232,5 +1232,105 @@ CHECKS["graph_jaccard_link_prediction"] = [
     ("degree frames broadcast", r"BroadcastHashJoin"),
 ]
 
+# ---- round 11 ----
+
+CHECKS["mm_decode_jpeg_progressive"] = [
+    ("codec work is Arrow-batched MapInPandas stages", r"MapInPandas"),
+    ("zero shuffle — embarrassingly parallel decode",
+     r"\A(?!.*Exchange)"),
+]
+
+CHECKS["geo_grid_rollup"] = [
+    ("geohash is pure JVM scalar math (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+    ("zoom fanout via explode (Generate)", r"Generate explode"),
+    ("pyramid partially aggregated before the one shuffle",
+     r"partial_count"),
+]
+
+CHECKS["geo_geohash_join"] = [
+    ("cell-bucketed EQUALITY join, never a cartesian",
+     r"\A(?!.*CartesianProduct)"),
+    ("neighbor fanout via explode (Generate)", r"Generate explode"),
+    ("join keyed on grid cells",
+     r"(hashpartitioning\((cy|cx)|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+]
+
+CHECKS["geo_fence_transitions"] = [
+    ("one window shuffle on user_id", r"hashpartitioning\(user_id"),
+    ("tile derivation is JVM scalar math (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["stat_kendall_tau"] = [
+    ("daily frame partially aggregated at data scale", r"partial_count"),
+    ("calendar-bounded pair stage broadcast (no data-scale shuffle)",
+     r"BroadcastNestedLoopJoin"),
+    ("pair counters partially aggregated", r"partial_sum"),
+]
+
+CHECKS["stat_theil_sen"] = [
+    ("daily frame partially aggregated at data scale", r"partial_count"),
+    ("slope pairs broadcast (calendar-bounded)",
+     r"BroadcastNestedLoopJoin"),
+]
+
+CHECKS["dq_t_closeness"] = [
+    ("band spine broadcast onto groups", r"BroadcastNestedLoopJoin"),
+    ("cell counts partially aggregated at data scale", r"partial_count"),
+    ("cumulative EMD windows keyed per group",
+     r"hashpartitioning\(c_nationkey"),
+]
+
+CHECKS["ml_isotonic_regression"] = [
+    ("bucket histogram partially aggregated at data scale",
+     r"partial_count"),
+    ("minimax expansion broadcast (bucket-bounded)",
+     r"BroadcastNestedLoopJoin"),
+]
+
+CHECKS["ts_motif_ssd"] = [
+    ("daily frame partially aggregated at data scale", r"partial_count"),
+    ("window pairs broadcast (calendar-bounded)",
+     r"BroadcastNestedLoopJoin"),
+    ("top-k via TakeOrderedAndProject, no global sort",
+     r"TakeOrderedAndProject"),
+    ("SSD is JVM array algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["sample_priority_weighted"] = [
+    ("top-(k+1) via TakeOrderedAndProject (per-partition heaps)",
+     r"TakeOrderedAndProject"),
+    ("no range-partitioned global sort", r"\A(?!.*rangepartitioning)"),
+    ("threshold broadcast back onto the sample", r"BroadcastNestedLoopJoin"),
+]
+
+CHECKS["ts_changepoint_binseg"] = [
+    ("daily frame partially aggregated at data scale", r"partial_count"),
+    ("argmax splits via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ("prefix frame reused via tracked persist", r"InMemoryTableScan"),
+]
+
+CHECKS["sample_kcenter_coreset"] = [
+    ("every round's center joins by broadcast (k linear passes)",
+     r"BroadcastNestedLoopJoin"),
+    ("distance algebra is JVM-side (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["ml_decision_stump"] = [
+    ("bucket histogram partially aggregated at data scale",
+     r"partial_count"),
+    ("argmin split via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+]
+
+CHECKS["fn_uuid_deterministic"] = [
+    ("zero shuffle — map-side string algebra", r"\A(?!.*Exchange)"),
+    ("column-pruned ReadSchema (doc_id only)",
+     r"ReadSchema: struct<doc_id:bigint>"),
+    ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
