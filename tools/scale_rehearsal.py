@@ -1,0 +1,134 @@
+"""sf1 scale rehearsal (VERDICT r10 #8): measured 10x evidence.
+
+Generates a deterministic ~sf1 derivative of the test tables into
+``spark-warehouse/sf1/`` (builder-owned — /root/testdata stays
+read-only) by replicating sf0.1 ten times with disjoint key offsets,
+then runs the 14 headline queries once at sf0.1 and once at sf1 and
+prints a JSON line with both timings — the measured version of the
+"plans survive a 10x scale-up" claim that SCALE.md records.
+
+Replication semantics (all offsets keep FK joins consistent):
+- orders/lineitem: orderkey += i*150k, custkey += i*15k
+- customer: custkey += i*15k (nation/region/part/supplier copied
+  as-is — dimensions don't scale with the fact tables)
+- events: event_id += i*100k, user_id += i*1500 (timestamps kept:
+  10x rows per window is exactly the density a bigger corpus brings)
+- documents/embeddings: ids offset; text/vectors copied VERBATIM so
+  each document exists 10x — the duplicate structure a real crawl
+  has, which is what the dedup headline queries are for.
+
+Run: ``python tools/scale_rehearsal.py [--skip-gen]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ctgov_ai_etl_spark.queries import load_all  # noqa: E402
+from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(__file__)) or ".",
+                   "spark-warehouse", "sf1")
+REPLICAS = 10
+
+_OFFSETS = {
+    # table -> {column: per-replica offset}
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {"l_orderkey": 150_000},
+    "customer": {"c_custkey": 15_000},
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 10_000},
+    # dimensions copied once, no offset
+    "region": {},
+    "nation": {},
+    "supplier": {},
+    "part": {},
+}
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_broadcast_star",
+    "join_inner_equi",
+    "win_topk_per_group",
+    "join_asof",
+    "text_top_tokens",
+    "text_langid_quality",
+    "llm_classify_documents",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "pipeline_curate",
+    "stream_tumbling_window",
+]
+
+
+def generate(spark) -> None:
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    for table, offsets in _OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        out = f"{DST}/{table}.parquet"
+        if not offsets:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        reps = None
+        for i in range(REPLICAS):
+            r = df
+            for col, off in offsets.items():
+                r = r.withColumn(col, F.col(col) + i * off)
+            reps = r if reps is None else reps.unionAll(r)
+        reps.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"  {table}: {n} rows", flush=True)
+
+
+def run(spark, registry, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spark.catalog.clearCache()
+        from ctgov_ai_etl_spark.operators import cache
+
+        cache.release_all()
+        t = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t, 3)
+        print(f"  {name}: {times[name]}s", flush=True)
+    return times
+
+
+def main() -> int:
+    spark = get_spark("scale_rehearsal", cpus="32")
+    registry = load_all()
+    if "--skip-gen" not in sys.argv:
+        print("generating sf1 derivative ...", flush=True)
+        generate(spark)
+    print("headline @ sf0.1 ...", flush=True)
+    t01 = run(spark, registry, SRC)
+    print("headline @ sf1 ...", flush=True)
+    t1 = run(spark, registry, DST)
+    out = {
+        "sf0.1": t01,
+        "sf1": t1,
+        "total_sf0.1": round(sum(t01.values()), 3),
+        "total_sf1": round(sum(t1.values()), 3),
+        "ratio": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
+    }
+    print(json.dumps(out))
+    with open("SCALE_REHEARSAL_r11.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
