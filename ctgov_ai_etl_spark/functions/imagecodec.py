@@ -261,10 +261,17 @@ def _decode_jpeg_lazy(data: bytes) -> tuple[int, int, int, int]:
     return decode_jpeg(data)
 
 
+def _decode_gif_lazy(data: bytes) -> tuple[int, int, int, int]:
+    from ctgov_ai_etl_spark.functions.gifcodec import decode_gif
+
+    return decode_gif(data)
+
+
 _DISPATCH = [
     (lambda d: d[:8] == _PNG_SIG, decode_png),
     (lambda d: d[:2] in (b"P5", b"P6"), decode_ppm),
     (lambda d: d[:3] == b"\xff\xd8\xff", _decode_jpeg_lazy),
+    (lambda d: d[:4] == b"GIF8", _decode_gif_lazy),
 ]
 
 

@@ -5,14 +5,16 @@ Design: media travels as an opaque ``binary`` column plus a typed
 metadata struct; per-modality ops (decode, feature-extract, resize,
 frame-sample) are Arrow-batched ``mapInPandas`` stages so each task
 amortizes codec init and the bytes never round-trip through Python
-row objects.  Three REAL image codecs back the seam in pure Python —
+row objects.  Four REAL image codecs back the seam in pure Python —
 netpbm (P5/P6) and 8-bit PNG with all five scanline filters
-(``functions/imagecodec.py``), and baseline JPEG with canonical
-Huffman, restart markers, and the 8x8 IDCT
-(``functions/jpegcodec.py``, round 10) — dispatched by magic bytes
-in ``decode_image_real``; formats with no pure-Python decoder (GIF,
-progressive JPEG, H.264 ...) still raise ``NotImplementedError``
-from the dispatcher, keeping the seam honest.
+(``functions/imagecodec.py``), baseline AND progressive JPEG with
+canonical Huffman, restart markers, successive approximation, and
+the 8x8 IDCT (``functions/jpegcodec.py``, rounds 10-11), and
+animated GIF with real LZW and interlacing
+(``functions/gifcodec.py``, round 11) — dispatched by magic bytes in
+``decode_image_real``; formats with no pure-Python decoder (H.264,
+MP3, AVIF ...) still raise ``NotImplementedError`` from the
+dispatcher, keeping the seam honest.
 ``decode_image_features`` remains the sha-derived deterministic fake
 whose oracle needs no codec at all.
 """
@@ -687,4 +689,84 @@ def dhash_images_real(
 
     return src.mapInPandas(
         run, schema=f"{id_col} long, hash_hi long, hash_lo long"
+    )
+
+
+def render_and_decode_test_gifs(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL animated GIF payloads deterministically from a
+    text column and decode them back — the GIF sibling of
+    render_test_jpegs + decode_image_real, fused into one pass (the
+    frame count needs the animation-aware decoder, not the generic
+    feature contract): geometry/values derive from md5(text) bytes
+    7-10 (hex chars 13-20), the 16-entry grayscale palette is
+    g_c = (v + 13c) % 256, frame f's pixel j carries index
+    (j + f) % 16, and ids with abs(id) % 2 == 1 encode INTERLACED
+    (the four-pass row order — a decoder that skipped de-interlacing
+    would scramble rows and shift nothing in the sum... so the luma
+    check alone wouldn't catch it; the gifcodec round-trip tests pin
+    interlacing on the raster, and this query pins the LZW + palette
+    + frame-walk path end to end).  Emits exact integers so the
+    closed-form SQL oracle replays the palette sums without touching
+    bytes.  One Arrow-batched mapInPandas stage, zero shuffle."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.gifcodec import (
+        decode_gif_frames,
+        encode_gif,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nfs, s0, sl, ns = [], [], [], [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w = 1 + dig[6] % 24
+                h = 1 + dig[7] % 24
+                v = dig[8]
+                nf = 1 + dig[9] % 3
+                pal = [((v + 13 * c) % 256,) * 3 for c in range(16)]
+                frames = [
+                    bytes((j + f) % 16 for j in range(w * h))
+                    for f in range(nf)
+                ]
+                blob = encode_gif(
+                    w,
+                    h,
+                    frames,
+                    pal,
+                    interlace=bool(abs(int(rid)) % 2),
+                    delay_cs=5 if nf > 1 else None,
+                )
+                W, H, dec = decode_gif_frames(blob)
+                ids.append(rid)
+                ws.append(W)
+                hs.append(H)
+                nfs.append(len(dec))
+                s0.append(sum(dec[0]))
+                sl.append(sum(dec[-1]))
+                ns.append(W * H * 3)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                    "luma0_sum": pd.array(s0, dtype="int64"),
+                    "luma_last_sum": pd.array(sl, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, width int, height int, n_frames int, "
+            "luma0_sum long, luma_last_sum long, n_samples long"
+        ),
     )

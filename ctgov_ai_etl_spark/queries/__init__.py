@@ -55,6 +55,10 @@ _PRIORITY = (
     "sample_kcenter_coreset",
     "ml_decision_stump",
     "fn_uuid_deterministic",
+    "mm_decode_gif",
+    "text_rake_keywords",
+    "stat_cuped",
+    "survival_nelson_aalen",
     # -- block 2: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -1454,3 +1454,467 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("hx", 21, 12),
         ).alias("uuid3"),
     )
+
+
+# --------------------------------------------------- GIF decode
+
+
+@query(
+    "mm_decode_gif",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 13, 2)) AS INT) % 24 AS w,
+             1 + CAST(('0x' || substr(md5(text), 15, 2)) AS INT) % 24 AS h,
+             CAST(('0x' || substr(md5(text), 17, 2)) AS INT) AS v,
+             1 + CAST(('0x' || substr(md5(text), 19, 2)) AS INT) % 3 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           round(CAST(3 * list_aggregate(
+                   list_transform(range(0, w * h),
+                                  j -> (v + 13 * (j % 16)) % 256),
+                   'sum') AS BIGINT)
+                 / CAST(w * h * 3 AS BIGINT) / 255.0, 6) AS mean_luma0,
+           round(CAST(3 * list_aggregate(
+                   list_transform(range(0, w * h),
+                                  j -> (v + 13 * ((j + nf - 1) % 16)) % 256),
+                   'sum') AS BIGINT)
+                 / CAST(w * h * 3 AS BIGINT) / 255.0, 6) AS mean_luma_last
+    FROM base
+    """,
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE animated-GIF decode, hash-checked end-to-end:
+    synthesize real GIF89a payloads (md5-derived geometry, 16-entry
+    grayscale palette, 1-3 animation frames whose pixel indices shift
+    per frame, odd ids INTERLACED) with the pure-Python encoder, run
+    them back through the real LZW decoder
+    (functions/gifcodec.py: LSB-first variable-width codes, KwKwK,
+    dictionary resets, four-pass de-interlacing, frame compositing)
+    and report geometry, frame count, and first/last-frame mean luma.
+    The palette model makes decode EXACT, so the oracle replays the
+    closed-form palette sums in SQL without touching bytes — a wrong
+    LZW widening rule, interlace pass, or frame walk shifts a sum and
+    fails the hash.  One Arrow-batched mapInPandas stage, zero
+    shuffle: codec work distributes embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_and_decode_test_gifs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = render_and_decode_test_gifs(d, "doc_id")
+    return g.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round(
+            F.col("luma0_sum") / F.col("n_samples") / F.lit(255.0), 6
+        ).alias("mean_luma0"),
+        F.round(
+            F.col("luma_last_sum") / F.col("n_samples") / F.lit(255.0), 6
+        ).alias("mean_luma_last"),
+    )
+
+
+# ----------------------------------------------- CUPED adjustment
+
+
+_CUPED_SPLIT_DAYS = 15
+
+
+@query(
+    "stat_cuped",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d0 AS (SELECT min(day) AS day0 FROM ev),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN day < day0 + {_CUPED_SPLIT_DAYS}
+                           THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN day >= day0 + {_CUPED_SPLIT_DAYS}
+                           THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM ev CROSS JOIN d0 GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / n AS mx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+      FROM m
+    )
+    SELECT CAST(u.user_id % 2 AS INT) AS variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(CAST(u.y AS DOUBLE)) / count(*) / 100, 6) AS mean_y,
+           round(sum(u.y - th.theta * (u.x - th.mx)) / count(*) / 100, 6)
+             AS mean_y_cuped,
+           round(max(th.rho2) * 1000000) / 1000000 AS var_reduction
+    FROM per_user u CROSS JOIN th
+    GROUP BY u.user_id % 2
+    """,
+)
+def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the
+    experimentation-platform standard): per-user pre-period spend is
+    the covariate, experiment-period spend the metric;
+    theta = cov(x,y)/var(x) from EXACT integer cross products
+    (n*sxy - sx*sy over HUGEINT/decimal — no running float means),
+    and each variant reports its raw vs CUPED-adjusted mean plus the
+    theoretical variance reduction rho^2.  One data-scale groupBy to
+    per-user sums; moments and adjustment are a 1-row broadcast.  At
+    100 TB this is how every A/B platform doubles its effective
+    sample size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = fdiv(F.unix_micros("ts"), F.lit(_US_PER_DAY))
+    e = ev.select(
+        "user_id", day.alias("day"), cents("value").alias("cents")
+    )
+    d0 = e.agg(F.min("day").alias("day0"))
+    pu = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("day") < F.col("day0") + _CUPED_SPLIT_DAYS,
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("day") >= F.col("day0") + _CUPED_SPLIT_DAYS,
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    cnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    th = m.select(
+        (cnum / vx).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (cnum * cnum / (vx * vy)).alias("rho2"),
+    )
+    out = (
+        pu.crossJoin(F.broadcast(th))
+        .groupBy(F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("y").cast("double")) / F.count("*") / 100, 6
+            ).alias("mean_y"),
+            F.round(
+                F.sum(
+                    F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+                )
+                / F.count("*")
+                / 100,
+                6,
+            ).alias("mean_y_cuped"),
+            (F.round(F.max("rho2") * 1_000_000) / 1_000_000).alias(
+                "var_reduction"
+            ),
+        )
+    )
+    return out
+
+
+# ------------------------------------------ Nelson-Aalen hazard
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS start_us
+      FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT max(epoch_us(ts)) AS h FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS event_us
+      FROM events e JOIN t0 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t0.start_us
+      GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT t0.user_id,
+             coalesce(ev.event_us, horizon.h) - t0.start_us AS dur_us,
+             CASE WHEN ev.event_us IS NULL THEN 0 ELSE 1 END AS observed
+      FROM t0 LEFT JOIN ev USING (user_id) CROSS JOIN horizon
+    ),
+    grid AS (
+      SELECT dur_us,
+             CAST(sum(observed) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM subj GROUP BY dur_us
+    ),
+    risk AS (
+      SELECT dur_us, d,
+             CAST((SELECT count(*) FROM subj) -
+                  coalesce(sum(leaving) OVER
+                    (ORDER BY dur_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT dur_us, d, n_risk,
+           round(sum(CAST(d AS DOUBLE) / n_risk) OVER
+                   (ORDER BY dur_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cum_hazard,
+           round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+                   OVER (ORDER BY dur_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS hazard_var
+    FROM risk WHERE d > 0
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the ADDITIVE sibling
+    of the Kaplan-Meier curve (survival_km): time from first signup
+    to first subsequent purchase, right-censored at the horizon;
+    H(t) = sum over event times <= t of d_i/n_i and its variance
+    estimate sum d_i/n_i^2.  Hazards accumulate as running sums of
+    identical IEEE doubles in the same ascending-duration frame order
+    on both engines.  The risk-set grid is bounded by the subject
+    count (two partially-aggregated keyed passes at data scale; the
+    windows run on the compressed grid)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ts_us = F.unix_micros(F.col("ts"))
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("start_us"))
+    )
+    horizon = ev.agg(F.max(ts_us).alias("h"))
+    err = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us.alias("e_us"))
+        .join(t0, "user_id")
+        .filter(F.col("e_us") > F.col("start_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("event_us"))
+    )
+    subj = (
+        t0.join(err, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (
+                F.coalesce(F.col("event_us"), F.col("h"))
+                - F.col("start_us")
+            ).alias("dur_us"),
+            F.when(F.col("event_us").isNull(), 0).otherwise(1).alias(
+                "observed"
+            ),
+        )
+    )
+    n_subj = subj.agg(F.count("*").cast("long").alias("n_all"))
+    grid = subj.groupBy("dur_us").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    # bounded global windows: the grid is compressed to distinct
+    # durations (subject-bounded), not data-sized
+    w_prev = W.orderBy("dur_us").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("dur_us").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = grid.crossJoin(F.broadcast(n_subj)).select(
+        "dur_us",
+        "d",
+        (
+            F.col("n_all")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    return risk.select(
+        "dur_us",
+        "d",
+        "n_risk",
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_run), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).over(w_run),
+            6,
+        ).alias("hazard_var"),
+    ).filter(F.col("d") > 0)
+
+
+# ------------------------------------------- RAKE keyword extraction
+
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "in", "is", "for", "with", "on")
+_RAKE_TOPK = 15
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.pos - 1 AS pos, u.tok,
+             CASE WHEN u.tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS st
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) u
+    ),
+    ids AS (
+      -- phrase ids BEFORE filtering (WHERE would strip the stopwords
+      -- ahead of the window and collapse each doc to one phrase)
+      SELECT doc_id, pos, tok, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS phrase_id
+      FROM toks
+    ),
+    ph AS (
+      SELECT doc_id, pos, tok, phrase_id FROM ids WHERE st = 0
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase
+      FROM ph GROUP BY doc_id, phrase_id
+    ),
+    wstat AS (
+      SELECT p.tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(r.n_words) AS BIGINT) AS degree
+      FROM ph p JOIN phrases r USING (doc_id, phrase_id)
+      GROUP BY p.tok
+    ),
+    wscore AS (
+      SELECT tok,
+             {sql_fdiv('degree * 1000000', 'freq')} AS score_ppm
+      FROM wstat
+    ),
+    pscore AS (
+      SELECT r.phrase,
+             CAST(sum(w.score_ppm) AS BIGINT) AS score_ppm
+      FROM ph p
+      JOIN phrases r USING (doc_id, phrase_id)
+      JOIN wscore w ON w.tok = p.tok
+      GROUP BY r.doc_id, r.phrase_id, r.phrase
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_ppm) AS BIGINT) AS score_ppm
+    FROM pscore GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs — built WITHOUT regex
+    splitting (whose zero-width semantics differ across engines) via
+    the gaps-and-islands trick: phrase_id = running stopword count
+    per document; word score = degree/freq in exact integer ppm
+    (degree = sum of host-phrase lengths per occurrence), phrase
+    score = sum of member word scores.  Two data-scale shuffles
+    (phrase agg keyed on (doc, phrase), token-stat agg keyed on the
+    vocabulary) + a broadcast of the vocabulary-sized score table;
+    the final dedup-and-rank is a TakeOrderedAndProject.  The
+    document-frequency-free sibling of TF-IDF/BM25 — keyword mining
+    for corpus exploration at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.col("tok").isin(*_RAKE_STOPS).cast("int").alias("st"),
+    )
+    wp = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ph = toks.select(
+        "doc_id", "pos", "tok", F.sum("st").over(wp).alias("phrase_id"), "st"
+    ).filter(F.col("st") == 0)
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        ph.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("degree"),
+        )
+    )
+    wscore = wstat.select(
+        "tok", fdiv(F.col("degree") * 1_000_000, F.col("freq")).alias("score_ppm")
+    )
+    pscore = (
+        ph.join(phrases, ["doc_id", "phrase_id"])
+        .join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_ppm").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -1,0 +1,150 @@
+"""GIF codec: exact LZW round-trips (incl. dictionary reset and
+KwKwK), interlacing, animation compositing, the public 1x1 vector,
+malformed inputs, and dispatcher integration."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+
+from ctgov_ai_etl_spark.functions.gifcodec import (
+    GifError,
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    gif_frame_count,
+)
+
+PAL16 = [(i * 16, i * 16, i * 16) for i in range(16)]
+PAL256 = [(i, i, i) for i in range(256)]
+
+
+def _expand(pal, idx):
+    return b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_public_1x1_transparent_vector():
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, frames = decode_gif_frames(tiny)
+    assert (w, h, len(frames)) == (1, 1, 1)
+    assert decode_gif(tiny) == (1, 1, 0, 3)
+
+
+def test_roundtrip_matrix():
+    rng = np.random.default_rng(5)
+    for w, h, interlace, nf in [
+        (7, 5, False, 1),
+        (16, 16, True, 1),
+        (9, 13, False, 3),
+        (33, 17, True, 2),
+        (1, 1, False, 1),
+    ]:
+        fs = [
+            bytes(rng.integers(0, 16, size=w * h, dtype=np.uint8))
+            for _ in range(nf)
+        ]
+        g = encode_gif(
+            w, h, fs, PAL16, interlace=interlace,
+            delay_cs=10 if nf > 1 else None,
+        )
+        W, H, dec = decode_gif_frames(g)
+        assert (W, H, len(dec)) == (w, h, nf)
+        for f_in, f_out in zip(fs, dec):
+            assert f_out == _expand(PAL16, f_in)
+        assert gif_frame_count(g) == nf
+
+
+def test_dictionary_reset_roundtrip():
+    """128x128 of 256-value noise forces the LZW dictionary past 4096
+    (CLEAR-and-reset on both sides)."""
+    rng = np.random.default_rng(11)
+    big = bytes(rng.integers(0, 256, size=128 * 128, dtype=np.uint8))
+    g = encode_gif(128, 128, [big], PAL256)
+    assert decode_gif_frames(g)[2][0] == _expand(PAL256, big)
+
+
+def test_kwkwk_case():
+    """aaaa... streams hit the code==len(table) corner (KwKwK)."""
+    run = bytes([1]) * 100 + bytes([2]) + bytes([1]) * 100
+    enc = _lzw_encode(4, run)
+    assert _lzw_decode(4, enc, len(run)) == run
+
+
+def test_interlace_is_load_bearing():
+    """Decoding an interlaced GIF as if sequential must scramble the
+    raster: flip the interlace flag off and compare."""
+    rng = np.random.default_rng(3)
+    idx = bytes(rng.integers(0, 16, size=16 * 16, dtype=np.uint8))
+    g = bytearray(encode_gif(16, 16, [idx], PAL16, interlace=True))
+    # image descriptor starts right after header+LSD+GCT: find 0x2c
+    pos = 13 + 3 * 16
+    assert g[pos] == 0x2C
+    assert g[pos + 9] & 0x40
+    g[pos + 9] &= ~0x40  # lie about interlacing
+    scrambled = decode_gif_frames(bytes(g))[2][0]
+    assert scrambled != _expand(PAL16, idx)
+
+
+def test_transparency_leaves_underlying_pixel():
+    f1 = bytes([1]) * 4
+    f2 = bytes([0, 2, 0, 2])  # 0 will be transparent in frame 2
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+    for r, g, b in [(0, 0, 0), (10, 10, 10), (20, 20, 20), (0, 0, 0)]:
+        out += bytes((r, g, b))
+    for i, (f, transparent) in enumerate([(f1, None), (f2, 0)]):
+        if transparent is not None:
+            out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        lzw = _lzw_encode(2, f)
+        out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    w, h, frames = decode_gif_frames(bytes(out))
+    assert frames[0] == _expand([(0,) * 3, (10,) * 3, (20,) * 3, (0,) * 3], f1)
+    # frame 2: transparent 0 keeps the (10,10,10) from frame 1
+    assert frames[1] == bytes(
+        [10, 10, 10, 20, 20, 20, 10, 10, 10, 20, 20, 20]
+    )
+
+
+def test_malformed_inputs_raise():
+    good = encode_gif(4, 4, [bytes(16)], PAL16)
+    for bad in [
+        b"",
+        b"GIF8",
+        b"GIF85" + good[5:],
+        good[:10],
+        good[:-5],
+        good.replace(b"\x2c", b"\x2d", 1),
+    ]:
+        with pytest.raises((GifError, ValueError, IndexError)):
+            decode_gif_frames(bad)
+
+
+def test_encoder_rejects_bad_args():
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, [], PAL16)
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, [bytes(3)], PAL16)  # size mismatch
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, [bytes(4)], PAL16[:3])  # non-power-of-two
+    with pytest.raises(ValueError):
+        encode_gif(2, 2, [bytes([99, 0, 0, 0])], PAL16)  # index range
+
+
+def test_dispatcher_integration():
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_image_bytes
+
+    idx = bytes([5]) * 24
+    g = encode_gif(6, 4, [idx], PAL16)
+    w, h, mean = decode_image_bytes(g)
+    assert (w, h) == (6, 4)
+    assert mean == round(80 / 255.0, 6)
