@@ -1332,5 +1332,31 @@ CHECKS["fn_uuid_deterministic"] = [
     ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
 ]
 
+CHECKS["mm_decode_gif"] = [
+    ("codec work is one Arrow-batched MapInPandas stage", r"MapInPandas"),
+    ("zero shuffle — embarrassingly parallel decode",
+     r"\A(?!.*Exchange)"),
+]
+
+CHECKS["text_rake_keywords"] = [
+    ("phrase islands via per-doc window (one keyed shuffle)",
+     r"hashpartitioning\(doc_id"),
+    ("vocabulary score table broadcast back", r"BroadcastHashJoin"),
+    ("final rank via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ("pure JVM string algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["stat_cuped"] = [
+    ("per-user sums partially aggregated at data scale", r"partial_sum"),
+    ("theta/moments broadcast onto the variants",
+     r"BroadcastNestedLoopJoin"),
+]
+
+CHECKS["survival_nelson_aalen"] = [
+    ("per-subject passes partially aggregated", r"partial_min"),
+    ("horizon broadcast", r"BroadcastNestedLoopJoin"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
