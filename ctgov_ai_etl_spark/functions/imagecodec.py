@@ -14,14 +14,19 @@ decodable with nothing beyond the standard library:
   odd-size RIFF padding honored), little-endian int16 frames; the
   audio leg of the multimodal family (``mm_decode_audio``).
 
-Encoders for both formats live here too (the tests and the
+- **BMP (24-bit uncompressed)** — bottom-up rows, BGR order, 4-byte
+  padding (round 11).
+
+Encoders for these formats live here too (the tests and the
 ``mm_decode_real`` catalog query synthesize images on the executors,
 decode them back, and hash-check the features against a SQL oracle).
-Baseline JPEG gained its own pure-Python codec in round 10
-(``functions/jpegcodec.py``, registered in ``_DISPATCH`` below);
-formats with no pure-Python decoder (GIF, progressive JPEG, ...)
-remain behind the explicit ``NotImplementedError`` seam — install a
-codec on the executors and register it in ``_DISPATCH``.
+Baseline + progressive JPEG have their own pure-Python codec
+(``functions/jpegcodec.py``, rounds 10-11) and animated GIF its own
+(``functions/gifcodec.py``, round 11) — both registered in
+``_DISPATCH`` below; formats with no pure-Python decoder (H.264,
+MP3, AVIF ...) remain behind the explicit ``NotImplementedError``
+seam — install a codec on the executors and register it in
+``_DISPATCH``.
 
 Reference parity: the reference pipeline has no media path at all
 (it is a RESTful text ETL, reference etl.py); this module is part of
@@ -272,6 +277,7 @@ _DISPATCH = [
     (lambda d: d[:2] in (b"P5", b"P6"), decode_ppm),
     (lambda d: d[:3] == b"\xff\xd8\xff", _decode_jpeg_lazy),
     (lambda d: d[:4] == b"GIF8", _decode_gif_lazy),
+    (lambda d: d[:2] == b"BM", lambda d: decode_bmp(d)),
 ]
 
 
@@ -587,3 +593,60 @@ def dhash_bits(w: int, h: int, ch: int, raster: bytes) -> tuple[int, int]:
             else:
                 lo |= bit << (k - 32)
     return hi, lo
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed Windows BMP (BITMAPINFOHEADER): ``pixels``
+    is the w*h*3 RGB raster, top-down in memory; BMP stores rows
+    bottom-up, BGR, padded to 4-byte boundaries — the classic header
+    quirks a real decoder must honor."""
+    import struct as _s
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("raster size mismatch")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            row += bytes((pixels[i + 2], pixels[i + 1], pixels[i]))  # BGR
+        rows.append(bytes(row) + b"\x00" * pad)
+    body = b"".join(rows)
+    off = 14 + 40
+    hdr = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+    info = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                   len(body), 2835, 2835, 0, 0)
+    return hdr + info + body
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, int]:
+    """24-bit uncompressed BMP decode to the shared feature contract
+    ``(width, height, luma_sum, n_samples)`` — bottom-up row order,
+    BGR sample order, 4-byte row padding, and top-down (negative
+    height) files all handled."""
+    import struct as _s
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("missing BM signature")
+    off = _s.unpack("<I", data[10:14])[0]
+    size, w, h = _s.unpack("<Iii", data[14:26])
+    planes, bpp, comp = _s.unpack("<HHI", data[26:34])
+    if size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            "only 24-bit uncompressed BMP in the stdlib-only environment"
+        )
+    topdown = h < 0
+    h = abs(h)
+    pad = (-(w * 3)) % 4
+    stride = w * 3 + pad
+    if off + stride * h > len(data):
+        raise ValueError("BMP pixel data truncated")
+    total = 0
+    for ry in range(h):
+        base = off + ry * stride
+        total += sum(data[base : base + w * 3])
+    _ = topdown  # sum is row-order independent; geometry is not
+    return w, h, total, w * h * 3

@@ -227,7 +227,12 @@ def decode_image_real(
     division (exactness conventions) — and the whole decode is
     hash-checkable against a SQL oracle (mm_decode_real,
     mm_decode_jpeg)."""
-    from ctgov_ai_etl_spark.functions.imagecodec import decode_png, decode_ppm
+    from ctgov_ai_etl_spark.functions.gifcodec import decode_gif
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+    )
     from ctgov_ai_etl_spark.functions.jpegcodec import decode_jpeg
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -246,6 +251,10 @@ def decode_image_real(
                     w, h, s, n = decode_ppm(b)
                 elif b[:3] == b"\xff\xd8\xff":
                     w, h, s, n = decode_jpeg(b)
+                elif b[:4] == b"GIF8":
+                    w, h, s, n = decode_gif(b)
+                elif b[:2] == b"BM":
+                    w, h, s, n = decode_bmp(b)
                 else:
                     raise NotImplementedError(
                         "no pure-Python codec for this payload — "
@@ -770,3 +779,36 @@ def render_and_decode_test_gifs(
             "luma0_sum long, luma_last_sum long, n_samples long"
         ),
     )
+
+
+def render_test_bmps(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL 24-bit BMP payloads deterministically from a
+    text column (md5 bytes 10-12 so the fixture diverges from the
+    PNG/JPEG/GIF siblings): raster byte j = (v + 7j) % 256, encoded
+    through the bottom-up/BGR/4-byte-padded writer — a decoder that
+    ignored any of those header quirks would scramble the raster and
+    (for the padding) shift the sum.  One Arrow-batched mapInPandas
+    stage; decode flows through the magic-byte dispatcher like every
+    other format."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.imagecodec import encode_bmp
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w, h, v = 1 + dig[10] % 16, 1 + dig[11] % 16, dig[12]
+                raster = bytes((v + 7 * j) % 256 for j in range(w * h * 3))
+                ids.append(rid)
+                blobs.append(encode_bmp(w, h, raster))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")

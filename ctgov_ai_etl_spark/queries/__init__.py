@@ -59,6 +59,11 @@ _PRIORITY = (
     "text_rake_keywords",
     "stat_cuped",
     "survival_nelson_aalen",
+    "mm_decode_bmp",
+    "ml_roc_curve",
+    "ml_calibration_ece",
+    "stat_power_mde",
+    "stream_run_priority_sample",
     # -- block 2: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -1918,3 +1918,418 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+# ------------------------------------------------------ BMP decode
+
+
+@query(
+    "mm_decode_bmp",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 21, 2)) AS INT) % 16 AS w,
+             1 + CAST(('0x' || substr(md5(text), 23, 2)) AS INT) % 16 AS h,
+             CAST(('0x' || substr(md5(text), 25, 2)) AS INT) AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(CAST(list_aggregate(
+                   list_transform(range(0, w * h * 3),
+                                  j -> (v + 7 * j) % 256),
+                   'sum') AS BIGINT)
+                 / CAST(w * h * 3 AS BIGINT) / 255.0, 6) AS mean_luma
+    FROM base
+    """,
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE 24-bit BMP decode, hash-checked end-to-end: synthesize
+    real BMP payloads (bottom-up rows, BGR sample order, 4-byte row
+    padding — the header quirks that break naive readers), decode
+    through the magic-byte dispatcher (functions/imagecodec.py:
+    decode_bmp) and report geometry + mean luma; the closed-form
+    oracle replays the raster sum in SQL.  With netpbm, PNG, baseline
+    + progressive JPEG, animated GIF, WAV, and Y4M this completes
+    every stdlib-decodable still-image container.  Two Arrow-batched
+    mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        decode_image_real,
+        render_test_bmps,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_image_real(render_test_bmps(d, "doc_id"), "doc_id")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(
+            F.col("luma_sum") / F.col("n_samples") / F.lit(255.0), 6
+        ).alias("mean_luma"),
+    )
+
+
+# ----------------------------------------------------- ROC curve
+
+
+_ROC_BUCKET_CENTS = 3_000_000
+
+
+@query(
+    "ml_roc_curve",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_ROC_BUCKET_CENTS))} AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(count(*) - sum(pos) AS BIGINT) AS q
+      FROM raw GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+                   CAST(sum(q) AS BIGINT) AS nq FROM b),
+    cum AS (
+      -- predict positive when bucket >= threshold: cumulate DESC
+      SELECT bucket,
+             sum(p) OVER (ORDER BY bucket DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tp,
+             sum(q) OVER (ORDER BY bucket DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS fp
+      FROM b
+    ),
+    steps AS (
+      SELECT bucket, tp, fp,
+             coalesce(lag(tp) OVER (ORDER BY bucket DESC), 0) AS tp0,
+             coalesce(lag(fp) OVER (ORDER BY bucket DESC), 0) AS fp0
+      FROM cum
+    ),
+    auc AS (
+      SELECT CAST(sum(CAST(fp - fp0 AS HUGEINT) * (tp + tp0))
+                  AS HUGEINT) AS tz
+      FROM steps
+    )
+    SELECT s.bucket AS threshold_bucket,
+           CAST(s.tp AS BIGINT) AS tp, CAST(s.fp AS BIGINT) AS fp,
+           {sql_fdiv('s.tp * 1000000', 't.np')} AS tpr_ppm,
+           {sql_fdiv('s.fp * 1000000', 't.nq')} AS fpr_ppm,
+           round(CAST(a.tz AS DOUBLE)
+                 / (2.0 * t.np * t.nq), 6) AS auc
+    FROM steps s CROSS JOIN tot t CROSS JOIN auc a
+    """,
+)
+def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + AUC for a bucketed score (the model-eval op every
+    training pipeline runs before shipping a classifier): thresholds
+    are the observed score buckets, TP/FP counts cumulate in
+    DESCENDING score order, rates are exact integer ppm, and the AUC
+    is the trapezoid sum computed ENTIRELY in integers —
+    sum((fp_i - fp_i-1) * (tp_i + tp_i-1)) / (2 * n_pos * n_neg) —
+    one double division at the end (the rank-sum identity ties this
+    to stat_mann_whitney; the curve is what that test can't give).
+    One data-scale groupBy to the bucket histogram; windows run on
+    the ~200-row threshold frame."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_ROC_BUCKET_CENTS)).alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    b = raw.groupBy("bucket").agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("q"),
+    )
+    tot = b.agg(
+        F.sum("p").cast("long").alias("np"),
+        F.sum("q").cast("long").alias("nq"),
+    )
+    # bounded global windows: threshold frame, ~200 rows at any SF
+    wd = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("p").over(wd).alias("tp"),
+        F.sum("q").over(wd).alias("fp"),
+    )
+    wl = W.orderBy(F.col("bucket").desc())
+    steps = cum.select(
+        "bucket",
+        "tp",
+        "fp",
+        F.coalesce(F.lag("tp").over(wl), F.lit(0)).alias("tp0"),
+        F.coalesce(F.lag("fp").over(wl), F.lit(0)).alias("fp0"),
+    )
+    auc = steps.agg(
+        F.sum(
+            (F.col("fp") - F.col("fp0")).cast("decimal(38,0)")
+            * (F.col("tp") + F.col("tp0"))
+        ).alias("tz")
+    )
+    return (
+        steps.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(auc))
+        .select(
+            F.col("bucket").alias("threshold_bucket"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            fdiv(F.col("tp") * 1_000_000, F.col("np")).alias("tpr_ppm"),
+            fdiv(F.col("fp") * 1_000_000, F.col("nq")).alias("fpr_ppm"),
+            F.round(
+                F.col("tz").cast("double")
+                / (F.lit(2.0) * F.col("np") * F.col("nq")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+# ------------------------------------------- calibration (ECE)
+
+
+@query(
+    "ml_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(('0x' || substring(md5('conf:' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000001 AS conf_ppm,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (
+      SELECT {sql_fdiv('conf_ppm', '100000')} AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS hits,
+             CAST(sum(conf_ppm) AS BIGINT) AS conf_sum
+      FROM scored GROUP BY 1
+    ),
+    e AS (
+      SELECT bin, n, hits,
+             {sql_fdiv('hits * 1000000', 'n')} AS acc_ppm,
+             {sql_fdiv('conf_sum', 'n')} AS conf_ppm
+      FROM b
+    )
+    SELECT bin, n, hits, acc_ppm, conf_ppm,
+           CAST(abs(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm,
+           CAST({sql_fdiv('sum(CAST(n AS HUGEINT) * abs(acc_ppm - conf_ppm)) OVER ()',
+                          'sum(n) OVER ()')} AS BIGINT) AS ece_ppm
+    FROM e
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the companion metric to
+    ml_isotonic_regression: bin a predicted probability (md5-derived
+    deterministic confidence in ppm), compare each bin's empirical
+    hit rate to its mean confidence, and weight the |gap| by bin
+    mass.  EVERYTHING stays in exact integer ppm (fdiv) — acc, conf,
+    gap, and the final n-weighted ECE — so the audit is bit-portable
+    across engines and rerun-stable.  One data-scale groupBy to 10
+    bins; the rest is window algebra on the bin frame (bounded
+    global window: 11 rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    conf = F.pmod(
+        portable_hash60(F.col("o_orderkey"), salt="conf"), F.lit(1_000_001)
+    )
+    scored = o.select(
+        conf.alias("conf_ppm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    b = scored.groupBy(fdiv(F.col("conf_ppm"), F.lit(100_000)).alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("hits"),
+        F.sum("conf_ppm").cast("long").alias("conf_sum"),
+    )
+    e = b.select(
+        "bin",
+        "n",
+        "hits",
+        fdiv(F.col("hits") * 1_000_000, F.col("n")).alias("acc_ppm"),
+        fdiv(F.col("conf_sum"), F.col("n")).alias("conf_ppm"),
+    )
+    # bounded global window: the bin frame is 11 rows
+    wg = W.partitionBy()
+    gap = F.abs(F.col("acc_ppm") - F.col("conf_ppm"))
+    return e.select(
+        "bin",
+        "n",
+        "hits",
+        "acc_ppm",
+        "conf_ppm",
+        gap.cast("long").alias("gap_ppm"),
+        fdiv(
+            F.sum(F.col("n").cast("decimal(38,0)") * gap).over(wg),
+            F.sum("n").over(wg),
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+    )
+
+
+# ------------------------------------------ power / MDE analysis
+
+# Normal quantiles computed ONCE here and injected into both engines
+# as literals (exactness convention: two libm erf implementations are
+# not bit-contracted).  z_{0.975} for alpha=5% two-sided, z_{0.8} for
+# 80% power.
+_Z_ALPHA = 1.959963984540054
+_Z_POWER = 0.8416212335729143
+_POWER_NS = (1_000, 10_000, 100_000)
+
+
+@query(
+    "stat_power_mde",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS HUGEINT) AS sx,
+             CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS sxx
+      FROM u
+    ),
+    v AS (
+      SELECT CAST(m.n AS BIGINT) AS n_obs,
+             (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+               / (CAST(m.n AS DOUBLE) * (m.n - 1)) AS var_cents2
+      FROM m
+    )
+    SELECT v.n_obs,
+           CAST(g.n_arm AS BIGINT) AS n_per_arm,
+           round(sqrt(v.var_cents2) / 100, 6) AS sd_dollars,
+           round(({_Z_ALPHA} + {_Z_POWER})
+                 * sqrt(2 * v.var_cents2 / g.n_arm) / 100, 6)
+             AS mde_dollars
+    FROM v CROSS JOIN (SELECT unnest([{", ".join(str(n) for n in _POWER_NS)}])
+                       AS n_arm) g
+    """,
+)
+def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimal detectable effect for a
+    two-arm test at alpha=5% / power=80% across candidate arm sizes —
+    mde = (z_a + z_b) * sqrt(2 sigma^2 / n).  The variance comes from
+    EXACT integer moments (n*sxx - sx^2 in HUGEINT/decimal), the
+    normal quantiles are shared literals (transcendental-constant
+    convention — two libm erfs are not bit-contracted), and sqrt is
+    IEEE-correctly-rounded, so both engines agree bit-for-bit.  One
+    data-scale aggregate; the sizing grid is a 3-row literal frame.
+    Pairs with stat_cuped: CUPED shrinks sigma, this prices it."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(cents("o_totalprice").alias("xc"))
+    dec = F.col("xc").cast("decimal(38,0)")
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("sx"),
+        F.sum(dec * F.col("xc")).alias("sxx"),
+    )
+    v = m.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_cents2"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _POWER_NS])
+        ).alias("n_arm")
+    )
+    return v.crossJoin(F.broadcast(grid)).select(
+        "n_obs",
+        F.col("n_arm").cast("long").alias("n_per_arm"),
+        F.round(F.sqrt(F.col("var_cents2")) / 100, 6).alias("sd_dollars"),
+        F.round(
+            F.lit(_Z_ALPHA + _Z_POWER)
+            * F.sqrt(2 * F.col("var_cents2") / F.col("n_arm"))
+            / 100,
+            6,
+        ).alias("mde_dollars"),
+    )
+
+
+# ----------------------------------- streaming priority sampling
+
+
+@query(
+    "stream_run_priority_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS w_cents,
+             CAST(('0x' || substring(md5('pri:' ||
+                     CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+               AS u
+      FROM events WHERE ts IS NOT NULL
+    ),
+    pri AS (
+      SELECT event_id, w_cents,
+             CAST(w_cents AS DOUBLE) * 1152921504606846976.0 / u
+               AS priority
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM pri
+      ORDER BY priority DESC, event_id LIMIT {_PRIO_K + 1}
+    ),
+    tau AS (SELECT min(priority) AS tau FROM top),
+    sel AS (
+      SELECT * FROM top
+      ORDER BY priority DESC, event_id LIMIT {_PRIO_K}
+    )
+    SELECT s.event_id, s.w_cents,
+           CAST(floor(greatest(CAST(s.w_cents AS DOUBLE), t.tau))
+                AS BIGINT) AS ht_cents
+    FROM sel s CROSS JOIN tau t
+    """,
+)
+def stream_run_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING priority sampling: file micro-batch source →
+    8-way SHARDED bounded-state heaps
+    (streaming/events.py:stateful_priority_sample — top-(k+1) triples
+    per shard, state bounded regardless of stream length) →
+    update-mode snapshots → merge: union the latest shard snapshots,
+    re-rank, re-take top-(k+1).  Priority sampling's mergeability is
+    exactly what makes it THE weighted-sample at 100 TB (per-shard
+    heaps union across executors/days/clusters); here the merged
+    live sample hash-checks against the one-shot batch SQL over the
+    same rows — the oracle IS the mergeability proof.  Floored-cents
+    Horvitz-Thompson weights as in the batch twin."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_priority_sample,
+    )
+
+    snaps = run_stream_to_memory(
+        stateful_priority_sample(read_events_stream(spark, sf_dir), _PRIO_K),
+        mode="update",
+    )
+    latest = snaps.groupBy("shard").agg(
+        F.max(F.struct("rows_seen", "ids", "ws", "prios")).alias("s")
+    )
+    cand = latest.select(
+        F.explode(F.arrays_zip("s.ids", "s.ws", "s.prios")).alias("e")
+    ).select(
+        F.col("e.ids").alias("event_id"),
+        F.col("e.ws").alias("w_cents"),
+        F.col("e.prios").alias("priority"),
+    )
+    top = cand.orderBy(F.col("priority").desc(), "event_id").limit(
+        _PRIO_K + 1
+    )
+    tau = top.agg(F.min("priority").alias("tau"))
+    sel = top.orderBy(F.col("priority").desc(), "event_id").limit(_PRIO_K)
+    return sel.crossJoin(F.broadcast(tau)).select(
+        "event_id",
+        "w_cents",
+        F.floor(F.greatest(F.col("w_cents").cast("double"), F.col("tau")))
+        .cast("long")
+        .alias("ht_cents"),
+    )

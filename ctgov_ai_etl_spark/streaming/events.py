@@ -1034,3 +1034,87 @@ def stateful_geo_fence(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_priority_sample(events: DataFrame, k_per_shard: int) -> DataFrame:
+    """STREAMING priority sampling (Duffield-Lund-Thorup) — the live
+    twin of queries/round11.py:sample_priority_weighted, sharded so
+    the heap state parallelizes: each of 8 md5-independent shards
+    (event_id % 8) keeps its top-(k+1) priorities (w/u with the
+    portable md5 uniform) in state — BOUNDED at k+1 triples per shard
+    no matter the stream length — and emits an UPDATE snapshot of its
+    retained set as arrays.  Priority sampling is MERGEABLE: the
+    caller unions the latest shard snapshots, re-ranks, and re-takes
+    top-(k+1), which equals the batch answer over the same rows (the
+    property the shared oracle checks).  Same event-time contract as
+    the other stateful operators."""
+    import hashlib
+
+    import pandas as pd
+
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ids, ws, prios, rows = state.get
+            ids, ws, prios = list(ids), list(ws), list(prios)
+        else:
+            ids, ws, prios, rows = [], [], [], 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for eid, w in zip(batch["event_id"], batch["w_cents"]):
+                u = (
+                    int(
+                        hashlib.md5(f"pri:{int(eid)}".encode()).hexdigest()[
+                            :15
+                        ],
+                        16,
+                    )
+                    + 1
+                )
+                prios.append(float(w) * 1152921504606846976.0 / u)
+                ids.append(int(eid))
+                ws.append(int(w))
+                rows += 1
+            order = sorted(
+                range(len(ids)), key=lambda i: (-prios[i], ids[i])
+            )[: k_per_shard + 1]
+            ids = [ids[i] for i in order]
+            ws = [ws[i] for i in order]
+            prios = [prios[i] for i in order]
+        state.update((ids, ws, prios, rows))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "rows_seen": [rows],
+                "ids": [ids],
+                "ws": [ws],
+                "prios": [prios],
+            }
+        )
+
+    keyed = events.filter(F.col("ts").isNotNull()).select(
+        F.pmod(F.col("event_id"), F.lit(8)).alias("shard"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("w_cents"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "shard long, rows_seen long, ids array<long>, "
+            "ws array<long>, prios array<double>"
+        ),
+        stateStructType=(
+            "ids array<long>, ws array<long>, prios array<double>, "
+            "rows long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -80,10 +80,18 @@ def test_dispatch_and_honest_seam():
 
     with pytest.raises(JpegError):
         decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish")
-    # the honest NotImplementedError seam remains for formats with no
-    # pure-Python codec (e.g. GIF)
-    with pytest.raises(NotImplementedError):
+    # GIF and BMP magic route to their real decoders too (round 11):
+    # malformed payloads raise the codecs' own errors, not the seam
+    from ctgov_ai_etl_spark.functions.gifcodec import GifError
+
+    with pytest.raises(GifError):
         decode_image_bytes(b"GIF89a\x00\x00")
+    with pytest.raises(ValueError):
+        decode_image_bytes(b"BMtiny")
+    # the honest NotImplementedError seam remains for formats with no
+    # pure-Python codec (e.g. WebP)
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_render_decode_distributed(spark):
@@ -120,15 +128,21 @@ def test_render_decode_distributed(spark):
 def test_decode_real_unsupported_format_raises(spark):
     from ctgov_ai_etl_spark.operators.multimodal import decode_image_real
 
-    # JPEG magic now reaches the real decoder (its own malformed-input
-    # error); the executor-side honest seam fires for formats with no
-    # pure-Python codec at all
+    # JPEG/GIF magic now reaches the real decoders (their own
+    # malformed-input errors); the executor-side honest seam fires
+    # for formats with no pure-Python codec at all (e.g. WebP)
     df = spark.createDataFrame(
-        [(1, bytearray(b"GIF89a-not-an-image"))],
+        [(1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 "))],
         "doc_id long, blob binary",
     )
     with pytest.raises(Exception, match="no pure-Python codec"):
         decode_image_real(df, "doc_id").collect()
+    dfg = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a-not-an-image"))],
+        "doc_id long, blob binary",
+    )
+    with pytest.raises(Exception, match="unknown block|GifError"):
+        decode_image_real(dfg, "doc_id").collect()
     df2 = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xffnot-an-image"))],
         "doc_id long, blob binary",

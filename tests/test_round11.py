@@ -348,3 +348,102 @@ def test_uuid_format_and_determinism(spark):
     rows2 = {r["doc_id"]: r["uuid3"] for r in q(spark, SF).collect()}
     assert rows == rows2
     assert len(set(rows.values())) == len(rows)  # content-distinct
+
+
+# ----------------------------------------------- wave 4: eval / bmp
+
+
+def test_roc_auc_bounded_and_monotone(spark):
+    rows = sorted(
+        load_all()["ml_roc_curve"].fn(spark, SF).collect(),
+        key=lambda r: -r["threshold_bucket"],
+    )
+    assert rows
+    auc = rows[0]["auc"]
+    assert 0.0 <= auc <= 1.0
+    tprs = [r["tpr_ppm"] for r in rows]
+    fprs = [r["fpr_ppm"] for r in rows]
+    # cumulating in descending threshold order: both rates monotone up
+    assert tprs == sorted(tprs) and fprs == sorted(fprs)
+    assert tprs[-1] == 1_000_000 and fprs[-1] == 1_000_000
+    for r in rows:
+        assert all(r["auc"] == auc for r in rows)
+
+
+def test_calibration_ece_consistent(spark):
+    rows = load_all()["ml_calibration_ece"].fn(spark, SF).collect()
+    assert rows
+    n = sum(r["n"] for r in rows)
+    # the reported ECE equals the direct weighted mean of the gaps
+    num = sum(r["n"] * r["gap_ppm"] for r in rows)
+    ece = (num - (num % n + n) % n) // n
+    for r in rows:
+        assert r["ece_ppm"] == ece
+        assert 0 <= r["acc_ppm"] <= 1_000_000
+        assert 0 <= r["conf_ppm"] <= 1_000_000
+
+
+def test_power_mde_shrinks_with_n(spark):
+    rows = sorted(
+        load_all()["stat_power_mde"].fn(spark, SF).collect(),
+        key=lambda r: r["n_per_arm"],
+    )
+    mdes = [r["mde_dollars"] for r in rows]
+    assert mdes == sorted(mdes, reverse=True)  # more n, smaller MDE
+    # 10x the arm shrinks MDE by ~sqrt(10)
+    assert abs(mdes[0] / mdes[1] - 10 ** 0.5) < 1e-3
+
+
+def test_stream_priority_sample_equals_batch_semantics(spark):
+    """The merged sharded-heap sample must equal the one-shot batch
+    computation over the same events (mergeability)."""
+    import hashlib
+
+    rows = load_all()["stream_run_priority_sample"].fn(spark, SF).collect()
+    assert len(rows) == 100
+    from ctgov_ai_etl_spark.tables import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("w"))
+        .collect()
+    )
+    pri = []
+    for r in ev:
+        u = int(hashlib.md5(f"pri:{r['event_id']}".encode()).hexdigest()[:15], 16) + 1
+        pri.append((float(r["w"]) * 1152921504606846976.0 / u, r["event_id"], r["w"]))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    expect_ids = [t[1] for t in pri[:100]]
+    assert sorted(r["event_id"] for r in rows) == sorted(expect_ids)
+    tau = pri[100][0]
+    for r in rows:
+        w = dict((t[1], t[2]) for t in pri[:100])[r["event_id"]]
+        import math
+
+        assert r["ht_cents"] == math.floor(max(float(w), tau))
+
+
+def test_bmp_codec_edges():
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_image_bytes,
+        encode_bmp,
+    )
+
+    # width 5: stride 15 needs 1 pad byte — padding must not leak
+    px = bytes(range(75)) + bytes(75)
+    bmp = encode_bmp(5, 10, px[: 5 * 10 * 3])
+    w, h, s, n = decode_bmp(bmp)
+    assert (w, h, n) == (5, 10, 150)
+    assert s == sum(px[:150])
+    assert decode_image_bytes(bmp)[:2] == (5, 10)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_bmp(b"BMshort")
+    with _pt.raises(NotImplementedError):
+        # 8-bit BMP is outside the stdlib seam
+        bad = bytearray(bmp)
+        bad[28] = 8
+        decode_bmp(bytes(bad))

@@ -1358,5 +1358,34 @@ CHECKS["survival_nelson_aalen"] = [
     ("horizon broadcast", r"BroadcastNestedLoopJoin"),
 ]
 
+CHECKS["mm_decode_bmp"] = [
+    ("codec work is Arrow-batched MapInPandas stages", r"MapInPandas"),
+    ("zero shuffle — embarrassingly parallel decode",
+     r"\A(?!.*Exchange)"),
+]
+
+CHECKS["ml_roc_curve"] = [
+    ("bucket histogram partially aggregated at data scale",
+     r"partial_sum"),
+    ("totals and AUC broadcast onto the curve frame",
+     r"BroadcastNestedLoopJoin"),
+    ("pure JVM curve algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["ml_calibration_ece"] = [
+    ("bin histogram partially aggregated at data scale",
+     r"partial_count"),
+    ("pure JVM ppm algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["stat_power_mde"] = [
+    ("moments partially aggregated at data scale", r"partial_sum"),
+    ("sizing grid broadcast", r"BroadcastNestedLoopJoin"),
+    ("no data-scale shuffle beyond the one aggregate",
+     r"\A(?!.*hashpartitioning\(o_orderkey)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
