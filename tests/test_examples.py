@@ -90,3 +90,18 @@ def test_web_corpus_pipeline_example(spark):
     assert out["training_rows"] > 0
     assert out["balanced_equal"] is True
     assert out["audited_users"] > 0
+
+
+def test_geo_model_eval_pipeline_example(spark):
+    from examples.geo_model_eval_pipeline import main
+
+    out = main(SF_SMALL)
+    assert out["n_tiles"] > 0
+    assert out["n_alerts"] > 0
+    assert out["n_curve_points"] > 0
+    assert 0.0 <= out["auc"] <= 1.0
+    assert 0 <= out["ece_ppm"] <= 1_000_000
+    assert out["n_sample"] == 100
+    assert out["n_changepoints"] == 3
+    # HT weights are floored max(w, tau): total at least the raw sum
+    assert out["ht_total_cents"] > 0
