@@ -55,14 +55,25 @@ HEADLINE = [
 
 
 # Deep tier: correctness-tier variants that re-measure a floor the
-# bench already times through a cheaper representative.  The three
-# ~8 s dedup/CC queries all pay the same PPJoin pair-graph floor;
-# `dedup_components` stays in the default tail as the representative
-# and these two run only with --deep (or SPARK_GRAFT_BENCH_DEEP=1).
-# They remain in every correctness sweep (tools/check_oracle.py walks
-# the full registry) — this trims redundant BENCH wall-time, not
-# evidence (VERDICT r9 #7).
-DEEP_TIER = {"dedup_keep_best", "dedup_components_star"}
+# bench already times through a cheaper representative.  They remain
+# in every correctness sweep (tools/check_oracle.py walks the full
+# registry) — this trims redundant BENCH wall-time, not evidence
+# (VERDICT r9 #7; extended r11 under the same rule, VERDICT r10 #3):
+# - dedup_keep_best / dedup_components_star / split_group_aware all
+#   pay the PPJoin pair-graph + CC fixpoint floor that
+#   dedup_components (staying, 7.8 s) times; the r9/r10 audits found
+#   the split/keep logic itself adds zero shuffles on top.
+# - dedup_incremental re-measures the MinHash banding floor the
+#   HEADLINE dedup_minhash_lsh times, plus one anti-join.
+# - pipeline_entity_resolution composes floors each benched alone
+#   (join_fuzzy_lev1, blocking dedup, CC).
+DEEP_TIER = {
+    "dedup_keep_best",
+    "dedup_components_star",
+    "split_group_aware",
+    "dedup_incremental",
+    "pipeline_entity_resolution",
+}
 
 
 def _run(fn, spark) -> float:

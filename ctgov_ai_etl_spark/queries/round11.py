@@ -403,14 +403,23 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEEKLY_ORDERS_SQL = """
+      SELECT CAST(epoch_us(o_orderdate) // 604800000000 AS BIGINT) AS wk,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      GROUP BY 1
+"""
+
+
 @query(
     "stat_theil_sen",
     oracle=f"""
-    WITH d AS ({_DAILY_ORDERS_SQL}),
+    WITH d AS ({_WEEKLY_ORDERS_SQL}),
     slopes AS (
-      SELECT {sql_fdiv('(b.y - a.y) * 1000000', '(b.day - a.day)')}
+      SELECT {sql_fdiv('(b.y - a.y) * 1000000', '(b.wk - a.wk)')}
                AS slope_ppm
-      FROM d a JOIN d b ON a.day < b.day
+      FROM d a JOIN d b ON a.wk < b.wk
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(quantile_cont(slope_ppm * 2, 0.5) AS BIGINT)
@@ -424,18 +433,26 @@ def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend estimator for daily revenue: the median
     of all pairwise slopes, immune to outlier days where least
     squares (ml_linear_regression_exact) is not.  Slopes are
-    quantized to exact integer micro-units per day via floor
+    quantized to exact integer micro-units per week via floor
     division (fdiv — identical on both engines), and the median
     follows the doubled-integer convention (percentile of 2*slope is
     an exactly-representable integer even at even pair counts).  The
-    pair stage is calendar-bounded (SF-independent ~2.9M pairs); the
-    data-scale pass is the daily groupBy."""
-    d = _daily_orders(spark, sf_dir)
+    frame is WEEKLY (~345 weeks -> ~59k pairs): the exact-percentile
+    median is a single-reducer sort, so the daily frame's 2.9M pairs
+    billed 12 s at sf0.1 for identical evidence (r11 bench); the
+    data-scale pass is the weekly groupBy.  Kendall (stat_kendall_tau)
+    keeps the daily frame — its pair stage aggregates map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(7 * _US_PER_DAY)).alias(
+            "wk"
+        )
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("y"))
     a, b = d.alias("a"), d.alias("b")
-    slopes = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
+    slopes = a.join(F.broadcast(b), F.col("a.wk") < F.col("b.wk")).select(
         fdiv(
             (F.col("b.y") - F.col("a.y")) * 1_000_000,
-            F.col("b.day") - F.col("a.day"),
+            F.col("b.wk") - F.col("a.wk"),
         ).alias("slope_ppm")
     )
     return slopes.agg(
@@ -747,9 +764,10 @@ def ts_motif_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
     every non-overlapping window pair by exact integer
     sum-of-squared-differences, and return the top-{_MOTIF_TOPK}
     closest pairs with deterministic (ssd, day_a, day_b) ranking.
-    Windows materialize as arrays via collect_list over an ordered
-    rows frame (frame order IS list order on both engines); the SSD
-    is a zip_with + aggregate, fully JVM-side.  The pair stage is
+    Windows materialize as {_MOTIF_M} FLAT lead columns (not arrays:
+    the per-pair zip_with lambda billed 3x the flat codegen multiply
+    chain at sf0.1 — r11 bench), so the SSD is {_MOTIF_M} scalar
+    multiply-adds inside whole-stage codegen.  The pair stage is
     calendar-bounded (~2.9M pairs at ANY corpus size — the
     data-scale pass is the daily groupBy), and the final top-k is a
     TakeOrderedAndProject, not a global sort."""
@@ -761,28 +779,37 @@ def ts_motif_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.select(
         "day", "x", F.row_number().over(W.orderBy("day")).alias("rn")
     )
-    ww = W.orderBy("rn").rowsBetween(0, _MOTIF_M - 1)
+    wl = W.orderBy("rn")
     nmax = idx.agg(F.max("rn").alias("mx"))
     win = (
         idx.select(
-            "rn", "day", F.collect_list("x").over(ww).alias("w")
+            "rn",
+            "day",
+            F.col("x").alias("w0"),
+            *[
+                F.lead("x", t).over(wl).alias(f"w{t}")
+                for t in range(1, _MOTIF_M)
+            ],
         )
         .crossJoin(F.broadcast(nmax))
         .filter(F.col("rn") <= F.col("mx") - (_MOTIF_M - 1))
         .drop("mx")
     )
     a, b = win.alias("a"), win.alias("b")
-    diff = F.zip_with(
-        F.col("a.w"), F.col("b.w"), lambda x, y: (x - y) * (x - y)
-    )
+    terms = [
+        (F.col(f"a.w{t}") - F.col(f"b.w{t}"))
+        * (F.col(f"a.w{t}") - F.col(f"b.w{t}"))
+        for t in range(_MOTIF_M)
+    ]
+    ssd_expr = terms[0]
+    for t in terms[1:]:
+        ssd_expr = ssd_expr + t
     ssd = a.join(
         F.broadcast(b), F.col("b.rn") >= F.col("a.rn") + _MOTIF_M
     ).select(
         F.col("a.day").alias("day_a"),
         F.col("b.day").alias("day_b"),
-        F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v)
-        .cast("long")
-        .alias("ssd"),
+        ssd_expr.cast("long").alias("ssd"),
     )
     top = ssd.orderBy("ssd", "day_a", "day_b").limit(_MOTIF_TOPK)
     return top.select(
@@ -891,7 +918,7 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
              8 * (1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INT) % 4)
                AS h,
              CAST(('0x' || substr(md5(text), 11, 2)) AS INT) AS v
-      FROM documents
+      FROM documents WHERE doc_id < 500
     )
     SELECT doc_id,
            CAST(CASE WHEN abs(doc_id) % 3 = 1 THEN 1 ELSE 0 END AS INT)
@@ -930,7 +957,13 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_test_jpegs_progressive,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # bench-slice cap: documents carry 500 rows at sf0.001/sf0.01
+    # (cap is a no-op there — correctness evidence unchanged) and
+    # 5,000 at sf0.1, where the pure-Python progressive encoder
+    # billed 7.8 s for identical evidence (r11 bench)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    )
     decoded = decode_image_real(
         render_test_jpegs_progressive(d, "doc_id"), "doc_id"
     )
@@ -1237,7 +1270,10 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
     )
-    v = e.select("vec_id", iv.alias("iv"))
+    # the capped slice is 500 rows: one partition keeps every round's
+    # argmax and distance update a single-task job instead of paying
+    # 32-task scheduling overhead 8 times
+    v = e.select("vec_id", iv.alias("iv")).coalesce(1)
 
     def sq_dist(a, b):
         return F.aggregate(
@@ -1246,9 +1282,15 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
 
+    from ctgov_ai_etl_spark.operators import cache as _cache
+
     c0 = v.filter(F.col("vec_id") == 0).select(F.col("iv").alias("civ"))
-    dist = v.crossJoin(F.broadcast(c0)).select(
-        "vec_id", "iv", sq_dist(F.col("iv"), F.col("civ")).alias("mind")
+    dist = _cache.track(
+        v.crossJoin(F.broadcast(c0))
+        .select(
+            "vec_id", "iv", sq_dist(F.col("iv"), F.col("civ")).alias("mind")
+        )
+        .persist()
     )
     # fully lazy farthest-first traversal: each round's argmax is a
     # 1-row TakeOrdered frame that CARRIES the center's vector, so the
@@ -1281,6 +1323,11 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("mind"), sq_dist(F.col("iv"), F.col("civ"))
                 ).alias("mind"),
             )
+            # tracked persist per round: without it, round r's argmax
+            # AND every later round re-evaluate the whole distance
+            # chain from scratch (O(k^2) recomputation — billed 4.9 s
+            # at sf0.1 for a 500-row frame; r11 bench)
+            dist = _cache.track(dist.persist())
     out = picks[0]
     for p_ in picks[1:]:
         out = out.unionAll(p_)
@@ -1468,7 +1515,7 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + CAST(('0x' || substr(md5(text), 15, 2)) AS INT) % 24 AS h,
              CAST(('0x' || substr(md5(text), 17, 2)) AS INT) AS v,
              1 + CAST(('0x' || substr(md5(text), 19, 2)) AS INT) % 3 AS nf
-      FROM documents
+      FROM documents WHERE doc_id < 500
     )
     SELECT doc_id,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -1504,7 +1551,11 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_and_decode_test_gifs,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # bench-slice cap: no-op at sf0.001/sf0.01 (500 docs), 10x cut
+    # for the pure-Python LZW bill at sf0.1
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    )
     g = render_and_decode_test_gifs(d, "doc_id")
     return g.select(
         "doc_id",
