@@ -67,12 +67,19 @@ HEADLINE = [
 #   HEADLINE dedup_minhash_lsh times, plus one anti-join.
 # - pipeline_entity_resolution composes floors each benched alone
 #   (join_fuzzy_lev1, blocking dedup, CC).
+# - dedup_jaccard_bigram is the character-shingle variant of the
+#   HEADLINE dedup_jaccard_pairs (same PPJoin prefix-filter floor,
+#   different shingle type); dedup_semantic_prune is the pruning
+#   variant of dedup_semantic_groups (staying, 7.6 s — the same
+#   centroid-blocked cosine + CC floor).
 DEEP_TIER = {
     "dedup_keep_best",
     "dedup_components_star",
     "split_group_aware",
     "dedup_incremental",
     "pipeline_entity_resolution",
+    "dedup_jaccard_bigram",
+    "dedup_semantic_prune",
 }
 
 
