@@ -195,13 +195,24 @@ def test_theil_sen_median_between_extremes(spark):
     row = load_all()["stat_theil_sen"].fn(spark, SF).first()
     med = row["median_slope_ppm_x2"] / 2
     assert row["min_slope_ppm"] <= med <= row["max_slope_ppm"]
-    # reference on the quantized integer slopes
-    from ctgov_ai_etl_spark.queries.round11 import _daily_orders
+    # reference on the quantized integer slopes (WEEKLY frame since
+    # the r11 bench trim — the exact-percentile median is a
+    # single-reducer sort, so the pair frame stays small)
+    from ctgov_ai_etl_spark.functions.exact import cents, fdiv
+    from ctgov_ai_etl_spark.tables import load_table
 
-    rows = sorted(
-        _daily_orders(spark, SF).collect(), key=lambda r: r["day"]
+    wk = (
+        load_table(spark, SF, "orders")
+        .groupBy(
+            fdiv(
+                F.unix_micros("o_orderdate"), F.lit(7 * 86_400_000_000)
+            ).alias("wk")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("y"))
+        .collect()
     )
-    dd = np.array([r["day"] for r in rows], dtype=np.int64)
+    rows = sorted(wk, key=lambda r: r["wk"])
+    dd = np.array([r["wk"] for r in rows], dtype=np.int64)
     yy = np.array([r["y"] for r in rows], dtype=np.int64)
     slopes = []
     for i in range(len(dd)):
