@@ -64,6 +64,8 @@ _PRIORITY = (
     "ml_calibration_ece",
     "stat_power_mde",
     "stream_run_priority_sample",
+    "join_array_overlap",
+    "attribution_time_decay",
     # -- block 2: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

@@ -2384,3 +2384,173 @@ def stream_run_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ht_cents"),
     )
+
+
+# ------------------------------------------- array-overlap join
+
+
+@query(
+    "join_array_overlap",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             -- [1:3] is INCLUSIVE in DuckDB (3 elements, matching
+             -- Spark's slice(arr, 1, 3))
+             list_distinct(string_split(text, ' ')[1:3]) AS tags
+      FROM documents WHERE doc_id < 500
+    ),
+    ex AS (
+      SELECT doc_id, unnest(tags) AS tag FROM tagged
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex a JOIN ex b ON a.tag = b.tag AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def join_array_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-VALUED JOIN on overlapping tag arrays (match documents
+    sharing >= 2 tags) — expressed the way it survives 100 TB: NOT
+    `arrays_overlap` as a theta-join predicate (which plans as a
+    cartesian), but explode-both-sides -> one EQUALITY shuffle on the
+    tag -> pair aggregation with the overlap threshold as a HAVING.
+    Shared tags count once each (tags are de-duplicated per doc
+    first), each qualifying pair aggregates from its shared-tag rows,
+    and skew is bounded by per-tag document frequency (a stopword-ish
+    hub tag fans out like any hot join key — salt or filter by df at
+    real scale; here the slice cap documents the demo bound)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tagged = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(F.split("text", " "), 1, 3)).alias("tags"),
+    )
+    ex = tagged.select("doc_id", F.explode("tags").alias("tag"))
+    a = ex.select(F.col("doc_id").alias("a"), "tag")
+    b = ex.select(F.col("doc_id").alias("b"), "tag")
+    return (
+        a.join(b, "tag")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+# --------------------------------------- time-decay attribution
+
+
+_DECAY_WINDOW_DAYS = 7
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, day AS conv_day, cents
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             day AS touch_day
+      FROM ev WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.cents, t.touch_id, t.touch_type,
+             CAST(CASE WHEN {_DECAY_WINDOW_DAYS} - (c.conv_day - t.touch_day)
+                       BETWEEN 0 AND {_DECAY_WINDOW_DAYS}
+                  THEN 1 << CAST({_DECAY_WINDOW_DAYS}
+                                 - (c.conv_day - t.touch_day) AS INT)
+                  ELSE 0 END AS BIGINT) AS w
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_day <= c.conv_day
+       AND t.touch_day >= c.conv_day - {_DECAY_WINDOW_DAYS}
+    ),
+    tot AS (
+      SELECT conv_id, CAST(sum(w) AS BIGINT) AS wsum FROM pairs
+      GROUP BY conv_id
+    )
+    SELECT p.touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum({sql_fdiv('p.cents * p.w', 't.wsum')}) AS BIGINT)
+             AS credited_cents
+    FROM pairs p JOIN tot t USING (conv_id)
+    WHERE t.wsum > 0 AND p.w > 0
+    GROUP BY p.touch_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY attribution — the third standard model beside
+    last-touch and linear (attribution_last_touch/_linear): each
+    purchase credits its preceding-week touches with weight halving
+    per day of age.  Weights are DYADIC (1 << (window - age)) so they
+    stay exact int64, and each touch's credit is the exact floor
+    division cents*w // sum(w) — no float decay curve to disagree
+    on.  The pair stage is a user-keyed join with a calendar-bounded
+    fanout (7-day lookback); credits aggregate partially by touch
+    type.  The floor-division remainder (< n_touches cents per
+    conversion) is deliberately unassigned — deterministic on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        fdiv(F.unix_micros("ts"), F.lit(_US_PER_DAY)).alias("day"),
+        cents("value").alias("cents"),
+    )
+    conv = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("day").alias("conv_day"),
+        "cents",
+    )
+    touch = base.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("day").alias("touch_day"),
+    )
+    age = F.col("conv_day") - F.col("touch_day")
+    # pyspark's F.shiftleft wants a literal bit count; the SQL form
+    # takes a column.  The when() guard pins the shift to the
+    # 0..window domain (the 0..63 shift-domain convention).
+    w = (
+        F.when(
+            (_DECAY_WINDOW_DAYS - age >= 0)
+            & (_DECAY_WINDOW_DAYS - age <= _DECAY_WINDOW_DAYS),
+            F.expr(
+                f"shiftleft(1, CAST({_DECAY_WINDOW_DAYS} "
+                "- (conv_day - touch_day) AS INT))"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    pairs = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("touch_day") <= F.col("conv_day"))
+        & (F.col("touch_day") >= F.col("conv_day") - _DECAY_WINDOW_DAYS),
+    ).select("conv_id", "cents", "touch_id", "touch_type", w.alias("w"))
+    tot = pairs.groupBy("conv_id").agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    return (
+        pairs.join(tot, "conv_id")
+        .filter((F.col("wsum") > 0) & (F.col("w") > 0))
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum(fdiv(F.col("cents") * F.col("w"), F.col("wsum")))
+            .cast("long")
+            .alias("credited_cents"),
+        )
+    )
