@@ -1387,5 +1387,20 @@ CHECKS["stat_power_mde"] = [
      r"\A(?!.*hashpartitioning\(o_orderkey)"),
 ]
 
+CHECKS["join_array_overlap"] = [
+    ("explode-both-sides equality join, never a cartesian",
+     r"\A(?!.*CartesianProduct)(?!.*BroadcastNestedLoopJoin)"),
+    ("tag fanout via explode (Generate)", r"Generate explode"),
+    ("pair counts partially aggregated", r"partial_count"),
+]
+
+CHECKS["attribution_time_decay"] = [
+    ("pair stage keyed on user_id (calendar-bounded fanout)",
+     r"(hashpartitioning\(user_id|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ("credits partially aggregated by touch type", r"partial_count"),
+    ("pure JVM dyadic weights (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
