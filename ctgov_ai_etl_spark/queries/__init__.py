@@ -66,6 +66,8 @@ _PRIORITY = (
     "stream_run_priority_sample",
     "join_array_overlap",
     "attribution_time_decay",
+    "stat_cohens_kappa",
+    "ml_bradley_terry",
     # -- block 2: stalest driver evidence (r4, never re-sampled
     #    since), alphabetical; the r5 cohort follows in the registry
     #    tail ordering below

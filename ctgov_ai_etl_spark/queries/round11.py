@@ -2554,3 +2554,298 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credited_cents"),
         )
     )
+
+
+# ------------------------------------------ inter-annotator kappa
+
+
+@query(
+    "stat_cohens_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(('0x' || substring(md5('a:' ||
+               CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS a,
+             CASE WHEN CAST(('0x' || substring(md5('agree:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 10 < 7
+                  THEN CAST(('0x' || substring(md5('a:' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 3
+                  ELSE CAST(('0x' || substring(md5('b:' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 3
+             END AS b
+      FROM orders
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY a, b
+    )
+    SELECT CAST(c.a AS INT) AS a, CAST(c.b AS INT) AS b, c.n,
+           round((CAST(m2.nt AS DOUBLE) * m2.diag - CAST(m2.src AS DOUBLE))
+                 / (CAST(m2.nt AS DOUBLE) * m2.nt
+                    - CAST(m2.src AS DOUBLE)), 6) AS kappa
+    FROM cells c CROSS JOIN (
+      SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS nt,
+             (SELECT CAST(sum(n) AS BIGINT) FROM cells WHERE a = b)
+               AS diag,
+             (SELECT CAST(sum(CAST(ra.rn AS HUGEINT) * cb.cn) AS HUGEINT)
+              FROM (SELECT a, sum(n) AS rn FROM cells GROUP BY a) ra
+              JOIN (SELECT b, sum(n) AS cn FROM cells GROUP BY b) cb
+                ON ra.a = cb.b) AS src
+    ) m2
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement — the labeling-QA
+    metric every human-annotation pipeline gates on before its labels
+    become training data: two deterministic md5 'annotators' (B
+    copies A 70% of the time) build a 3x3 confusion matrix, and
+    kappa = (n*diag - sum(row_i*col_i)) / (n^2 - sum(row_i*col_i))
+    stays in EXACT integers until one double division.  One
+    data-scale groupBy to 9 cells; the margins join is
+    contingency-sized.  Output carries the full matrix plus the
+    shared kappa so the audit is one frame."""
+    o = load_table(spark, sf_dir, "orders")
+    ha = F.pmod(portable_hash60(F.col("o_orderkey"), salt="a"), F.lit(3))
+    hb = F.pmod(portable_hash60(F.col("o_orderkey"), salt="b"), F.lit(3))
+    agree = F.pmod(
+        portable_hash60(F.col("o_orderkey"), salt="agree"), F.lit(10)
+    )
+    lab = o.select(
+        ha.alias("a"), F.when(agree < 7, ha).otherwise(hb).alias("b")
+    )
+    cells = lab.groupBy("a", "b").agg(F.count("*").cast("long").alias("n"))
+    ra = cells.groupBy("a").agg(F.sum("n").cast("long").alias("rn"))
+    cb = cells.groupBy("b").agg(F.sum("n").cast("long").alias("cn"))
+    src = (
+        ra.join(cb, ra.a == cb.b)
+        .agg(
+            F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cn")).alias(
+                "src"
+            )
+        )
+    )
+    tots = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    kappa = F.round(
+        (F.col("nt").cast("double") * F.col("diag") - F.col("src").cast("double"))
+        / (
+            F.col("nt").cast("double") * F.col("nt")
+            - F.col("src").cast("double")
+        ),
+        6,
+    )
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(src))
+        .select(
+            F.col("a").cast("int").alias("a"),
+            F.col("b").cast("int").alias("b"),
+            "n",
+            kappa.alias("kappa"),
+        )
+    )
+
+
+# --------------------------------- Bradley-Terry preference model
+
+_BT_ITERS = 3
+# item index = first char of o_orderpriority ('1'..'5') - 1
+_BT_K = 5
+
+
+def _bt_oracle() -> str:
+    pair_src = """
+      SELECT CAST(CAST(substr(a.o_orderpriority, 1, 1) AS INT) - 1 AS INT)
+               AS ia,
+             CAST(CAST(substr(b.o_orderpriority, 1, 1) AS INT) - 1 AS INT)
+               AS ib,
+             CASE WHEN CAST(round(a.o_totalprice * 100) AS BIGINT)
+                       > CAST(round(b.o_totalprice * 100) AS BIGINT)
+                  THEN 1
+                  WHEN CAST(round(a.o_totalprice * 100) AS BIGINT)
+                       = CAST(round(b.o_totalprice * 100) AS BIGINT)
+                   AND a.o_orderpriority < b.o_orderpriority
+                  THEN 1 ELSE 0 END AS a_wins
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+       AND a.o_orderpriority <> b.o_orderpriority
+    """
+    parts = [
+        f"pairs AS ({pair_src})",
+        """wins AS (
+      SELECT ia AS i, ib AS j,
+             CAST(sum(a_wins) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS g
+      FROM pairs GROUP BY ia, ib
+    )""",
+        """mat AS (
+      -- symmetric game counts + per-item total wins, dense 5x5
+      SELECT i,
+             CAST(sum(w) AS BIGINT) AS big_w
+      FROM (
+        SELECT i, w FROM wins
+        UNION ALL
+        SELECT j AS i, g - w AS w FROM wins
+      ) GROUP BY i
+    )""",
+        """g5 AS (
+      SELECT i,
+             """ + ",\n             ".join(
+            f"CAST(sum(CASE WHEN j = {c} THEN g ELSE 0 END) AS BIGINT)"
+            f" AS g{c}"
+            for c in range(_BT_K)
+        ) + """
+      FROM (
+        SELECT i, j, g FROM wins
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM wins
+      ) GROUP BY i
+    )""",
+        "p0 AS (SELECT "
+        + ", ".join(f"1.0 AS p{c}" for c in range(_BT_K))
+        + ")",
+    ]
+    for t in range(1, _BT_ITERS + 1):
+        terms = " + ".join(
+            f"g5.g{c} / (CASE m.i "
+            + " ".join(f"WHEN {d} THEN p.p{d}" for d in range(_BT_K))
+            + f" END + p.p{c})"
+            for c in range(_BT_K)
+        )
+        parts.append(
+            f"""it{t} AS (
+      SELECT m.i, CAST(m.big_w AS DOUBLE) / nullif({terms}, 0) AS p
+      FROM mat m JOIN g5 ON g5.i = m.i CROSS JOIN p{t - 1} p
+    )"""
+        )
+        parts.append(
+            f"p{t} AS (SELECT "
+            + ", ".join(
+                f"max(CASE WHEN i = {c} THEN p END) AS p{c}"
+                for c in range(_BT_K)
+            )
+            + f" FROM it{t})"
+        )
+    final_terms = " + ".join(f"p.p{c}" for c in range(_BT_K))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT it.i AS item, m.big_w AS wins,
+           round(it.p / ({final_terms}), 6) AS strength
+    FROM it{_BT_ITERS} it JOIN mat m ON m.i = it.i
+    CROSS JOIN p{_BT_ITERS} p"""
+    )
+
+
+@query("ml_bradley_terry", oracle=_bt_oracle())
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation — the pairwise-comparison
+    model RLHF preference pipelines fit before reward modeling:
+    same-customer order pairs vote between priority classes (higher
+    exact-cents price wins, deterministic tie-break), and 3
+    minorization-maximization rounds solve
+    p_i <- W_i / sum_j g_ij/(p_i+p_j) on the 5-item frame.  The
+    denominators are EXPLICIT 5-term expressions (pivoted columns),
+    so the double additions run in the same left-to-right order on
+    both engines — the unordered-SUM pitfall never arises — and the
+    final strengths normalize + round at 6 dp.  One data-scale
+    per-customer pair join; everything after is a 5-row frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.substring("o_orderpriority", 1, 1).cast("int") - 1).alias("item"),
+        "o_orderpriority",
+        cents("o_totalprice").alias("cents"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.o_orderpriority") != F.col("b.o_orderpriority")),
+    ).select(
+        F.col("a.item").alias("ia"),
+        F.col("b.item").alias("ib"),
+        F.when(F.col("a.cents") > F.col("b.cents"), 1)
+        .when(
+            (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderpriority") < F.col("b.o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("a_wins"),
+    )
+    wins = pairs.groupBy("ia", "ib").agg(
+        F.sum("a_wins").cast("long").alias("w"),
+        F.count("*").cast("long").alias("g"),
+    )
+    both = wins.select("ia", "ib", "w", "g").unionAll(
+        wins.select(
+            F.col("ib").alias("ia"),
+            F.col("ia").alias("ib"),
+            (F.col("g") - F.col("w")).alias("w"),
+            "g",
+        )
+    )
+    mat = both.groupBy(F.col("ia").alias("i")).agg(
+        F.sum("w").cast("long").alias("big_w")
+    )
+    g5 = both.groupBy(F.col("ia").alias("i")).agg(
+        *[
+            F.sum(F.when(F.col("ib") == c, F.col("g")).otherwise(0))
+            .cast("long")
+            .alias(f"g{c}")
+            for c in range(_BT_K)
+        ]
+    )
+    base = mat.join(g5, "i")
+    prow = None  # 1-row frame of p0..p4
+    cur = None
+    for t in range(_BT_ITERS + 1):
+        if t == 0:
+            prow = base.sparkSession.range(1).select(
+                *[F.lit(1.0).alias(f"p{c}") for c in range(_BT_K)]
+            )
+            continue
+        p_self = None
+        for d in range(_BT_K):
+            clause = F.when(F.col("i") == d, F.col(f"p{d}"))
+            p_self = clause if p_self is None else p_self.when(
+                F.col("i") == d, F.col(f"p{d}")
+            )
+        # explicit left-to-right 5-term denominator (order-stable)
+        den = None
+        for c in range(_BT_K):
+            term = F.col(f"g{c}") / (p_self + F.col(f"p{c}"))
+            den = term if den is None else den + term
+        cur = base.crossJoin(F.broadcast(prow)).select(
+            "i",
+            "big_w",
+            (
+                F.col("big_w").cast("double")
+                / F.nullif(den, F.lit(0.0))
+            ).alias("p"),
+        )
+        prow = cur.agg(
+            *[
+                F.max(F.when(F.col("i") == c, F.col("p"))).alias(f"p{c}")
+                for c in range(_BT_K)
+            ]
+        )
+    total = None
+    for c in range(_BT_K):
+        total = (
+            F.col(f"p{c}") if total is None else total + F.col(f"p{c}")
+        )
+    return cur.crossJoin(F.broadcast(prow)).select(
+        F.col("i").cast("int").alias("item"),
+        F.col("big_w").alias("wins"),
+        F.round(F.col("p") / total, 6).alias("strength"),
+    )
