@@ -1402,5 +1402,22 @@ CHECKS["attribution_time_decay"] = [
      r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
 ]
 
+CHECKS["stat_cohens_kappa"] = [
+    ("confusion cells partially aggregated at data scale",
+     r"partial_count"),
+    ("margins broadcast onto the 9-cell frame",
+     r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+]
+
+CHECKS["ml_bradley_terry"] = [
+    ("pair stage keyed on customer (bounded per-key fanout)",
+     r"(hashpartitioning\(o_custkey|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ("win matrix partially aggregated", r"partial_sum"),
+    ("MM iterations run on broadcast 5-row frames",
+     r"BroadcastNestedLoopJoin"),
+    ("pure JVM iteration algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
