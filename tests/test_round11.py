@@ -458,3 +458,27 @@ def test_bmp_codec_edges():
         bad = bytearray(bmp)
         bad[28] = 8
         decode_bmp(bytes(bad))
+
+
+# --------------------------------------------- wave 6: eval stats
+
+
+def test_cohens_kappa_bounded_and_shared(spark):
+    rows = load_all()["stat_cohens_kappa"].fn(spark, SF).collect()
+    assert rows
+    kappas = {r["kappa"] for r in rows}
+    assert len(kappas) == 1  # one statistic, shared across the matrix
+    k = kappas.pop()
+    assert -1.0 <= k <= 1.0
+    # B copies A 70% of the time: agreement must beat chance
+    assert k > 0.3
+
+
+def test_bradley_terry_strengths_normalized(spark):
+    rows = load_all()["ml_bradley_terry"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    total = sum(r["strength"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    for r in rows:
+        assert r["strength"] > 0
+        assert r["wins"] >= 0
