@@ -148,3 +148,24 @@ def test_dispatcher_integration():
     w, h, mean = decode_image_bytes(g)
     assert (w, h) == (6, 4)
     assert mean == round(80 / 255.0, 6)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property(w, h, interlace, seed):
+    """Any index raster round-trips exactly through real LZW +
+    optional interlacing — the lossless-palette contract the
+    mm_decode_gif oracle is built on."""
+    rng = np.random.default_rng(seed)
+    idx = bytes(rng.integers(0, 16, size=w * h, dtype=np.uint8))
+    g = encode_gif(w, h, [idx], PAL16, interlace=interlace)
+    assert decode_gif_frames(g)[2][0] == _expand(PAL16, idx)

@@ -370,3 +370,25 @@ def test_dispatch_from_imagecodec():
     assert (w, h) == (8, 8)
     assert mean == round(100 / 255.0, 6)
     assert decode_image_pixels(jpg)[3] == bytes([100]) * 64
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_baseline_property(w, h, seed):
+    """Random grayscale images: the progressive decode must equal the
+    baseline decode bit-for-bit at any geometry (both encoders
+    quantize identically; the decoders must agree on every Huffman,
+    band, and refinement path)."""
+    from ctgov_ai_etl_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    base = encode_jpeg_baseline(w, h, img.tobytes())
+    prog = encode_jpeg_progressive(w, h, img.tobytes())
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
