@@ -45,7 +45,9 @@ class GifError(ValueError):
 
 
 def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytearray:
-    if not 2 <= min_code_size <= 11:
+    # GIF caps the root code size at 8: palettes max out at 256
+    # entries, so 9-11 only ever appear in malformed headers.
+    if not 2 <= min_code_size <= 8:
         raise GifError("bad LZW minimum code size")
     clear = 1 << min_code_size
     end = clear + 1
@@ -200,10 +202,7 @@ def decode_gif_frames(data: bytes):
             raise GifError("global color table truncated")
         pos += 3 * n
     screen = bytearray(w * h * 3)
-    if gct is not None and bg < len(gct):
-        r, g, b = gct[bg]
-        for i in range(w * h):
-            screen[3 * i : 3 * i + 3] = bytes((r, g, b))
+    bg_rgb = gct[bg] if (gct is not None and bg < len(gct)) else None
     frames = []
     transparent = None
     while pos < len(data):
@@ -219,6 +218,18 @@ def decode_gif_frames(data: bytes):
             body, pos = _read_subblocks(data, pos)
             if label == 0xF9 and len(body) >= 4:
                 flags = body[0]
+                disposal = (flags >> 2) & 0x07
+                if disposal in (2, 3):
+                    # restore-to-background / restore-to-previous
+                    # compositing is a different state machine than
+                    # draw-over; silently treating it as draw-over
+                    # yields wrong luma features, so keep the honest
+                    # NotImplementedError seam (same contract as the
+                    # native-lib codec formats).
+                    raise NotImplementedError(
+                        f"GIF disposal method {disposal} "
+                        "(restore to background/previous) not supported"
+                    )
                 transparent = body[3] if flags & 0x01 else None
             continue
         if block != 0x2C:
@@ -246,6 +257,12 @@ def decode_gif_frames(data: bytes):
         idx = _lzw_decode(mcs, lzw, iw * ih)
         if ipk & 0x40:
             idx = _deinterlace(idx, iw, ih)
+        # The opaque background fill only applies before the first
+        # frame, and only when that frame declares no transparency —
+        # a transparent first frame over a bg-filled screen would
+        # composite the fill into the output.
+        if not frames and bg_rgb is not None and transparent is None:
+            screen[:] = bytes(bg_rgb) * (w * h)
         for y in range(ih):
             for x in range(iw):
                 c = idx[y * iw + x]

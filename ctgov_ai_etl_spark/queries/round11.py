@@ -1614,15 +1614,22 @@ _CUPED_SPLIT_DAYS = 15
                / (CAST(n * sxx - sx * sx AS DOUBLE)
                   * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
       FROM m
+    ),
+    v AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sx_v,
+             CAST(sum(y) AS BIGINT) AS sy_v
+      FROM per_user GROUP BY user_id % 2
     )
-    SELECT CAST(u.user_id % 2 AS INT) AS variant,
-           CAST(count(*) AS BIGINT) AS n_users,
-           round(sum(CAST(u.y AS DOUBLE)) / count(*) / 100, 6) AS mean_y,
-           round(sum(u.y - th.theta * (u.x - th.mx)) / count(*) / 100, 6)
-             AS mean_y_cuped,
-           round(max(th.rho2) * 1000000) / 1000000 AS var_reduction
-    FROM per_user u CROSS JOIN th
-    GROUP BY u.user_id % 2
+    SELECT v.variant, v.n_users,
+           round(CAST(v.sy_v AS DOUBLE) / v.n_users / 100, 6) AS mean_y,
+           round((CAST(v.sy_v AS DOUBLE)
+                  - th.theta * CAST(v.sx_v AS DOUBLE)
+                  + CAST(v.n_users AS DOUBLE) * th.theta * th.mx)
+                 / v.n_users / 100, 6) AS mean_y_cuped,
+           round(th.rho2 * 1000000) / 1000000 AS var_reduction
+    FROM v CROSS JOIN th
     """,
 )
 def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,23 +1694,40 @@ def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx").cast("double") / F.col("n")).alias("mx"),
         (cnum * cnum / (vx * vy)).alias("rho2"),
     )
+    # Per-variant EXACT integer sums (longs — order-free), then ONE
+    # fixed-order scalar double expression mirrored in the oracle:
+    # (Sy - theta*Sx + nv*theta*mx) / nv / 100.  Summing the adjusted
+    # doubles directly would be accumulation-order-dependent in both
+    # engines (flaky 6-dp hash).
     out = (
-        pu.crossJoin(F.broadcast(th))
-        .groupBy(F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"))
+        pu.groupBy(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant")
+        )
         .agg(
             F.count("*").cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("sx_v"),
+            F.sum("y").cast("long").alias("sy_v"),
+        )
+        .crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            "n_users",
             F.round(
-                F.sum(F.col("y").cast("double")) / F.count("*") / 100, 6
+                F.col("sy_v").cast("double") / F.col("n_users") / 100, 6
             ).alias("mean_y"),
             F.round(
-                F.sum(
-                    F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+                (
+                    F.col("sy_v").cast("double")
+                    - F.col("theta") * F.col("sx_v").cast("double")
+                    + F.col("n_users").cast("double")
+                    * F.col("theta")
+                    * F.col("mx")
                 )
-                / F.count("*")
+                / F.col("n_users")
                 / 100,
                 6,
             ).alias("mean_y_cuped"),
-            (F.round(F.max("rho2") * 1_000_000) / 1_000_000).alias(
+            (F.round(F.col("rho2") * 1_000_000) / 1_000_000).alias(
                 "var_reduction"
             ),
         )
@@ -2534,12 +2558,20 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
     )
-    pairs = conv.join(
-        touch,
-        (conv.user_id == touch.user_id)
-        & (F.col("touch_day") <= F.col("conv_day"))
-        & (F.col("touch_day") >= F.col("conv_day") - _DECAY_WINDOW_DAYS),
-    ).select("conv_id", "cents", "touch_id", "touch_type", w.alias("w"))
+    # Both frames derive from one lineage (`base`); explicit aliases
+    # keep the equi-join condition unambiguous (without them Spark
+    # resolves both sides to the same attribute and WARNs about a
+    # "trivially true equals predicate").
+    pairs = (
+        conv.alias("conv")
+        .join(
+            touch.alias("touch"),
+            (F.col("conv.user_id") == F.col("touch.user_id"))
+            & (F.col("touch_day") <= F.col("conv_day"))
+            & (F.col("touch_day") >= F.col("conv_day") - _DECAY_WINDOW_DAYS),
+        )
+        .select("conv_id", "cents", "touch_id", "touch_type", w.alias("w"))
+    )
     tot = pairs.groupBy("conv_id").agg(
         F.sum("w").cast("long").alias("wsum")
     )

@@ -115,6 +115,37 @@ def test_transparency_leaves_underlying_pixel():
     )
 
 
+def test_disposal_restore_methods_raise():
+    """Disposal 2/3 (restore-to-background/previous) is a different
+    compositing state machine — the codec keeps the honest
+    NotImplementedError seam instead of silently drawing over."""
+    import struct
+
+    for disposal in (2, 3):
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+        for rgb in [(0, 0, 0), (10, 10, 10), (20, 20, 20), (0, 0, 0)]:
+            out += bytes(rgb)
+        out += b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        lzw = _lzw_encode(2, bytes([1]) * 4)
+        out += bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+        with pytest.raises(NotImplementedError):
+            decode_gif_frames(bytes(out))
+    # disposal 0/1 still decodes
+    ok = bytearray(out)
+    ok[13 + 12 + 3] = 1 << 2
+    assert decode_gif_frames(bytes(ok))[2]
+
+
+def test_lzw_min_code_size_spec_cap():
+    """GIF caps the LZW root size at 8 (256-entry palettes); 9-11
+    only appear in malformed headers and must fail loudly."""
+    for bad in (0, 1, 9, 10, 11, 12):
+        with pytest.raises(GifError):
+            _lzw_decode(bad, b"\x00", 1)
+
+
 def test_malformed_inputs_raise():
     good = encode_gif(4, 4, [bytes(16)], PAL16)
     for bad in [
