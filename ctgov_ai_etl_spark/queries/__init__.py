@@ -34,63 +34,48 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # changed/new) is driver-green in CORRECTNESS_r10.json and rotates
 # out to the registry tail.
 _PRIORITY = (
-    # -- block 0: CHANGED by the r11 ADVICE fixes (NULL-propagating
-    #    checksum canonicalization; abs() modulo in the JPEG fixture)
-    "dq_dataset_checksum",
-    "mm_decode_jpeg",
-    # -- block 1: NEW in round 11 (names appended as each lands —
-    #    the ghost assertion below keeps the list honest)
-    "mm_decode_jpeg_progressive",
-    "geo_grid_rollup",
-    "geo_geohash_join",
-    "geo_fence_transitions",
-    "stat_kendall_tau",
-    "stat_theil_sen",
-    "dq_t_closeness",
-    "ml_isotonic_regression",
-    "ts_motif_ssd",
-    "sample_priority_weighted",
-    "stream_run_geo_fence",
-    "ts_changepoint_binseg",
-    "sample_kcenter_coreset",
-    "ml_decision_stump",
-    "fn_uuid_deterministic",
-    "mm_decode_gif",
-    "text_rake_keywords",
+    # Round-12 priority.  The r11 verdict asked for an almost-pure
+    # stale-refresh head (item 1): 25 registered queries had NEVER
+    # been driver-sampled, 23 still carried r4 evidence, 42 carried
+    # r5 (all F11-green in the local full sweep, so this is evidence
+    # freshness, not correctness risk).  The codified rule still
+    # leads with reds (none) and changed-this-round, then the stale
+    # cohorts: never-sampled > r4 > r5.
+    # -- block 0: CHANGED by the r12 ADVICE fixes (CUPED exact
+    #    per-variant integer sums; GIF disposal/transparency guards;
+    #    attribution join-frame aliases)
     "stat_cuped",
-    "survival_nelson_aalen",
-    "mm_decode_bmp",
-    "ml_roc_curve",
-    "ml_calibration_ece",
-    "stat_power_mde",
-    "stream_run_priority_sample",
-    "join_array_overlap",
+    "mm_decode_gif",
     "attribution_time_decay",
-    "stat_cohens_kappa",
-    "ml_bradley_terry",
-    # -- block 2: stalest driver evidence (r4, never re-sampled
-    #    since), alphabetical; the r5 cohort follows in the registry
-    #    tail ordering below
-    "agg_grouping_sets",
-    "agg_rollup",
-    "cdc_snapshot_diff",
-    "cluster_kmeans",
-    "curriculum_order",
-    "dedup_embedding_blocked",
-    "dedup_embedding_cosine",
-    "distinct_rows",
-    "essie_predicates",
-    "essie_search_text",
-    "filter_in_set",
-    "filter_range_bool",
-    "fn_array_family",
-    "fn_math_family",
-    "fn_null_family",
-    "fn_partial_date_normalize",
-    "fn_string_family",
-    "graph_pagerank",
-    "incremental_agg_refresh",
-    "inline_values_table",
+    # -- block 1: NEW in round 12 (names appended as each lands —
+    #    the ghost assertion below keeps the list honest)
+    # -- block 2: never driver-sampled (alphabetical)
+    "agg_corr_exact",
+    "agg_percentile_disc",
+    "agg_ratio_to_report",
+    "dq_skew_report",
+    "feature_scale_robust",
+    "fn_regex_family",
+    "gov_right_to_erasure",
+    "join_asof_tolerance",
+    "join_null_safe",
+    "mm_decode_audio",
+    "mm_decode_video",
+    "ops_rate_limit",
+    "pipeline_churn_digest",
+    "seq_audience_overlap",
+    "set_union_by_name",
+    "stream_run_rate_limit",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "ts_forecast_seasonal_naive",
+    "ts_max_concurrency",
+    "win_rolling_corr",
+    "win_streak_longest",
+    # -- block 3: stalest driver evidence (r4), alphabetical
     "join_anti",
     "join_bucket_colocated",
     "join_cross",
@@ -114,7 +99,7 @@ _PRIORITY = (
     "ts_resample_ffill",
     "when_otherwise_buckets",
     "win_rank_family",
-    # -- block 3: r5-latest driver evidence, alphabetical
+    # -- block 4: r5-latest driver evidence, alphabetical
     "agg_filtered_conditional",
     "agg_global",
     "agg_percentiles",
