@@ -167,8 +167,7 @@ def load_all() -> dict[str, QuerySpec]:
         graph,
         analytics,
         product,
-        round10,
-        round11,
+        geo,
     )
 
     def rank(name: str) -> tuple[int, str]:

@@ -32,8 +32,11 @@ from ctgov_ai_etl_spark.operators.balance import (
     clamped_balance_chunked,
 )
 from ctgov_ai_etl_spark.operators.graph import bfs_layers, bfs_oracle_sql
+from ctgov_ai_etl_spark.operators.sketches import portable_hash60
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
+
+_US_PER_DAY = 86_400_000_000
 
 # ---------------------------------------------------------------- Q3 shape
 
@@ -1952,4 +1955,2376 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("numcust"),
             F.sum(cents("c_acctbal")).alias("totacctbal_cents"),
         )
+    )
+
+
+# ------------------------------------- rank / robust statistics
+#
+# Both operators run on the DAILY order frame — calendar-sized
+# (~2,400 rows at any SF), so the O(days^2) pair stage is
+# SF-INDEPENDENT: the data-scale pass is the one groupBy producing
+# the daily aggregates; everything after is bounded.
+
+_DAILY_ORDERS_SQL = """
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      GROUP BY 1
+"""
+
+
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(_US_PER_DAY)).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(cents("o_totalprice")).cast("long").alias("y"),
+    )
+
+
+@query(
+    "stat_kendall_tau",
+    oracle=f"""
+    WITH d AS ({_DAILY_ORDERS_SQL}),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dd,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_c, CAST(sum(dd) AS BIGINT) AS n_d,
+             CAST(sum(tx) AS BIGINT) AS ties_x,
+             CAST(sum(ty) AS BIGINT) AS ties_y,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    )
+    SELECT n_pairs, n_c, n_d, ties_x, ties_y,
+           round((CAST(n_c AS DOUBLE) - n_d)
+                 / sqrt((CAST(n_pairs AS DOUBLE) - ties_x)
+                        * (CAST(n_pairs AS DOUBLE) - ties_y)), 6) AS tau_b
+    FROM s
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between daily order count and
+    daily revenue — the robust, outlier-immune sibling of the exact
+    Pearson screen (agg_corr_exact): concordant/discordant/tied pair
+    counts are EXACT INTEGERS from a self-join of the daily frame,
+    and tau enters one shared double expression (sqrt is IEEE
+    correctly-rounded, so both engines agree bit-for-bit — unlike
+    log/exp, which the repo never compares).  The pair join is
+    calendar-bounded (~2,400 days -> ~2.9M pairs REGARDLESS of SF):
+    the only data-scale pass is the daily groupBy."""
+    d = _daily_orders(spark, sf_dir)
+    a, b = d.alias("a"), d.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("c"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("dd"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    s = pairs.agg(
+        F.sum("c").cast("long").alias("n_c"),
+        F.sum("dd").cast("long").alias("n_d"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    tau = F.round(
+        (F.col("n_c").cast("double") - F.col("n_d"))
+        / F.sqrt(
+            (F.col("n_pairs").cast("double") - F.col("ties_x"))
+            * (F.col("n_pairs").cast("double") - F.col("ties_y"))
+        ),
+        6,
+    )
+    return s.select(
+        "n_pairs", "n_c", "n_d", "ties_x", "ties_y", tau.alias("tau_b")
+    )
+
+
+_WEEKLY_ORDERS_SQL = """
+      SELECT CAST(epoch_us(o_orderdate) // 604800000000 AS BIGINT) AS wk,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders
+      GROUP BY 1
+"""
+
+
+@query(
+    "stat_theil_sen",
+    oracle=f"""
+    WITH d AS ({_WEEKLY_ORDERS_SQL}),
+    slopes AS (
+      SELECT {sql_fdiv('(b.y - a.y) * 1000000', '(b.wk - a.wk)')}
+               AS slope_ppm
+      FROM d a JOIN d b ON a.wk < b.wk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_cont(slope_ppm * 2, 0.5) AS BIGINT)
+             AS median_slope_ppm_x2,
+           CAST(min(slope_ppm) AS BIGINT) AS min_slope_ppm,
+           CAST(max(slope_ppm) AS BIGINT) AS max_slope_ppm
+    FROM slopes
+    """,
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator for daily revenue: the median
+    of all pairwise slopes, immune to outlier days where least
+    squares (ml_linear_regression_exact) is not.  Slopes are
+    quantized to exact integer micro-units per week via floor
+    division (fdiv — identical on both engines), and the median
+    follows the doubled-integer convention (percentile of 2*slope is
+    an exactly-representable integer even at even pair counts).  The
+    frame is WEEKLY (~345 weeks -> ~59k pairs): the exact-percentile
+    median is a single-reducer sort, so the daily frame's 2.9M pairs
+    billed 12 s at sf0.1 for identical evidence (r11 bench); the
+    data-scale pass is the weekly groupBy.  Kendall (stat_kendall_tau)
+    keeps the daily frame — its pair stage aggregates map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(7 * _US_PER_DAY)).alias(
+            "wk"
+        )
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("y"))
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.wk") < F.col("b.wk")).select(
+        fdiv(
+            (F.col("b.y") - F.col("a.y")) * 1_000_000,
+            F.col("b.wk") - F.col("a.wk"),
+        ).alias("slope_ppm")
+    )
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile(F.col("slope_ppm") * 2, F.lit(0.5))
+        .cast("long")
+        .alias("median_slope_ppm_x2"),
+        F.min("slope_ppm").cast("long").alias("min_slope_ppm"),
+        F.max("slope_ppm").cast("long").alias("max_slope_ppm"),
+    )
+
+
+# ------------------------------------------- isotonic calibration
+
+
+_ISO_BUCKET_CENTS = 6_000_000  # $60k score-bucket width
+
+
+@query(
+    "ml_isotonic_regression",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_ISO_BUCKET_CENTS))} AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hit) AS BIGINT) AS hits,
+             row_number() OVER (ORDER BY bucket) AS rn
+      FROM raw GROUP BY bucket
+    ),
+    pre AS (
+      SELECT bucket, n, hits, rn,
+             sum(n) OVER (ORDER BY rn) AS cn,
+             sum(hits) OVER (ORDER BY rn) AS ch
+      FROM b
+    ),
+    pairs AS (
+      SELECT a.rn AS j, z.rn AS k,
+             CAST(z.ch - a.ch + a.hits AS DOUBLE)
+               / CAST(z.cn - a.cn + a.n AS DOUBLE) AS avg_jk
+      FROM pre a JOIN pre z ON a.rn <= z.rn
+    ),
+    inner_min AS (
+      SELECT i.rn AS i, p.j, min(p.avg_jk) AS mn
+      FROM b i JOIN pairs p ON p.j <= i.rn AND p.k >= i.rn
+      GROUP BY i.rn, p.j
+    ),
+    fit AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY i)
+    SELECT b.bucket AS bucket, b.n AS n, b.hits AS hits,
+           round(CAST(b.hits AS DOUBLE) / b.n, 6) AS raw_rate,
+           round(f.iso, 6) AS iso_rate
+    FROM b JOIN fit f ON f.i = b.rn
+    """,
+)
+def ml_isotonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of an empirical
+    rate curve — the classifier-calibration op every training
+    pipeline needs before thresholding scores: bucket the score
+    (total price, exact-cents bands), take the empirical hit rate
+    per bucket, and fit via the minimax characterization
+    iso(i) = max over j<=i of min over k>=i of avg(rate over j..k) —
+    computed DECLARATIVELY as two bounded joins + two aggregates on
+    the |buckets| frame (~100 rows at any SF; the (i,j,k) expansion
+    is ~170k tiny rows), engine and oracle running the IDENTICAL
+    formula so no PAVA-vs-minimax float-boundary risk exists.  Block
+    averages are double divisions of exact integer prefix sums —
+    IEEE-identical on both engines.  The only data-scale pass is the
+    bucket groupBy; at 100 TB the curve still has ~100 points."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_ISO_BUCKET_CENTS)).alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    b = (
+        raw.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("hit").cast("long").alias("hits"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "hits",
+            F.row_number().over(W.orderBy("bucket")).alias("rn"),
+        )
+    )
+    wp = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # bounded global windows: the bucket frame is ~100 rows at any SF
+    pre = b.select(
+        "bucket",
+        "n",
+        "hits",
+        "rn",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("hits").over(wp).alias("ch"),
+    )
+    a, z = pre.alias("a"), pre.alias("z")
+    pairs = a.join(
+        F.broadcast(z), F.col("a.rn") <= F.col("z.rn")
+    ).select(
+        F.col("a.rn").alias("j"),
+        F.col("z.rn").alias("k"),
+        (
+            (F.col("z.ch") - F.col("a.ch") + F.col("a.hits")).cast("double")
+            / (F.col("z.cn") - F.col("a.cn") + F.col("a.n")).cast("double")
+        ).alias("avg_jk"),
+    )
+    inner_min = (
+        b.select(F.col("rn").alias("i"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    fit = inner_min.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        b.join(F.broadcast(fit), b.rn == fit.i)
+        .select(
+            "bucket",
+            "n",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )
+
+
+# --------------------------------------- time-series motif discovery
+
+
+_MOTIF_M = 7  # window length (days)
+_MOTIF_TOPK = 5
+
+
+@query(
+    "ts_motif_ssd",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d
+    ),
+    win AS (
+      SELECT rn, day,
+             list(x) OVER (ORDER BY rn
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_MOTIF_M - 1} FOLLOWING) AS w
+      FROM idx
+      QUALIFY rn <= (SELECT max(rn) FROM idx) - {_MOTIF_M - 1}
+    ),
+    ssd AS (
+      SELECT a.day AS day_a, b.day AS day_b,
+             CAST(list_aggregate(
+               list_transform(range(1, {_MOTIF_M + 1}),
+                 t -> (a.w[CAST(t AS INT)] - b.w[CAST(t AS INT)])
+                      * (a.w[CAST(t AS INT)] - b.w[CAST(t AS INT)])),
+               'sum') AS BIGINT) AS ssd
+      FROM win a JOIN win b ON b.rn >= a.rn + {_MOTIF_M}
+    )
+    SELECT day_a, day_b, ssd,
+           CAST(row_number() OVER (ORDER BY ssd, day_a, day_b) AS INT) AS rk
+    FROM ssd
+    ORDER BY ssd, day_a, day_b LIMIT {_MOTIF_TOPK}
+    """,
+)
+def ts_motif_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series MOTIF DISCOVERY (the matrix-profile question —
+     'which two non-overlapping weeks look most alike?'): slide a
+    {_MOTIF_M}-day window over the daily order-count series, compare
+    every non-overlapping window pair by exact integer
+    sum-of-squared-differences, and return the top-{_MOTIF_TOPK}
+    closest pairs with deterministic (ssd, day_a, day_b) ranking.
+    Windows materialize as {_MOTIF_M} FLAT lead columns (not arrays:
+    the per-pair zip_with lambda billed 3x the flat codegen multiply
+    chain at sf0.1 — r11 bench), so the SSD is {_MOTIF_M} scalar
+    multiply-adds inside whole-stage codegen.  The pair stage is
+    calendar-bounded (~2.9M pairs at ANY corpus size — the
+    data-scale pass is the daily groupBy), and the final top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(_US_PER_DAY)).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    # bounded global windows: daily frame, calendar-sized (~2,400)
+    idx = d.select(
+        "day", "x", F.row_number().over(W.orderBy("day")).alias("rn")
+    )
+    wl = W.orderBy("rn")
+    nmax = idx.agg(F.max("rn").alias("mx"))
+    win = (
+        idx.select(
+            "rn",
+            "day",
+            F.col("x").alias("w0"),
+            *[
+                F.lead("x", t).over(wl).alias(f"w{t}")
+                for t in range(1, _MOTIF_M)
+            ],
+        )
+        .crossJoin(F.broadcast(nmax))
+        .filter(F.col("rn") <= F.col("mx") - (_MOTIF_M - 1))
+        .drop("mx")
+    )
+    a, b = win.alias("a"), win.alias("b")
+    terms = [
+        (F.col(f"a.w{t}") - F.col(f"b.w{t}"))
+        * (F.col(f"a.w{t}") - F.col(f"b.w{t}"))
+        for t in range(_MOTIF_M)
+    ]
+    ssd_expr = terms[0]
+    for t in terms[1:]:
+        ssd_expr = ssd_expr + t
+    ssd = a.join(
+        F.broadcast(b), F.col("b.rn") >= F.col("a.rn") + _MOTIF_M
+    ).select(
+        F.col("a.day").alias("day_a"),
+        F.col("b.day").alias("day_b"),
+        ssd_expr.cast("long").alias("ssd"),
+    )
+    top = ssd.orderBy("ssd", "day_a", "day_b").limit(_MOTIF_TOPK)
+    return top.select(
+        "day_a",
+        "day_b",
+        "ssd",
+        F.row_number()
+        .over(W.orderBy("ssd", "day_a", "day_b"))
+        .cast("int")
+        .alias("rk"),
+    )
+
+
+# ------------------------------- binary-segmentation changepoints
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+    pre AS (
+      SELECT rn, day, sum(x) OVER (ORDER BY rn) AS sx,
+             (SELECT max(rn) FROM idx) AS n,
+             (SELECT sum(x) FROM idx) AS sxn
+      FROM idx
+    ),
+    c1 AS (
+      SELECT rn, day,
+             CAST(n * sx - rn * sxn AS DOUBLE)
+               * CAST(n * sx - rn * sxn AS DOUBLE)
+               / (CAST(rn AS DOUBLE) * (n - rn)) AS score
+      FROM pre WHERE rn < n
+      ORDER BY score DESC, rn LIMIT 1
+    ),
+    lseg AS (
+      SELECT p.rn, p.day, s1.rn AS m,
+             (SELECT sx FROM pre WHERE rn = s1.rn) AS sxm
+      FROM pre p CROSS JOIN c1 s1 WHERE p.rn < s1.rn
+    ),
+    c2 AS (
+      SELECT rn, day,
+             CAST(m * sx_local - rn * sxm AS DOUBLE)
+               * CAST(m * sx_local - rn * sxm AS DOUBLE)
+               / (CAST(rn AS DOUBLE) * (m - rn)) AS score
+      FROM (SELECT l.rn, l.day, l.m, l.sxm,
+                   (SELECT sx FROM pre WHERE rn = l.rn) AS sx_local
+            FROM lseg l)
+      ORDER BY score DESC, rn LIMIT 1
+    ),
+    rseg AS (
+      SELECT p.rn, p.day, p.n, p.sxn, s1.rn AS m,
+             (SELECT sx FROM pre WHERE rn = s1.rn) AS sxm,
+             p.sx
+      FROM pre p CROSS JOIN c1 s1 WHERE p.rn > s1.rn AND p.rn < p.n
+    ),
+    c3 AS (
+      SELECT rn, day,
+             CAST((n - m) * (sx - sxm) - (rn - m) * (sxn - sxm) AS DOUBLE)
+               * CAST((n - m) * (sx - sxm) - (rn - m) * (sxn - sxm)
+                      AS DOUBLE)
+               / (CAST(rn - m AS DOUBLE) * (n - rn)) AS score
+      FROM rseg
+      ORDER BY score DESC, rn LIMIT 1
+    )
+    SELECT 1 AS level, 'full' AS segment, day AS split_day,
+           round(score, 6) AS score FROM c1
+    UNION ALL
+    SELECT 2, 'left', day, round(score, 6) FROM c2
+    UNION ALL
+    SELECT 2, 'right', day, round(score, 6) FROM c3
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by BINARY SEGMENTATION (depth 2) on the
+    daily order-count series: the level-1 split maximizes the
+    between-segment CUSUM statistic (n*Sx_s - s*Sx_n)^2 / (s*(n-s)) —
+    the deviation term is an EXACT int64 cross product (no running
+    means), entering one double expression with identical operation
+    order on both engines — then each half is split again by the
+    same segment-local statistic.  Where anomaly_cusum flags points,
+    this finds the structural breaks a retraining scheduler keys on.
+    Every frame after the daily groupBy is calendar-bounded, the
+    argmaxes are TakeOrderedAndProject top-1s with deterministic
+    (score, rn) tie-breaks."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), F.lit(_US_PER_DAY)).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    # bounded global windows: daily frame, calendar-sized (~2,400)
+    idx = d.select(
+        "day", "x", F.row_number().over(W.orderBy("day")).alias("rn")
+    )
+    wp = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tots = idx.agg(
+        F.max("rn").alias("n"), F.sum("x").cast("long").alias("sxn")
+    )
+    from ctgov_ai_etl_spark.operators import cache as _cache
+
+    # tracked persist (repo convention): the prefix frame feeds four
+    # downstream top-1s; calendar-sized, released via release_all()
+    pre = _cache.track(
+        idx.select("rn", "day", F.sum("x").over(wp).alias("sx"))
+        .crossJoin(F.broadcast(tots))
+        .persist()
+    )
+
+    def score_col(dev, lo, hi):
+        return (
+            dev.cast("double")
+            * dev.cast("double")
+            / (lo.cast("double") * hi)
+        )
+
+    c1 = (
+        pre.filter(F.col("rn") < F.col("n"))
+        .select(
+            "rn",
+            "day",
+            score_col(
+                F.col("n") * F.col("sx") - F.col("rn") * F.col("sxn"),
+                F.col("rn"),
+                F.col("n") - F.col("rn"),
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "rn")
+        .limit(1)
+    )
+    s1 = c1.select(
+        F.col("rn").alias("m"), F.col("day").alias("m_day")
+    ).join(pre.select(F.col("rn").alias("m"), F.col("sx").alias("sxm")), "m")
+    c2 = (
+        pre.crossJoin(F.broadcast(s1))
+        .filter(F.col("rn") < F.col("m"))
+        .select(
+            "rn",
+            "day",
+            score_col(
+                F.col("m") * F.col("sx") - F.col("rn") * F.col("sxm"),
+                F.col("rn"),
+                F.col("m") - F.col("rn"),
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "rn")
+        .limit(1)
+    )
+    c3 = (
+        pre.crossJoin(F.broadcast(s1))
+        .filter((F.col("rn") > F.col("m")) & (F.col("rn") < F.col("n")))
+        .select(
+            "rn",
+            "day",
+            score_col(
+                (F.col("n") - F.col("m")) * (F.col("sx") - F.col("sxm"))
+                - (F.col("rn") - F.col("m"))
+                * (F.col("sxn") - F.col("sxm")),
+                F.col("rn") - F.col("m"),
+                F.col("n") - F.col("rn"),
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "rn")
+        .limit(1)
+    )
+
+    def shape(df, level, seg):
+        return df.select(
+            F.lit(level).cast("int").alias("level"),
+            F.lit(seg).alias("segment"),
+            F.col("day").alias("split_day"),
+            F.round("score", 6).alias("score"),
+        )
+
+    out = (
+        shape(c1, 1, "full")
+        .unionAll(shape(c2, 2, "left"))
+        .unionAll(shape(c3, 2, "right"))
+    )
+    return out
+
+
+# ----------------------------------------------- decision stump
+
+
+_STUMP_BUCKET_CENTS = 3_000_000  # $30k feature buckets
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_STUMP_BUCKET_CENTS))} AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM raw GROUP BY bucket
+    ),
+    pre AS (
+      SELECT bucket,
+             sum(n) OVER (ORDER BY bucket) AS nl,
+             sum(p) OVER (ORDER BY bucket) AS pl,
+             (SELECT sum(n) FROM b) AS nt,
+             (SELECT sum(p) FROM b) AS pt
+      FROM b
+    ),
+    cand AS (
+      SELECT bucket, nl, pl, nt - nl AS nr, pt - pl AS pr,
+             CAST(pl * (nl - pl) AS DOUBLE) / nl
+               + CAST((pt - pl) * ((nt - nl) - (pt - pl)) AS DOUBLE)
+                 / (nt - nl) AS half_gini_x_n
+      FROM pre WHERE nl < nt
+    ),
+    best AS (
+      SELECT * FROM cand ORDER BY half_gini_x_n, bucket LIMIT 1
+    )
+    SELECT bucket AS split_bucket,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           round(2 * half_gini_x_n / (nl + nr), 6) AS weighted_gini,
+           round(2 * CAST((pl + pr) AS DOUBLE) * ((nl + nr) - (pl + pr))
+                 / (CAST(nl + nr AS DOUBLE) * (nl + nr)), 6) AS root_gini
+    FROM best
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction (the depth-1 CART split every
+    feature-importance screen and gradient-boosting round runs):
+    bucket the feature (total price, exact-cents bands), scan every
+    split threshold via CUMULATIVE class counts, and pick the split
+    minimizing weighted Gini impurity — the per-candidate score keeps
+    pos*neg cross products as EXACT integers and divides once per
+    side in double with fixed operation order, so the argmin (with
+    deterministic tie-break) matches the oracle bit-for-bit.  One
+    data-scale groupBy to the ~200-bucket frame; the candidate scan
+    is two bounded windows + a TakeOrdered top-1.  At 100 TB the
+    histogram-based split search is exactly how XGBoost/LightGBM
+    scale out."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_STUMP_BUCKET_CENTS)).alias(
+            "bucket"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    b = raw.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    # bounded global windows: bucket frame, ~200 rows at any SF
+    wp = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tots = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("p").cast("long").alias("pt"),
+    )
+    pre = b.select(
+        "bucket",
+        F.sum("n").over(wp).alias("nl"),
+        F.sum("p").over(wp).alias("pl"),
+    ).crossJoin(F.broadcast(tots))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - nl, F.col("pt") - pl
+    half = (pl * (nl - pl)).cast("double") / nl + (pr * (nr - pr)).cast(
+        "double"
+    ) / nr
+    cand = pre.filter(nl < F.col("nt")).select(
+        "bucket",
+        nl.alias("nl"),
+        pl.alias("pl"),
+        nr.alias("nr"),
+        pr.alias("pr"),
+        half.alias("half_gini_x_n"),
+    )
+    best = cand.orderBy("half_gini_x_n", "bucket").limit(1)
+    ntot = F.col("nl") + F.col("nr")
+    ptot = F.col("pl") + F.col("pr")
+    return best.select(
+        F.col("bucket").alias("split_bucket"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        F.round(2 * F.col("half_gini_x_n") / ntot, 6).alias("weighted_gini"),
+        F.round(
+            2 * ptot.cast("double") * (ntot - ptot)
+            / (ntot.cast("double") * ntot),
+            6,
+        ).alias("root_gini"),
+    )
+
+
+# ----------------------------------------------- CUPED adjustment
+
+
+_CUPED_SPLIT_DAYS = 15
+
+
+@query(
+    "stat_cuped",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d0 AS (SELECT min(day) AS day0 FROM ev),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN day < day0 + {_CUPED_SPLIT_DAYS}
+                           THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN day >= day0 + {_CUPED_SPLIT_DAYS}
+                           THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM ev CROSS JOIN d0 GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / n AS mx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+      FROM m
+    ),
+    v AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sx_v,
+             CAST(sum(y) AS BIGINT) AS sy_v
+      FROM per_user GROUP BY user_id % 2
+    )
+    SELECT v.variant, v.n_users,
+           round(CAST(v.sy_v AS DOUBLE) / v.n_users / 100, 6) AS mean_y,
+           round((CAST(v.sy_v AS DOUBLE)
+                  - th.theta * CAST(v.sx_v AS DOUBLE)
+                  + CAST(v.n_users AS DOUBLE) * th.theta * th.mx)
+                 / v.n_users / 100, 6) AS mean_y_cuped,
+           round(th.rho2 * 1000000) / 1000000 AS var_reduction
+    FROM v CROSS JOIN th
+    """,
+)
+def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the
+    experimentation-platform standard): per-user pre-period spend is
+    the covariate, experiment-period spend the metric;
+    theta = cov(x,y)/var(x) from EXACT integer cross products
+    (n*sxy - sx*sy over HUGEINT/decimal — no running float means),
+    and each variant reports its raw vs CUPED-adjusted mean plus the
+    theoretical variance reduction rho^2.  One data-scale groupBy to
+    per-user sums; moments and adjustment are a 1-row broadcast.  At
+    100 TB this is how every A/B platform doubles its effective
+    sample size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = fdiv(F.unix_micros("ts"), F.lit(_US_PER_DAY))
+    e = ev.select(
+        "user_id", day.alias("day"), cents("value").alias("cents")
+    )
+    d0 = e.agg(F.min("day").alias("day0"))
+    pu = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("day") < F.col("day0") + _CUPED_SPLIT_DAYS,
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("day") >= F.col("day0") + _CUPED_SPLIT_DAYS,
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    cnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    th = m.select(
+        (cnum / vx).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (cnum * cnum / (vx * vy)).alias("rho2"),
+    )
+    # Per-variant EXACT integer sums (longs — order-free), then ONE
+    # fixed-order scalar double expression mirrored in the oracle:
+    # (Sy - theta*Sx + nv*theta*mx) / nv / 100.  Summing the adjusted
+    # doubles directly would be accumulation-order-dependent in both
+    # engines (flaky 6-dp hash).
+    out = (
+        pu.groupBy(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("sx_v"),
+            F.sum("y").cast("long").alias("sy_v"),
+        )
+        .crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            "n_users",
+            F.round(
+                F.col("sy_v").cast("double") / F.col("n_users") / 100, 6
+            ).alias("mean_y"),
+            F.round(
+                (
+                    F.col("sy_v").cast("double")
+                    - F.col("theta") * F.col("sx_v").cast("double")
+                    + F.col("n_users").cast("double")
+                    * F.col("theta")
+                    * F.col("mx")
+                )
+                / F.col("n_users")
+                / 100,
+                6,
+            ).alias("mean_y_cuped"),
+            (F.round(F.col("rho2") * 1_000_000) / 1_000_000).alias(
+                "var_reduction"
+            ),
+        )
+    )
+    return out
+
+
+# ------------------------------------------ Nelson-Aalen hazard
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS start_us
+      FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT max(epoch_us(ts)) AS h FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS event_us
+      FROM events e JOIN t0 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t0.start_us
+      GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT t0.user_id,
+             coalesce(ev.event_us, horizon.h) - t0.start_us AS dur_us,
+             CASE WHEN ev.event_us IS NULL THEN 0 ELSE 1 END AS observed
+      FROM t0 LEFT JOIN ev USING (user_id) CROSS JOIN horizon
+    ),
+    grid AS (
+      SELECT dur_us,
+             CAST(sum(observed) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM subj GROUP BY dur_us
+    ),
+    risk AS (
+      SELECT dur_us, d,
+             CAST((SELECT count(*) FROM subj) -
+                  coalesce(sum(leaving) OVER
+                    (ORDER BY dur_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT dur_us, d, n_risk,
+           round(sum(CAST(d AS DOUBLE) / n_risk) OVER
+                   (ORDER BY dur_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cum_hazard,
+           round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+                   OVER (ORDER BY dur_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS hazard_var
+    FROM risk WHERE d > 0
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the ADDITIVE sibling
+    of the Kaplan-Meier curve (survival_km): time from first signup
+    to first subsequent purchase, right-censored at the horizon;
+    H(t) = sum over event times <= t of d_i/n_i and its variance
+    estimate sum d_i/n_i^2.  Hazards accumulate as running sums of
+    identical IEEE doubles in the same ascending-duration frame order
+    on both engines.  The risk-set grid is bounded by the subject
+    count (two partially-aggregated keyed passes at data scale; the
+    windows run on the compressed grid)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ts_us = F.unix_micros(F.col("ts"))
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("start_us"))
+    )
+    horizon = ev.agg(F.max(ts_us).alias("h"))
+    err = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us.alias("e_us"))
+        .join(t0, "user_id")
+        .filter(F.col("e_us") > F.col("start_us"))
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("event_us"))
+    )
+    subj = (
+        t0.join(err, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (
+                F.coalesce(F.col("event_us"), F.col("h"))
+                - F.col("start_us")
+            ).alias("dur_us"),
+            F.when(F.col("event_us").isNull(), 0).otherwise(1).alias(
+                "observed"
+            ),
+        )
+    )
+    n_subj = subj.agg(F.count("*").cast("long").alias("n_all"))
+    grid = subj.groupBy("dur_us").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    # bounded global windows: the grid is compressed to distinct
+    # durations (subject-bounded), not data-sized
+    w_prev = W.orderBy("dur_us").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("dur_us").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = grid.crossJoin(F.broadcast(n_subj)).select(
+        "dur_us",
+        "d",
+        (
+            F.col("n_all")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    return risk.select(
+        "dur_us",
+        "d",
+        "n_risk",
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_run), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).over(w_run),
+            6,
+        ).alias("hazard_var"),
+    ).filter(F.col("d") > 0)
+
+
+# ----------------------------------------------------- ROC curve
+
+
+_ROC_BUCKET_CENTS = 3_000_000
+
+
+@query(
+    "ml_roc_curve",
+    oracle=f"""
+    WITH raw AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_ROC_BUCKET_CENTS))} AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (
+      SELECT bucket, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(count(*) - sum(pos) AS BIGINT) AS q
+      FROM raw GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+                   CAST(sum(q) AS BIGINT) AS nq FROM b),
+    cum AS (
+      -- predict positive when bucket >= threshold: cumulate DESC
+      SELECT bucket,
+             sum(p) OVER (ORDER BY bucket DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tp,
+             sum(q) OVER (ORDER BY bucket DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS fp
+      FROM b
+    ),
+    steps AS (
+      SELECT bucket, tp, fp,
+             coalesce(lag(tp) OVER (ORDER BY bucket DESC), 0) AS tp0,
+             coalesce(lag(fp) OVER (ORDER BY bucket DESC), 0) AS fp0
+      FROM cum
+    ),
+    auc AS (
+      SELECT CAST(sum(CAST(fp - fp0 AS HUGEINT) * (tp + tp0))
+                  AS HUGEINT) AS tz
+      FROM steps
+    )
+    SELECT s.bucket AS threshold_bucket,
+           CAST(s.tp AS BIGINT) AS tp, CAST(s.fp AS BIGINT) AS fp,
+           {sql_fdiv('s.tp * 1000000', 't.np')} AS tpr_ppm,
+           {sql_fdiv('s.fp * 1000000', 't.nq')} AS fpr_ppm,
+           round(CAST(a.tz AS DOUBLE)
+                 / (2.0 * t.np * t.nq), 6) AS auc
+    FROM steps s CROSS JOIN tot t CROSS JOIN auc a
+    """,
+)
+def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + AUC for a bucketed score (the model-eval op every
+    training pipeline runs before shipping a classifier): thresholds
+    are the observed score buckets, TP/FP counts cumulate in
+    DESCENDING score order, rates are exact integer ppm, and the AUC
+    is the trapezoid sum computed ENTIRELY in integers —
+    sum((fp_i - fp_i-1) * (tp_i + tp_i-1)) / (2 * n_pos * n_neg) —
+    one double division at the end (the rank-sum identity ties this
+    to stat_mann_whitney; the curve is what that test can't give).
+    One data-scale groupBy to the bucket histogram; windows run on
+    the ~200-row threshold frame."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_ROC_BUCKET_CENTS)).alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    b = raw.groupBy("bucket").agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("q"),
+    )
+    tot = b.agg(
+        F.sum("p").cast("long").alias("np"),
+        F.sum("q").cast("long").alias("nq"),
+    )
+    # bounded global windows: threshold frame, ~200 rows at any SF
+    wd = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("p").over(wd).alias("tp"),
+        F.sum("q").over(wd).alias("fp"),
+    )
+    wl = W.orderBy(F.col("bucket").desc())
+    steps = cum.select(
+        "bucket",
+        "tp",
+        "fp",
+        F.coalesce(F.lag("tp").over(wl), F.lit(0)).alias("tp0"),
+        F.coalesce(F.lag("fp").over(wl), F.lit(0)).alias("fp0"),
+    )
+    auc = steps.agg(
+        F.sum(
+            (F.col("fp") - F.col("fp0")).cast("decimal(38,0)")
+            * (F.col("tp") + F.col("tp0"))
+        ).alias("tz")
+    )
+    return (
+        steps.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(auc))
+        .select(
+            F.col("bucket").alias("threshold_bucket"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            fdiv(F.col("tp") * 1_000_000, F.col("np")).alias("tpr_ppm"),
+            fdiv(F.col("fp") * 1_000_000, F.col("nq")).alias("fpr_ppm"),
+            F.round(
+                F.col("tz").cast("double")
+                / (F.lit(2.0) * F.col("np") * F.col("nq")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+# ------------------------------------------- calibration (ECE)
+
+
+@query(
+    "ml_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(('0x' || substring(md5('conf:' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000001 AS conf_ppm,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (
+      SELECT {sql_fdiv('conf_ppm', '100000')} AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS hits,
+             CAST(sum(conf_ppm) AS BIGINT) AS conf_sum
+      FROM scored GROUP BY 1
+    ),
+    e AS (
+      SELECT bin, n, hits,
+             {sql_fdiv('hits * 1000000', 'n')} AS acc_ppm,
+             {sql_fdiv('conf_sum', 'n')} AS conf_ppm
+      FROM b
+    )
+    SELECT bin, n, hits, acc_ppm, conf_ppm,
+           CAST(abs(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm,
+           CAST({sql_fdiv('sum(CAST(n AS HUGEINT) * abs(acc_ppm - conf_ppm)) OVER ()',
+                          'sum(n) OVER ()')} AS BIGINT) AS ece_ppm
+    FROM e
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the companion metric to
+    ml_isotonic_regression: bin a predicted probability (md5-derived
+    deterministic confidence in ppm), compare each bin's empirical
+    hit rate to its mean confidence, and weight the |gap| by bin
+    mass.  EVERYTHING stays in exact integer ppm (fdiv) — acc, conf,
+    gap, and the final n-weighted ECE — so the audit is bit-portable
+    across engines and rerun-stable.  One data-scale groupBy to 10
+    bins; the rest is window algebra on the bin frame (bounded
+    global window: 11 rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    conf = F.pmod(
+        portable_hash60(F.col("o_orderkey"), salt="conf"), F.lit(1_000_001)
+    )
+    scored = o.select(
+        conf.alias("conf_ppm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    b = scored.groupBy(fdiv(F.col("conf_ppm"), F.lit(100_000)).alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("hits"),
+        F.sum("conf_ppm").cast("long").alias("conf_sum"),
+    )
+    e = b.select(
+        "bin",
+        "n",
+        "hits",
+        fdiv(F.col("hits") * 1_000_000, F.col("n")).alias("acc_ppm"),
+        fdiv(F.col("conf_sum"), F.col("n")).alias("conf_ppm"),
+    )
+    # bounded global window: the bin frame is 11 rows
+    wg = W.partitionBy()
+    gap = F.abs(F.col("acc_ppm") - F.col("conf_ppm"))
+    return e.select(
+        "bin",
+        "n",
+        "hits",
+        "acc_ppm",
+        "conf_ppm",
+        gap.cast("long").alias("gap_ppm"),
+        fdiv(
+            F.sum(F.col("n").cast("decimal(38,0)") * gap).over(wg),
+            F.sum("n").over(wg),
+        )
+        .cast("long")
+        .alias("ece_ppm"),
+    )
+
+
+# ------------------------------------------ power / MDE analysis
+
+# Normal quantiles computed ONCE here and injected into both engines
+# as literals (exactness convention: two libm erf implementations are
+# not bit-contracted).  z_{0.975} for alpha=5% two-sided, z_{0.8} for
+# 80% power.
+_Z_ALPHA = 1.959963984540054
+_Z_POWER = 0.8416212335729143
+_POWER_NS = (1_000, 10_000, 100_000)
+
+
+@query(
+    "stat_power_mde",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS HUGEINT) AS sx,
+             CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS sxx
+      FROM u
+    ),
+    v AS (
+      SELECT CAST(m.n AS BIGINT) AS n_obs,
+             (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+               / (CAST(m.n AS DOUBLE) * (m.n - 1)) AS var_cents2
+      FROM m
+    )
+    SELECT v.n_obs,
+           CAST(g.n_arm AS BIGINT) AS n_per_arm,
+           round(sqrt(v.var_cents2) / 100, 6) AS sd_dollars,
+           round(({_Z_ALPHA} + {_Z_POWER})
+                 * sqrt(2 * v.var_cents2 / g.n_arm) / 100, 6)
+             AS mde_dollars
+    FROM v CROSS JOIN (SELECT unnest([{", ".join(str(n) for n in _POWER_NS)}])
+                       AS n_arm) g
+    """,
+)
+def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimal detectable effect for a
+    two-arm test at alpha=5% / power=80% across candidate arm sizes —
+    mde = (z_a + z_b) * sqrt(2 sigma^2 / n).  The variance comes from
+    EXACT integer moments (n*sxx - sx^2 in HUGEINT/decimal), the
+    normal quantiles are shared literals (transcendental-constant
+    convention — two libm erfs are not bit-contracted), and sqrt is
+    IEEE-correctly-rounded, so both engines agree bit-for-bit.  One
+    data-scale aggregate; the sizing grid is a 3-row literal frame.
+    Pairs with stat_cuped: CUPED shrinks sigma, this prices it."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.select(cents("o_totalprice").alias("xc"))
+    dec = F.col("xc").cast("decimal(38,0)")
+    m = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("sx"),
+        F.sum(dec * F.col("xc")).alias("sxx"),
+    )
+    v = m.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_cents2"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _POWER_NS])
+        ).alias("n_arm")
+    )
+    return v.crossJoin(F.broadcast(grid)).select(
+        "n_obs",
+        F.col("n_arm").cast("long").alias("n_per_arm"),
+        F.round(F.sqrt(F.col("var_cents2")) / 100, 6).alias("sd_dollars"),
+        F.round(
+            F.lit(_Z_ALPHA + _Z_POWER)
+            * F.sqrt(2 * F.col("var_cents2") / F.col("n_arm"))
+            / 100,
+            6,
+        ).alias("mde_dollars"),
+    )
+
+
+# --------------------------------------- time-decay attribution
+
+
+_DECAY_WINDOW_DAYS = 7
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, day AS conv_day, cents
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             day AS touch_day
+      FROM ev WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.cents, t.touch_id, t.touch_type,
+             CAST(CASE WHEN {_DECAY_WINDOW_DAYS} - (c.conv_day - t.touch_day)
+                       BETWEEN 0 AND {_DECAY_WINDOW_DAYS}
+                  THEN 1 << CAST({_DECAY_WINDOW_DAYS}
+                                 - (c.conv_day - t.touch_day) AS INT)
+                  ELSE 0 END AS BIGINT) AS w
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_day <= c.conv_day
+       AND t.touch_day >= c.conv_day - {_DECAY_WINDOW_DAYS}
+    ),
+    tot AS (
+      SELECT conv_id, CAST(sum(w) AS BIGINT) AS wsum FROM pairs
+      GROUP BY conv_id
+    )
+    SELECT p.touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum({sql_fdiv('p.cents * p.w', 't.wsum')}) AS BIGINT)
+             AS credited_cents
+    FROM pairs p JOIN tot t USING (conv_id)
+    WHERE t.wsum > 0 AND p.w > 0
+    GROUP BY p.touch_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY attribution — the third standard model beside
+    last-touch and linear (attribution_last_touch/_linear): each
+    purchase credits its preceding-week touches with weight halving
+    per day of age.  Weights are DYADIC (1 << (window - age)) so they
+    stay exact int64, and each touch's credit is the exact floor
+    division cents*w // sum(w) — no float decay curve to disagree
+    on.  The pair stage is a user-keyed join with a calendar-bounded
+    fanout (7-day lookback); credits aggregate partially by touch
+    type.  The floor-division remainder (< n_touches cents per
+    conversion) is deliberately unassigned — deterministic on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        fdiv(F.unix_micros("ts"), F.lit(_US_PER_DAY)).alias("day"),
+        cents("value").alias("cents"),
+    )
+    conv = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("day").alias("conv_day"),
+        "cents",
+    )
+    touch = base.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("day").alias("touch_day"),
+    )
+    age = F.col("conv_day") - F.col("touch_day")
+    # pyspark's F.shiftleft wants a literal bit count; the SQL form
+    # takes a column.  The when() guard pins the shift to the
+    # 0..window domain (the 0..63 shift-domain convention).
+    w = (
+        F.when(
+            (_DECAY_WINDOW_DAYS - age >= 0)
+            & (_DECAY_WINDOW_DAYS - age <= _DECAY_WINDOW_DAYS),
+            F.expr(
+                f"shiftleft(1, CAST({_DECAY_WINDOW_DAYS} "
+                "- (conv_day - touch_day) AS INT))"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    # Both frames derive from one lineage (`base`); explicit aliases
+    # keep the equi-join condition unambiguous (without them Spark
+    # resolves both sides to the same attribute and WARNs about a
+    # "trivially true equals predicate").
+    pairs = (
+        conv.alias("conv")
+        .join(
+            touch.alias("touch"),
+            (F.col("conv.user_id") == F.col("touch.user_id"))
+            & (F.col("touch_day") <= F.col("conv_day"))
+            & (F.col("touch_day") >= F.col("conv_day") - _DECAY_WINDOW_DAYS),
+        )
+        .select("conv_id", "cents", "touch_id", "touch_type", w.alias("w"))
+    )
+    tot = pairs.groupBy("conv_id").agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    return (
+        pairs.join(tot, "conv_id")
+        .filter((F.col("wsum") > 0) & (F.col("w") > 0))
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum(fdiv(F.col("cents") * F.col("w"), F.col("wsum")))
+            .cast("long")
+            .alias("credited_cents"),
+        )
+    )
+
+
+# ------------------------------------------ inter-annotator kappa
+
+
+@query(
+    "stat_cohens_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(('0x' || substring(md5('a:' ||
+               CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS a,
+             CASE WHEN CAST(('0x' || substring(md5('agree:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 10 < 7
+                  THEN CAST(('0x' || substring(md5('a:' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 3
+                  ELSE CAST(('0x' || substring(md5('b:' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 3
+             END AS b
+      FROM orders
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY a, b
+    )
+    SELECT CAST(c.a AS INT) AS a, CAST(c.b AS INT) AS b, c.n,
+           round((CAST(m2.nt AS DOUBLE) * m2.diag - CAST(m2.src AS DOUBLE))
+                 / (CAST(m2.nt AS DOUBLE) * m2.nt
+                    - CAST(m2.src AS DOUBLE)), 6) AS kappa
+    FROM cells c CROSS JOIN (
+      SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS nt,
+             (SELECT CAST(sum(n) AS BIGINT) FROM cells WHERE a = b)
+               AS diag,
+             (SELECT CAST(sum(CAST(ra.rn AS HUGEINT) * cb.cn) AS HUGEINT)
+              FROM (SELECT a, sum(n) AS rn FROM cells GROUP BY a) ra
+              JOIN (SELECT b, sum(n) AS cn FROM cells GROUP BY b) cb
+                ON ra.a = cb.b) AS src
+    ) m2
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement — the labeling-QA
+    metric every human-annotation pipeline gates on before its labels
+    become training data: two deterministic md5 'annotators' (B
+    copies A 70% of the time) build a 3x3 confusion matrix, and
+    kappa = (n*diag - sum(row_i*col_i)) / (n^2 - sum(row_i*col_i))
+    stays in EXACT integers until one double division.  One
+    data-scale groupBy to 9 cells; the margins join is
+    contingency-sized.  Output carries the full matrix plus the
+    shared kappa so the audit is one frame."""
+    o = load_table(spark, sf_dir, "orders")
+    ha = F.pmod(portable_hash60(F.col("o_orderkey"), salt="a"), F.lit(3))
+    hb = F.pmod(portable_hash60(F.col("o_orderkey"), salt="b"), F.lit(3))
+    agree = F.pmod(
+        portable_hash60(F.col("o_orderkey"), salt="agree"), F.lit(10)
+    )
+    lab = o.select(
+        ha.alias("a"), F.when(agree < 7, ha).otherwise(hb).alias("b")
+    )
+    cells = lab.groupBy("a", "b").agg(F.count("*").cast("long").alias("n"))
+    ra = cells.groupBy("a").agg(F.sum("n").cast("long").alias("rn"))
+    cb = cells.groupBy("b").agg(F.sum("n").cast("long").alias("cn"))
+    src = (
+        ra.join(cb, ra.a == cb.b)
+        .agg(
+            F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cn")).alias(
+                "src"
+            )
+        )
+    )
+    tots = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    kappa = F.round(
+        (F.col("nt").cast("double") * F.col("diag") - F.col("src").cast("double"))
+        / (
+            F.col("nt").cast("double") * F.col("nt")
+            - F.col("src").cast("double")
+        ),
+        6,
+    )
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(src))
+        .select(
+            F.col("a").cast("int").alias("a"),
+            F.col("b").cast("int").alias("b"),
+            "n",
+            kappa.alias("kappa"),
+        )
+    )
+
+
+# --------------------------------- Bradley-Terry preference model
+
+_BT_ITERS = 3
+# item index = first char of o_orderpriority ('1'..'5') - 1
+_BT_K = 5
+
+
+def _bt_oracle() -> str:
+    pair_src = """
+      SELECT CAST(CAST(substr(a.o_orderpriority, 1, 1) AS INT) - 1 AS INT)
+               AS ia,
+             CAST(CAST(substr(b.o_orderpriority, 1, 1) AS INT) - 1 AS INT)
+               AS ib,
+             CASE WHEN CAST(round(a.o_totalprice * 100) AS BIGINT)
+                       > CAST(round(b.o_totalprice * 100) AS BIGINT)
+                  THEN 1
+                  WHEN CAST(round(a.o_totalprice * 100) AS BIGINT)
+                       = CAST(round(b.o_totalprice * 100) AS BIGINT)
+                   AND a.o_orderpriority < b.o_orderpriority
+                  THEN 1 ELSE 0 END AS a_wins
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+       AND a.o_orderpriority <> b.o_orderpriority
+    """
+    parts = [
+        f"pairs AS ({pair_src})",
+        """wins AS (
+      SELECT ia AS i, ib AS j,
+             CAST(sum(a_wins) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS g
+      FROM pairs GROUP BY ia, ib
+    )""",
+        """mat AS (
+      -- symmetric game counts + per-item total wins, dense 5x5
+      SELECT i,
+             CAST(sum(w) AS BIGINT) AS big_w
+      FROM (
+        SELECT i, w FROM wins
+        UNION ALL
+        SELECT j AS i, g - w AS w FROM wins
+      ) GROUP BY i
+    )""",
+        """g5 AS (
+      SELECT i,
+             """ + ",\n             ".join(
+            f"CAST(sum(CASE WHEN j = {c} THEN g ELSE 0 END) AS BIGINT)"
+            f" AS g{c}"
+            for c in range(_BT_K)
+        ) + """
+      FROM (
+        SELECT i, j, g FROM wins
+        UNION ALL
+        SELECT j AS i, i AS j, g FROM wins
+      ) GROUP BY i
+    )""",
+        "p0 AS (SELECT "
+        + ", ".join(f"1.0 AS p{c}" for c in range(_BT_K))
+        + ")",
+    ]
+    for t in range(1, _BT_ITERS + 1):
+        terms = " + ".join(
+            f"g5.g{c} / (CASE m.i "
+            + " ".join(f"WHEN {d} THEN p.p{d}" for d in range(_BT_K))
+            + f" END + p.p{c})"
+            for c in range(_BT_K)
+        )
+        parts.append(
+            f"""it{t} AS (
+      SELECT m.i, CAST(m.big_w AS DOUBLE) / nullif({terms}, 0) AS p
+      FROM mat m JOIN g5 ON g5.i = m.i CROSS JOIN p{t - 1} p
+    )"""
+        )
+        parts.append(
+            f"p{t} AS (SELECT "
+            + ", ".join(
+                f"max(CASE WHEN i = {c} THEN p END) AS p{c}"
+                for c in range(_BT_K)
+            )
+            + f" FROM it{t})"
+        )
+    final_terms = " + ".join(f"p.p{c}" for c in range(_BT_K))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT it.i AS item, m.big_w AS wins,
+           round(it.p / ({final_terms}), 6) AS strength
+    FROM it{_BT_ITERS} it JOIN mat m ON m.i = it.i
+    CROSS JOIN p{_BT_ITERS} p"""
+    )
+
+
+@query("ml_bradley_terry", oracle=_bt_oracle())
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation — the pairwise-comparison
+    model RLHF preference pipelines fit before reward modeling:
+    same-customer order pairs vote between priority classes (higher
+    exact-cents price wins, deterministic tie-break), and 3
+    minorization-maximization rounds solve
+    p_i <- W_i / sum_j g_ij/(p_i+p_j) on the 5-item frame.  The
+    denominators are EXPLICIT 5-term expressions (pivoted columns),
+    so the double additions run in the same left-to-right order on
+    both engines — the unordered-SUM pitfall never arises — and the
+    final strengths normalize + round at 6 dp.  One data-scale
+    per-customer pair join; everything after is a 5-row frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.substring("o_orderpriority", 1, 1).cast("int") - 1).alias("item"),
+        "o_orderpriority",
+        cents("o_totalprice").alias("cents"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.o_orderpriority") != F.col("b.o_orderpriority")),
+    ).select(
+        F.col("a.item").alias("ia"),
+        F.col("b.item").alias("ib"),
+        F.when(F.col("a.cents") > F.col("b.cents"), 1)
+        .when(
+            (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderpriority") < F.col("b.o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("a_wins"),
+    )
+    wins = pairs.groupBy("ia", "ib").agg(
+        F.sum("a_wins").cast("long").alias("w"),
+        F.count("*").cast("long").alias("g"),
+    )
+    both = wins.select("ia", "ib", "w", "g").unionAll(
+        wins.select(
+            F.col("ib").alias("ia"),
+            F.col("ia").alias("ib"),
+            (F.col("g") - F.col("w")).alias("w"),
+            "g",
+        )
+    )
+    mat = both.groupBy(F.col("ia").alias("i")).agg(
+        F.sum("w").cast("long").alias("big_w")
+    )
+    g5 = both.groupBy(F.col("ia").alias("i")).agg(
+        *[
+            F.sum(F.when(F.col("ib") == c, F.col("g")).otherwise(0))
+            .cast("long")
+            .alias(f"g{c}")
+            for c in range(_BT_K)
+        ]
+    )
+    base = mat.join(g5, "i")
+    prow = None  # 1-row frame of p0..p4
+    cur = None
+    for t in range(_BT_ITERS + 1):
+        if t == 0:
+            prow = base.sparkSession.range(1).select(
+                *[F.lit(1.0).alias(f"p{c}") for c in range(_BT_K)]
+            )
+            continue
+        p_self = None
+        for d in range(_BT_K):
+            clause = F.when(F.col("i") == d, F.col(f"p{d}"))
+            p_self = clause if p_self is None else p_self.when(
+                F.col("i") == d, F.col(f"p{d}")
+            )
+        # explicit left-to-right 5-term denominator (order-stable)
+        den = None
+        for c in range(_BT_K):
+            term = F.col(f"g{c}") / (p_self + F.col(f"p{c}"))
+            den = term if den is None else den + term
+        cur = base.crossJoin(F.broadcast(prow)).select(
+            "i",
+            "big_w",
+            (
+                F.col("big_w").cast("double")
+                / F.nullif(den, F.lit(0.0))
+            ).alias("p"),
+        )
+        prow = cur.agg(
+            *[
+                F.max(F.when(F.col("i") == c, F.col("p"))).alias(f"p{c}")
+                for c in range(_BT_K)
+            ]
+        )
+    total = None
+    for c in range(_BT_K):
+        total = (
+            F.col(f"p{c}") if total is None else total + F.col(f"p{c}")
+        )
+    return cur.crossJoin(F.broadcast(prow)).select(
+        F.col("i").cast("int").alias("item"),
+        F.col("big_w").alias("wins"),
+        F.round(F.col("p") / total, 6).alias("strength"),
+    )
+
+
+# --------------------------------------------- autocorrelation (ACF)
+
+_ACF_LAGS = (1, 7, 30)
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {sql_fdiv("epoch_us(o_orderdate)", _US_PER_DAY)} AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT lo + CAST(i AS BIGINT) AS day
+      FROM bounds, (SELECT unnest(range(0, 100000)) AS i) g
+      WHERE lo + i <= hi
+    ),
+    dense AS (
+      SELECT s.day, coalesce(d.rev, 0) AS rev
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev) AS BIGINT) AS s1,
+             sum(CAST(rev AS HUGEINT) * rev) AS s2
+      FROM dense
+    ),
+    lagged AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.rev AS HUGEINT) * b.rev) AS sxy,
+             CAST(sum(a.rev) AS BIGINT) AS sa,
+             CAST(sum(b.rev) AS BIGINT) AS sb
+      FROM (SELECT unnest([{", ".join(str(v) for v in _ACF_LAGS)}])
+              AS lag) l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.day = a.day + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(l.lag AS INT) AS lag,
+           l.n_pairs,
+           round((CAST(l.sxy AS DOUBLE) - CAST(l.sa AS DOUBLE) * l.sb
+                    / l.n_pairs)
+                 / (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1
+                    / m.n), 6) AS acf
+    FROM lagged l, mom m
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1 / 7 / 30
+    — the seasonality screen run before committing to any seasonal
+    model (a 7-lag spike says weekly structure; ts_seasonal_decompose
+    then extracts it).  All moments are exact integers (HUGEINT /
+    decimal cross-products of cents over the densified day spine);
+    the ACF ratio is ONE shared double expression replayed
+    operation-for-operation on both engines.  The lag join is an
+    equi-join on (day + lag) — calendar-sized, never data-sized —
+    and each lag reads the same dense frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), _US_PER_DAY).alias("day")
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rev"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    revdec = F.col("rev").cast("decimal(38,0)")
+    mom = dense.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s1"),
+        F.sum(revdec * F.col("rev")).alias("s2"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _ACF_LAGS])).alias("lag")
+    )
+    a = dense.alias("a").crossJoin(F.broadcast(lags))
+    b = dense.alias("b")
+    lagged = (
+        a.join(
+            b,
+            F.col("b.day") == F.col("a.day") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("a.rev").cast("decimal(38,0)") * F.col("b.rev"))
+            .alias("sxy"),
+            F.sum("a.rev").cast("long").alias("sa"),
+            F.sum("b.rev").cast("long").alias("sb"),
+        )
+    )
+    acf = (
+        F.col("sxy").cast("double")
+        - F.col("sa").cast("double") * F.col("sb") / F.col("n_pairs")
+    ) / (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(acf, 6).alias("acf"),
+        )
+    )
+
+
+# ------------------------------------------ cross-correlation (CCF)
+
+_CCF_LAGS = (-7, -1, 0, 1, 7)
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+      GROUP BY 1
+    ),
+    buys AS (
+      SELECT {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    bounds AS (
+      SELECT least((SELECT min(day) FROM clicks),
+                   (SELECT min(day) FROM buys)) AS lo,
+             greatest((SELECT max(day) FROM clicks),
+                      (SELECT max(day) FROM buys)) AS hi
+    ),
+    spine AS (
+      SELECT lo + CAST(i AS BIGINT) AS day
+      FROM bounds, (SELECT unnest(range(0, 100000)) AS i) g
+      WHERE lo + i <= hi
+    ),
+    dense AS (
+      SELECT s.day, coalesce(c.x, 0) AS x, coalesce(b.y, 0) AS y
+      FROM spine s
+      LEFT JOIN clicks c USING (day)
+      LEFT JOIN buys b USING (day)
+    ),
+    lagged AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(a.x AS HUGEINT) * b.y) AS sxy,
+             CAST(sum(a.x) AS BIGINT) AS sx,
+             CAST(sum(b.y) AS BIGINT) AS sy,
+             sum(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+             sum(CAST(b.y AS HUGEINT) * b.y) AS syy
+      FROM (SELECT unnest([{", ".join(str(v) for v in _CCF_LAGS)}])
+              AS lag) l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.day = a.day + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy / n)), 6) AS ccf
+    FROM lagged
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily click VOLUME and daily
+    purchase REVENUE at lags -7/-1/0/+1/+7 — the lead/lag screen
+    ('do clicks today predict revenue next week?') that decides
+    which feature lags a forecasting model gets.  Same exact-moment
+    machinery as ts_acf generalized to two series: all five moments
+    are exact integers (HUGEINT/decimal cross-products over a shared
+    densified day spine), and the Pearson ratio per lag is ONE
+    shared double expression.  Negative lags probe the reverse
+    direction (revenue leading clicks) — the window is the same
+    calendar-sized equi-join on (day + lag)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    buys = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day"))
+        .agg(F.sum(cents("value")).cast("long").alias("y"))
+    )
+    bounds = clicks.select("day").unionAll(buys.select("day")).agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = (
+        spine.join(clicks, "day", "left")
+        .join(buys, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _CCF_LAGS])).alias("lag")
+    )
+    a = dense.alias("a").crossJoin(F.broadcast(lags))
+    b = dense.alias("b")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lagged = (
+        a.join(b, F.col("b.day") == F.col("a.day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec("a.x") * F.col("b.y")).alias("sxy"),
+            F.sum("a.x").cast("long").alias("sx"),
+            F.sum("b.y").cast("long").alias("sy"),
+            F.sum(dec("a.x") * F.col("a.x")).alias("sxx"),
+            F.sum(dec("b.y") * F.col("b.y")).alias("syy"),
+        )
+    )
+    ccf = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        * (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        )
+    )
+    return lagged.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(ccf, 6).alias("ccf"),
+    )
+
+
+# ------------------------------------ chi-square independence screen
+
+
+@query(
+    "stat_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST((({sql_fdiv("epoch_us(ts)", _US_PER_DAY)}) % 7 + 7) % 7
+                  AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+               FROM obs GROUP BY event_type),
+    cols_t AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+               FROM obs GROUP BY dow),
+    n_t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT o.event_type, o.dow, o.o, r.r, c.c, n.n,
+             CAST(o.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c
+               AS dev
+      FROM obs o JOIN rows_t r USING (event_type)
+      JOIN cols_t c USING (dow) CROSS JOIN n_t n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_obs,
+           round(sum(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * r * c)) * max(n), 6)
+             AS chi2
+    FROM cells
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event-type x
+    day-of-week contingency table — 'does activity mix shift by
+    weekday?', the categorical sibling of the KS drift check.  The
+    deviation per cell is computed as the EXACT integer cross
+    product o*n - r*c (HUGEINT/decimal — no per-cell float expected
+    counts), and chi2 = n * sum(dev^2 / (n^2 * r * c)) enters one
+    shared double expression with identical operation order on both
+    engines.  Contingency cells are |types| x 7 — three tiny
+    partial-aggregated rollups off one data-scale pass, broadcast
+    margins."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    obs = ev.groupBy(
+        "event_type",
+        F.pmod(fdiv(F.unix_micros("ts"), _US_PER_DAY), F.lit(7))
+        .cast("long")
+        .alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rows_t = obs.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    cols_t = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    n_t = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "o",
+            "r",
+            "c",
+            "n",
+            (
+                F.col("o").cast("decimal(38,0)") * F.col("n")
+                - F.col("r").cast("decimal(38,0)") * F.col("c")
+            ).alias("dev"),
+        )
+    )
+    chi2 = (
+        F.sum(
+            F.col("dev").cast("double")
+            * F.col("dev").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * F.col("r")
+                * F.col("c")
+            )
+        )
+        * F.max("n")
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_obs"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+# --------------------------------------- additive seasonal decompose
+
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT {sql_fdiv("epoch_us(o_orderdate)", _US_PER_DAY)} AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily0),
+    spine AS (
+      SELECT lo + CAST(i AS BIGINT) AS day
+      FROM bounds, (SELECT unnest(range(0, 100000)) AS i) g
+      WHERE lo + i <= hi
+    ),
+    dense AS (
+      SELECT s.day, coalesce(d.rev, 0) AS rev
+      FROM spine s LEFT JOIN daily0 d USING (day)
+    ),
+    trended AS (
+      SELECT day, rev,
+             sum(rev) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend7,
+             CAST(count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS w
+      FROM dense
+    ),
+    detr AS (
+      SELECT ((day % 7) + 7) % 7 AS dow,
+             7 * rev - trend7 AS d7
+      FROM trended WHERE w = 7
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST({sql_fdiv("sum(d7)", "count(*)")} AS BIGINT)
+             AS seasonal_x7_cents
+    FROM detr
+    GROUP BY dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily revenue series:
+    trend = centered 7-day moving average, seasonal(dow) = mean of
+    the detrended series per day-of-week — the classic
+    trend/seasonal split, ENTIRELY in exact integers by working at
+    x7 scale (detrended*7 = 7*x - rolling_sum_7, so the moving
+    average never divides; one floor division at the dow rollup).
+    The day spine densifies calendar gaps to zero-revenue days
+    (revenue semantics) so the ROWS window is a true 7-day window;
+    edge days without a full window are excluded (w = 7) on both
+    engines.  One partial-aggregated daily rollup at data scale;
+    the window and dow rollup run on the calendar-sized frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily0 = o.groupBy(
+        fdiv(F.unix_micros("o_orderdate"), _US_PER_DAY).alias("day")
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rev"))
+    bounds = daily0.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = spine.join(daily0, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = dense.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w7).alias("trend7"),
+        F.count("*").over(w7).cast("long").alias("w"),
+    )
+    detr = trended.filter(F.col("w") == 7).select(
+        F.pmod(F.col("day"), F.lit(7)).alias("dow"),
+        (7 * F.col("rev") - F.col("trend7")).alias("d7"),
+    )
+    return detr.groupBy(F.col("dow").cast("int").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        fdiv(F.sum("d7"), F.count("*"))
+        .cast("long")
+        .alias("seasonal_x7_cents"),
+    )
+
+
+# ------------------------------------------ deterministic bootstrap
+
+_BOOT_B = 100  # resamples
+_BOOT_M = 100  # m-out-of-n resample size
+# 2.5% / 97.5% order statistics of the B bootstrap means (1-indexed)
+_BOOT_LO_K = 3
+_BOOT_HI_K = 98
+_BOOT_IDX = (
+    "CAST(('0x' || substr(md5({t} || ':' || CAST({b} AS VARCHAR) || ':' "
+    "|| CAST({i} AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(value * 100), event_id)
+               AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv
+      FROM vals GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, s.n, g.b, g.i,
+             1 + ({_BOOT_IDX.format(t="s.event_type", b="g.b", i="g.i")})
+                 % s.n AS idx
+      FROM sizes s,
+           (SELECT bb.b, ii.i
+            FROM (SELECT unnest(range(0, {_BOOT_B})) AS b) bb,
+                 (SELECT unnest(range(0, {_BOOT_M})) AS i) ii) g
+    ),
+    boot AS (
+      SELECT g.event_type, g.b,
+             CAST({sql_fdiv("sum(v.v) * 1000000", str(_BOOT_M))} AS BIGINT)
+               AS mean_micro
+      FROM grid g JOIN vals v
+        ON v.event_type = g.event_type AND v.rn = g.idx
+      GROUP BY g.event_type, g.b
+    ),
+    ranked AS (
+      SELECT event_type, mean_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_micro, b) AS k
+      FROM boot
+    )
+    SELECT s.event_type,
+           s.n,
+           CAST({sql_fdiv("s.sv * 1000000", "s.n")} AS BIGINT)
+             AS mean_micro,
+           CAST(max(CASE WHEN r.k = {_BOOT_LO_K} THEN r.mean_micro END)
+                AS BIGINT) AS ci_lo_micro,
+           CAST(max(CASE WHEN r.k = {_BOOT_HI_K} THEN r.mean_micro END)
+                AS BIGINT) AS ci_hi_micro
+    FROM sizes s JOIN ranked r USING (event_type)
+    GROUP BY s.event_type, s.n, s.sv
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-type mean with a
+    DETERMINISTIC resampler: draw (b, i) of resample b picks value
+    rank 1 + md5(type:b:i) % n — reproducible across engines, runs,
+    and partitionings, where rand()-based resampling is none of
+    those (the repo's standard md5-for-randomness move, cf.
+    hash_bucket).  m-out-of-n bootstrap (m = 100 draws per
+    resample, B = 100 resamples) keeps the draw grid
+    SF-independent: the data-scale passes are the rank window and
+    the size/sum rollup; the resample join touches B*m rows per key
+    regardless of data size — the property that makes bootstrap
+    viable at 100 TB at all.  CI bounds are the 3rd / 98th order
+    statistics of the bootstrap means (exact integer selection, no
+    float percentile interpolation)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vals = ev.select(
+        "event_type",
+        cents("value").alias("v"),
+        "event_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("v", "event_id")
+        ),
+    )
+    sizes = vals.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    grid = (
+        F.broadcast(sizes)
+        .crossJoin(
+            spark.range(_BOOT_B).select(F.col("id").alias("b"))
+        )
+        .crossJoin(spark.range(_BOOT_M).select(F.col("id").alias("i")))
+    )
+    idx_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = grid.select(
+        "event_type", "b", (F.lit(1) + idx_hash % F.col("n")).alias("idx")
+    )
+    boot = (
+        draws.join(
+            vals.select("event_type", "rn", "v"),
+            (draws["event_type"] == vals["event_type"])
+            & (draws["idx"] == vals["rn"]),
+        )
+        .groupBy(draws["event_type"].alias("event_type"), "b")
+        .agg(fdiv(F.sum("v") * 1_000_000, _BOOT_M).alias("mean_micro"))
+    )
+    ranked = boot.withColumn(
+        "k",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("mean_micro", "b")
+        ),
+    )
+    return (
+        sizes.join(ranked, "event_type")
+        .groupBy("event_type", "n", "sv")
+        .agg(
+            F.max(
+                F.when(F.col("k") == _BOOT_LO_K, F.col("mean_micro"))
+            ).alias("ci_lo_micro"),
+            F.max(
+                F.when(F.col("k") == _BOOT_HI_K, F.col("mean_micro"))
+            ).alias("ci_hi_micro"),
+        )
+        .select(
+            "event_type",
+            "n",
+            fdiv(F.col("sv") * 1_000_000, F.col("n"))
+            .cast("long")
+            .alias("mean_micro"),
+            F.col("ci_lo_micro").cast("long"),
+            F.col("ci_hi_micro").cast("long"),
+        )
+    )
+
+
+# ------------------------------------------- Holt linear forecasting
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             {sql_fdiv("epoch_us(ts)", _US_PER_DAY)} AS day,
+             CAST(count(*) * 1000000 AS BIGINT) AS xm
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, xm,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM d
+    ),
+    walk AS (
+      SELECT event_type, rn, CAST(xm AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             {sql_fdiv("s.xm + w.l + w.b", "2")} AS l,
+             {sql_fdiv(
+                 sql_fdiv("s.xm + w.l + w.b", "2") + " - w.l + w.b", "2"
+             )} AS b
+      FROM walk w JOIN seq s
+        ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    ),
+    final AS (
+      SELECT event_type, rn, l, b,
+             row_number() OVER (PARTITION BY event_type ORDER BY rn DESC)
+               AS rr
+      FROM walk
+    )
+    SELECT event_type,
+           CAST(rn AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(l + 7 * b AS BIGINT) AS forecast7_micro
+    FROM final WHERE rr = 1
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over each
+    event type's daily-count series, alpha = beta = 1/2, ENTIRELY in
+    exact int64 micro-units: l_t = floor((x_t*M + l + b)/2),
+    b_t = floor((l_t - l + b)/2) — the halving weights turn the
+    smoother into integer floor-division both engines replay
+    bit-for-bit (the repo's standard trick for float-free
+    recurrences).  The trend state couples into the level state, so
+    no window or monoid fold expresses the pair — the honest per-key
+    sequential class (one applyInPandas scan per key), but crucially
+    the scan runs over the PRE-AGGREGATED daily frame: the data-scale
+    pass is a plain partial-aggregated count rollup, and the
+    sequential part touches |keys| x |days| rows only.  Oracle: the
+    recurrence as a recursive CTE.  Output: final state + a 7-day
+    linear forecast per key."""
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            fdiv(F.unix_micros("ts"), _US_PER_DAY).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.count("*") * 1_000_000).cast("long").alias("xm"))
+    )
+
+    def scan(pdf):
+        pdf = pdf.sort_values("day")
+        l = b = None
+        for xm in pdf["xm"]:
+            x = int(xm)
+            if l is None:
+                l, b = x, 0
+            else:
+                l_new = (x + l + b) // 2
+                b = (l_new - l + b) // 2
+                l = l_new
+        return pdf.iloc[:1].assign(
+            n_days=len(pdf),
+            level_micro=l,
+            trend_micro=b,
+            forecast7_micro=l + 7 * b,
+        )[
+            [
+                "event_type",
+                "n_days",
+                "level_micro",
+                "trend_micro",
+                "forecast7_micro",
+            ]
+        ]
+
+    return daily.groupBy("event_type").applyInPandas(
+        scan,
+        "event_type string, n_days long, level_micro long, "
+        "trend_micro long, forecast7_micro long",
     )

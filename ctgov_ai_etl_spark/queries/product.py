@@ -3191,3 +3191,891 @@ def agg_bitmap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ret(14).alias("ret_d14"),
         )
     )
+
+
+# ----------------------------------------------- privacy: t-closeness
+
+
+@query(
+    "dq_t_closeness",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+               AS band
+      FROM customer
+    ),
+    gdist AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS gn FROM tagged GROUP BY band
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT band) AS BIGINT) AS m FROM tagged),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS ng
+      FROM tagged GROUP BY c_nationkey, c_mktsegment
+    ),
+    cellcnt AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tagged GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    dense AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.ng, b.band, b.gn,
+             coalesce(c.cnt, 0) AS cnt
+      FROM grp g CROSS JOIN gdist b
+      LEFT JOIN cellcnt c
+        ON c.c_nationkey = g.c_nationkey
+       AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, ng, band,
+             sum(CAST(cnt AS HUGEINT) * (SELECT n FROM tot)
+                 - CAST(gn AS HUGEINT) * ng) OVER
+               (PARTITION BY c_nationkey, c_mktsegment
+                ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dense
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(max(ng) AS BIGINT) AS group_size,
+           round(CAST(sum(abs(c)) AS DOUBLE)
+                 / (CAST(max(ng) AS DOUBLE) * (SELECT n FROM tot)
+                    * ((SELECT m FROM tot) - 1)), 6) AS t_emd,
+           round(CAST(sum(abs(c)) AS DOUBLE)
+                 / (CAST(max(ng) AS DOUBLE) * (SELECT n FROM tot)
+                    * ((SELECT m FROM tot) - 1)), 6) > 0.2 AS at_risk
+    FROM cum GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the privacy trio
+    (dq_k_anonymity, dq_l_diversity): a QI group leaks when the
+    DISTRIBUTION of its ordered sensitive attribute (balance band)
+    strays from the global distribution, measured by the earth-mover
+    distance, which for an ordered attribute is the mean |cumulative
+    difference| (Li et al., ICDE'07).  The per-band deviation is the
+    EXACT integer cross product cnt*N - gn*ng (no per-cell float
+    probabilities); one double division at the very end.  Frames:
+    one data-scale groupBy to band counts, then everything runs on
+    the |groups| x |bands| grid (hundreds of rows at any SF) with a
+    broadcast band spine — the dense grid is what makes absent bands
+    count as p_i = 0."""
+    c = load_table(spark, sf_dir, "customer")
+    band = fdiv(cents("c_acctbal") + 100_000, F.lit(100_000))
+    tagged = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    glob = tagged.groupBy("band").agg(F.count("*").cast("long").alias("gn"))
+    tot = tagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("band").cast("long").alias("m"),
+    )
+    grp = tagged.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("ng")
+    )
+    cellcnt = tagged.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    dense = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(
+            cellcnt, ["c_nationkey", "c_mktsegment", "band"], "left"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "band",
+            "n",
+            "m",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("n")
+                - F.col("gn").cast("decimal(38,0)") * F.col("ng")
+            ).alias("dev"),
+        )
+    )
+    wc = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "n",
+        "m",
+        F.sum("dev").over(wc).alias("c"),
+    )
+    t = F.round(
+        F.sum(F.abs(F.col("c"))).cast("double")
+        / (
+            F.max("ng").cast("double")
+            * F.max("n")
+            * (F.max("m") - 1)
+        ),
+        6,
+    )
+    return cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("ng").cast("long").alias("group_size"),
+        t.alias("t_emd"),
+        (t > 0.2).alias("at_risk"),
+    )
+
+
+# ------------------------------------------ k-center coreset
+
+
+_KC_CAP = 500  # documented slice cap: quadratic-free, but bounded demo
+_KC_ROUNDS = 8
+
+
+def _kcenter_oracle(rounds: int, cap: int) -> str:
+    parts = [
+        f"""v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS iv
+      FROM embeddings WHERE vec_id < {cap}
+    )""",
+        """dist0 AS (
+      SELECT a.vec_id,
+             CAST(list_aggregate(
+               list_transform(range(1, len(a.iv) + 1),
+                 j -> (a.iv[CAST(j AS INT)] - c.iv[CAST(j AS INT)])
+                      * (a.iv[CAST(j AS INT)] - c.iv[CAST(j AS INT)])),
+               'sum') AS BIGINT) AS mind
+      FROM v a CROSS JOIN (SELECT iv FROM v WHERE vec_id = 0) c
+    )""",
+    ]
+    sel = ["SELECT 0 AS round, 0 AS center_id, NULL AS radius_sq"]
+    for r in range(1, rounds):
+        parts.append(
+            f"""c{r} AS (
+      SELECT vec_id, mind FROM dist{r - 1}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        sel.append(
+            f"SELECT {r}, vec_id, mind FROM c{r}"
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"""dist{r} AS (
+      SELECT d.vec_id,
+             least(d.mind, CAST(list_aggregate(
+               list_transform(range(1, len(a.iv) + 1),
+                 j -> (a.iv[CAST(j AS INT)] - b.iv[CAST(j AS INT)])
+                      * (a.iv[CAST(j AS INT)] - b.iv[CAST(j AS INT)])),
+               'sum') AS BIGINT)) AS mind
+      FROM dist{r - 1} d
+      JOIN v a ON a.vec_id = d.vec_id
+      CROSS JOIN (SELECT v.iv FROM c{r} JOIN v ON v.vec_id = c{r}.vec_id) b
+    )"""
+            )
+    body = " UNION ALL ".join(sel)
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(round AS INT) AS round,
+           CAST(center_id AS BIGINT) AS center_id,
+           CAST(radius_sq AS BIGINT) AS radius_sq
+    FROM ({body})"""
+    )
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(_KC_ROUNDS, _KC_CAP),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez farthest-first
+    traversal): start from vector 0, then 7 rounds of 'add the point
+    farthest from every selected center' — the 2-approximation
+    coverage guarantee that makes it THE diverse-subset picker for
+    training-data curation (each radius_sq is the covering radius
+    when that center was chosen, a certified coverage curve).  Each
+    round is ONE broadcast join against the single new center plus a
+    running least() on the per-point min-distance column — k linear
+    passes, never a pairwise matrix — with exact integer micro-unit
+    L2 so the whole traversal hash-checks against the unrolled CTE
+    oracle.  The slice cap bounds the demo; at 100 TB the same plan
+    runs per-shard and the per-shard coresets union (composable
+    coresets)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _KC_CAP
+    )
+    iv = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    # the capped slice is 500 rows: one partition keeps every round's
+    # argmax and distance update a single-task job instead of paying
+    # 32-task scheduling overhead 8 times
+    v = e.select("vec_id", iv.alias("iv")).coalesce(1)
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    from ctgov_ai_etl_spark.operators import cache as _cache
+
+    c0 = v.filter(F.col("vec_id") == 0).select(F.col("iv").alias("civ"))
+    dist = _cache.track(
+        v.crossJoin(F.broadcast(c0))
+        .select(
+            "vec_id", "iv", sq_dist(F.col("iv"), F.col("civ")).alias("mind")
+        )
+        .persist()
+    )
+    # fully lazy farthest-first traversal: each round's argmax is a
+    # 1-row TakeOrdered frame that CARRIES the center's vector, so the
+    # next round's distance update is a broadcast crossJoin against
+    # it — no driver-side collect, no local-rows createDataFrame in a
+    # timed path (SCALE.md r10: those cost ~5 s of Python-worker spawn
+    # per write job), one single action at the end
+    picks = [
+        v.filter(F.col("vec_id") == 0).select(
+            F.lit(0).cast("int").alias("round"),
+            F.col("vec_id").cast("long").alias("center_id"),
+            F.lit(None).cast("long").alias("radius_sq"),
+        )
+    ]
+    for r in range(1, _KC_ROUNDS):
+        pick = dist.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+        picks.append(
+            pick.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("vec_id").cast("long").alias("center_id"),
+                F.col("mind").cast("long").alias("radius_sq"),
+            )
+        )
+        if r < _KC_ROUNDS - 1:
+            center = pick.select(F.col("iv").alias("civ"))
+            dist = dist.crossJoin(F.broadcast(center)).select(
+                "vec_id",
+                "iv",
+                F.least(
+                    F.col("mind"), sq_dist(F.col("iv"), F.col("civ"))
+                ).alias("mind"),
+            )
+            # tracked persist per round: without it, round r's argmax
+            # AND every later round re-evaluate the whole distance
+            # chain from scratch (O(k^2) recomputation — billed 4.9 s
+            # at sf0.1 for a 500-row frame; r11 bench)
+            dist = _cache.track(dist.persist())
+    out = picks[0]
+    for p_ in picks[1:]:
+        out = out.unionAll(p_)
+    return out
+
+
+# --------------------------------------------------- crypto-shredding
+
+
+@query(
+    "gov_crypto_shred",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT user_id,
+             substr(md5('k:' || CAST(user_id AS VARCHAR)), 1, 16) AS ukey
+      FROM events
+      WHERE user_id % 17 <> 0
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN k.ukey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shredded,
+           CAST(count(DISTINCT CASE WHEN k.ukey IS NOT NULL
+                 THEN substr(md5(k.ukey || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 12)
+                 END) AS BIGINT) AS n_tokens
+    FROM events e LEFT JOIN keys k USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding erasure (the GDPR deletion pattern that works
+    on immutable storage): every user's identifiers are tokenized
+    under a per-user key held in a tiny key table; 'deleting' a user
+    destroys only their key row, after which their tokens are
+    unlinkable — no rewrite of the 100 TB fact store.  Here users
+    with user_id % 17 == 0 are shredded (their key rows are gone);
+    the audit rollup counts shredded events and surviving distinct
+    tokens per type.  The key table is users-sized (broadcast join —
+    the fact table never shuffles); tokenization is md5 keyed by the
+    user key, engine-portable so the oracle replays it.  Companion
+    to gov_right_to_erasure (hard delete) — this is the soft,
+    storage-immutable variant."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 17 != 0)
+        .select(
+            "user_id",
+            F.substring(
+                F.md5(F.concat(F.lit("k:"), F.col("user_id").cast("string"))),
+                1,
+                16,
+            ).alias("ukey"),
+        )
+    )
+    joined = ev.join(F.broadcast(keys), "user_id", "left")
+    token = F.when(
+        F.col("ukey").isNotNull(),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("ukey"), F.lit(":"), F.col("user_id").cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("ukey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shredded"),
+        F.count_distinct(token).cast("long").alias("n_tokens"),
+    )
+
+
+# ------------------------------------ order-independent checksum
+
+_CKSUM_CANON = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' "
+    "|| CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+)
+
+
+@query(
+    "dq_dataset_checksum",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5({_CKSUM_CANON}), 1, 15))
+                  AS BIGINT) AS h60
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h60) AS BIGINT) AS xor_checksum,
+           CAST(sum(CAST(h60 AS HUGEINT))
+                % 2305843009213693951 AS BIGINT) AS sum_checksum
+    FROM h
+    """,
+)
+def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT dataset checksum — the cheap replication /
+    migration validator: every row canonicalizes to a stable string
+    (keys, status, exact cents — no raw doubles or timestamps whose
+    rendering differs across engines), hashes to a portable 60-bit
+    md5 integer, and the dataset digest is BOTH the XOR fold and the
+    sum mod the Mersenne prime 2^61-1 of those hashes.  Both folds
+    are commutative monoids: partial-aggregable, partition-order
+    independent, and MERGEABLE across shards/days/clusters — so two
+    100 TB copies compare by exchanging two integers, and a single
+    flipped row flips the digest (xor catches odd multiplicity
+    changes, the modular sum catches the duplicate-pair class xor
+    misses).  One map-side fold, one 1-row exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    # F.concat (NOT concat_ws): concat propagates NULL like the
+    # oracle's '||', so a NULL field NULLs the row hash identically
+    # on both engines instead of being silently skipped on one side
+    # (ADVICE r10 — concat_ws drops NULL columns).
+    canon = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("o_custkey").cast("string"),
+        F.lit("|"),
+        F.col("o_orderstatus"),
+        F.lit("|"),
+        cents("o_totalprice").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    h = o.select(h60.alias("h60"))
+    return h.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor("h60").cast("long").alias("xor_checksum"),
+        F.pmod(
+            F.sum(F.col("h60").cast("decimal(38,0)")),
+            F.lit(2305843009213693951).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("sum_checksum"),
+    )
+
+
+# ------------------------------------------- mutual-kNN graph build
+
+_KNN_K = 5
+_KNN_CAP = 1000  # documented slice cap: quadratic tier stays bounded
+
+
+@query(
+    "emb_mutual_knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS iv
+      FROM embeddings WHERE vec_id < {_KNN_CAP}
+    ),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(list_aggregate(
+                    list_transform(range(1, len(a.iv) + 1),
+                                   j -> a.iv[CAST(j AS INT)]
+                                        * b.iv[CAST(j AS INT)]),
+                    'sum') AS BIGINT) AS dot
+      FROM v a CROSS JOIN v b
+      WHERE a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst, dot,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dot DESC, dst ASC) AS rk
+      FROM dots
+    )
+    SELECT k1.src AS a, k1.dst AS b, k1.dot AS dot_micro2
+    FROM knn k1 JOIN knn k2
+      ON k1.src = k2.dst AND k1.dst = k2.src
+     AND k1.rk <= {_KNN_K} AND k2.rk <= {_KNN_K}
+    WHERE k1.src < k1.dst
+    """,
+)
+def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN graph construction over the embedding table — the
+    graph-build step in front of SemDeDup clustering / spectral
+    methods: an edge survives only if each endpoint ranks the other
+    in its top-{_KNN_K} by inner product (mutuality prunes hub
+    false-neighbors that one-sided kNN keeps).  Exact integer MIPS:
+    micro-unit components make every dot product an exact int64
+    (64 dims x 1e12 per term ≈ 6.4e13 max), so the (dot desc, id)
+    ranking is deterministic — no float tie ambiguity.  This is the
+    guarded QUADRATIC correctness tier (vec_id < {_KNN_CAP} slice,
+    documented cap — same contract as sim_topk_bruteforce); the
+    scale path swaps the cross join for the IVF/LSH candidate
+    generation in operators/similarity.py and keeps the mutuality
+    join unchanged.  The mutual filter is a self-equi-join on the
+    (src, dst) pair key."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _KNN_CAP
+    )
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1_000_000).cast("long"),
+        ).alias("iv"),
+    )
+    # spread the probe side: the slice arrives as one parquet split,
+    # and a 1-partition crossJoin would compute every dot in one task
+    a = v.select(
+        F.col("vec_id").alias("src"), F.col("iv").alias("av")
+    ).repartition(32, "src")
+    b = v.select(F.col("vec_id").alias("dst"), F.col("iv").alias("bv"))
+    dots = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.aggregate(
+                F.zip_with(
+                    F.col("av"), F.col("bv"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    knn = dots.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("src").orderBy(
+                F.col("dot").desc(), F.col("dst").asc()
+            )
+        ),
+    ).filter(F.col("rk") <= _KNN_K)
+    k1 = knn.alias("k1")
+    k2 = knn.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    ).alias("k2")
+    return (
+        k1.join(
+            k2,
+            (F.col("k1.src") == F.col("k2.r_src"))
+            & (F.col("k1.dst") == F.col("k2.r_dst")),
+        )
+        .filter(F.col("k1.src") < F.col("k1.dst"))
+        .select(
+            F.col("k1.src").alias("a"),
+            F.col("k1.dst").alias("b"),
+            F.col("k1.dot").alias("dot_micro2"),
+        )
+    )
+
+
+# ------------------------------------ sequence pattern match (regex)
+
+# one char per event type: the alphabet the pattern runs over
+_SEQ_INITIAL = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+# browse-then-buy with no error in between, anywhere in the journey
+_SEQ_PATTERN = "v+c+[vcs]*p"
+
+
+@query(
+    "seq_pattern_regex",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg({_SEQ_INITIAL}, ''
+                        ORDER BY epoch_us(ts), event_id) AS journey
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(journey, '{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+           CAST(sum(CASE WHEN regexp_matches(journey,
+                                             '^{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matching_from_start,
+           CAST(max(length(journey)) AS BIGINT) AS longest_journey
+    FROM seq
+    """,
+)
+def seq_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence pattern matching, the
+    Spark way: each user's journey compresses to ONE ordered string
+    (one char per event type, built by partial-aggregable ordered
+    aggregation — never a per-user collect), and the behavioral
+    pattern 'views, then clicks, then purchase with no error
+    between' becomes a plain regex over that string — CEP pattern
+    queries as string algebra, running scan-shaped at any scale
+    (journey length is bounded by per-user activity, not corpus
+    size).  Both engines run POSIX-class regexes with identical
+    semantics for this alphabet; the ordered aggregation uses the
+    repo's (ts, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("i"),
+                F.expr(_SEQ_INITIAL).alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return seq.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when(
+                F.col("journey").rlike(_SEQ_PATTERN), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matching"),
+        F.sum(
+            F.when(
+                F.col("journey").rlike("^" + _SEQ_PATTERN), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matching_from_start"),
+        F.max(F.length("journey")).cast("long").alias("longest_journey"),
+    )
+
+
+# ------------------------------------- referential-integrity profile
+
+_FK_EDGES = (
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{child}.{ck}->{parent}.{pk}' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN NOT EXISTS
+                 (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST({sql_fdiv(
+               "sum(CASE WHEN NOT EXISTS "
+               f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}) "
+               "THEN 1 ELSE 0 END) * 1000000",
+               "count(*)")} AS BIGINT) AS orphan_ppm
+    FROM {child} c""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_fk_orphans", oracle=_fk_oracle())
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiler across the star schema's five
+    foreign keys: for each child->parent edge, how many child rows
+    have no matching parent (orphans) and the orphan rate in exact
+    ppm — the DQ gate every warehouse load runs before trusting a
+    join.  The engine form is one broadcast LEFT join per edge
+    against the DISTINCT parent keys (parent key sets are dim-sized;
+    the child side never shuffles) folded into a single global
+    aggregate — fully lazy, no driver-side counting — and the five
+    edges union into one frame; the oracle states each edge as the
+    declarative NOT EXISTS.  At 100 TB each edge is still one
+    broadcast probe per child partition; a bloom-filter pre-pass
+    (join_bloom_semi) slots in front unchanged."""
+    import functools
+
+    frames = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
+        )
+        joined = c.join(F.broadcast(p), c["k"] == p["__pk"], "left")
+        frames.append(
+            joined.agg(
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk"),
+                "n_child",
+                "n_orphans",
+                fdiv(F.col("n_orphans") * 1_000_000, F.col("n_child"))
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionAll(b), frames)
+
+
+# --------------------------------------- power-iteration PCA (exact)
+
+_PCA_D = 8  # leading embedding dims
+_PCA_ITERS = 6
+_PCA_GSCALE = 1_000_000_000  # Gram entries scaled down by 1e9
+
+
+def _pca_oracle(d: int, iters: int) -> str:
+    fd = sql_fdiv
+    parts = [
+        f"""m AS (
+      SELECT vec_id, dim - 1 AS dim,
+             CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, {d + 1})) AS t(dim))""",
+        f"""gram AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST({fd("sum(CAST(a.v AS HUGEINT) * b.v)", str(_PCA_GSCALE))}
+                  AS BIGINT) AS g
+      FROM m a JOIN m b USING (vec_id)
+      GROUP BY a.dim, b.dim)""",
+        f"""x0 AS (
+      SELECT unnest(range(0, {d})) AS i, CAST(1000000 AS BIGINT) AS x)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"y{k} AS (SELECT g.i, CAST(sum(g.g * x.x) AS BIGINT) AS y"
+            f" FROM gram g JOIN x{k - 1} x ON x.i = g.j GROUP BY g.i)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT CAST(max(abs(y)) AS BIGINT) AS mx FROM y{k})"
+        )
+        parts.append(
+            f"x{k} AS (SELECT y.i,"
+            f" CAST({fd('y.y', fd('m.mx', '1000000') + ' + 1')} AS BIGINT)"
+            f" AS x FROM y{k} y, m{k} m)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(x.i AS INT) AS dim, CAST(x.x AS BIGINT) AS eigvec_scaled
+    FROM x{iters} x"""
+    )
+
+
+@query(
+    "emb_pca_power_iteration", oracle=_pca_oracle(_PCA_D, _PCA_ITERS)
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding matrix by power
+    iteration on an EXACT integer Gram matrix — the distributed-PCA
+    decomposition MLlib's RowMatrix uses: ONE data-scale pass builds
+    the d x d Gram (long-form explode map-side, d^2 tiny moment rows
+    shuffled, never the vectors), then the d x d eigen-iteration runs
+    on the constant-size matrix.  Everything stays in int64: vector
+    components in micro-units, Gram entries floor-scaled by 1e9
+    (decimal accumulation so the inner products never overflow), and
+    each iterate renormalized by floor-dividing with
+    (max|y|/1e6 + 1) — both engines replay the identical integer
+    sequence, so a six-round eigenvector matches bit-for-bit where a
+    float power iteration would drift.  The iteration itself is
+    executed RELATIONALLY (matvec = join + group on the 64-row gram
+    frame; the iterate x is re-injected as an array literal each
+    round — no Python-rows plan, no data-sized driver collect; the
+    only collect is the d-row iterate, bounded and documented).
+    Oracle: Gram + the same six matvecs as unrolled CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long_form = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _PCA_D)
+        ).alias("dim", "xv"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("xv") * 1_000_000).cast("long").alias("v"),
+    )
+    a, b = long_form.alias("a"), long_form.alias("b")
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            fdiv(
+                F.sum(F.col("a.v").cast("decimal(38,0)") * F.col("b.v")),
+                _PCA_GSCALE,
+            )
+            .cast("long")
+            .alias("g")
+        )
+    )
+    # Pin the 64-row gram across the K matvec jobs (and register the
+    # pin for barrier cleanup) so the data-scale pair join runs once.
+    from ctgov_ai_etl_spark.operators.cache import track
+
+    gram = track(gram.cache())
+    x = [1_000_000] * _PCA_D
+    for _ in range(_PCA_ITERS):
+        xcol = F.array(*[F.lit(int(v)) for v in x])
+        y = (
+            gram.select(
+                "i",
+                (
+                    F.col("g") * F.element_at(xcol, F.col("j") + 1)
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("y"))
+        )
+        rows = y.collect()  # bounded: d = 8 rows, documented
+        mx = max(abs(int(r["y"])) for r in rows)
+        denom = mx // 1_000_000 + 1
+        x_new = [0] * _PCA_D
+        for r in rows:
+            x_new[int(r["i"])] = int(r["y"]) // denom
+        x = x_new
+    return (
+        spark.range(_PCA_D)
+        .select(F.col("id").cast("int").alias("dim"))
+        .select(
+            "dim",
+            F.element_at(
+                F.array(*[F.lit(int(v)) for v in x]), F.col("dim") + 1
+            )
+            .cast("long")
+            .alias("eigvec_scaled"),
+        )
+    )
+
+
+# ------------------------------------- functional-dependency mining
+
+
+_FD_PAIRS = (
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for lhs, rhs in _FD_PAIRS:
+        parts.append(f"""
+    SELECT '{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST({sql_fdiv("sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000",
+                          "count(*)")} AS BIGINT) AS violation_ppm
+    FROM (SELECT CAST({lhs} AS VARCHAR) AS l,
+                 count(DISTINCT {rhs}) AS nd
+          FROM orders GROUP BY 1) g""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_fd_miner", oracle=_fd_oracle())
+def dq_fd_miner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency miner: for each candidate rule A -> B,
+    how many A-values map to more than one distinct B (violating
+    groups) and the violation rate in exact ppm — the profiling pass
+    schema-inference and DQ-rule systems run before trusting a
+    column as a key or denormalization target.  The engine form
+    stacks all candidate pairs into one long frame map-side (explode
+    of (fd, lhs, rhs) structs — ONE scan of the table for all rules)
+    and aggregates twice on the same fd,lhs exchange; the oracle
+    states each rule as its own aggregate and unions them.  At 100 TB
+    the single-scan stacking beats |rules| separate passes; the
+    second rollup is |distinct lhs|-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{lhs}->{rhs}").alias("fd"),
+                        F.col(lhs).cast("string").alias("l"),
+                        F.col(rhs).cast("string").alias("r"),
+                    )
+                    for lhs, rhs in _FD_PAIRS
+                ]
+            )
+        ).alias("x")
+    ).select("x.fd", "x.l", "x.r")
+    per_lhs = stacked.groupBy("fd", "l").agg(
+        F.count_distinct("r").alias("nd")
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count("*").cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        fdiv(
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) * 1_000_000,
+            F.count("*"),
+        )
+        .cast("long")
+        .alias("violation_ppm"),
+    )

@@ -1571,3 +1571,54 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+# ------------------------------------------- array-overlap join
+
+
+@query(
+    "join_array_overlap",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             -- [1:3] is INCLUSIVE in DuckDB (3 elements, matching
+             -- Spark's slice(arr, 1, 3))
+             list_distinct(string_split(text, ' ')[1:3]) AS tags
+      FROM documents WHERE doc_id < 500
+    ),
+    ex AS (
+      SELECT doc_id, unnest(tags) AS tag FROM tagged
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex a JOIN ex b ON a.tag = b.tag AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def join_array_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-VALUED JOIN on overlapping tag arrays (match documents
+    sharing >= 2 tags) — expressed the way it survives 100 TB: NOT
+    `arrays_overlap` as a theta-join predicate (which plans as a
+    cartesian), but explode-both-sides -> one EQUALITY shuffle on the
+    tag -> pair aggregation with the overlap threshold as a HAVING.
+    Shared tags count once each (tags are de-duplicated per doc
+    first), each qualifying pair aggregates from its shared-tag rows,
+    and skew is bounded by per-tag document frequency (a stopword-ish
+    hub tag fans out like any hot join key — salt or filter by df at
+    real scale; here the slice cap documents the demo bound)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tagged = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(F.split("text", " "), 1, 3)).alias("tags"),
+    )
+    ex = tagged.select("doc_id", F.explode("tags").alias("tag"))
+    a = ex.select(F.col("doc_id").alias("a"), "tag")
+    b = ex.select(F.col("doc_id").alias("b"), "tag")
+    return (
+        a.join(b, "tag")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -521,3 +521,59 @@ def fn_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("path_depth"),
     )
+
+
+# ------------------------------------- deterministic content UUIDs
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('ctgov:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+             || substr(hx, 14, 3) || '-'
+             || substr('89ab',
+                       CAST(CAST(('0x' || substr(hx, 17, 1)) AS INT) % 4
+                            AS INT) + 1, 1)
+             || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid3
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed UUIDs (RFC 4122 version 3:
+    md5 of namespace+name with the version nibble forced to '3' and
+    the variant nibble to 8/9/a/b) — the stable record identity every
+    multi-source ingestion pipeline needs: re-ingesting the same
+    document yields the same id on any engine, any partitioning, any
+    day.  Pure map-side string algebra over md5 (the portable-hash
+    convention), zero shuffle, zero UDF — at 100 TB this is free
+    inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("ctgov:"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", hx.alias("hx"))
+    variant = F.substring(
+        F.lit("89ab"),
+        (
+            F.conv(F.substring("hx", 17, 1), 16, 10).cast("int") % 4 + 1
+        ).cast("int"),
+        1,
+    )
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-3"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            variant,
+            F.substring("hx", 18, 3),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("uuid3"),
+    )

@@ -9,7 +9,7 @@ cannot drift apart silently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.functions.text import (
@@ -44,6 +44,7 @@ from ctgov_ai_etl_spark.operators.similarity import (
     semantic_prune,
     semantic_prune_oracle_sql,
 )
+from ctgov_ai_etl_spark.functions.exact import fdiv, sql_fdiv
 from ctgov_ai_etl_spark.operators.cache import track
 from ctgov_ai_etl_spark.operators.limits import stratified_sample
 from ctgov_ai_etl_spark.queries.registry import REGISTRY, query
@@ -3449,4 +3450,348 @@ def maintenance_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("sz").cast("long").alias("bytes"),
         fdiv(F.sum("sz").cast("long") * 1_000_000, 40_000).alias("fill_ppm"),
+    )
+
+
+# ------------------------------------------- RAKE keyword extraction
+
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "in", "is", "for", "with", "on")
+_RAKE_TOPK = 15
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.pos - 1 AS pos, u.tok,
+             CASE WHEN u.tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS st
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) u
+    ),
+    ids AS (
+      -- phrase ids BEFORE filtering (WHERE would strip the stopwords
+      -- ahead of the window and collapse each doc to one phrase)
+      SELECT doc_id, pos, tok, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS phrase_id
+      FROM toks
+    ),
+    ph AS (
+      SELECT doc_id, pos, tok, phrase_id FROM ids WHERE st = 0
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase
+      FROM ph GROUP BY doc_id, phrase_id
+    ),
+    wstat AS (
+      SELECT p.tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(r.n_words) AS BIGINT) AS degree
+      FROM ph p JOIN phrases r USING (doc_id, phrase_id)
+      GROUP BY p.tok
+    ),
+    wscore AS (
+      SELECT tok,
+             {sql_fdiv('degree * 1000000', 'freq')} AS score_ppm
+      FROM wstat
+    ),
+    pscore AS (
+      SELECT r.phrase,
+             CAST(sum(w.score_ppm) AS BIGINT) AS score_ppm
+      FROM ph p
+      JOIN phrases r USING (doc_id, phrase_id)
+      JOIN wscore w ON w.tok = p.tok
+      GROUP BY r.doc_id, r.phrase_id, r.phrase
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_ppm) AS BIGINT) AS score_ppm
+    FROM pscore GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs — built WITHOUT regex
+    splitting (whose zero-width semantics differ across engines) via
+    the gaps-and-islands trick: phrase_id = running stopword count
+    per document; word score = degree/freq in exact integer ppm
+    (degree = sum of host-phrase lengths per occurrence), phrase
+    score = sum of member word scores.  Two data-scale shuffles
+    (phrase agg keyed on (doc, phrase), token-stat agg keyed on the
+    vocabulary) + a broadcast of the vocabulary-sized score table;
+    the final dedup-and-rank is a TakeOrderedAndProject.  The
+    document-frequency-free sibling of TF-IDF/BM25 — keyword mining
+    for corpus exploration at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.col("tok").isin(*_RAKE_STOPS).cast("int").alias("st"),
+    )
+    wp = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ph = toks.select(
+        "doc_id", "pos", "tok", F.sum("st").over(wp).alias("phrase_id"), "st"
+    ).filter(F.col("st") == 0)
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        ph.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("degree"),
+        )
+    )
+    wscore = wstat.select(
+        "tok", fdiv(F.col("degree") * 1_000_000, F.col("freq")).alias("score_ppm")
+    )
+    pscore = (
+        ph.join(phrases, ["doc_id", "phrase_id"])
+        .join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_ppm").cast("long").alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# ------------------------------------------ tokenizer vocab coverage
+
+_VOCAB_SIZES = (100, 500, 1000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    types AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok ASC) AS rk,
+             sum(c) OVER (ORDER BY c DESC, tok ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS total,
+             count(*) OVER () AS n_types
+      FROM types
+    )
+    SELECT CAST(v.v AS INT) AS vocab_size,
+           CAST(max(CASE WHEN rk = least(v.v, n_types)
+                         THEN cum END) AS BIGINT) AS covered_occurrences,
+           CAST(max(total) AS BIGINT) AS total_occurrences,
+           CAST({sql_fdiv(
+               "max(CASE WHEN rk = least(v.v, n_types) THEN cum END)"
+               " * 1000000",
+               "max(total)")} AS BIGINT) AS coverage_ppm
+    FROM ranked,
+         (SELECT unnest([{", ".join(str(v) for v in _VOCAB_SIZES)}]) AS v)
+           v
+    GROUP BY v.v
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage curve: what fraction of corpus
+    token OCCURRENCES does a top-V type vocabulary cover, at V = 100
+    / 500 / 1000 — the first diagnostic run before sizing a
+    tokenizer or estimating OOV/UNK rates for an LM training mix.
+    Corpus collapses to the distinct-type frame in one
+    partial-aggregated rollup; the coverage curve is a rank +
+    cumulative-sum window over the vocabulary-sized frame (at real
+    scale: vocabulary << corpus, so the window input is tiny), and
+    the three V probes read the SAME ranked frame.  Deterministic
+    (count desc, token asc) ranking; coverage in exact integer ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    types = occ.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    wr = W.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = types.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c")
+        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        # bounded global window: input is the distinct-TYPE frame
+        # (vocabulary-sized, << corpus) — the partition-less WARN is
+        # safe by construction
+        F.sum("c")
+        .over(W.partitionBy())
+        .alias("total"),
+        F.count("*").over(W.partitionBy()).alias("n_types"),
+    )
+    # JVM-side literal frame (a local-rows createDataFrame plan would
+    # drag a Python-worker spawn into every job over it — SCALE.md r10)
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _VOCAB_SIZES])).alias("v")
+    )
+    probed = ranked.crossJoin(F.broadcast(sizes)).filter(
+        F.col("rk") == F.least(F.col("v"), F.col("n_types"))
+    )
+    return probed.groupBy(F.col("v").cast("int").alias("vocab_size")).agg(
+        F.max("cum").cast("long").alias("covered_occurrences"),
+        F.max("total").cast("long").alias("total_occurrences"),
+        fdiv(F.max("cum") * 1_000_000, F.max("total"))
+        .cast("long")
+        .alias("coverage_ppm"),
+    )
+
+
+# --------------------------------------- Kneser-Ney bigram smoothing
+
+_KN_TOP_W1 = 20  # most frequent contexts reported
+_KN_TOP_W2 = 3  # continuations per context
+
+
+@query(
+    "text_bigram_kneser_ney",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, arr,
+             unnest(range(0, greatest(len(arr) - 1, 0))) AS i
+      FROM base
+    ),
+    bg AS (
+      SELECT arr[CAST(i + 1 AS INT)] AS w1,
+             arr[CAST(i + 2 AS INT)] AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM idx
+      GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1p_fwd
+      FROM bg GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM bg GROUP BY w2
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bg),
+    p AS (
+      SELECT bg.w1, bg.w2, bg.c12, ctx.c1,
+             CAST({sql_fdiv("greatest(4 * bg.c12 - 3, 0) * 1000000",
+                            "4 * ctx.c1")}
+                  + {sql_fdiv(
+                      "3 * ctx.n1p_fwd * "
+                      + sql_fdiv("cont.n1p_bwd * 1000000", "t.tt"),
+                      "4 * ctx.c1")}
+                  AS BIGINT) AS pkn_ppm
+      FROM bg
+      JOIN ctx USING (w1)
+      JOIN cont USING (w2)
+      CROSS JOIN t
+    ),
+    topc AS (
+      SELECT w1 FROM ctx
+      ORDER BY c1 DESC, w1 ASC LIMIT {_KN_TOP_W1}
+    ),
+    ranked AS (
+      SELECT p.w1, p.w2, p.c12, p.pkn_ppm,
+             row_number() OVER (PARTITION BY p.w1
+                                ORDER BY p.pkn_ppm DESC, p.w2 ASC) AS rk
+      FROM p JOIN topc USING (w1)
+    )
+    SELECT w1, w2, c12, pkn_ppm, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_KN_TOP_W2}
+    """,
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram language model over the corpus —
+    the smoothing that actually powers n-gram LM scoring (absolute
+    discount D = 3/4 plus a continuation-probability backoff that
+    asks 'how many distinct contexts does w2 follow?' rather than
+    'how often does w2 occur').  The entire estimate stays in exact
+    integer ppm: D = 3/4 clears denominators via the 4c - 3
+    trick, and the backoff term nests two floor divisions in the
+    same order on both engines.  Corpus-scale passes: tokenize
+    map-side (single-space contract), ONE bigram rollup, then
+    context/continuation rollups on frames that are vocabulary-sized
+    — the same collapse-to-distinct move as text_bpe_merge_rank.
+    Reports the top-3 smoothed continuations for the 20 heaviest
+    contexts (deterministic tie-breaks throughout)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    bg = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1p_bwd")
+    )
+    tt = bg.agg(F.count("*").cast("long").alias("tt"))
+    pcont_ppm = fdiv(F.col("n1p_bwd") * 1_000_000, F.col("tt"))
+    pkn = (
+        fdiv(
+            F.greatest(4 * F.col("c12") - 3, F.lit(0)) * 1_000_000,
+            4 * F.col("c1"),
+        )
+        + fdiv(3 * F.col("n1p_fwd") * pcont_ppm, 4 * F.col("c1"))
+    ).cast("long")
+    p = (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "c12", "c1", pkn.alias("pkn_ppm"))
+    )
+    topc = ctx.orderBy(F.col("c1").desc(), F.col("w1").asc()).limit(
+        _KN_TOP_W1
+    )
+    ranked = p.join(F.broadcast(topc.select("w1")), "w1").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("w1").orderBy(
+                F.col("pkn_ppm").desc(), F.col("w2").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= _KN_TOP_W2).select(
+        "w1", "w2", "c12", "pkn_ppm", F.col("rk").cast("int")
     )

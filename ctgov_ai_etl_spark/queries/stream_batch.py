@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.functions.exact import cents
+from ctgov_ai_etl_spark.operators.sketches import portable_hash60
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
 
@@ -1477,7 +1479,7 @@ def stream_run_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ctgov_ai_etl_spark.queries.round10 import (  # noqa: E402
+from ctgov_ai_etl_spark.queries.analytics import (  # noqa: E402
     ts_holt_linear as _batch_holt,
 )
 from ctgov_ai_etl_spark.queries.registry import REGISTRY as _REG  # noqa: E402
@@ -1600,4 +1602,167 @@ def stream_run_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.max("n").cast("long").alias("n_obs"),
         F.round(chi2, 6).alias("chi2"),
+    )
+
+
+# ------------------------------------- priority (weighted) sampling
+
+
+_PRIO_K = 100
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+             CAST(('0x' || substring(md5('pri:' ||
+                     CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+               AS u
+      FROM orders
+    ),
+    pri AS (
+      SELECT o_orderkey, w_cents,
+             CAST(w_cents AS DOUBLE) * 1152921504606846976.0 / u
+               AS priority
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM pri
+      ORDER BY priority DESC, o_orderkey LIMIT {_PRIO_K + 1}
+    ),
+    tau AS (SELECT min(priority) AS tau FROM top),
+    sel AS (
+      SELECT * FROM top
+      ORDER BY priority DESC, o_orderkey LIMIT {_PRIO_K}
+    )
+    SELECT s.o_orderkey, s.w_cents,
+           CAST(floor(greatest(CAST(s.w_cents AS DOUBLE), t.tau))
+                AS BIGINT) AS ht_cents
+    FROM sel s CROSS JOIN tau t
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield-Lund-Thorup): a weight-proportional
+    sample without replacement with unbiased Horvitz-Thompson
+    estimation — the 100-TB answer to 'keep {_PRIO_K} rows whose
+    weights still sum like the full table': each row draws priority
+    w/u from a deterministic md5 uniform (reproducible where rand()
+    is not), the top-k survive, and each survivor's HT weight is
+    max(w, tau) with tau the (k+1)-th priority — sums of HT weights
+    are unbiased for any subset total.  The top-(k+1) is a
+    TakeOrderedAndProject (per-partition heap + merge, NO global
+    sort); priorities are one double expression with fixed operation
+    order on both engines.  Mergeable across shards: union the
+    per-shard top-(k+1)s and re-take."""
+    o = load_table(spark, sf_dir, "orders")
+    u = portable_hash60(F.col("o_orderkey"), salt="pri") + 1
+    pri = o.select(
+        "o_orderkey",
+        cents("o_totalprice").alias("w_cents"),
+        (
+            cents("o_totalprice").cast("double")
+            * F.lit(1152921504606846976.0)
+            / u
+        ).alias("priority"),
+    )
+    top = pri.orderBy(
+        F.col("priority").desc(), F.col("o_orderkey")
+    ).limit(_PRIO_K + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    sel = top.orderBy(F.col("priority").desc(), F.col("o_orderkey")).limit(
+        _PRIO_K
+    )
+    # floor to integer cents: rounding a ~1e9 double at 6 dp exceeds
+    # the 15-16 significant digits a double carries, and the two
+    # engines disagree in the last ulp of the FORMATTED value; floor
+    # of the identical IEEE double is identical on both sides
+    return sel.crossJoin(F.broadcast(tau)).select(
+        "o_orderkey",
+        "w_cents",
+        F.floor(F.greatest(F.col("w_cents").cast("double"), F.col("tau")))
+        .cast("long")
+        .alias("ht_cents"),
+    )
+
+
+# ----------------------------------- streaming priority sampling
+
+
+@query(
+    "stream_run_priority_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS w_cents,
+             CAST(('0x' || substring(md5('pri:' ||
+                     CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+               AS u
+      FROM events WHERE ts IS NOT NULL
+    ),
+    pri AS (
+      SELECT event_id, w_cents,
+             CAST(w_cents AS DOUBLE) * 1152921504606846976.0 / u
+               AS priority
+      FROM w
+    ),
+    top AS (
+      SELECT * FROM pri
+      ORDER BY priority DESC, event_id LIMIT {_PRIO_K + 1}
+    ),
+    tau AS (SELECT min(priority) AS tau FROM top),
+    sel AS (
+      SELECT * FROM top
+      ORDER BY priority DESC, event_id LIMIT {_PRIO_K}
+    )
+    SELECT s.event_id, s.w_cents,
+           CAST(floor(greatest(CAST(s.w_cents AS DOUBLE), t.tau))
+                AS BIGINT) AS ht_cents
+    FROM sel s CROSS JOIN tau t
+    """,
+)
+def stream_run_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL STREAMING priority sampling: file micro-batch source →
+    8-way SHARDED bounded-state heaps
+    (streaming/events.py:stateful_priority_sample — top-(k+1) triples
+    per shard, state bounded regardless of stream length) →
+    update-mode snapshots → merge: union the latest shard snapshots,
+    re-rank, re-take top-(k+1).  Priority sampling's mergeability is
+    exactly what makes it THE weighted-sample at 100 TB (per-shard
+    heaps union across executors/days/clusters); here the merged
+    live sample hash-checks against the one-shot batch SQL over the
+    same rows — the oracle IS the mergeability proof.  Floored-cents
+    Horvitz-Thompson weights as in the batch twin."""
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_priority_sample,
+    )
+
+    snaps = run_stream_to_memory(
+        stateful_priority_sample(read_events_stream(spark, sf_dir), _PRIO_K),
+        mode="update",
+    )
+    latest = snaps.groupBy("shard").agg(
+        F.max(F.struct("rows_seen", "ids", "ws", "prios")).alias("s")
+    )
+    cand = latest.select(
+        F.explode(F.arrays_zip("s.ids", "s.ws", "s.prios")).alias("e")
+    ).select(
+        F.col("e.ids").alias("event_id"),
+        F.col("e.ws").alias("w_cents"),
+        F.col("e.prios").alias("priority"),
+    )
+    top = cand.orderBy(F.col("priority").desc(), "event_id").limit(
+        _PRIO_K + 1
+    )
+    tau = top.agg(F.min("priority").alias("tau"))
+    sel = top.orderBy(F.col("priority").desc(), "event_id").limit(_PRIO_K)
+    return sel.crossJoin(F.broadcast(tau)).select(
+        "event_id",
+        "w_cents",
+        F.floor(F.greatest(F.col("w_cents").cast("double"), F.col("tau")))
+        .cast("long")
+        .alias("ht_cents"),
     )

@@ -821,7 +821,7 @@ def stateful_sprt(
 def stateful_holt(events: DataFrame) -> DataFrame:
     """STREAMING Holt linear-trend smoother over each key's DAILY
     event counts (alpha = beta = 1/2, exact int64 micro-units — the
-    live twin of queries/round10.py:ts_holt_linear): state per key is
+    live twin of queries/analytics.py:ts_holt_linear): state per key is
     the open day's counter plus the folded (level, trend) pair; a
     day rollover folds the closed day with the same floor-division
     recurrence the batch twin replays as a recursive CTE.  Each
@@ -964,7 +964,7 @@ def stateful_audit_chain(events: DataFrame) -> DataFrame:
 
 def stateful_geo_fence(events: DataFrame) -> DataFrame:
     """STREAMING geofence transition detector — the live twin of
-    queries/round11.py:geo_fence_transitions: per-user state is the
+    queries/geo.py:geo_fence_transitions: per-user state is the
     last seen tile (md5-derived daily 16x16 tile, the identical
     portable derivation the batch twin and its oracle share); each
     micro-batch walks its rows in (ts_us, event_id) order and emits
@@ -1038,7 +1038,7 @@ def stateful_geo_fence(events: DataFrame) -> DataFrame:
 
 def stateful_priority_sample(events: DataFrame, k_per_shard: int) -> DataFrame:
     """STREAMING priority sampling (Duffield-Lund-Thorup) — the live
-    twin of queries/round11.py:sample_priority_weighted, sharded so
+    twin of queries/stream_batch.py:sample_priority_weighted, sharded so
     the heap state parallelizes: each of 8 md5-independent shards
     (event_id % 8) keeps its top-(k+1) priorities (w/u with the
     portable md5 uniform) in state — BOUNDED at k+1 triples per shard

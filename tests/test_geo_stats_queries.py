@@ -58,7 +58,7 @@ def test_geohash_expression_matches_reference(spark):
     """The generated bit-interleave SQL expression equals the classic
     interval-halving geohash on known and random points (incl. the
     Wikipedia example u4pru for 57.64911, 10.40744)."""
-    from ctgov_ai_etl_spark.queries.round11 import _geohash5_expr
+    from ctgov_ai_etl_spark.queries.geo import _geohash5_expr
 
     pts = [
         (57_649_110, 10_407_440),  # wikipedia: u4pru...
@@ -103,7 +103,7 @@ def test_geohash_expression_matches_reference(spark):
 def test_geo_join_pairs_complete_vs_bruteforce(spark):
     """The 9-cell bucketed epsilon-join finds EXACTLY the brute-force
     pair set (no boundary pair lost, none duplicated)."""
-    from ctgov_ai_etl_spark.queries.round11 import _geo_points, _GEO_EPS
+    from ctgov_ai_etl_spark.queries.geo import _geo_points, _GEO_EPS
 
     q = load_all()["geo_geohash_join"].fn
     got = _rows(q(spark, SF), "a", "b", "cheb_micro")
@@ -155,7 +155,7 @@ def test_stream_geo_fence_equals_batch(spark):
 
 
 def _daily(spark):
-    from ctgov_ai_etl_spark.queries.round11 import _daily_orders
+    from ctgov_ai_etl_spark.queries.analytics import _daily_orders
 
     rows = _daily_orders(spark, SF).collect()
     rows.sort(key=lambda r: r["day"])
