@@ -1766,3 +1766,107 @@ def stream_run_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ht_cents"),
     )
+
+
+# ----------------------------------- streaming decontamination gate
+
+
+def _read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch stream over the documents parquet
+    (the events/embeddings-stream pattern: explicit schema +
+    pathGlobFilter on the sf dir) — the corpus-ingest side of the
+    decontamination gate."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+@query(
+    "stream_run_decontam",
+    oracle=None,  # patched below: identical result contract to the
+    # batch gate decontam_ngram, so it shares that oracle
+)
+def stream_run_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming decontamination at ingest (the corpus-crawl
+    shape: reject documents sharing benchmark n-grams the moment
+    they arrive, instead of a post-hoc batch sweep): the held-out
+    benchmark slice (source = src0) builds its DISTINCT 8-token
+    shingle set ONCE as a static frame — eval sets are MBs against a
+    100 TB corpus — and every streamed training document probes it
+    via a stream-static broadcast join.
+
+    The stream side dedupes shingles WITHIN each document before the
+    join (``array_distinct`` — stateless, map-side: a document lives
+    wholly inside one source row, so per-doc distinctness never needs
+    streaming state).  That turns the batch twin's count(DISTINCT s)
+    into a plain streaming count — one stateful aggregation, state
+    keyed only by the (rare) contaminated doc ids.  Complete-mode
+    memory sink on the finite source ==> result equals the batch
+    gate ``decontam_ngram``, which is exactly what the shared oracle
+    replays (same rule as the other stream_run twins)."""
+    from ctgov_ai_etl_spark.operators.decontam import ngram_shingles
+    from ctgov_ai_etl_spark.functions.text import tokens
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+    from ctgov_ai_etl_spark.tables import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    bench = spread_to_parallelism(d.filter(F.col("source") == "src0"))
+    bench_shingles = (
+        bench.select(
+            F.explode(ngram_shingles(tokens(F.col("text")), 8)).alias("s")
+        )
+        .distinct()
+    )
+    train = _read_documents_stream(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    )
+    probes = train.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngram_shingles(tokens(F.col("text")), 8))
+        ).alias("s"),
+    )
+    hits = probes.join(F.broadcast(bench_shingles), "s").groupBy(
+        "doc_id"
+    ).agg(F.count("*").cast("int").alias("n_hits"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # State sizing: keys are contaminated doc ids only (rare by
+    # construction) — 8 partitions cover any test SF; production
+    # sizes to watermark-window match volume.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_stream_to_memory(hits, mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _patch_stream_decontam_oracle() -> None:
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    import ctgov_ai_etl_spark.queries.semantic  # noqa: F401
+
+    spec = REGISTRY["stream_run_decontam"]
+    twin = REGISTRY.get("decontam_ngram")
+    if twin is not None and spec.oracle is None:
+        REGISTRY["stream_run_decontam"] = type(spec)(
+            name=spec.name, fn=spec.fn, oracle=twin.oracle, doc=spec.doc
+        )
+
+
+_patch_stream_decontam_oracle()
