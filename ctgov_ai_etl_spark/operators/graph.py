@@ -125,6 +125,113 @@ def pagerank_oracle_sql(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-iteration max-normalized HITS (Kleinberg '99): returns
+    (node, auth_micro, hub_micro) after ``iters`` mutual-reinforcement
+    rounds.
+
+    Integer arithmetic throughout: each half-step sums int64 scores
+    along edges, then renormalizes so the MAXIMUM score is ``scale``
+    (max-normalization — the rescale-by-any-norm family HITS converges
+    under; L2 would need a cross-engine sqrt in the loop).  The raw
+    sum is widened to decimal(38,0) before the ``* scale`` product so
+    a 100 TB-scale hub count cannot overflow int64 mid-expression.
+    Per round: two edge-keyed joins + two partially-aggregated
+    shuffles — O(edges) with no fan-out amplification, the same scale
+    shape as :func:`pagerank`.  Nodes with no in-edges settle at
+    authority 0, no out-edges at hub 0 (standard for the
+    fixed-iteration formulation; the SQL oracle replays both).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) DIV mx"
+                " AS LONG)"
+            ).alias(col),
+        )
+
+    auth = None
+    for _ in range(iters):
+        araw = (
+            e.join(hubs, e.src == hubs.node)
+            .select(F.col("dst").alias("node"), F.col("h"))
+            .groupBy("node")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        auth = _norm(araw, "a")
+        hraw = (
+            e.join(auth, e.dst == auth.node)
+            .select(F.col("src").alias("node"), F.col("a"))
+            .groupBy("node")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hubs = _norm(hraw, "h")
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hubs, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_micro"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_micro"),
+        )
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 3, scale: int = SCALE) -> str:
+    """Unrolled SQL replay of :func:`hits` — the CTE chain mirrors the
+    Spark loop term for term (HUGEINT widening before the ``* scale``
+    product, floor division on non-negative values)."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS a"
+            f" FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, CAST((CAST(a AS HUGEINT) * {scale})"
+            f" // (SELECT max(a) FROM ar{i}) AS BIGINT) AS a FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS h"
+            f" FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, CAST((CAST(h AS HUGEINT) * {scale})"
+            f" // (SELECT max(h) FROM hr{i}) AS BIGINT) AS h FROM hr{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n.node,
+           CAST(coalesce(a.a, 0) AS BIGINT) AS auth_micro,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hub_micro
+    FROM nodes n
+    LEFT JOIN a{iters} a ON a.node = n.node
+    LEFT JOIN h{iters} h ON h.node = n.node"""
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex triangle counts over an undirected graph — the
     local clustering signal curation pipelines use (spam/link-farm

@@ -50,6 +50,7 @@ _PRIORITY = (
     # -- block 1: NEW in round 12 (names appended as each lands —
     #    the ghost assertion below keeps the list honest)
     "stream_run_decontam",
+    "graph_hits",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

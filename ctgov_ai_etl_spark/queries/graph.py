@@ -459,3 +459,42 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
     )
+
+
+# --------------------------------------- HITS hubs & authorities
+
+
+from ctgov_ai_etl_spark.operators.graph import (  # noqa: E402
+    hits,
+    hits_oracle_sql,
+)
+
+
+@query("graph_hits", oracle=hits_oracle_sql(_EDGES_SQL, iters=3))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the supplier→customer fulfilment
+    graph, 3 exact integer iterations (operators/graph.py:hits) —
+    the link-quality signal web-corpus curation ranks crawl seeds
+    by (a page is a good hub if it points at good authorities, and
+    vice versa).
+
+    Same scale contract as graph_pagerank: edge derivation is a
+    distributed join + distinct, each half-step is one edge-keyed
+    join plus one partially-aggregated shuffle, and the max-
+    normalization constant is a 1-row broadcast.  Integer micro-unit
+    scores with decimal-widened products make the result independent
+    of partitioning and summation order, so it hash-checks against
+    the unrolled SQL oracle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + _CUST_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iters=3)
