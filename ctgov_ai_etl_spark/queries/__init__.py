@@ -51,6 +51,9 @@ _PRIORITY = (
     #    the ghost assertion below keeps the list honest)
     "stream_run_decontam",
     "graph_hits",
+    "ml_ndcg_mrr",
+    "ts_sax_symbols",
+    "ml_naive_bayes",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

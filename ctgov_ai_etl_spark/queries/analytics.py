@@ -4328,3 +4328,425 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days long, level_micro long, "
         "trend_micro long, forecast7_micro long",
     )
+
+
+# ------------------------------------------ ranking eval: nDCG / MRR
+
+
+import math as _math  # noqa: E402
+
+_NDCG_K = 10
+# Rank discounts 1/log2(r+1) fixed to integer micro-units ONCE in
+# Python and injected as the SAME literals into both engines —
+# transcendental log2 is not bit-contracted across libms (the
+# Benford-mass convention).
+_DISC_MICRO = [
+    round(1_000_000 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+]
+# Shared-dialect scalar expressions (CASE / || / md5 run verbatim on
+# both engines — the geohash-encoder pattern): graded gain 2^rel - 1
+# and the rank-discount lookup.
+_GAIN_SQL = "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
+
+
+def _disc_sql(rank_col: str) -> str:
+    arms = " ".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_DISC_MICRO)
+    )
+    return f"CASE {rank_col} {arms} ELSE 0 END"
+
+
+@query(
+    "ml_ndcg_mrr",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(o_custkey % 97 AS INT) AS query_id,
+             o_orderkey AS item,
+             CAST(CAST(('0x' || substring(md5('rel:' ||
+               CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4
+               AS INT) AS rel,
+             CAST(('0x' || substring(md5('score:' ||
+               CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS score
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, item) AS mrank,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, item) AS irank
+      FROM base
+    ),
+    scored AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN mrank <= {_NDCG_K}
+                  THEN ({_GAIN_SQL}) * ({_disc_sql("mrank")})
+                  ELSE 0 END) AS BIGINT) AS dcg_micro,
+             CAST(sum(CASE WHEN irank <= {_NDCG_K}
+                  THEN ({_GAIN_SQL}) * ({_disc_sql("irank")})
+                  ELSE 0 END) AS BIGINT) AS idcg_micro,
+             min(CASE WHEN rel >= 2 THEN mrank END) AS first_rel
+      FROM ranked GROUP BY query_id
+    )
+    SELECT query_id, n_items, dcg_micro, idcg_micro,
+           CASE WHEN idcg_micro = 0 THEN 0.0
+                ELSE round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)
+           END AS ndcg10,
+           CAST(CASE WHEN first_rel IS NULL THEN 0
+                ELSE 1000000 // first_rel END AS BIGINT) AS rr_micro
+    FROM scored
+    """,
+)
+def ml_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-eval metrics (nDCG@10 + MRR) — how retrieval /
+    reranker / RLHF-reward models are scored: orders stand in for a
+    per-query candidate list (query = customer mod 97) with an
+    md5-derived model score and graded relevance 0..3; graded gain
+    2^rel-1, discounts 1/log2(r+1) fixed to injected micro-unit
+    literals, and MRR's reciprocal as 1e6 div first-relevant-rank
+    (floor — a double round() would tie-break differently across
+    engines at .5).
+
+    Scale: both rankings are per-query windows (partitioned by
+    query_id — never a global sort), metrics are one partial-agg
+    shuffle; at 100 TB each query group is small and the plan is
+    embarrassingly parallel."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = o.select(
+        F.pmod(F.col("o_custkey"), F.lit(97)).cast("int").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rel:"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        )
+        .cast("int")
+        .alias("rel"),
+        portable_hash60(F.col("o_orderkey"), salt="score").alias("score"),
+    )
+    wm = W.partitionBy("query_id").orderBy(F.col("score").desc(), "item")
+    wi = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "item")
+    ranked = base.select(
+        "query_id",
+        "item",
+        "rel",
+        F.row_number().over(wm).alias("mrank"),
+        F.row_number().over(wi).alias("irank"),
+    )
+    gain = F.expr(_GAIN_SQL)
+    scored = ranked.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(
+            F.when(
+                F.col("mrank") <= _NDCG_K,
+                gain * F.expr(_disc_sql("mrank")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+        F.sum(
+            F.when(
+                F.col("irank") <= _NDCG_K,
+                gain * F.expr(_disc_sql("irank")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("idcg_micro"),
+        F.min(F.when(F.col("rel") >= 2, F.col("mrank"))).alias("first_rel"),
+    )
+    return scored.select(
+        "query_id",
+        "n_items",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(F.col("idcg_micro") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+            )
+        )
+        .alias("ndcg10"),
+        F.when(F.col("first_rel").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000 div first_rel"))
+        .cast("long")
+        .alias("rr_micro"),
+    )
+
+
+# --------------------------------------- SAX symbolic discretization
+
+
+# Gaussian breakpoints for a 4-letter alphabet (quartiles of N(0,1)),
+# computed once and injected as the SAME literals into both engines
+# (inverse-normal is not bit-contracted across libms).
+_SAX_BP = "-0.6744897501960817", "0.6744897501960817"
+
+
+@query(
+    "ts_sax_symbols",
+    oracle=f"""
+    WITH d AS ({_DAILY_ORDERS_SQL}),
+    wk AS (
+      SELECT day // 7 AS week,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM d GROUP BY 1
+    ),
+    full_wk AS (SELECT week, s FROM wk WHERE n_days = 7),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS HUGEINT) AS ss,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss2
+      FROM full_wk
+    ),
+    st AS (
+      SELECT n,
+             CAST(ss AS DOUBLE) / 7 / n AS mu,
+             sqrt(CAST(n * ss2 - ss * ss AS DOUBLE) / 49 / n / n)
+               AS sigma
+      FROM m
+    )
+    SELECT w.week, w.s AS sum_cents,
+           round((CAST(w.s AS DOUBLE) / 7 - st.mu) / st.sigma, 6) AS z6,
+           CASE
+             WHEN (CAST(w.s AS DOUBLE) / 7 - st.mu) / st.sigma
+                  < {_SAX_BP[0]} THEN 'a'
+             WHEN (CAST(w.s AS DOUBLE) / 7 - st.mu) / st.sigma
+                  < 0.0 THEN 'b'
+             WHEN (CAST(w.s AS DOUBLE) / 7 - st.mu) / st.sigma
+                  < {_SAX_BP[1]} THEN 'c'
+             ELSE 'd'
+           END AS symbol
+    FROM full_wk w CROSS JOIN st
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin/Keogh et al., DMKD'07 — the
+    standard time-series-to-text bridge: PAA segment means,
+    z-normalized, mapped to a small alphabet by Gaussian
+    breakpoints).  Weekly PAA over daily order revenue; COMPLETE
+    weeks only, so every PAA value is an exact integer-cents sum
+    over a common denominator 7 — the series mean and variance then
+    come from exact integer cross products (n*Σs² - S² in decimal/
+    HUGEINT) and the only doubles are the final fixed-order
+    mu/sigma/z expressions mirrored verbatim in the oracle.  Symbols
+    compare the SAME z double against injected breakpoint literals,
+    so the letter assignment cannot diverge between engines.
+
+    Scale: one partial-agg shuffle to days, one to weeks; the
+    z-normalization constants are a 1-row broadcast.  SAX turns a
+    100 TB sensor corpus into strings that the text dedup/motif
+    operators upstream of training-data curation consume directly."""
+    d = _daily_orders(spark, sf_dir)
+    wk = d.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    full_wk = wk.filter(F.col("n_days") == 7).select("week", "s")
+    dec = F.col("s").cast("decimal(38,0)")
+    m = full_wk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum(dec * F.col("s")).alias("ss2"),
+    )
+    st = m.select(
+        (F.col("ss").cast("double") / 7 / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("n") * F.col("ss2") - F.col("ss") * F.col("ss")).cast(
+                "double"
+            )
+            / 49
+            / F.col("n")
+            / F.col("n")
+        ).alias("sigma"),
+    )
+    z = (F.col("s").cast("double") / 7 - F.col("mu")) / F.col("sigma")
+    return full_wk.crossJoin(F.broadcast(st)).select(
+        "week",
+        F.col("s").alias("sum_cents"),
+        F.round(z, 6).alias("z6"),
+        F.when(z < float(_SAX_BP[0]), F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < float(_SAX_BP[1]), F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )
+
+
+# ------------------------------------- multinomial naive Bayes
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH tr AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS tc FROM tr GROUP BY 1),
+    prior AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nd
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    ndt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    vb AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+    cnts AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tr GROUP BY 1, 2
+    ),
+    lp AS (
+      SELECT c.lang, c.tok,
+             CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / (cl.tc + vb.v))
+                        * 1000000) AS BIGINT) AS u
+      FROM cnts c JOIN cls cl USING (lang) CROSS JOIN vb
+    ),
+    model AS (
+      SELECT cl.lang,
+             CAST(round(ln(1.0 / (cl.tc + vb.v)) * 1000000) AS BIGINT)
+               AS u0,
+             CAST(round(ln(CAST(p.nd AS DOUBLE) / ndt.n) * 1000000)
+                  AS BIGINT) AS prior_u
+      FROM cls cl JOIN prior p USING (lang) CROSS JOIN vb CROSS JOIN ndt
+    ),
+    te AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    sc AS (
+      SELECT te.doc_id, te.true_lang, m.lang AS cand,
+             CAST(m.prior_u + sum(coalesce(lp.u, m.u0)) AS BIGINT)
+               AS score
+      FROM te CROSS JOIN model m
+      LEFT JOIN lp ON lp.lang = m.lang AND lp.tok = te.tok
+      GROUP BY te.doc_id, te.true_lang, m.lang, m.prior_u
+    ),
+    pred AS (
+      SELECT doc_id, true_lang,
+             max({'s': score, 'l': cand}).l AS pred_lang
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier — the train-small/
+    score-big text-classification shape quality filters use (fastText-
+    style corpus labelers): even doc_ids train add-1-smoothed per-class
+    token log-probs, odd doc_ids are scored, and the output is the
+    confusion matrix.  Token log-probs fix to integer MICRO-UNITS
+    before the per-(doc, class) sum (the text_perplexity_proxy
+    convention: exact integer aggregation, order-independent under
+    any partitioning), argmax is the min/max-struct pattern with a
+    deterministic class tiebreak, and priors/defaults ride a
+    broadcast model frame of |vocab|x|classes| rows.
+
+    Scale: training is one vocab-sized partial agg; scoring is a
+    map-side broadcast probe plus one per-(doc, class) shuffle —
+    classes are a small constant, so 100 TB of documents score
+    embarrassingly parallel."""
+    from ctgov_ai_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    tr = train.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cls = tr.groupBy("lang").agg(F.count("*").cast("long").alias("tc"))
+    prior = train.groupBy("lang").agg(
+        F.count("*").cast("long").alias("nd")
+    )
+    ndt = train.agg(F.count("*").cast("long").alias("n"))
+    vb = tr.agg(F.countDistinct("tok").cast("long").alias("v"))
+    cnts = tr.groupBy("lang", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    lp = (
+        cnts.join(cls, "lang")
+        .crossJoin(F.broadcast(vb))
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tc") + F.col("v"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    model = (
+        cls.join(prior, "lang")
+        .crossJoin(F.broadcast(vb))
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tc") + F.col("v"))) * 1_000_000
+            )
+            .cast("long")
+            .alias("u0"),
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("n")) * 1_000_000
+            )
+            .cast("long")
+            .alias("prior_u"),
+        )
+    )
+    te = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    m = model.select(
+        F.col("lang").alias("cand"), "u0", "prior_u"
+    )
+    lpa = lp.select(
+        F.col("lang").alias("l_lang"), F.col("tok").alias("l_tok"), "u"
+    )
+    sc = (
+        te.crossJoin(F.broadcast(m))
+        .join(
+            F.broadcast(lpa),
+            (F.col("l_lang") == F.col("cand"))
+            & (F.col("l_tok") == F.col("tok")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand", "prior_u")
+        .agg(F.sum(F.coalesce(F.col("u"), F.col("u0"))).alias("su"))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("prior_u") + F.col("su")).cast("long").alias("score"),
+        )
+    )
+    pred = sc.groupBy("doc_id", "true_lang").agg(
+        F.max(F.struct(F.col("score").alias("s"), F.col("cand").alias("l")))
+        .getField("l")
+        .alias("pred_lang")
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
