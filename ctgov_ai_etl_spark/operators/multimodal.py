@@ -436,6 +436,59 @@ def decode_audio_real(
     )
 
 
+def audio_features_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL per-channel audio features: RIFF chunk walk + PCM-16
+    unpack (functions/imagecodec.py:decode_wav_samples), then
+    zero-crossing count (sign flips of s>=0 between consecutive
+    frames of one channel) and the exact integer energy sum Σs² —
+    both order-free integers, so the downstream ZCR-rate / RMS
+    divisions are single fixed-order expressions a SQL oracle
+    replays.  One Arrow-batched mapInPandas stage, one output row
+    per (clip, channel), zero shuffle."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_wav_samples
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, chans, frames, zcrs, sqs = [], [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                ch, _rate, samples = decode_wav_samples(bytes(data))
+                arr = np.asarray(samples, dtype=np.int64)
+                nf = len(arr) // ch
+                for c in range(ch):
+                    sc = arr[c::ch]
+                    nonneg = sc >= 0
+                    ids.append(rid)
+                    chans.append(c)
+                    frames.append(nf)
+                    zcrs.append(int(np.sum(nonneg[1:] != nonneg[:-1])))
+                    sqs.append(int(np.sum(sc * sc)))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "channel": chans,
+                    "n_frames": frames,
+                    "zcr": zcrs,
+                    "sq_sum": sqs,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, channel int, n_frames int,"
+            " zcr long, sq_sum long"
+        ),
+    )
+
+
 def render_test_video(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

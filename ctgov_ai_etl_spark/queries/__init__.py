@@ -54,6 +54,8 @@ _PRIORITY = (
     "ml_ndcg_mrr",
     "ts_sax_symbols",
     "ml_naive_bayes",
+    "mm_audio_features",
+    "feature_hash_vectorize",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -793,3 +793,81 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("luma_sum") / F.col("n_samples") / F.lit(255.0), 6
         ).alias("mean_luma"),
     )
+
+
+# --------------------------------------- audio feature extraction
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 2 AS ch,
+             50 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS nf,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v
+      FROM documents
+    ),
+    per_ch AS (
+      SELECT doc_id, ch, nf, v, CAST(c AS INT) AS channel
+      FROM base, unnest(range(ch)) AS t(c)
+    ),
+    feats AS (
+      SELECT doc_id, channel, nf,
+             CAST(list_aggregate(
+               list_transform(range(1, nf), k ->
+                 CASE WHEN (((v * 131 + (k * ch + channel) * 7919)
+                             % 65536) - 32768 >= 0)
+                      <> (((v * 131 + ((k - 1) * ch + channel) * 7919)
+                           % 65536) - 32768 >= 0)
+                      THEN 1 ELSE 0 END),
+               'sum') AS BIGINT) AS zcr,
+             CAST(list_aggregate(
+               list_transform(range(0, nf), k ->
+                 (((v * 131 + (k * ch + channel) * 7919) % 65536)
+                  - 32768)
+                 * (((v * 131 + (k * ch + channel) * 7919) % 65536)
+                    - 32768)),
+               'sum') AS BIGINT) AS sq_sum
+      FROM per_ch
+    )
+    SELECT doc_id, channel, CAST(nf AS INT) AS n_frames, zcr, sq_sum,
+           round(CAST(zcr AS DOUBLE) / (nf - 1), 6) AS zcr_rate,
+           round(sqrt(CAST(sq_sum AS DOUBLE) / nf) / 32768.0, 6) AS rms
+    FROM feats
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel audio features (zero-crossing rate + RMS energy —
+    the first two columns of any speech/music feature table), decoded
+    from REAL synthesized RIFF/PCM-16 WAVs end-to-end: the chunk walk,
+    int16 unpack, and channel de-interleave all sit between the
+    encoder and the statistic (operators/multimodal.py:
+    audio_features_real).  ZCR and Σs² are exact order-free integers;
+    the rate/RMS divisions are single fixed-order double expressions
+    the oracle replays from the closed-form PCM pattern without
+    touching bytes.  One Arrow-batched mapInPandas stage, zero
+    shuffle — feature extraction distributes embarrassingly at
+    100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        audio_features_real,
+        render_test_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    f = audio_features_real(render_test_audio(d, "doc_id"), "doc_id")
+    return f.select(
+        "doc_id",
+        "channel",
+        "n_frames",
+        "zcr",
+        "sq_sum",
+        F.round(
+            F.col("zcr").cast("double") / (F.col("n_frames") - 1), 6
+        ).alias("zcr_rate"),
+        F.round(
+            F.sqrt(F.col("sq_sum").cast("double") / F.col("n_frames"))
+            / F.lit(32768.0),
+            6,
+        ).alias("rms"),
+    )

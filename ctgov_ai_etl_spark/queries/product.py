@@ -4079,3 +4079,70 @@ def dq_fd_miner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("violation_ppm"),
     )
+
+
+# ------------------------------------ hashing-trick featurization
+
+
+@query(
+    "feature_hash_vectorize",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                  % 32 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT doc_id,
+             CAST(sum(CAST(tf AS HUGEINT) * tf) AS BIGINT) AS sq
+      FROM tf GROUP BY 1
+    )
+    SELECT t.doc_id, t.bucket, t.tf,
+           round(CAST(t.tf AS DOUBLE) / sqrt(CAST(n.sq AS DOUBLE)), 6)
+             AS w6
+    FROM tf t JOIN nrm n ON n.doc_id = t.doc_id
+    """,
+)
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09 — the
+    fixed-width, vocabulary-free text featurizer linear quality
+    classifiers train on): tokens hash into 32 buckets via the
+    portable md5 convention, per-(doc, bucket) term frequencies are
+    exact integer counts, and the L2 normalization is one fixed-order
+    sqrt/divide per cell (Σtf² widened to decimal/HUGEINT).
+
+    Scale: no vocabulary table AT ALL — the feature space is fixed
+    width, so there is nothing to broadcast or fit; one partial-agg
+    shuffle to cells, one to per-doc norms, and a doc-keyed join.
+    New documents featurize identically forever (the property that
+    makes the trick the production choice at 100 TB)."""
+    from ctgov_ai_etl_spark.functions.text import tokens
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy(
+            "doc_id",
+            hash_bucket(F.col("tok"), 32).cast("int").alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf").cast("decimal(38,0)") * F.col("tf"))
+        .cast("long")
+        .alias("sq")
+    )
+    return tf.join(nrm, "doc_id").select(
+        "doc_id",
+        "bucket",
+        "tf",
+        F.round(
+            F.col("tf").cast("double") / F.sqrt(F.col("sq").cast("double")),
+            6,
+        ).alias("w6"),
+    )
