@@ -56,6 +56,7 @@ _PRIORITY = (
     "ml_naive_bayes",
     "mm_audio_features",
     "feature_hash_vectorize",
+    "gov_dp_histogram",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

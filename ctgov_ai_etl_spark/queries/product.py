@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ctgov_ai_etl_spark.functions.exact import cents, fdiv, sql_fdiv
+from ctgov_ai_etl_spark.operators.sketches import portable_hash60
 from ctgov_ai_etl_spark.queries.registry import query
 from ctgov_ai_etl_spark.tables import load_table
 
@@ -4145,4 +4146,98 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf").cast("double") / F.sqrt(F.col("sq").cast("double")),
             6,
         ).alias("w6"),
+    )
+
+
+# ------------------------------- differential-privacy release
+
+
+_DP_2POW60 = 1152921504606846976  # 2^60: dyadic uniform denominator
+
+
+@query(
+    "gov_dp_histogram",
+    oracle=f"""
+    WITH h AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS true_count,
+             CAST(('0x' || substring(md5('dp:' ||
+               CAST(min(n.n_nationkey) AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h60
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    u AS (
+      SELECT nation, true_count,
+             (CAST(h60 AS DOUBLE) + 0.5) / {_DP_2POW60} AS u
+      FROM h
+    ),
+    nz AS (
+      SELECT nation, true_count, u,
+             CAST(round(ln(1 - 2 * abs(u - 0.5)) * 1000000) AS BIGINT)
+               AS lm
+      FROM u
+    )
+    SELECT nation, true_count,
+           CAST((CASE WHEN u >= 0.5 THEN 1 ELSE -1 END) * lm AS BIGINT)
+             AS noise_micro,
+           CAST(true_count * 1000000
+                + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END) * lm
+                AS BIGINT) AS released_micro,
+           1.0 AS epsilon
+    FROM nz
+    """,
+)
+def gov_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (the Laplace
+    mechanism, Dwork et al. '06 — how aggregate statistics of a
+    training corpus are published without leaking membership):
+    per-nation customer counts + Laplace(1/epsilon) noise at
+    epsilon = 1, sensitivity 1.  The noise draw is DETERMINISTIC for
+    oracle replay: a dyadic md5 uniform u = (h60 + 0.5)/2^60 (exact
+    in both engines), inverse-CDF'd with the one ln() fixed to
+    integer micro-units (the text_perplexity_proxy convention —
+    sign(u-1/2) from the same u, |ln| term micro-rounded before the
+    sign multiply, so the released value is exact integer
+    arithmetic).  true_count is emitted for oracle verification
+    only; a production release ships released_micro alone.
+
+    Scale: one partial-agg shuffle to the histogram, noise is
+    map-side scalar algebra on the (tiny) released frame — the
+    mechanism costs nothing at 100 TB."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    h = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("true_count"),
+            F.min("n_nationkey").alias("nk"),
+        )
+        .select(
+            "nation",
+            "true_count",
+            portable_hash60(F.col("nk"), salt="dp").alias("h60"),
+        )
+    )
+    u = (F.col("h60").cast("double") + 0.5) / F.lit(float(_DP_2POW60))
+    nz = h.select(
+        "nation",
+        "true_count",
+        u.alias("u"),
+        F.round(F.log(1 - 2 * F.abs(u - 0.5)) * 1_000_000)
+        .cast("long")
+        .alias("lm"),
+    )
+    sgn = F.when(F.col("u") >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    return nz.select(
+        "nation",
+        "true_count",
+        (sgn * F.col("lm")).cast("long").alias("noise_micro"),
+        (F.col("true_count") * 1_000_000 + sgn * F.col("lm"))
+        .cast("long")
+        .alias("released_micro"),
+        F.lit(1.0).alias("epsilon"),
     )

@@ -55,6 +55,17 @@ _OFFSETS = {
     "part": {},
 }
 
+# Top-cost catalog queries (VERDICT r11 #4): the expensive dedup/
+# graph/streaming families are exactly where 100x-scale claims are
+# least tested by measurement — rehearse them at sf1 too.
+EXPENSIVE = [
+    "dedup_components",
+    "dedup_semantic_groups",
+    "graph_kcore",
+    "graph_jaccard_link_prediction",
+    "stream_run_semantic_admission",
+]
+
 HEADLINE = [
     "agg_pricing_summary",
     "join_broadcast_star",
@@ -93,18 +104,43 @@ def generate(spark) -> None:
         print(f"  {table}: {n} rows", flush=True)
 
 
-def run(spark, registry, sf_dir: str) -> dict[str, float]:
+def spine_of(df) -> list[str]:
+    """Sorted multiset of physical operator names from the formatted
+    plan — the plan 'spine' whose equality across SFs is the measured
+    version of 'the strategy survives a 10x scale-up'.  AQE partition
+    coalescing and codegen ids are deliberately NOT part of the
+    spine (they are SUPPOSED to differ with data volume)."""
+    import re
+
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    txt = jdf.queryExecution().explainString(mode)
+    names = re.findall(r"^\s*[+\-:* ]*\(\d+\)\s+([A-Za-z][A-Za-z ]*)",
+                       txt, re.M)
+    return sorted(n.strip() for n in names)
+
+
+def run(spark, registry, sf_dir: str, names) -> tuple[dict, dict]:
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    spines: dict[str, list[str]] = {}
+    for name in names:
         spark.catalog.clearCache()
         from ctgov_ai_etl_spark.operators import cache
 
         cache.release_all()
         t = time.time()
-        registry[name].fn(spark, sf_dir).count()
+        df = registry[name].fn(spark, sf_dir)
+        df.count()
         times[name] = round(time.time() - t, 3)
+        try:
+            spines[name] = spine_of(df)
+        except Exception as exc:  # streaming snapshots may not explain
+            spines[name] = [f"<unavailable: {type(exc).__name__}>"]
         print(f"  {name}: {times[name]}s", flush=True)
-    return times
+    return times, spines
 
 
 def main() -> int:
@@ -113,19 +149,35 @@ def main() -> int:
     if "--skip-gen" not in sys.argv:
         print("generating sf1 derivative ...", flush=True)
         generate(spark)
-    print("headline @ sf0.1 ...", flush=True)
-    t01 = run(spark, registry, SRC)
-    print("headline @ sf1 ...", flush=True)
-    t1 = run(spark, registry, DST)
+    names = HEADLINE + EXPENSIVE
+    print("headline+expensive @ sf0.1 ...", flush=True)
+    t01, sp01 = run(spark, registry, SRC, names)
+    print("headline+expensive @ sf1 ...", flush=True)
+    t1, sp1 = run(spark, registry, DST, names)
+    per_query = {
+        n: {
+            "sf0.1": t01[n],
+            "sf1": t1[n],
+            "ratio": round(t1[n] / max(t01[n], 1e-9), 2),
+            "spine_same": sp01[n] == sp1[n],
+        }
+        for n in names
+    }
     out = {
         "sf0.1": t01,
         "sf1": t1,
+        "per_query": per_query,
+        "spine_diffs": {
+            n: {"sf0.1": sp01[n], "sf1": sp1[n]}
+            for n in names
+            if sp01[n] != sp1[n]
+        },
         "total_sf0.1": round(sum(t01.values()), 3),
         "total_sf1": round(sum(t1.values()), 3),
         "ratio": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
     }
     print(json.dumps(out))
-    with open("SCALE_REHEARSAL_r11.json", "w") as fh:
+    with open("SCALE_REHEARSAL_r12.json", "w") as fh:
         json.dump(out, fh, indent=1)
     return 0
 
