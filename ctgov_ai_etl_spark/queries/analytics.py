@@ -4647,10 +4647,10 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive-Bayes language classifier — the train-small/
-    score-big text-classification shape quality filters use (fastText-
-    style corpus labelers): even doc_ids train add-1-smoothed per-class
-    token log-probs, odd doc_ids are scored, and the output is the
+    """Multinomial naive-Bayes text classifier — the train-small/
+    score-big shape quality filters use (fastText-style corpus
+    labelers): even doc_ids train add-1-smoothed per-class token
+    log-probs, odd doc_ids are scored, and the output is the
     confusion matrix.  Token log-probs fix to integer MICRO-UNITS
     before the per-(doc, class) sum (the text_perplexity_proxy
     convention: exact integer aggregation, order-independent under
@@ -4658,20 +4658,47 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic class tiebreak, and priors/defaults ride a
     broadcast model frame of |vocab|x|classes| rows.
 
+    The fixture labels (lang) are text-INDEPENDENT by construction —
+    the synthetic corpus shares one vocabulary — so the expected
+    confusion matrix concentrates on the prior class: this query
+    verifies the exact distributed scoring mechanics; classifier
+    SKILL on a separable corpus is pinned by
+    tests/test_round12_ops.py::test_naive_bayes_separable_corpus
+    against naive_bayes_confusion directly.
+
     Scale: training is one vocab-sized partial agg; scoring is a
     map-side broadcast probe plus one per-(doc, class) shuffle —
     classes are a small constant, so 100 TB of documents score
     embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        label_col="lang",
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+def naive_bayes_confusion(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Add-1-smoothed multinomial NB: returns the (true, pred, n)
+    confusion matrix of scoring ``test`` with a model fit on
+    ``train``.  All log-probs are integer micro-units; the argmax is
+    the deterministic max-struct pattern."""
     from ctgov_ai_etl_spark.functions.text import tokens
 
-    d = load_table(spark, sf_dir, "documents")
-    train = d.filter(F.col("doc_id") % 2 == 0)
-    test = d.filter(F.col("doc_id") % 2 == 1)
     tr = train.select(
-        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        F.col(label_col).alias("lang"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
     )
     cls = tr.groupBy("lang").agg(F.count("*").cast("long").alias("tc"))
-    prior = train.groupBy("lang").agg(
+    prior = train.groupBy(F.col(label_col).alias("lang")).agg(
         F.count("*").cast("long").alias("nd")
     )
     ndt = train.agg(F.count("*").cast("long").alias("n"))
@@ -4715,9 +4742,9 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     te = test.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.explode(tokens(F.col("text"))).alias("tok"),
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("true_lang"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
     )
     m = model.select(
         F.col("lang").alias("cand"), "u0", "prior_u"

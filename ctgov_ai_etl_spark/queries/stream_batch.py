@@ -460,7 +460,8 @@ def stream_run_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source micro-batch stream over the embeddings parquet
     (the events-stream pattern, streaming/events.py:26, applied to the
-    vector table: explicit schema + pathGlobFilter on the sf dir)."""
+    vector table: explicit schema, file-or-directory layout handled by
+    streaming.events.stream_table_reader)."""
     import os as _os
 
     import pyspark.sql.types as T
@@ -473,12 +474,9 @@ def _read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("label", T.IntegerType()),
         ]
     )
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "embeddings.parquet")
-        .load(sf_dir)
-    )
+    from ctgov_ai_etl_spark.streaming.events import stream_table_reader
+
+    return stream_table_reader(spark, sf_dir, "embeddings", schema)
 
 
 @query(
@@ -645,12 +643,9 @@ def stream_run_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    from ctgov_ai_etl_spark.streaming.events import stream_table_reader
+
+    stream = stream_table_reader(spark, sf_dir, "documents", schema)
     scored = linear_quality_score(stream).filter(F.col("keep")).select(
         "doc_id", "logit_micro"
     )
@@ -1787,12 +1782,9 @@ def _read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    from ctgov_ai_etl_spark.streaming.events import stream_table_reader
+
+    return stream_table_reader(spark, sf_dir, "documents", schema)
 
 
 @query(

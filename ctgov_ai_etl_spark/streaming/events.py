@@ -23,6 +23,23 @@ from ctgov_ai_etl_spark.schemas import EVENTS
 from ctgov_ai_etl_spark.tables import ensure_session_confs
 
 
+def stream_table_reader(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
+    """File-source stream over ``<sf_dir>/<table>.parquet`` handling
+    BOTH storage layouts: a single parquet FILE (the testdata shape —
+    FileStreamSource requires a directory, so the sf dir is streamed
+    with a glob filter selecting just that file) and a parquet
+    DIRECTORY of part files (every Spark-written dataset, e.g. the
+    generated sf1 rehearsal tables — where the same glob would match
+    ZERO files and the stream would be silently empty)."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if _os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source micro-batch stream over the events parquet.
 
@@ -51,14 +68,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    # FileStreamSource requires a directory: stream the sf dir with a
-    # glob filter selecting just the events file.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = stream_table_reader(spark, sf_dir, "events", raw_schema)
     if isinstance(batch_ts_type, T.LongType):
         # nanos-as-long storage: µs-aligned, exact integer division.
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
