@@ -57,6 +57,9 @@ _PRIORITY = (
     "mm_audio_features",
     "feature_hash_vectorize",
     "gov_dp_histogram",
+    "stat_bh_fdr",
+    "stat_levene_bf",
+    "cluster_silhouette",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

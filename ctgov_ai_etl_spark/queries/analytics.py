@@ -4777,3 +4777,245 @@ def naive_bayes_confusion(
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+# ------------------------------- multiple testing: Benjamini-Hochberg
+
+
+_BH_ALPHA = "0.05"
+_BH_2POW60 = 1152921504606846976  # 2^60: dyadic uniform denominator
+
+
+@query(
+    "stat_bh_fdr",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS grp,
+             CAST(year(o_orderdate) AS INT) AS yr
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    tests AS (
+      SELECT grp || '/' || CAST(yr AS VARCHAR) AS test_key,
+             (CAST(CAST(('0x' || substring(md5('pval:' || grp || '/' ||
+                CAST(yr AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+              + 0.5) / {_BH_2POW60} AS p
+      FROM cells
+    ),
+    ranked AS (
+      SELECT test_key, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, test_key) AS INT) AS k,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM tests
+    ),
+    adj AS (
+      SELECT test_key, p, k, m,
+             min(p * m / k) OVER (ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS adj_p
+      FROM ranked
+    )
+    SELECT test_key, round(p, 6) AS p6, k,
+           round(CASE WHEN adj_p > 1.0 THEN 1.0 ELSE adj_p END, 6)
+             AS adj_p6,
+           CASE WHEN adj_p <= {_BH_ALPHA} THEN 1 ELSE 0 END AS rejected
+    FROM adj
+    """,
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (JRSS-B '95 — how every
+    experimentation platform and eval harness controls the false-
+    discovery rate across a FAMILY of tests): one hypothesis per
+    (order-priority, year) cell with a deterministic dyadic
+    md5-uniform p-value ((h60+0.5)/2^60 — exact in both engines, the
+    gov_dp_histogram convention), ranked ascending, step-up adjusted
+    p = running min over k DESC of p*m/k, rejected iff adjusted
+    p <= 0.05.  Every arithmetic step is either exact dyadic or a
+    fixed-order double expression mirrored verbatim — and running
+    MIN is order-free, so the window adds no accumulation hazard.
+
+    Scale: the test FAMILY is small by construction (it's one row
+    per hypothesis, not per observation) — the global ordering
+    window is bounded by the cell count (~35 here; thousands in
+    production), while the per-cell statistics upstream aggregate at
+    data scale.  The bounded-global-window convention applies."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.lit(1).alias("one"))
+    key = F.concat(F.col("grp"), F.lit("/"), F.col("yr").cast("string"))
+    tests = cells.select(
+        key.alias("test_key"),
+        (
+            (
+                portable_hash60(key, salt="pval").cast("double") + 0.5
+            )
+            / F.lit(float(_BH_2POW60))
+        ).alias("p"),
+    )
+    w_rank = W.orderBy("p", "test_key")
+    ranked = tests.select(
+        "test_key",
+        "p",
+        F.row_number().over(w_rank).cast("int").alias("k"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("m"),
+    )
+    w_min = W.orderBy(F.col("k").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    adj = ranked.select(
+        "test_key",
+        "p",
+        "k",
+        F.min(F.col("p") * F.col("m") / F.col("k")).over(w_min).alias(
+            "adj_p"
+        ),
+    )
+    return adj.select(
+        "test_key",
+        F.round("p", 6).alias("p6"),
+        "k",
+        F.round(F.least(F.col("adj_p"), F.lit(1.0)), 6).alias("adj_p6"),
+        F.when(F.col("adj_p") <= float(_BH_ALPHA), 1)
+        .otherwise(0)
+        .alias("rejected"),
+    )
+
+
+# ------------------------- variance homogeneity: Brown-Forsythe/Levene
+
+
+@query(
+    "stat_levene_bf",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(c * 2, 0.5) AS med2
+      FROM ev GROUP BY 1
+    ),
+    z AS (
+      SELECT ev.event_type,
+             CAST(abs(2 * ev.c - med.med2) AS BIGINT) AS z
+      FROM ev JOIN med USING (event_type)
+    ),
+    grp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s,
+             CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss
+      FROM grp
+    ),
+    terms AS (
+      SELECT g.event_type, g.n, g.s,
+             round(CAST(g.s AS DOUBLE) / g.n, 6) AS zbar6,
+             CAST(round(g.n * (CAST(g.s AS DOUBLE) / g.n
+                               - CAST(t.ss AS DOUBLE) / t.nn)
+                            * (CAST(g.s AS DOUBLE) / g.n
+                               - CAST(t.ss AS DOUBLE) / t.nn))
+                  AS BIGINT) AS num_i,
+             CAST(round(CAST(g.q AS DOUBLE)
+                        - CAST(g.s AS DOUBLE) * g.s / g.n)
+                  AS BIGINT) AS den_i,
+             t.k, t.nn
+      FROM grp g CROSS JOIN tot t
+    ),
+    w AS (
+      SELECT CAST(sum(num_i) AS BIGINT) AS num,
+             CAST(sum(den_i) AS BIGINT) AS den,
+             max(k) AS k, max(nn) AS nn
+      FROM terms
+    )
+    SELECT t.event_type, t.n, t.s, t.zbar6,
+           round(CAST(w.nn - w.k AS DOUBLE) / (w.k - 1)
+                 * w.num / w.den, 6) AS w_stat
+    FROM terms t CROSS JOIN w
+    """,
+)
+def stat_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe/Levene variance-homogeneity test (the
+    median-centered variant — the robust pre-check before pooled-
+    variance A/B analysis): per-event-type absolute deviations from
+    the group MEDIAN (exact via the doubled-integer percentile
+    convention: |2c - med2| is integer-valued, cast long), then the
+    one-way-ANOVA-on-z F statistic.  Per-group between/within terms
+    are computed as fixed-order doubles from exact integer sums and
+    ROUNDED TO INTEGERS before the cross-group summation — a handful
+    of group terms sum exactly, so the statistic is independent of
+    partitioning (the stat_cuped lesson applied at the group level).
+
+    Scale: one data-scale shuffle to groups (the exact per-group
+    median is the priciest piece; groups are few so each percentile
+    is one group-local sort), then all algebra on the k-row frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    e = ev.select("event_type", cents("value").alias("c"))
+    med = e.groupBy("event_type").agg(
+        F.percentile(F.col("c") * 2, 0.5).alias("med2")
+    )
+    z = e.join(med, "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("c") - F.col("med2")).cast("long").alias("z"),
+    )
+    dec = F.col("z").cast("decimal(38,0)")
+    grp = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(dec * F.col("z")).alias("q"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+    )
+    zbar_i = F.col("s").cast("double") / F.col("n")
+    zbar = F.col("ss").cast("double") / F.col("nn")
+    terms = grp.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "s",
+        F.round(zbar_i, 6).alias("zbar6"),
+        F.round(F.col("n") * (zbar_i - zbar) * (zbar_i - zbar))
+        .cast("long")
+        .alias("num_i"),
+        F.round(
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        .cast("long")
+        .alias("den_i"),
+        "k",
+        "nn",
+    )
+    w = terms.agg(
+        F.sum("num_i").cast("long").alias("num"),
+        F.sum("den_i").cast("long").alias("den"),
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+    )
+    return terms.select("event_type", "n", "s", "zbar6").crossJoin(
+        F.broadcast(w)
+    ).select(
+        "event_type",
+        "n",
+        "s",
+        "zbar6",
+        F.round(
+            (F.col("nn") - F.col("k")).cast("double")
+            / (F.col("k") - 1)
+            * F.col("num")
+            / F.col("den"),
+            6,
+        ).alias("w_stat"),
+    )

@@ -498,3 +498,113 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits(edges, iters=3)
+
+
+# ----------------------------------- clustering eval: silhouette
+
+
+@query(
+    "cluster_silhouette",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cvec FROM q WHERE vec_id < 8),
+    d AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_dot_product(q.v, q.v)
+                  - 2 * list_dot_product(q.v, c.cvec)
+                  + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS d2
+      FROM q CROSS JOIN c
+    ),
+    r AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cid ASC) AS rn
+      FROM d
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cid,
+             sqrt(CAST(a.d2 AS DOUBLE)) AS da,
+             sqrt(CAST(b.d2 AS DOUBLE)) AS db
+      FROM (SELECT * FROM r WHERE rn = 1) a
+      JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)
+    ),
+    s AS (
+      SELECT vec_id, cid,
+             CAST(round(CASE WHEN greatest(da, db) = 0 THEN 0
+                  ELSE (db - da) / greatest(da, db) END * 1000000)
+                  AS BIGINT) AS s_micro
+      FROM ab
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mean_sil6
+    FROM s GROUP BY cid
+    """,
+)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (the centroid-distance variant — the
+    standard clustering-quality score at corpus scale, where the
+    full pairwise silhouette's O(n²) is impossible): every embedding
+    measures its nearest and second-nearest seed centroid, s =
+    (b - a)/max(a, b), averaged per cluster.  Distances are EXACT
+    integer squared-L2 over micro-quantized vectors (the kmeans
+    convention), sqrt is correctly-rounded IEEE on identical inputs,
+    and each point's s fixes to integer micro-units before the
+    per-cluster mean — exact integer aggregation, any partitioning.
+
+    Scale: one broadcast of k centroid rows, one map-side distance
+    evaluation per point (k small), one per-point window bounded at
+    k rows, one partial-agg shuffle to clusters.  O(n·k) total —
+    the only silhouette a 100 TB corpus can afford."""
+    from ctgov_ai_etl_spark.operators.clustering import (
+        quantize,
+        sqdist_long,
+    )
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    e = spread_to_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = e.select("vec_id", quantize(F.col("embedding")).alias("v"))
+    c = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    d = q.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid", sqdist_long(F.col("v"), F.col("cvec")).alias("d2")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    r = d.select(
+        "vec_id", "cid", "d2", F.row_number().over(w).alias("rn")
+    )
+    a = r.filter(F.col("rn") == 1).select(
+        "vec_id", "cid", F.sqrt(F.col("d2").cast("double")).alias("da")
+    )
+    b = r.filter(F.col("rn") == 2).select(
+        F.col("vec_id").alias("vb"),
+        F.sqrt(F.col("d2").cast("double")).alias("db"),
+    )
+    ab = a.join(b, a.vec_id == F.col("vb")).select("vec_id", "cid", "da", "db")
+    s_micro = (
+        F.round(
+            F.when(F.greatest("da", "db") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("db") - F.col("da")) / F.greatest("da", "db")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("s_micro")
+    )
+    s = ab.select("cid", s_micro)
+    return s.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(
+            F.sum("s_micro").cast("double") / F.count("*") / 1_000_000, 6
+        ).alias("mean_sil6"),
+    )
