@@ -1419,5 +1419,88 @@ CHECKS["ml_bradley_terry"] = [
      r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
 ]
 
+# ---------------------------------------------------------- round 12
+
+CHECKS["stream_run_decontam"] = [
+    ("benchmark shingle set broadcast (map-side contamination probe)",
+     r"BroadcastHashJoin"),
+    ("per-doc hit counts partially aggregated", r"partial_count"),
+]
+
+CHECKS["graph_hits"] = [
+    ("edge derivation joined on the order key",
+     r"(hashpartitioning\(l_orderkey|hashpartitioning\(o_orderkey|"
+     r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ("half-step sums partially aggregated", r"partial_sum"),
+    ("max-normalization constant broadcast (1-row frame)",
+     r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ("pure JVM iteration algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["ml_ndcg_mrr"] = [
+    ("rankings are per-query windows, never a global sort",
+     r"hashpartitioning\(query_id"),
+    ("metrics partially aggregated", r"partial_sum"),
+    ("scan pruned to the 2 referenced order columns",
+     r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+]
+
+CHECKS["ts_sax_symbols"] = [
+    ("daily and weekly rollups partially aggregated", r"partial_sum"),
+    ("z-normalization constants broadcast (1-row frame)",
+     r"BroadcastNestedLoopJoin"),
+    ("pure JVM bit/CASE algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["ml_naive_bayes"] = [
+    ("model table broadcast to the scoring side", r"BroadcastHashJoin"),
+    ("token counts partially aggregated", r"partial_count"),
+    ("per-(doc, class) scores partially aggregated", r"partial_sum"),
+]
+
+CHECKS["mm_audio_features"] = [
+    ("Arrow-batched decode (no row-at-a-time Python)",
+     r"MapInPandas"),
+    ("zero shuffle: no exchange in the decode path",
+     r"\A(?!.*Exchange hashpartitioning)"),
+]
+
+CHECKS["feature_hash_vectorize"] = [
+    ("cell counts partially aggregated", r"partial_count"),
+    ("norms joined back keyed by doc",
+     r"(hashpartitioning\(doc_id|SortMergeJoin|ShuffledHashJoin|"
+     r"BroadcastHashJoin)"),
+    ("no vocabulary table: exactly one scan of documents",
+     r"\A(?![\s\S]*Scan parquet[\s\S]*Scan parquet[\s\S]*Scan parquet)"),
+]
+
+CHECKS["gov_dp_histogram"] = [
+    ("nation dimension broadcast", r"BroadcastHashJoin"),
+    ("histogram partially aggregated", r"partial_count"),
+    ("noise is map-side scalar algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["stat_bh_fdr"] = [
+    ("test family reduced before the global window (bounded rows)",
+     r"partial_count|partial_first"),
+    ("pure JVM window algebra (no Python boundary)",
+     r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
+]
+
+CHECKS["stat_levene_bf"] = [
+    ("group medians/moments partially aggregated", r"partial_"),
+    ("group-count frame broadcast", r"BroadcastNestedLoopJoin"),
+]
+
+CHECKS["cluster_silhouette"] = [
+    ("k centroid rows broadcast", r"BroadcastNestedLoopJoin"),
+    ("per-point window bounded at k rows, partitioned by vec_id",
+     r"hashpartitioning\(vec_id"),
+    ("per-cluster means partially aggregated", r"partial_sum"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
