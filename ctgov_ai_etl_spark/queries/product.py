@@ -4133,12 +4133,17 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    nrm = tf.groupBy("doc_id").agg(
+    # Per-doc norm as a WINDOW over the cell frame (not a self-join):
+    # one scan of documents, one shuffle — the cells are already
+    # co-partitioned by doc_id, so the window adds no exchange.
+    w_doc = W.partitionBy("doc_id")
+    tf = tf.withColumn(
+        "sq",
         F.sum(F.col("tf").cast("decimal(38,0)") * F.col("tf"))
-        .cast("long")
-        .alias("sq")
+        .over(w_doc)
+        .cast("long"),
     )
-    return tf.join(nrm, "doc_id").select(
+    return tf.select(
         "doc_id",
         "bucket",
         "tf",

@@ -105,3 +105,17 @@ def test_geo_model_eval_pipeline_example(spark):
     assert out["n_changepoints"] == 3
     # HT weights are floored max(w, tau): total at least the raw sum
     assert out["ht_total_cents"] > 0
+
+
+def test_eval_harness_pipeline_example(spark):
+    from examples.eval_harness_pipeline import main
+
+    out = main(SF_SMALL)
+    assert out["n_contaminated"] > 0
+    assert out["n_feature_cells"] > 0
+    assert out["n_scored_docs"] == 250
+    assert 0.0 <= out["mean_ndcg10"] <= 1.0
+    assert 0.0 <= out["mean_mrr"] <= 1.0
+    assert out["worst_cluster_sil"] is not None
+    assert out["levene_w"] >= 0.0
+    assert out["n_released_cells"] == 25

@@ -1421,12 +1421,6 @@ CHECKS["ml_bradley_terry"] = [
 
 # ---------------------------------------------------------- round 12
 
-CHECKS["stream_run_decontam"] = [
-    ("benchmark shingle set broadcast (map-side contamination probe)",
-     r"BroadcastHashJoin"),
-    ("per-doc hit counts partially aggregated", r"partial_count"),
-]
-
 CHECKS["graph_hits"] = [
     ("edge derivation joined on the order key",
      r"(hashpartitioning\(l_orderkey|hashpartitioning\(o_orderkey|"
@@ -1485,7 +1479,7 @@ CHECKS["gov_dp_histogram"] = [
 
 CHECKS["stat_bh_fdr"] = [
     ("test family reduced before the global window (bounded rows)",
-     r"partial_count|partial_first"),
+     r"HashAggregate\(keys=\[o_orderpriority"),
     ("pure JVM window algebra (no Python boundary)",
      r"\A(?!.*InPandas)(?!.*BatchEvalPython)"),
 ]
