@@ -1466,8 +1466,9 @@ CHECKS["feature_hash_vectorize"] = [
     ("norms joined back keyed by doc",
      r"(hashpartitioning\(doc_id|SortMergeJoin|ShuffledHashJoin|"
      r"BroadcastHashJoin)"),
-    ("no vocabulary table: exactly one scan of documents",
-     r"\A(?![\s\S]*Scan parquet[\s\S]*Scan parquet[\s\S]*Scan parquet)"),
+    ("per-doc norm via window on the co-partitioned cells "
+     "(no self-join rescan)",
+     r"\A(?!.*SortMergeJoin)(?!.*ShuffledHashJoin)[\s\S]*Window \[sum"),
 ]
 
 CHECKS["gov_dp_histogram"] = [
