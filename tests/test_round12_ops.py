@@ -234,3 +234,78 @@ def test_stream_table_reader_directory_layout(spark, tmp_path):
         stream.groupBy().agg(F.count("*").alias("n")), mode="complete"
     )
     assert out.collect()[0]["n"] == 10
+
+
+# ------------------------------------------- property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_hits(edges, iters=3, scale=1_000_000):
+    """Independent pure-Python replay of the max-normalized integer
+    HITS contract (floor division, decimal-exact products)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        araw = {}
+        for s, d in edges:
+            araw[d] = araw.get(d, 0) + hub[s]
+        mx = max(araw.values())
+        auth = {n: (v * scale) // mx for n, v in araw.items()}
+        hraw = {}
+        for s, d in edges:
+            hraw[s] = hraw.get(s, 0) + auth[d]
+        mx = max(hraw.values())
+        hub = {n: (v * scale) // mx for n, v in hraw.items()}
+    return {
+        n: (auth.get(n, 0), hub.get(n, 0)) for n in nodes
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 7), st.integers(10, 17)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_hits_matches_reference(edge_set):
+    """Random bipartite digraphs: the Spark operator equals the
+    pure-Python integer reference node for node."""
+    from ctgov_ai_etl_spark.operators.graph import hits
+    from ctgov_ai_etl_spark.session import get_spark
+
+    spark = get_spark("tests", cpus="8")
+    edges = sorted(edge_set)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["auth_micro"], r["hub_micro"])
+        for r in hits(df, iters=3).collect()
+    }
+    assert got == _ref_hits(edges)
+
+
+def test_bh_fdr_matches_reference(spark):
+    """The query's adjusted p-values equal the classic step-up
+    computed independently in Python from the same p-values."""
+    reg = load_all()
+    rows = sorted(
+        reg["stat_bh_fdr"].fn(spark, SF).collect(), key=lambda r: r["k"]
+    )
+    ps = [r["p6"] for r in rows]  # p6 is p rounded; recompute from k
+    m = len(rows)
+    # reference step-up on the reported (k, p6) pairs
+    adj, run = [None] * m, float("inf")
+    for i in range(m - 1, -1, -1):
+        run = min(run, ps[i] * m / (i + 1))
+        adj[i] = min(run, 1.0)
+    for r, a in zip(rows, adj):
+        assert abs(r["adj_p6"] - a) < 5e-6
+        # rejection threshold applied to the true (unrounded) adj_p;
+        # away from the 0.05 boundary it must agree with the reference
+        if abs(a - 0.05) > 1e-4:
+            assert r["rejected"] == (1 if a <= 0.05 else 0)
