@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ctgov_ai_etl_spark.functions.exact import fdiv
 from ctgov_ai_etl_spark.functions.text import tokens
 from ctgov_ai_etl_spark.operators.decontam import ngram_shingles
 
@@ -193,9 +194,15 @@ def bigram_lm_score(
         .select(
             F.col("id").alias(id_col),
             "n_bigrams",
-            F.round(
-                F.col("su").cast("double") / 1_000_000 / F.col("n_bigrams"), 6
-            ).alias("avg_logprob"),
+            # avg micro-logprob by exact integer FLOOR division: a
+            # round(su/1e6/n, 6) can land EXACTLY on a half-micro tie
+            # (su divisible to x.5 micro) where Spark's BigDecimal
+            # half-up and DuckDB's float-scaled rounding disagree —
+            # measured at sf0.1 (doc 361: su/n = -3388329.5).  fdiv
+            # floors identically in both engines; the final /1e6 is
+            # one deterministic double op on the same integer.
+            (fdiv(F.col("su"), F.col("n_bigrams")).cast("double")
+             / 1_000_000).alias("avg_logprob"),
         )
     )
 

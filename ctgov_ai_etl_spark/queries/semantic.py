@@ -2066,7 +2066,7 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vocab
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-           round(CAST(sum(u) AS DOUBLE) / 1000000 / count(*), 6) AS avg_logprob
+           CAST(CAST(((sum(u)) - ((((sum(u)) % CAST((count(*)) AS BIGINT)) + CAST((count(*)) AS BIGINT)) % CAST((count(*)) AS BIGINT))) // CAST((count(*)) AS BIGINT) AS BIGINT) AS DOUBLE) / 1000000 AS avg_logprob
     FROM tf JOIN lp USING (tok)
     GROUP BY doc_id
     """,
@@ -2116,9 +2116,10 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_toks",
-            F.round(
-                F.col("su").cast("double") / 1_000_000 / F.col("n_toks"), 6
-            ).alias("avg_logprob"),
+            # floor-div micro average (half-micro-tie-proof; see
+            # operators/quality.py:bigram_lm_score)
+            (fdiv(F.col("su"), F.col("n_toks")).cast("double")
+             / 1_000_000).alias("avg_logprob"),
         )
     )
 
@@ -2145,7 +2146,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(u) AS DOUBLE) / 1000000 / count(*), 6) AS avg_logprob
+           CAST(CAST(((sum(u)) - ((((sum(u)) % CAST((count(*)) AS BIGINT)) + CAST((count(*)) AS BIGINT)) % CAST((count(*)) AS BIGINT))) // CAST((count(*)) AS BIGINT) AS BIGINT) AS DOUBLE) / 1000000 AS avg_logprob
     FROM bg JOIN lp USING (bg)
     GROUP BY doc_id
     """,
