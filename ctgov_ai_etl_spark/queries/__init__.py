@@ -60,6 +60,11 @@ _PRIORITY = (
     "stat_bh_fdr",
     "stat_levene_bf",
     "cluster_silhouette",
+    # -- block 1b: NEW in the round-12 continuation session (same
+    #    rule: new-this-round queries lead the stale cohorts)
+    "text_blocklist_filter",
+    "stream_run_blocklist",
+    "text_ngram_novelty",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -3796,3 +3796,144 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= _KN_TOP_W2).select(
         "w1", "w2", "c12", "pkn_ppm", F.col("rk").cast("int")
     )
+
+
+# ------------------------------------------- blocklist filtering
+#
+# Multi-pattern safety filtering: the ingest gate every production
+# corpus runs before training (block documents matching too many
+# terms from a curated denylist).  The term set is config-sized, so
+# the scale shape is a BROADCAST semi-join against the exploded
+# distinct-token frame — one data-scale shuffle (the per-doc hit
+# count), never a regex alternation over the raw text (an |-joined
+# regex re-scans each document once per pattern class and cannot be
+# pushed into a join; the token join is hash-probe per token).
+
+_BLOCKLIST_TERMS = ("slow", "hash", "vector", "merge", "stream", "filter")
+_BLOCKLIST_MIN_HITS = 3  # distinct terms present => blocked
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_hit
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN {_BLOCKLIST_TERMS!r}
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(h.n_hit, 0) >= {_BLOCKLIST_MIN_HITS} AS blocked
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist ingest gate: per document, how many DISTINCT
+    blocklist terms appear, and the block verdict (>= 3 distinct
+    hits).  Engine form: array_distinct the token array map-side
+    (so the join probes each distinct token once, not once per
+    occurrence), broadcast-join the literal term frame, count per
+    doc, left-join back so clean documents keep n_hit = 0.
+
+    At 100 TB the blocklist (thousands of terms) broadcasts in KB;
+    the only data-scale exchange is the per-doc partial-agg count.
+    Reference analogue: the IN-set admission filter
+    (/root/reference/etl.py:366-378) applied to token membership."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in _BLOCKLIST_TERMS], "tok string"
+        )
+    )
+    hits = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .join(terms, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return d.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            >= _BLOCKLIST_MIN_HITS
+        ).alias("blocked"),
+    )
+
+
+# ------------------------------------------- n-gram novelty score
+#
+# Corpus-order novelty: what fraction of a document's distinct
+# bigrams had never appeared in any earlier document (doc_id order)?
+# The memorization / contribution signal data-selection pipelines
+# use to down-weight late near-copies without running full dedup.
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH per AS (
+      SELECT DISTINCT doc_id, bg
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(toks)),
+                 j -> toks[j] || ' ' || toks[j + 1])) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+      )
+    ),
+    first AS (
+      SELECT bg, min(doc_id) AS first_doc FROM per GROUP BY bg
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {sql_fdiv(
+               "sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)"
+               " * 1000000",
+               "count(*)")} AS novelty_ppm
+    FROM per p JOIN first f ON f.bg = p.bg
+    GROUP BY p.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: distinct bigrams whose FIRST
+    corpus occurrence (min doc_id) is this document, as an exact
+    integer-ppm ratio of the document's distinct bigrams.
+
+    Scale shape: bigrams are built map-side from the token array
+    (transform over the sliced array — no posexplode self-join, no
+    extra shuffle); first-occurrence is one bigram-keyed partial-agg
+    min; the attribution join is keyed on the same bigram column, so
+    it reuses the exchange; the final per-doc rollup is the only
+    other shuffle.  No global order, no windows — min(doc_id) IS the
+    corpus-order semantics, computed commutatively."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    per = d.select(
+        "doc_id", F.explode(F.array_distinct(bigrams)).alias("bg")
+    )
+    first = per.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        per.join(first, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            novel.cast("long").alias("n_novel"),
+            fdiv(novel * 1_000_000, F.count("*")).alias("novelty_ppm"),
+        )
+    )

@@ -1862,3 +1862,63 @@ def _patch_stream_decontam_oracle() -> None:
 
 
 _patch_stream_decontam_oracle()
+
+
+# ----------------------------------- streaming blocklist ingest gate
+
+
+@query(
+    "stream_run_blocklist",
+    oracle=None,  # patched below: identical result contract to the
+    # batch gate text_blocklist_filter, so it shares that oracle
+)
+def stream_run_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming denylist admission filter: the stateless twin of
+    ``text_blocklist_filter``.  A config-sized blocklist needs NO
+    join and NO state at ingest — the term set compiles into a
+    literal array and each arriving document scores itself map-side
+    (``array_intersect`` of its distinct tokens against the literal),
+    so the gate adds zero shuffles and zero state stores to the
+    ingest topology: it runs at source-partition parallelism forever.
+
+    This is the complementary scale regime to the batch twin: the
+    batch form broadcast-JOINS the term frame (right shape when the
+    denylist is large), the streaming form inlines it as a literal
+    (right shape when it is config-sized — the common case for
+    safety denylists).  Append-mode memory sink on the finite source
+    ==> result equals the batch gate, which the shared oracle
+    replays."""
+    from ctgov_ai_etl_spark.functions.text import tokens
+    from ctgov_ai_etl_spark.queries.semantic import (
+        _BLOCKLIST_MIN_HITS,
+        _BLOCKLIST_TERMS,
+    )
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+
+    d = _read_documents_stream(spark, sf_dir)
+    terms = F.array(*[F.lit(t) for t in _BLOCKLIST_TERMS])
+    n_hit = F.size(
+        F.array_intersect(F.array_distinct(tokens(F.col("text"))), terms)
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        n_hit.alias("n_hit"),
+        (n_hit >= _BLOCKLIST_MIN_HITS).alias("blocked"),
+    )
+    return run_stream_to_memory(scored, mode="append")
+
+
+def _patch_stream_blocklist_oracle() -> None:
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    import ctgov_ai_etl_spark.queries.semantic  # noqa: F401
+
+    spec = REGISTRY["stream_run_blocklist"]
+    twin = REGISTRY.get("text_blocklist_filter")
+    if twin is not None and spec.oracle is None:
+        REGISTRY["stream_run_blocklist"] = type(spec)(
+            name=spec.name, fn=spec.fn, oracle=twin.oracle, doc=spec.doc
+        )
+
+
+_patch_stream_blocklist_oracle()
