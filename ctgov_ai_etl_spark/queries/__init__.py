@@ -65,6 +65,8 @@ _PRIORITY = (
     "text_blocklist_filter",
     "stream_run_blocklist",
     "text_ngram_novelty",
+    "sample_dsir_importance",
+    "split_time_series_cv",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

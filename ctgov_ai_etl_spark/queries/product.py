@@ -4246,3 +4246,220 @@ def gov_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("released_micro"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+# ------------------------------- DSIR importance resampling
+
+
+_DSIR_BUCKETS = 32
+_DSIR_TOP_K = 50
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                  % {_DSIR_BUCKETS} AS INT) AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+    ),
+    raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS r_b FROM tok GROUP BY b
+    ),
+    tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS t_b
+      FROM tok WHERE lang = 'en' GROUP BY b
+    ),
+    tots AS (
+      SELECT CAST(sum(r_b) AS BIGINT) AS rt,
+             (SELECT CAST(sum(t_b) AS BIGINT) FROM tgt) AS tt
+      FROM raw
+    ),
+    model AS (
+      SELECT raw.b,
+             CAST(round(ln(
+               (CAST(coalesce(tgt.t_b, 0) + 1 AS DOUBLE)
+                 * CAST(tots.rt + {_DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(raw.r_b + 1 AS DOUBLE)
+                 * CAST(tots.tt + {_DSIR_BUCKETS} AS DOUBLE))
+             ) * 1000000) AS BIGINT) AS lr_micro
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tots
+    ),
+    tf AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, b
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf * m.lr_micro) AS BIGINT) AS log_w_micro
+      FROM tf JOIN model m ON m.b = tf.b
+      GROUP BY tf.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.log_w_micro
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.log_w_micro DESC, s.doc_id
+    LIMIT {_DSIR_TOP_K}
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS'23): rank raw-corpus documents by how target-like their
+    hashed n-gram profile is.  The target is the ``lang = 'en'``
+    slice; features are unigrams hashed into {_DSIR_BUCKETS} buckets
+    (the portable md5 convention), the per-bucket log importance
+    ratio uses add-1 smoothing, and a document's log weight is the
+    EXACT integer dot product of its bucket term frequencies with
+    the micro-rounded log ratios — so the top-k selection (desc
+    weight, doc_id tie-break) hash-checks bit-for-bit.
+
+    Scale: the fitted model is a {_DSIR_BUCKETS}-row frame (two
+    bucket-keyed partial aggregations over the token stream — the
+    hashed featurization means NO vocabulary table at any corpus
+    size); scoring is a broadcast join + one doc-keyed partial-agg
+    sum; selection is TakeOrderedAndProject, never a global sort.
+    The one micro-rounded ``ln`` per bucket follows the
+    gov_dp_histogram precedent (ties are measure-zero)."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    from ctgov_ai_etl_spark.functions.text import tokens
+
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        hash_bucket(F.col("t"), _DSIR_BUCKETS).cast("int").alias("b"),
+    )
+    raw = tok.groupBy("b").agg(F.count("*").cast("long").alias("r_b"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("t_b"))
+    )
+    tots = raw.agg(F.sum("r_b").cast("long").alias("rt")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("t_b").cast("long").alias("tt")))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        * (F.col("rt") + _DSIR_BUCKETS).cast("double")
+                    )
+                    / (
+                        (F.col("r_b") + 1).cast("double")
+                        * (F.col("tt") + _DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    scored = (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lr_micro"))
+            .cast("long")
+            .alias("log_w_micro")
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("log_w_micro").desc(), "doc_id")
+        .limit(_DSIR_TOP_K)
+        .select("doc_id", "lang", "log_w_micro")
+    )
+
+
+# ------------------------------- rolling-origin time-series CV
+
+
+_TSCV_CUTS = (
+    "1997-01-01",
+    "1998-01-01",
+    "1999-01-01",
+    "2000-01-01",
+    "2001-01-01",
+)
+
+
+def _tscv_oracle() -> str:
+    parts = []
+    for i in range(len(_TSCV_CUTS) - 1):
+        lo, hi = _TSCV_CUTS[i], _TSCV_CUTS[i + 1]
+        parts.append(f"""
+    SELECT CAST({i + 1} AS INT) AS fold,
+           '{lo}' AS train_end,
+           CAST(count(CASE WHEN o_orderdate < TIMESTAMP '{lo}'
+                      THEN 1 END) AS BIGINT) AS n_train,
+           CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '{lo}'
+                       AND o_orderdate < TIMESTAMP '{hi}'
+                      THEN 1 END) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{lo}'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS train_cents
+    FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("split_time_series_cv", oracle=_tscv_oracle())
+def split_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin cross-validation folds (the only CV scheme that
+    is honest for forecasting: train on everything BEFORE the cut,
+    test on the next horizon — growing window, no leakage): per
+    fold, train/test row counts and the exact-cents train revenue
+    mass (the growing-window invariant: n_train is monotone in
+    fold).
+
+    Engine form: ONE scan of orders — each row is stacked into every
+    fold's (fold, role) pair map-side (explode of a literal-bounded
+    struct array, the dq_fd_miner single-scan pattern) and a single
+    partial-agg shuffle on the 4-row fold frame does all counts.
+    The oracle states each fold as its own aggregate and unions
+    them.  At 100 TB one pass beats |folds| passes, and the fold
+    cuts are plan literals — partition pruning applies to each
+    CASE's predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    arms = []
+    for i in range(len(_TSCV_CUTS) - 1):
+        lo, hi = _TSCV_CUTS[i], _TSCV_CUTS[i + 1]
+        lo_ts = F.lit(lo).cast("timestamp")
+        hi_ts = F.lit(hi).cast("timestamp")
+        is_train = F.col("o_orderdate") < lo_ts
+        is_test = (F.col("o_orderdate") >= lo_ts) & (
+            F.col("o_orderdate") < hi_ts
+        )
+        arms.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("fold"),
+                F.lit(lo).alias("train_end"),
+                F.when(is_train, 1).otherwise(0).alias("tr"),
+                F.when(is_test, 1).otherwise(0).alias("te"),
+                F.when(is_train, cents("o_totalprice"))
+                .otherwise(0)
+                .alias("tc"),
+            )
+        )
+    stacked = o.select(F.explode(F.array(*arms)).alias("x")).select(
+        "x.fold", "x.train_end", "x.tr", "x.te", "x.tc"
+    )
+    return stacked.groupBy("fold", "train_end").agg(
+        F.sum("tr").cast("long").alias("n_train"),
+        F.sum("te").cast("long").alias("n_test"),
+        F.sum("tc").cast("long").alias("train_cents"),
+    )
