@@ -505,3 +505,105 @@ def bfs_oracle_sql(edges_sql: str, seeds_where: str, max_hops: int) -> str:
     )
     SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
     """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_pred,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-iteration integer personalized PageRank: teleport mass
+    returns ONLY to the seed set (``seed_pred``: Column function of
+    the node id), so scores measure proximity to the seeds — the
+    trusted-seed propagation behind TrustRank-style quality signals
+    and seed-anchored corpus expansion (find pages "close to" a
+    vetted whitelist before sampling).
+
+    Same per-round shuffle shape and integer floor-division
+    determinism as :func:`pagerank`; the only differences are the
+    seed-indicator base term (``base`` for seeds, 0 elsewhere) and
+    the seed-concentrated initial distribution (``scale`` on seeds,
+    0 elsewhere) — both map-side expressions on the node frame, so
+    personalization adds ZERO shuffles."""
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", seed_pred(F.col("node")).alias("is_seed"))
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ew = e.join(outdeg, "src")
+    base = (100 - damping_pct) * scale // 100
+    seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iters):
+        sums = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                seed_base
+                + F.expr(f"({damping_pct} * coalesce(m, 0L)) div 100")
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seed_sql: str,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> str:
+    """Unrolled SQL replay of :func:`personalized_pagerank`.
+
+    ``seed_sql`` is a boolean SQL expression over ``node`` (must be
+    pure integer arithmetic so both engines evaluate it identically).
+    """
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes0 AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"nodes AS (SELECT node, ({seed_sql}) AS is_seed FROM nodes0)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, d.outdeg"
+        " FROM edges e JOIN deg d ON d.src = e.src)",
+        f"r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN {scale}"
+        " ELSE 0 END AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT ew.dst AS node, sum(r.r // ew.outdeg) AS m"
+            f" FROM ew JOIN r{i - 1} r ON r.node = ew.src GROUP BY ew.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST((CASE WHEN n.is_seed THEN {base} ELSE 0 END)"
+            f" + ({damping_pct} * coalesce(s.m, 0)) // 100 AS BIGINT)"
+            f" AS r FROM nodes n LEFT JOIN s{i} s ON s.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, r AS rank_micro FROM r{iters}"
+    )

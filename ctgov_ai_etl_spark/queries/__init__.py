@@ -67,6 +67,9 @@ _PRIORITY = (
     "text_ngram_novelty",
     "sample_dsir_importance",
     "split_time_series_cv",
+    "graph_personalized_pagerank",
+    "ml_gbdt_stumps",
+    "geo_polygon_contains",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -5019,3 +5019,168 @@ def stat_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w_stat"),
     )
+
+
+# ------------------------------- gradient-boosted stumps (2 rounds)
+#
+# One boosting step beyond ml_decision_stump: fit a regression stump
+# on feature 1, take exact integer residuals against the stump's
+# leaf means, fit a second stump on feature 2 over those residuals —
+# the additive-model loop of XGBoost/LightGBM, reduced to the
+# histogram algebra that scales.  Minimizing SSE is equivalent to
+# MAXIMIZING sum_left^2/n_left + sum_right^2/n_right (the total
+# sum-of-squares is split-invariant), which needs only the integer
+# (n, sum) histogram — no sum-of-squares column at all.
+
+
+def _stump_sql(src: str, feat: str, val: str, tag: str) -> str:
+    """CTE chain fitting a regression stump over ``src`` (a CTE name
+    providing integer feature ``feat`` and integer target ``val``);
+    emits ``b{tag}`` with the argmax split and exact leaf stats.
+    Cumulative sums are CAST back to BIGINT (DuckDB widens window
+    sums to HUGEINT — the oracle-portability rule)."""
+    return f"""
+    h{tag} AS (
+      SELECT {feat} AS f, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({val}) AS BIGINT) AS s
+      FROM {src} GROUP BY {feat}
+    ),
+    p{tag} AS (
+      SELECT f,
+             CAST(sum(n) OVER (ORDER BY f) AS BIGINT) AS nl,
+             CAST(sum(s) OVER (ORDER BY f) AS BIGINT) AS sl,
+             (SELECT CAST(sum(n) AS BIGINT) FROM h{tag}) AS nt,
+             (SELECT CAST(sum(s) AS BIGINT) FROM h{tag}) AS st
+      FROM h{tag}
+    ),
+    c{tag} AS (
+      SELECT f, nl, sl, nt - nl AS nr, st - sl AS sr,
+             CAST(sl AS DOUBLE) * sl / nl
+               + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+               AS score
+      FROM p{tag} WHERE nl < nt
+    ),
+    b{tag} AS (
+      SELECT f, nl, sl, nr, sr,
+             {sql_fdiv('sl', 'nl')} AS ml,
+             {sql_fdiv('sr', 'nr')} AS mr
+      FROM c{tag} ORDER BY score DESC, f LIMIT 1
+    )"""
+
+
+@query(
+    "ml_gbdt_stumps",
+    oracle=f"""
+    WITH raw AS (
+      SELECT CAST(l_quantity AS INT) AS f1,
+             CAST(round(l_discount * 100) AS INT) AS f2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 1000 AS y
+      FROM lineitem
+    ),
+    r1src AS (SELECT f1 AS f, y AS v FROM raw),
+    {_stump_sql('r1src', 'f', 'v', '1').lstrip()},
+    res AS (
+      SELECT raw.f2 AS f,
+             raw.y - CASE WHEN raw.f1 <= b1.f THEN b1.ml ELSE b1.mr END
+               AS v
+      FROM raw CROSS JOIN b1
+    ),
+    {_stump_sql('res', 'f', 'v', '2').lstrip()}
+    SELECT CAST(1 AS INT) AS round, 'l_quantity' AS feature,
+           CAST(f AS INT) AS split_at,
+           nl AS n_left, nr AS n_right,
+           ml AS mean_left_milli, mr AS mean_right_milli
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'l_discount_pct', CAST(f AS INT),
+           nl, nr, ml, mr
+    FROM b2
+    """,
+)
+def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two gradient-boosting rounds of regression stumps: round 1
+    fits the best SSE split of extended price (exact milli-cents) on
+    quantity, round 2 fits the residuals on the discount percentage
+    — the histogram-based additive-model step every distributed GBDT
+    runs.  All leaf statistics are exact integers (floor-division
+    means), so residuals are exact and both rounds hash-check; the
+    split score is the sum^2/n form computed in double with fixed
+    operation order and a deterministic (score DESC, bucket) argmax
+    tie-break.
+
+    Scale: each round is one data-scale groupBy to a ~50-bucket
+    histogram, a bounded cumulative window on that frame (bounded
+    global window: bucket cardinality, not data size), a top-1
+    TakeOrdered, and a 1-row broadcast back for residuals — the
+    same contract at any corpus size, which is exactly why
+    histogram-split GBDT is the 100 TB algorithm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_quantity").cast("int").alias("f1"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("f2"),
+        (cents("l_extendedprice") * 1000).alias("y"),
+    )
+
+    def fit_stump(df: DataFrame, feat: str, val: str) -> DataFrame:
+        h = df.groupBy(F.col(feat).alias("f")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(val).cast("long").alias("s"),
+        )
+        # bounded global window: distinct feature buckets (~50 rows)
+        wp = W.orderBy("f").rowsBetween(W.unboundedPreceding, W.currentRow)
+        tots = h.agg(
+            F.sum("n").cast("long").alias("nt"),
+            F.sum("s").cast("long").alias("st"),
+        )
+        p = h.select(
+            "f",
+            F.sum("n").over(wp).cast("long").alias("nl"),
+            F.sum("s").over(wp).cast("long").alias("sl"),
+        ).crossJoin(F.broadcast(tots))
+        nl, sl = F.col("nl"), F.col("sl")
+        nr, sr = F.col("nt") - nl, F.col("st") - sl
+        score = sl.cast("double") * sl / nl + sr.cast("double") * sr / nr
+        cand = p.filter(nl < F.col("nt")).select(
+            "f",
+            nl.alias("nl"),
+            sl.alias("sl"),
+            nr.alias("nr"),
+            sr.alias("sr"),
+            score.alias("score"),
+        )
+        return (
+            cand.orderBy(F.col("score").desc(), "f")
+            .limit(1)
+            .select(
+                "f",
+                "nl",
+                "nr",
+                fdiv(F.col("sl"), F.col("nl")).alias("ml"),
+                fdiv(F.col("sr"), F.col("nr")).alias("mr"),
+            )
+        )
+
+    b1 = fit_stump(raw.select("f1", "y"), "f1", "y")
+    res = raw.crossJoin(F.broadcast(b1)).select(
+        F.col("f2"),
+        (
+            F.col("y")
+            - F.when(F.col("f1") <= F.col("f"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("v"),
+    )
+    b2 = fit_stump(res, "f2", "v")
+
+    def row(b: DataFrame, rnd: int, feat_name: str) -> DataFrame:
+        return b.select(
+            F.lit(rnd).cast("int").alias("round"),
+            F.lit(feat_name).alias("feature"),
+            F.col("f").cast("int").alias("split_at"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("ml").alias("mean_left_milli"),
+            F.col("mr").alias("mean_right_milli"),
+        )
+
+    return row(b1, 1, "l_quantity").unionAll(row(b2, 2, "l_discount_pct"))

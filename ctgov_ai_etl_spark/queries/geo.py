@@ -337,3 +337,111 @@ def stream_run_geo_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "ts_us", "from_tile", "to_tile"
     )
+
+
+# ----------------------------------------------- point-in-polygon
+#
+# Ray-casting containment with EXACT integer arithmetic: the
+# horizontal-ray crossing test `px < x1 + (py-y1)(x2-x1)/(y2-y1)`
+# is restated as a cross-product sign test (multiply through by the
+# edge's dy, flipping the inequality when dy < 0 — dy's sign is
+# pinned by the half-open vertex rule), so containment is pure int64
+# compare/multiply: bit-identical across engines, no epsilon, and
+# the half-open `y1 <= py < y2` rule gives shared vertices to
+# exactly one edge (the standard robust formulation, e.g. PNPOLY).
+# Coordinate products stay under ~1.3e17 << 2^63 (micro-degrees).
+
+_POLYGONS = {
+    # (lng, lat) vertex rings in integer micro-degrees; both rings
+    # verified simple (no self-intersection) in tests.
+    "atlantic_quad": (
+        (-60_000_000, -30_000_000),
+        (20_000_000, -40_000_000),
+        (30_000_000, 45_000_000),
+        (-50_000_000, 50_000_000),
+    ),
+    "pacific_wedge": (
+        (120_000_000, -20_000_000),
+        (170_000_000, -35_000_000),
+        (160_000_000, 30_000_000),
+        (140_000_000, 0),
+        (125_000_000, 25_000_000),
+    ),
+}
+
+
+def _crossings_expr(px: str, py: str, ring) -> str:
+    """Odd/even crossing count of the +x horizontal ray from
+    (px, py) against the polygon ring, as ONE shared-dialect SQL
+    expression (only integer compares and multiplies — parsed
+    identically by Spark SQL and DuckDB)."""
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge: never crosses a horizontal ray
+        lhs = f"(({px}) - ({x1})) * ({y2 - y1})"
+        rhs = f"(({py}) - ({y1})) * ({x2 - x1})"
+        if y1 < y2:  # upward edge: half-open [y1, y2)
+            cond = (
+                f"({y1}) <= ({py}) AND ({py}) < ({y2}) AND {lhs} < {rhs}"
+            )
+        else:  # downward edge: half-open [y2, y1); dy < 0 flips <
+            cond = (
+                f"({y2}) <= ({py}) AND ({py}) < ({y1}) AND {lhs} > {rhs}"
+            )
+        terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _polygon_oracle() -> str:
+    arms = []
+    for name, ring in _POLYGONS.items():
+        arms.append(f"""
+    SELECT '{name}' AS polygon,
+           CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM pts
+    WHERE {_crossings_expr('lng', 'lat', ring)} % 2 = 1""")
+    return (
+        f"WITH pts AS ({_GEO_PTS_SQL})" + "\nUNION ALL\n".join(arms)
+    )
+
+
+@query("geo_polygon_contains", oracle=_polygon_oracle())
+def geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon rollup: customer points (micro-degree hash
+    coordinates) tested against two literal polygon fences (convex
+    quad + concave pentagon) by exact-integer ray casting; per
+    polygon, the contained count and balance mass.
+
+    Scale shape: the polygons are PLAN LITERALS — containment is a
+    map-side codegen'd integer expression (per point: one
+    compare/multiply per edge), and each polygon's verdict stacks
+    into one (polygon, point) frame via a bounded literal explode,
+    so the whole query is one scan + one 2-row partial-agg shuffle.
+    No join, no UDF, no geometry library; a real GIS would swap the
+    literal ring for a broadcast polygon table with a bounding-box
+    grid prefilter (the geo_geohash_join cell trick) before the
+    exact test."""
+    pts = _geo_points(spark, sf_dir)
+    arms = [
+        F.struct(
+            F.lit(name).alias("polygon"),
+            F.expr(_crossings_expr("lng", "lat", ring)).alias("nc"),
+        )
+        for name, ring in _POLYGONS.items()
+    ]
+    stacked = pts.select(
+        "bal_cents", F.explode(F.array(*arms)).alias("x")
+    ).select("bal_cents", "x.polygon", "x.nc")
+    return (
+        stacked.filter(F.col("nc") % 2 == 1)
+        .groupBy("polygon")
+        .agg(
+            F.count("*").cast("long").alias("n_inside"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+    )

@@ -36,6 +36,7 @@ from ctgov_ai_etl_spark.operators.graph import (
     kcore_oracle_sql,
     pagerank,
     pagerank_oracle_sql,
+    personalized_pagerank_oracle_sql,
     triangle_count,
     triangle_count_oracle_sql,
 )
@@ -623,4 +624,48 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("s_micro").cast("double") / F.count("*") / 1_000_000, 6
         ).alias("mean_sil6"),
+    )
+
+
+# --------------------------------------- personalized PageRank
+
+
+_PPR_SEED_SQL = "node % 10 = 0"
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=personalized_pagerank_oracle_sql(
+        _EDGES_SQL, _PPR_SEED_SQL, iters=3
+    ),
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank over the supplier→customer fulfilment
+    graph, seeded on the deterministic 10%% node slice
+    (``node %% 10 = 0``) — the TrustRank shape: teleport returns only
+    to the seed whitelist, so rank measures seed proximity, and
+    nodes unreachable from seeds settle at exactly 0 (integer
+    arithmetic makes that exact, not epsilon).
+
+    operators/graph.py:personalized_pagerank — same per-round
+    contract as graph_pagerank (one edge-keyed join + one
+    partially-aggregated shuffle per iteration, out-degree joined
+    once outside the loop); the personalization is a map-side seed
+    indicator on the node frame, zero added shuffles."""
+    from ctgov_ai_etl_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + _CUST_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    return personalized_pagerank(
+        edges, lambda n: n % 10 == F.lit(0), iters=3
     )
