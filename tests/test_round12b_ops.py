@@ -1,0 +1,301 @@
+"""Round-12 continuation wave: pure-Python reference replays and
+invariants for the blocklist gate, n-gram novelty, DSIR weights,
+time-series CV, personalized PageRank, boosted stumps, and the
+exact-integer point-in-polygon test."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ctgov_ai_etl_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------- blocklist gate
+
+
+def test_blocklist_counts_distinct_terms(spark):
+    from ctgov_ai_etl_spark.queries.semantic import (
+        _BLOCKLIST_MIN_HITS,
+        _BLOCKLIST_TERMS,
+    )
+
+    reg = load_all()
+    rows = {
+        r["doc_id"]: r
+        for r in reg["text_blocklist_filter"].fn(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert set(rows) == set(docs)  # clean docs kept with n_hit = 0
+    for doc_id, text in docs.items():
+        expect = len(set(text.split()) & set(_BLOCKLIST_TERMS))
+        assert rows[doc_id]["n_hit"] == expect
+        assert rows[doc_id]["blocked"] == (expect >= _BLOCKLIST_MIN_HITS)
+
+
+def test_blocklist_stream_twin_matches_batch(spark):
+    reg = load_all()
+    batch = {
+        tuple(r)
+        for r in reg["text_blocklist_filter"].fn(spark, SF).collect()
+    }
+    stream = {
+        tuple(r) for r in reg["stream_run_blocklist"].fn(spark, SF).collect()
+    }
+    assert batch == stream
+
+
+# ------------------------------------------------- bigram novelty
+
+
+def test_ngram_novelty_reference_replay(spark):
+    reg = load_all()
+    rows = {
+        r["doc_id"]: r for r in reg["text_ngram_novelty"].fn(spark, SF).collect()
+    }
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    )
+    first: dict[str, int] = {}
+    per_doc: dict[int, set[str]] = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        per_doc[doc_id] = bgs
+        for bg in bgs:
+            first.setdefault(bg, doc_id)
+    for doc_id, bgs in per_doc.items():
+        if not bgs:
+            assert doc_id not in rows
+            continue
+        novel = sum(1 for bg in bgs if first[bg] == doc_id)
+        r = rows[doc_id]
+        assert r["n_bigrams"] == len(bgs)
+        assert r["n_novel"] == novel
+        assert r["novelty_ppm"] == novel * 1_000_000 // len(bgs)
+    # the earliest document is by construction fully novel
+    first_doc = docs[0][0]
+    assert rows[first_doc]["novelty_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------- DSIR weights
+
+
+def test_dsir_targets_rank_higher(spark):
+    """The mean log-importance weight of target-language (en)
+    documents must exceed the non-target mean (the defining DSIR
+    property), and the top-k output is sorted desc with doc_id
+    tie-break."""
+    reg = load_all()
+    out = reg["sample_dsir_importance"].fn(spark, SF).collect()
+    assert 0 < len(out) <= 50
+    keys = [(-r["log_w_micro"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    assert sum(1 for r in out if r["lang"] == "en") > len(out) // 2
+
+
+# ------------------------------------------------- time-series CV
+
+
+def test_tscv_growing_window(spark):
+    reg = load_all()
+    rows = sorted(
+        reg["split_time_series_cv"].fn(spark, SF).collect(),
+        key=lambda r: r["fold"],
+    )
+    assert [r["fold"] for r in rows] == [1, 2, 3, 4]
+    n_train = [r["n_train"] for r in rows]
+    assert n_train == sorted(n_train)  # growing window
+    cents = [r["train_cents"] for r in rows]
+    assert cents == sorted(cents)
+    # each fold's train grows by exactly the previous fold's test
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_train"] == prev["n_train"] + prev["n_test"]
+
+
+# ------------------------------------------ personalized PageRank
+
+
+def _ppr_reference(edges, seeds, iters=3, d=85, scale=1_000_000):
+    nodes = {n for e in edges for n in e}
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (100 - d) * scale // 100
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        m = {n: 0 for n in nodes}
+        for s, t in edges:
+            m[t] += r[s] // outdeg[s]
+        r = {
+            n: (base if n in seeds else 0) + d * m[n] // 100 for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_hand_graph(spark):
+    from ctgov_ai_etl_spark.operators.graph import personalized_pagerank
+
+    random.seed(7)
+    edges = list(
+        {
+            (random.randrange(12), random.randrange(12))
+            for _ in range(40)
+        }
+    )
+    edges = [(s, t) for s, t in edges if s != t]
+    seeds = {n for n in range(12) if n % 3 == 0}
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank(
+            df, lambda n: n % 3 == F.lit(0), iters=3
+        ).collect()
+    }
+    want = _ppr_reference(edges, seeds)
+    assert got == want
+
+
+def test_personalized_pagerank_unreachable_is_zero(spark):
+    """A node with no seed-reachable in-path and no seed membership
+    must score exactly 0 (integer arithmetic, not epsilon)."""
+    from ctgov_ai_etl_spark.operators.graph import personalized_pagerank
+
+    # seed 0 -> 1 -> 2; island 7 -> 8 disconnected from the seed
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 8)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank(
+            df, lambda n: n == F.lit(0), iters=3
+        ).collect()
+    }
+    assert got[7] == 0 and got[8] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+# ------------------------------------------------- boosted stumps
+
+
+def _best_stump(pairs):
+    """Brute-force max of sum_l^2/n_l + sum_r^2/n_r over thresholds,
+    (score desc, bucket asc) tie-break — the query's argmax rule."""
+    from collections import defaultdict
+
+    h = defaultdict(lambda: [0, 0])
+    for f, v in pairs:
+        h[f][0] += 1
+        h[f][1] += v
+    ks = sorted(h)
+    nt = sum(n for n, _ in h.values())
+    st = sum(s for _, s in h.values())
+    best = None
+    nl = sl = 0
+    for k in ks:
+        nl += h[k][0]
+        sl += h[k][1]
+        if nl == nt:
+            break
+        score = sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+        cand = (-score, k)
+        if best is None or cand < best:
+            best = cand
+    return best[1]
+
+
+def test_gbdt_stump_matches_bruteforce(spark):
+    # check the real query's round-1 split on fixture data against a
+    # brute-force SSE-equivalent search with the same tie-break
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    fixture_pairs = [
+        (int(r["l_quantity"]), round(r["l_extendedprice"] * 100) * 1000)
+        for r in li.select("l_quantity", "l_extendedprice").collect()
+    ]
+    reg = load_all()
+    rows = {r["round"]: r for r in reg["ml_gbdt_stumps"].fn(spark, SF).collect()}
+    assert rows[1]["split_at"] == _best_stump(fixture_pairs)
+    # residual invariant: round-2 leaf means must bracket zero or be
+    # small relative to round-1 leaf spread (residuals are centered
+    # per leaf up to floor rounding)
+    r1 = rows[1]
+    assert r1["n_left"] + r1["n_right"] == len(fixture_pairs)
+    r2 = rows[2]
+    spread1 = abs(r1["mean_right_milli"] - r1["mean_left_milli"])
+    assert abs(r2["mean_left_milli"]) < spread1
+    assert abs(r2["mean_right_milli"]) < spread1
+
+
+# -------------------------------------------------- point-in-polygon
+
+
+def _ray_cast(px, py, ring):
+    n = len(ring)
+    c = 0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if y1 < y2 and y1 <= py < y2:
+            if (px - x1) * (y2 - y1) < (py - y1) * (x2 - x1):
+                c += 1
+        elif y2 < y1 and y2 <= py < y1:
+            if (px - x1) * (y2 - y1) > (py - y1) * (x2 - x1):
+                c += 1
+    return c % 2 == 1
+
+
+def test_polygon_rings_are_simple():
+    from ctgov_ai_etl_spark.queries.geo import _POLYGONS
+
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (
+            q[0] - o[0]
+        )
+
+    for ring in _POLYGONS.values():
+        n = len(ring)
+        segs = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue  # adjacent through the wrap
+                a, b = segs[i]
+                c, d = segs[j]
+                d1, d2 = cross(c, d, a), cross(c, d, b)
+                d3, d4 = cross(a, b, c), cross(a, b, d)
+                assert not (
+                    (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0)
+                ), "polygon ring self-intersects"
+
+
+def test_polygon_contains_reference_replay(spark):
+    from ctgov_ai_etl_spark.queries.geo import (
+        _POLYGONS,
+        _crossings_expr,
+        _geo_points,
+    )
+
+    pts = _geo_points(spark, SF).collect()
+    for name, ring in _POLYGONS.items():
+        got = {
+            r["k"]
+            for r in _geo_points(spark, SF)
+            .filter(
+                F.expr(_crossings_expr("lng", "lat", ring)) % 2 == 1
+            )
+            .collect()
+        }
+        want = {
+            r["k"] for r in pts if _ray_cast(r["lng"], r["lat"], ring)
+        }
+        assert got == want
+        assert want  # fixture polygons actually contain points
