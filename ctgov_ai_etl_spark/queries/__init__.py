@@ -70,6 +70,9 @@ _PRIORITY = (
     "graph_personalized_pagerank",
     "ml_gbdt_stumps",
     "geo_polygon_contains",
+    "ts_dtw_pairs",
+    "dq_entropy_profile",
+    "stream_run_dsir_gate",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

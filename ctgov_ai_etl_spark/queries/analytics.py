@@ -5184,3 +5184,139 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(b1, 1, "l_quantity").unionAll(row(b2, 2, "l_discount_pct"))
+
+
+# ------------------------------------- banded DTW distance (exact)
+#
+# Dynamic time warping between bounded seasonal profiles, kept EXACT:
+# the 12-point monthly revenue series per nation is integer cents, so
+# every DP cell (abs-difference cost + min over predecessors) is pure
+# int64 algebra — the whole Sakoe-Chiba band unrolls into ~40 column
+# expressions shared verbatim by both engines.  DTW over unbounded
+# series does not scale (O(n·band) state per pair); the 100 TB form
+# is exactly this one — fixed-length profile vectors (month-of-year,
+# hour-of-week) pairwise-compared within bounded candidate sets.
+
+_DTW_N = 12  # profile length: months of 1996
+_DTW_BAND = 2  # Sakoe-Chiba radius
+
+
+def _dtw_cells() -> list[tuple[str, str]]:
+    """(column, expression) pairs computing the banded DP table in
+    topological order over columns a1..a12 / b1..b12; the final cell
+    is ``c_12_12``.  Shared-dialect SQL: abs/least/+ only."""
+    cells = []
+    for s in range(2, 2 * _DTW_N + 1):  # anti-diagonal order: s = i+j
+        for i in range(1, _DTW_N + 1):
+            j = s - i
+            if j < 1 or j > _DTW_N or abs(i - j) > _DTW_BAND:
+                continue
+            d = f"abs(a{i} - b{j})"
+            preds = [
+                f"c_{pi}_{pj}"
+                for pi, pj in ((i - 1, j - 1), (i - 1, j), (i, j - 1))
+                if pi >= 1 and pj >= 1 and abs(pi - pj) <= _DTW_BAND
+            ]
+            if not preds:  # (1,1): base case
+                expr = d
+            elif len(preds) == 1:
+                expr = f"{d} + {preds[0]}"
+            else:
+                expr = f"{d} + least({', '.join(preds)})"
+            cells.append((f"c_{i}_{j}", expr))
+    return cells
+
+
+def _dtw_series_sql() -> str:
+    pivots = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN EXTRACT(month FROM o_orderdate) = {k}"
+        f" THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)"
+        f" AS BIGINT) AS m{k}"
+        for k in range(1, _DTW_N + 1)
+    )
+    return f"""
+      SELECT n.n_name AS nation, {pivots}
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1996
+      GROUP BY n.n_name
+    """
+
+
+def _dtw_oracle() -> str:
+    a_cols = ", ".join(
+        [f"a.nation AS nation_a, b.nation AS nation_b"]
+        + [f"a.m{k} AS a{k}" for k in range(1, _DTW_N + 1)]
+        + [f"b.m{k} AS b{k}" for k in range(1, _DTW_N + 1)]
+    )
+    sql = f"WITH s AS ({_dtw_series_sql()}),\n"
+    sql += (
+        f"t0 AS (SELECT {a_cols} FROM s a JOIN s b"
+        " ON a.nation < b.nation)"
+    )
+    prev = "t0"
+    for idx, (col, expr) in enumerate(_dtw_cells(), 1):
+        sql += f",\nt{idx} AS (SELECT *, {expr} AS {col} FROM {prev})"
+        prev = f"t{idx}"
+    sql += (
+        f"\nSELECT nation_a, nation_b, c_{_DTW_N}_{_DTW_N} AS dtw_cents"
+        f" FROM {prev} ORDER BY dtw_cents, nation_a, nation_b LIMIT 10"
+    )
+    return sql
+
+
+@query("ts_dtw_pairs", oracle=_dtw_oracle())
+def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping distance between nations' 1996
+    monthly revenue profiles; the 10 most-similar pairs.  The DP
+    recurrence runs as unrolled integer column algebra (see
+    _dtw_cells) on the pair frame — bit-exact, no UDF, no loop state.
+
+    Scale shape: the profile table is |nations| rows (one data-scale
+    partial-agg shuffle builds it); the pair frame is a broadcast
+    self-join of that BOUNDED dimension (25 nations → 300 pairs —
+    quadratic only in profile-set size, never corpus size: the same
+    bounded-blocking contract as the dedup family); the DP is ~40
+    map-side codegen'd expressions; top-10 is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), cents("o_totalprice").alias("v"),
+                F.month("o_orderdate").alias("mo"))
+    )
+    series = base.groupBy("nation").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("mo") == k, F.col("v"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"m{k}")
+            for k in range(1, _DTW_N + 1)
+        ]
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.nation") < F.col("b.nation")
+    ).select(
+        F.col("a.nation").alias("nation_a"),
+        F.col("b.nation").alias("nation_b"),
+        *[F.col(f"a.m{k}").alias(f"a{k}") for k in range(1, _DTW_N + 1)],
+        *[F.col(f"b.m{k}").alias(f"b{k}") for k in range(1, _DTW_N + 1)],
+    )
+    for col, expr in _dtw_cells():
+        pairs = pairs.withColumn(col, F.expr(expr))
+    return (
+        pairs.select(
+            "nation_a",
+            "nation_b",
+            F.col(f"c_{_DTW_N}_{_DTW_N}").alias("dtw_cents"),
+        )
+        .orderBy("dtw_cents", "nation_a", "nation_b")
+        .limit(10)
+    )

@@ -4255,10 +4255,7 @@ _DSIR_BUCKETS = 32
 _DSIR_TOP_K = 50
 
 
-@query(
-    "sample_dsir_importance",
-    oracle=f"""
-    WITH tok AS (
+_DSIR_CTES = f"""tok AS (
       SELECT doc_id, lang,
              CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
                   % {_DSIR_BUCKETS} AS INT) AS b
@@ -4296,7 +4293,13 @@ _DSIR_TOP_K = 50
              CAST(sum(tf.tf * m.lr_micro) AS BIGINT) AS log_w_micro
       FROM tf JOIN model m ON m.b = tf.b
       GROUP BY tf.doc_id
-    )
+    )"""
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT s.doc_id, d.lang, s.log_w_micro
     FROM scored s JOIN documents d ON d.doc_id = s.doc_id
     ORDER BY s.log_w_micro DESC, s.doc_id
@@ -4462,4 +4465,86 @@ def split_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tr").cast("long").alias("n_train"),
         F.sum("te").cast("long").alias("n_test"),
         F.sum("tc").cast("long").alias("train_cents"),
+    )
+
+
+# ------------------------------- column entropy / skew profiler
+
+
+_ENTROPY_COLS = (
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderyear", "CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR)"),
+)
+
+
+def _entropy_oracle() -> str:
+    arms = []
+    for name, expr in _ENTROPY_COLS:
+        arms.append(f"""
+    SELECT '{name}' AS col,
+           CAST(sum(n) AS BIGINT) AS n_values,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(round(ln(CAST(sum(n) AS DOUBLE)) * 1000000) AS BIGINT)
+             - {sql_fdiv('sum(n * lnn)', 'sum(n)')} AS entropy_micro,
+           {sql_fdiv('max(n) * 1000000', 'sum(n)')} AS max_share_ppm
+    FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS lnn
+          FROM orders GROUP BY {expr}) g""")
+    return "\nUNION ALL\n".join(arms)
+
+
+@query("dq_entropy_profile", oracle=_entropy_oracle())
+def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of categorical columns — the
+    distribution-shape screen a curation pipeline runs to catch
+    collapsed columns (entropy ~ 0: a constant snuck in) and
+    near-uniform keys masquerading as categories (entropy ~ ln k).
+    Entropy is kept cross-engine exact by micro-rounding each
+    group's single ``ln`` and then using only integer sums:
+    H = ln(N) - Σ n_i·ln(n_i)/N over micro-units with floor
+    division (the gov_dp_histogram ln convention at group level).
+
+    Engine form: ONE scan stacks all profiled columns into a
+    (col, val) frame map-side (the dq_fd_miner pattern), one
+    partial-agg shuffle to (col, val) counts — a bounded frame
+    (Σ column cardinalities) — then a |cols|-row rollup.  The oracle
+    states each column as its own aggregate and unions them."""
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderyear").alias("col"),
+                    F.year("o_orderdate").cast("string").alias("val"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.col", "x.val")
+    g = stacked.groupBy("col", "val").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    g = g.withColumn(
+        "lnn",
+        F.round(F.log(F.col("n").cast("double")) * 1_000_000).cast("long"),
+    )
+    return g.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_values"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (
+            F.round(
+                F.log(F.sum("n").cast("double")) * 1_000_000
+            ).cast("long")
+            - fdiv(F.sum(F.col("n") * F.col("lnn")), F.sum("n"))
+        ).alias("entropy_micro"),
+        fdiv(F.max("n") * 1_000_000, F.sum("n")).alias("max_share_ppm"),
     )

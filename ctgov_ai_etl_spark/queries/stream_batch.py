@@ -1922,3 +1922,124 @@ def _patch_stream_blocklist_oracle() -> None:
 
 
 _patch_stream_blocklist_oracle()
+
+
+# ------------------------------ streaming DSIR admission gate
+
+
+@query(
+    "stream_run_dsir_gate",
+    oracle=None,  # patched below from the shared DSIR model CTEs
+)
+def stream_run_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR admission: score every arriving document's
+    target-likeness and admit those with non-negative log importance
+    weight — the ingest-time form of sample_dsir_importance (batch
+    ranks a finished corpus; the crawl needs a verdict per document
+    as it arrives).
+
+    The fitted model is 32 numbers, so it rides into the stream as a
+    BROADCAST ARRAY (one static 1-row frame, stream-static cross
+    join) and scoring is fully map-side: Σ over tokens of
+    lr_micro[bucket(token)] equals the batch side's tf·lr dot
+    product without materializing per-bucket tfs — zero streaming
+    state, zero shuffles; the gate runs at source parallelism
+    forever.  Append-mode memory sink; the oracle replays the batch
+    model + scoring SQL with the same >= 0 admission predicate."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from ctgov_ai_etl_spark.functions.text import tokens
+    from ctgov_ai_etl_spark.queries.product import _DSIR_BUCKETS  # noqa: F401
+    from ctgov_ai_etl_spark.queries.product import sample_dsir_importance  # noqa: F401
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+    from ctgov_ai_etl_spark.tables import load_table as _lt
+
+    # Rebuild the 32-row model from the static corpus (identical
+    # algebra to sample_dsir_importance), then pack it into ONE row:
+    # an lr_micro array indexed by bucket.
+    d = _lt(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "lang", hash_bucket(F.col("t"), _DSIR_BUCKETS).cast("int").alias("b")
+    )
+    raw = tok.groupBy("b").agg(F.count("*").cast("long").alias("r_b"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("t_b"))
+    )
+    tots = raw.agg(F.sum("r_b").cast("long").alias("rt")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("t_b").cast("long").alias("tt")))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        * (F.col("rt") + _DSIR_BUCKETS).cast("double")
+                    )
+                    / (
+                        (F.col("r_b") + 1).cast("double")
+                        * (F.col("tt") + _DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    # Pack as a MAP keyed by the actual bucket id: only occupied
+    # buckets exist in the model frame (empty buckets cannot occur in
+    # the scored stream either — same corpus, same hash).
+    packed = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("b", "lr_micro"))
+        ).alias("lr")
+    )
+    stream = _read_documents_stream(spark, sf_dir)
+    buckets = F.transform(
+        tokens(F.col("text")),
+        lambda t: hash_bucket(t, _DSIR_BUCKETS).cast("int"),
+    )
+    scored = (
+        stream.crossJoin(F.broadcast(packed))
+        .select(
+            "doc_id",
+            F.aggregate(
+                buckets,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.element_at(F.col("lr"), b),
+            ).alias("log_w_micro"),
+        )
+        .filter(F.col("log_w_micro") >= 0)
+    )
+    return run_stream_to_memory(scored, mode="append")
+
+
+def _patch_stream_dsir_oracle() -> None:
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    from ctgov_ai_etl_spark.queries.product import _DSIR_CTES
+
+    spec = REGISTRY["stream_run_dsir_gate"]
+    if spec.oracle is None:
+        REGISTRY["stream_run_dsir_gate"] = type(spec)(
+            name=spec.name,
+            fn=spec.fn,
+            oracle=(
+                f"WITH {_DSIR_CTES}\n"
+                "    SELECT doc_id, log_w_micro FROM scored"
+                " WHERE log_w_micro >= 0"
+            ),
+            doc=spec.doc,
+        )
+
+
+_patch_stream_dsir_oracle()
