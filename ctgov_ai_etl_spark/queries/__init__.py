@@ -73,6 +73,7 @@ _PRIORITY = (
     "ts_dtw_pairs",
     "dq_entropy_profile",
     "stream_run_dsir_gate",
+    "attribution_markov_removal",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -5320,3 +5320,238 @@ def ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dtw_cents", "nation_a", "nation_b")
         .limit(10)
     )
+
+
+# ------------------------- Markov-chain attribution (removal effect)
+#
+# First-order Markov attribution (Anderl et al. 2014, the standard
+# data-driven alternative to last-touch): journeys become transition
+# probabilities, a channel's credit is its REMOVAL EFFECT — how much
+# the start→conversion probability drops when the channel is deleted
+# from the chain.  Exact absorption needs a matrix inverse; the
+# engine instead evaluates the fixed-horizon recurrence
+#   v_h(s) = p(s→conv) + Σ_c p(s→c)·v_{h-1}(c)
+# for H steps in integer ppm with floor division — bit-replayable,
+# and the state space is the CHANNEL VOCABULARY (tiny, fixed), so
+# after one data-scale transition count every scenario (full + one
+# per removed channel) is unrolled column algebra on a 1-row frame.
+
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+_MKV_STATES = ("start",) + _MKV_CHANNELS
+_MKV_H = 6
+
+
+def _mkv_horizon_exprs(h: int, intdiv: str) -> list[tuple[str, str]]:
+    """Column expressions for horizon ``h`` across all scenarios.
+    ``intdiv``: 'div' (Spark SQL) or '//' (DuckDB) — all operands are
+    non-negative, so floor == truncate in both."""
+    cols = []
+    for removed in (None,) + tuple(_MKV_CHANNELS):
+        suf = f"rm_{removed}" if removed else "full"
+        for s in _MKV_STATES:
+            if s == removed:
+                continue
+            terms = [f"p_{s}_conv"]
+            if h > 0:
+                for c in _MKV_CHANNELS:
+                    if c == removed:
+                        continue
+                    terms.append(
+                        f"(p_{s}_{c} * v{h - 1}_{c}_{suf})"
+                        f" {intdiv} 1000000"
+                    )
+            cols.append((f"v{h}_{s}_{suf}", " + ".join(terms)))
+    return cols
+
+
+_MKV_TRANS_SQL = """
+    ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS jid
+      FROM events WHERE ts IS NOT NULL
+    ),
+    hops AS (
+      SELECT user_id, jid, event_type,
+             coalesce(lag(event_type)
+               OVER (PARTITION BY user_id, jid ORDER BY ts, event_id),
+               'start') AS src,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS dst,
+             lead(event_type)
+               OVER (PARTITION BY user_id, jid ORDER BY ts, event_id)
+               AS nxt
+      FROM ev
+    ),
+    trans AS (
+      SELECT src, dst FROM hops
+      UNION ALL
+      SELECT event_type AS src, 'null' AS dst
+      FROM hops WHERE nxt IS NULL AND event_type <> 'purchase'
+    ),
+    cnt AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY src, dst
+    )
+"""
+
+
+def _mkv_oracle() -> str:
+    pivots = []
+    for s in _MKV_STATES:
+        for t in tuple(_MKV_CHANNELS) + ("conv",):
+            pivots.append(
+                f"CAST(coalesce(max(CASE WHEN src = '{s}' AND dst = '{t}'"
+                f" THEN p END), 0) AS BIGINT) AS p_{s}_{t}"
+            )
+    sql = f"WITH {_MKV_TRANS_SQL.strip()},\n"
+    sql += f"""p AS (
+      SELECT src, dst,
+             {sql_fdiv('n * 1000000',
+                       'sum(n) OVER (PARTITION BY src)')} AS p
+      FROM cnt
+    ),
+    t0base AS (SELECT {', '.join(pivots)} FROM p)"""
+    prev = "t0base"
+    for h in range(_MKV_H + 1):
+        cols = ", ".join(
+            f"{e} AS {c}" for c, e in _mkv_horizon_exprs(h, "//")
+        )
+        sql += f",\nt{h} AS (SELECT *, {cols} FROM {prev})"
+        prev = f"t{h}"
+    arms = []
+    for c in _MKV_CHANNELS:
+        arms.append(f"""
+    SELECT '{c}' AS channel,
+           v{_MKV_H}_start_full AS v_full_ppm,
+           v{_MKV_H}_start_rm_{c} AS v_removed_ppm,
+           {sql_fdiv(f'(v{_MKV_H}_start_full - v{_MKV_H}_start_rm_{c})'
+                     ' * 1000000', f'v{_MKV_H}_start_full')}
+             AS removal_ppm
+    FROM {prev}""")
+    sql += (
+        ",\nre AS (" + "\nUNION ALL\n".join(arms) + ")"
+        "\n    SELECT channel, v_full_ppm, v_removed_ppm, removal_ppm,"
+        f"\n           {sql_fdiv('removal_ppm * 1000000', '(SELECT sum(removal_ppm) FROM re)')}"
+        " AS share_ppm"
+        "\n    FROM re"
+    )
+    return sql
+
+
+@query("attribution_markov_removal", oracle=_mkv_oracle())
+def attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain attribution with per-channel removal effects and
+    normalized credit shares (exact integer ppm end to end — see the
+    module comment for the fixed-horizon formulation).
+
+    Scale shape: journeys and transitions are ONE window shuffle on
+    user_id (journey ids from a running purchase count, hops from
+    lag/lead) plus one partial-agg count to the (src, dst) frame —
+    bounded by the channel-vocabulary square, not the corpus.  The
+    chain evaluation (all five scenarios × seven horizons) is
+    unrolled codegen'd algebra on a ONE-ROW pivot of that frame, so
+    a 100 TB event log pays exactly one shuffle more than a count."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    wj = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ev = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(wj),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("jid"),
+    )
+    wh = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    hops = ev.select(
+        "event_type",
+        F.coalesce(F.lag("event_type").over(wh), F.lit("start")).alias(
+            "src"
+        ),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+        F.lead("event_type").over(wh).alias("nxt"),
+    )
+    trans = hops.select("src", "dst").unionAll(
+        hops.filter(
+            F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+        ).select(
+            F.col("event_type").alias("src"), F.lit("null").alias("dst")
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    p = cnt.select(
+        "src",
+        "dst",
+        fdiv(
+            F.col("n") * 1_000_000,
+            F.sum("n").over(W.partitionBy("src")),
+        ).alias("p"),
+    )
+    pivots = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("src") == s) & (F.col("dst") == t), F.col("p")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"p_{s}_{t}")
+        for s in _MKV_STATES
+        for t in tuple(_MKV_CHANNELS) + ("conv",)
+    ]
+    frame = p.agg(*pivots)
+    for h in range(_MKV_H + 1):
+        for col, expr in _mkv_horizon_exprs(h, "div"):
+            frame = frame.withColumn(col, F.expr(expr))
+    arms = [
+        F.struct(
+            F.lit(c).alias("channel"),
+            F.col(f"v{_MKV_H}_start_full").alias("v_full_ppm"),
+            F.col(f"v{_MKV_H}_start_rm_{c}").alias("v_removed_ppm"),
+            fdiv(
+                (
+                    F.col(f"v{_MKV_H}_start_full")
+                    - F.col(f"v{_MKV_H}_start_rm_{c}")
+                )
+                * 1_000_000,
+                F.col(f"v{_MKV_H}_start_full"),
+            ).alias("removal_ppm"),
+        )
+        for c in _MKV_CHANNELS
+    ]
+    re = frame.select(F.explode(F.array(*arms)).alias("x")).select(
+        "x.channel", "x.v_full_ppm", "x.v_removed_ppm", "x.removal_ppm"
+    )
+    rsum = re.agg(F.sum("removal_ppm").cast("long").alias("rs"))
+    return re.crossJoin(F.broadcast(rsum)).select(
+        "channel",
+        "v_full_ppm",
+        "v_removed_ppm",
+        "removal_ppm",
+        fdiv(F.col("removal_ppm") * 1_000_000, F.col("rs")).alias(
+            "share_ppm"
+        ),
+    )
