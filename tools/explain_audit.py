@@ -1497,5 +1497,69 @@ CHECKS["cluster_silhouette"] = [
     ("per-cluster means partially aggregated", r"partial_sum"),
 ]
 
+# ------------------------- round-12 continuation wave
+
+CHECKS["text_blocklist_filter"] = [
+    ("term frame broadcast onto the token stream", r"BroadcastHashJoin"),
+    ("per-doc hit counts partially aggregated", r"partial_count"),
+    ("no cartesian", r"\A(?!.*CartesianProduct)"),
+]
+CHECKS["text_ngram_novelty"] = [
+    ("bigrams built map-side from the token array (no posexplode)",
+     r"Generate explode"),
+    ("no positional self-join path", r"\A(?!.*posexplode)"),
+    ("first-occurrence min partially aggregated", r"partial_min"),
+    ("attribution join keyed on the bigram", r"hashpartitioning\(bg"),
+]
+CHECKS["sample_dsir_importance"] = [
+    ("32-row model broadcast onto the tf frame", r"BroadcastHashJoin"),
+    ("top-k is TakeOrderedAndProject, never a global sort",
+     r"TakeOrderedAndProject"),
+    ("bucket statistics partially aggregated", r"partial_count"),
+]
+CHECKS["split_time_series_cv"] = [
+    ("one scan: folds stacked map-side (Generate)", r"Generate explode"),
+    ("the only partitioning key is the fold (one data-scale shuffle)",
+     r"\A(?!.*hashpartitioning\((?!fold))"),
+    ("fold aggregates partially aggregated", r"partial_sum"),
+]
+CHECKS["graph_personalized_pagerank"] = [
+    ("per-round contribution sums partially aggregated", r"partial_sum"),
+    ("rank joins keyed on the node id", r"hashpartitioning\((src|node|dst)"),
+    ("no Python anywhere",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+]
+CHECKS["ml_gbdt_stumps"] = [
+    ("histogram built by partial aggregation", r"partial_sum"),
+    ("argmax split is TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ("1-row split broadcast back for residuals",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+CHECKS["geo_polygon_contains"] = [
+    ("containment is map-side codegen'd algebra: no join at all",
+     r"\A(?!.*Join)"),
+    ("the only partitioning key is the polygon (one shuffle)",
+     r"\A(?!.*hashpartitioning\((?!polygon))"),
+    ("whole-stage codegen", r"(\*\(\d+\)|\[codegen id :)"),
+]
+CHECKS["ts_dtw_pairs"] = [
+    ("pair frame is a BROADCAST self-join of the bounded profile table",
+     r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ("profile pivot partially aggregated", r"partial_sum"),
+    ("top-10 is TakeOrderedAndProject", r"TakeOrderedAndProject"),
+]
+CHECKS["dq_entropy_profile"] = [
+    ("one scan: profiled columns stacked map-side (Generate)",
+     r"Generate explode"),
+    ("value counts partially aggregated", r"partial_count"),
+]
+CHECKS["attribution_markov_removal"] = [
+    ("journeys and hops share ONE user_id window family",
+     r"hashpartitioning\(user_id"),
+    ("transition counts partially aggregated", r"partial_count"),
+    ("chain algebra on a 1-row frame (broadcast, no data-scale join)",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
