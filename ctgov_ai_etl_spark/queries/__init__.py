@@ -74,6 +74,10 @@ _PRIORITY = (
     "dq_entropy_profile",
     "stream_run_dsir_gate",
     "attribution_markov_removal",
+    "ml_logistic_histogram",
+    "feature_woe_iv",
+    "stat_permutation_test",
+    "text_zipf_slope",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -5555,3 +5555,280 @@ def attribution_markov_removal(
             "share_ppm"
         ),
     )
+
+
+# ---------------------- logistic regression on sufficient statistics
+#
+# The scalable GLM pattern: gradient-descent logistic regression
+# where each step touches only the FEATURE HISTOGRAM (n, positives
+# per bucket), never the rows — the sufficient-statistics trick that
+# turns a 100 TB regression into one data-scale groupBy plus bounded
+# per-step algebra.  Weights live in integer micro-units; the only
+# transcendental (the per-bucket sigmoid) is micro-rounded, the
+# gov_dp_histogram ln convention applied to exp.
+
+_LOGIT_BUCKET_CENTS = 3_000_000
+_LOGIT_STEPS = 2
+
+
+def _logit_sigma_sql(w0: str, w1: str) -> str:
+    return (
+        f"CAST(round(1000000.0 / (1.0 + exp(-(CAST({w0} + {w1} * b"
+        f" AS DOUBLE) / 1000000.0)))) AS BIGINT)"
+    )
+
+
+def _logit_oracle() -> str:
+    sql = f"""
+    WITH h AS (
+      SELECT {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       str(_LOGIT_BUCKET_CENTS))} AS b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p
+      FROM orders GROUP BY 1
+    ),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0m, CAST(0 AS BIGINT) AS w1m,
+                  (SELECT CAST(sum(n) AS BIGINT) FROM h) AS nt)"""
+    prev = "w0"
+    for i in range(1, _LOGIT_STEPS + 1):
+        sig = _logit_sigma_sql(f"{prev}.w0m", f"{prev}.w1m")
+        sql += f""",
+    g{i} AS (
+      SELECT CAST(sum(h.n * {sig} - h.p * 1000000) AS BIGINT) AS g0,
+             CAST(sum(h.b * (h.n * {sig} - h.p * 1000000)) AS BIGINT)
+               AS g1,
+             min({prev}.w0m) AS w0m, min({prev}.w1m) AS w1m,
+             min({prev}.nt) AS nt
+      FROM h CROSS JOIN {prev}
+    ),
+    w{i} AS (
+      SELECT w0m - {sql_fdiv('g0', 'nt')} AS w0m,
+             w1m - {sql_fdiv('g1', 'nt * 10000')} AS w1m,
+             nt, g0, g1
+      FROM g{i}
+    )"""
+        prev = f"w{i}"
+    arms = []
+    for i in range(1, _LOGIT_STEPS + 1):
+        arms.append(
+            f"""
+    SELECT CAST({i} AS INT) AS step, w0m AS w0_micro, w1m AS w1_micro,
+           g0 AS grad0, g1 AS grad1
+    FROM w{i}"""
+        )
+    return sql + "\nUNION ALL\n".join(arms)
+
+
+@query("ml_logistic_histogram", oracle=_logit_oracle())
+def ml_logistic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (order fulfilment ~ price bucket) by
+    fixed-step gradient descent on the bucket histogram: each step's
+    gradient is Σ_b [n_b·σ(w0 + w1·b) − pos_b] and Σ_b b·[…] — exact
+    integer sums of micro-rounded per-bucket sigmoids, with literal
+    step sizes (1/N and 1/(N·10⁴): the feature spans ~200 buckets, so
+    the curvature scale differs by ~|b|² between coordinates).
+    Returns the weight trajectory and raw gradients per step.
+
+    Scale: ONE data-scale groupBy builds the (n, pos) histogram;
+    every subsequent step is algebra on that bounded frame (a 1-row
+    weight frame broadcast-crossed in) — the reason histogram GLMs
+    are the 100 TB formulation.  Step 1's sigmoid is exactly 0.5
+    (w = 0), so the first gradient is rational — the oracle replays
+    both steps bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        fdiv(cents("o_totalprice"), F.lit(_LOGIT_BUCKET_CENTS)).alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    ).groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = h.agg(
+        F.lit(0).cast("long").alias("w0m"),
+        F.lit(0).cast("long").alias("w1m"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    outs = []
+    for i in range(1, _LOGIT_STEPS + 1):
+        sig = F.round(
+            1_000_000.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        (F.col("w0m") + F.col("w1m") * F.col("b")).cast(
+                            "double"
+                        )
+                        / 1_000_000.0
+                    )
+                )
+            )
+        ).cast("long")
+        resid = F.col("n") * sig - F.col("p") * 1_000_000
+        g = (
+            h.crossJoin(F.broadcast(w))
+            .agg(
+                F.sum(resid).cast("long").alias("g0"),
+                F.sum(F.col("b") * resid).cast("long").alias("g1"),
+                F.min("w0m").alias("w0m"),
+                F.min("w1m").alias("w1m"),
+                F.min("nt").alias("nt"),
+            )
+        )
+        w = g.select(
+            (F.col("w0m") - fdiv(F.col("g0"), F.col("nt"))).alias("w0m"),
+            (
+                F.col("w1m") - fdiv(F.col("g1"), F.col("nt") * 10_000)
+            ).alias("w1m"),
+            "nt",
+            "g0",
+            "g1",
+        )
+        outs.append(
+            w.select(
+                F.lit(i).cast("int").alias("step"),
+                F.col("w0m").alias("w0_micro"),
+                F.col("w1m").alias("w1_micro"),
+                F.col("g0").alias("grad0"),
+                F.col("g1").alias("grad1"),
+            )
+        )
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionAll(x)
+    return res
+
+
+# ------------------------------------------- permutation test (exact)
+#
+# Randomization inference without distributional assumptions: the
+# group labels are re-drawn B times from a DETERMINISTIC md5 stream
+# (the repo's portable-hash convention — reproducible by any engine,
+# stable under repartitioning), the test statistic is recomputed per
+# draw, and the p-value is the fraction of draws at least as extreme
+# as the observed split.  The statistic (difference of per-group mean
+# user spend) is kept in exact micro-cent integers via floor-divided
+# means, so every comparison is integer-exact cross-engine.
+
+_PERM_B = 40
+
+
+@query(
+    "stat_permutation_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    obs AS (
+      SELECT {sql_fdiv('sum(CASE WHEN user_id % 2 = 0 THEN s END)'
+                       ' * 1000000',
+                       'count(CASE WHEN user_id % 2 = 0 THEN 1 END)')}
+             - {sql_fdiv('sum(CASE WHEN user_id % 2 = 1 THEN s END)'
+                         ' * 1000000',
+                         'count(CASE WHEN user_id % 2 = 1 THEN 1 END)')}
+               AS d
+      FROM u
+    ),
+    draws AS (
+      SELECT b, user_id, s,
+             CAST(('0x' || substring(md5('perm:' || CAST(b AS VARCHAR)
+               || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 2 AS side
+      FROM u CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b)
+    ),
+    stats AS (
+      SELECT b,
+             {sql_fdiv('sum(CASE WHEN side = 0 THEN s END) * 1000000',
+                       'count(CASE WHEN side = 0 THEN 1 END)')}
+             - {sql_fdiv('sum(CASE WHEN side = 1 THEN s END) * 1000000',
+                         'count(CASE WHEN side = 1 THEN 1 END)')}
+               AS d
+      FROM draws GROUP BY b
+    )
+    SELECT obs.d AS obs_diff_micro,
+           CAST({_PERM_B} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(stats.d) >= abs(obs.d)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           {sql_fdiv('sum(CASE WHEN abs(stats.d) >= abs(obs.d)'
+                     f' THEN 1 ELSE 0 END) * 1000000', str(_PERM_B))}
+             AS p_ppm
+    FROM stats CROSS JOIN obs
+    GROUP BY obs.d
+    """,
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of mean per-user spend between the even/odd
+    user cohorts: B = 40 deterministic md5 label redraws, exact
+    integer micro-cent statistics, p = share of redraws at least as
+    extreme.  See the module comment for the exactness contract.
+
+    Scale: the ONLY data-scale pass is the per-user spend rollup (one
+    partial-agg shuffle); the B redraws explode the USER-LEVEL frame
+    (bounded ×B multiplier — the standard distributed-permutation
+    trick), aggregate per (draw, side), and finish on a B-row frame
+    with a 1-row observed broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(cents("value")).cast("long").alias("s")
+    )
+
+    def mean_diff(df: DataFrame, side, keys: list) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            (
+                fdiv(
+                    F.sum(F.when(side == 0, F.col("s"))) * 1_000_000,
+                    F.count(F.when(side == 0, F.lit(1))),
+                )
+                - fdiv(
+                    F.sum(F.when(side == 1, F.col("s"))) * 1_000_000,
+                    F.count(F.when(side == 1, F.lit(1))),
+                )
+            ).alias("d")
+        )
+
+    obs = mean_diff(u, F.col("user_id") % 2, [])
+    draws = u.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+        "user_id",
+        "s",
+    ).withColumn(
+        "side",
+        portable_hash60(
+            F.concat(
+                F.lit("perm:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % 2,
+    )
+    stats = mean_diff(draws, F.col("side"), ["b"])
+    return (
+        stats.crossJoin(F.broadcast(obs.withColumnRenamed("d", "od")))
+        .agg(
+            F.min("od").alias("obs_diff_micro"),
+            F.lit(_PERM_B).cast("long").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("od")), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_ge"),
+            fdiv(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("d")) >= F.abs(F.col("od")), 1
+                    ).otherwise(0)
+                )
+                * 1_000_000,
+                F.lit(_PERM_B),
+            ).alias("p_ppm"),
+        )
+    )

@@ -4548,3 +4548,87 @@ def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_micro"),
         fdiv(F.max("n") * 1_000_000, F.sum("n")).alias("max_share_ppm"),
     )
+
+
+# ------------------------------- weight-of-evidence / information value
+
+
+@query(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS neg
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS tp,
+             CAST(sum(neg) AS BIGINT) AS tn
+      FROM g
+    ),
+    w AS (
+      SELECT grp, pos, neg, tp, tn,
+             CAST(round(ln(CAST(pos * tn AS DOUBLE)
+                           / CAST(neg * tp AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS woe_micro
+      FROM g CROSS JOIN t
+    )
+    SELECT grp, pos, neg, woe_micro,
+           {sql_fdiv('(pos * tn - neg * tp) * woe_micro', 'tp * tn')}
+             AS iv_contrib_micro
+    FROM w
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information-value screening
+    (the credit-scoring / risk-model standard for categorical
+    features): per feature group, WOE = ln[(pos_g/POS)/(neg_g/NEG)]
+    as one micro-rounded ln of an exact integer cross-ratio, and the
+    group's IV contribution (pos share − neg share)·WOE as exact
+    integer micro-units via floor division — both bit-replayable.
+
+    Scale: one data-scale partial-agg groupBy to the group frame
+    (feature cardinality), a 1-row total broadcast, map-side algebra
+    — the same sufficient-statistics contract as
+    ml_logistic_histogram: encoders fit on counts, not rows."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pos"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("neg"),
+    )
+    t = g.agg(
+        F.sum("pos").cast("long").alias("tp"),
+        F.sum("neg").cast("long").alias("tn"),
+    )
+    w = g.crossJoin(F.broadcast(t)).withColumn(
+        "woe_micro",
+        F.round(
+            F.log(
+                (F.col("pos") * F.col("tn")).cast("double")
+                / (F.col("neg") * F.col("tp")).cast("double")
+            )
+            * 1_000_000
+        ).cast("long"),
+    )
+    return w.select(
+        "grp",
+        "pos",
+        "neg",
+        "woe_micro",
+        fdiv(
+            (F.col("pos") * F.col("tn") - F.col("neg") * F.col("tp"))
+            * F.col("woe_micro"),
+            F.col("tp") * F.col("tn"),
+        ).alias("iv_contrib_micro"),
+    )

@@ -3937,3 +3937,99 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             fdiv(novel * 1_000_000, F.count("*")).alias("novelty_ppm"),
         )
     )
+
+
+# ------------------------------------------------ Zipf slope fit
+#
+# Rank-frequency power-law fit over the token distribution: the
+# corpus-health fingerprint (natural text sits near slope -1;
+# boilerplate-heavy or templated corpora flatten it).  Least squares
+# on (ln rank, ln count) of the top tokens, with each ln rounded to
+# MILLI units first so the moment sums are exact integers and the
+# slope is one floor division — bit-replayable.
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(row_number()
+                   OVER (ORDER BY n DESC, tok) AS DOUBLE)) * 1000)
+                  AS BIGINT) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM top
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT k AS n_tokens,
+           {sql_fdiv('(k * sxy - sx * sy) * 1000', 'k * sxx - sx * sx')}
+             AS slope_milli,
+           {sql_fdiv(
+               f"sy * 1000 - {sql_fdiv('(k * sxy - sx * sy) * 1000', 'k * sxx - sx * sx')} * sx",
+               'k * 1000')} AS intercept_milli
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the top-100 tokens (see module
+    comment): exact integer least squares over milli-rounded logs.
+
+    Scale: token counts are one data-scale partial-agg shuffle;
+    top-100 is TakeOrderedAndProject; the rank window and moment sums
+    run on the bounded 100-row frame (bounded global window: top-k
+    frame, not data)."""
+    from ctgov_ai_etl_spark.functions.text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = cnt.orderBy(F.col("n").desc(), "tok").limit(_ZIPF_TOP)
+    # bounded global window: the top-100 frame
+    w = W.orderBy(F.col("n").desc(), "tok")
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = fdiv(
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1000,
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    return m.select(
+        F.col("k").alias("n_tokens"),
+        slope.alias("slope_milli"),
+        fdiv(
+            F.col("sy") * 1000 - slope * F.col("sx"),
+            F.col("k") * 1000,
+        ).alias("intercept_milli"),
+    )
