@@ -1561,5 +1561,32 @@ CHECKS["attribution_markov_removal"] = [
      r"BroadcastNestedLoopJoin|BroadcastExchange"),
 ]
 
+CHECKS["ml_logistic_histogram"] = [
+    ("sufficient-statistics histogram partially aggregated",
+     r"partial_sum"),
+    ("per-step weights ride a 1-row broadcast",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ("no Python anywhere",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+]
+CHECKS["feature_woe_iv"] = [
+    ("group counts partially aggregated", r"partial_sum"),
+    ("1-row totals broadcast",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+CHECKS["stat_permutation_test"] = [
+    ("per-user rollup is the only data-scale shuffle (partial agg)",
+     r"partial_sum"),
+    ("draw explosion happens AFTER the user-level compression",
+     r"Generate explode"),
+    ("observed statistic broadcast (1 row)",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+CHECKS["text_zipf_slope"] = [
+    ("token counts partially aggregated", r"partial_count"),
+    ("top-k is TakeOrderedAndProject, never a global sort",
+     r"TakeOrderedAndProject"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
