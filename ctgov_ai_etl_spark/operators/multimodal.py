@@ -865,3 +865,71 @@ def render_test_bmps(
             yield pd.DataFrame({id_col: ids, "blob": blobs})
 
     return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+# 8-point DFT coefficient tables in MILLI units: round(cos/−sin of
+# 2π·m·k/8 × 1000).  One source of truth — the Spark-side numpy dot
+# AND the SQL oracle's literal lists both derive from these, so the
+# two sides cannot drift.  Milli (not micro) keeps the bin energy
+# re² + im² under int64 at full int16 amplitude (|re| ≤ 8·32768·1000).
+import math as _math
+
+DFT8_COS = [
+    [round(_math.cos(2 * _math.pi * m * k / 8) * 1000) for k in range(8)]
+    for m in range(5)
+]
+DFT8_SIN = [
+    [round(-_math.sin(2 * _math.pi * m * k / 8) * 1000) for k in range(8)]
+    for m in range(5)
+]
+
+
+def audio_dft8_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL spectral features: decode the WAV (RIFF walk + PCM-16
+    unpack), take the first 8 frames of each channel, and compute the
+    5 unique bin energies of the 8-point DFT with the integer MILLI
+    coefficient tables above — re/im are exact int64 dot products, so
+    energy = re² + im² is an exact integer a SQL oracle replays
+    closed-form.  (A production pipeline strides this window across
+    the clip and averages per bin — same algebra, same exactness.)
+    One Arrow-batched mapInPandas stage, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.imagecodec import decode_wav_samples
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cos = np.asarray(DFT8_COS, dtype=np.int64)
+        sin = np.asarray(DFT8_SIN, dtype=np.int64)
+        for pdf in batches:
+            ids, chans, bins, energies = [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                ch, _rate, samples = decode_wav_samples(bytes(data))
+                arr = np.asarray(samples, dtype=np.int64)
+                for c in range(ch):
+                    x = arr[c::ch][:8]
+                    re = cos @ x
+                    im = sin @ x
+                    e = re * re + im * im
+                    for m in range(5):
+                        ids.append(rid)
+                        chans.append(c)
+                        bins.append(m)
+                        energies.append(int(e[m]))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "channel": chans,
+                    "bin": bins,
+                    "energy": energies,
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, channel int, bin int, energy long"
+    )

@@ -78,6 +78,9 @@ _PRIORITY = (
     "feature_woe_iv",
     "stat_permutation_test",
     "text_zipf_slope",
+    "sim_ivf_recall_eval",
+    "stat_mcnemar",
+    "mm_audio_dft8",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

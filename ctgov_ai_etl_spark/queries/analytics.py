@@ -5832,3 +5832,67 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_ppm"),
         )
     )
+
+
+# ------------------------------------------- McNemar paired test
+
+
+@query(
+    "stat_mcnemar",
+    oracle=f"""
+    WITH paired AS (
+      SELECT CASE WHEN (o_totalprice > 150000)
+                       = (o_orderstatus = 'F') THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                       = (o_orderstatus = 'F') THEN 1 ELSE 0 END AS b_ok
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM paired
+    )
+    SELECT b, c,
+           {sql_fdiv('(b - c) * (b - c) * 1000000', 'b + c')}
+             AS chi2_micro,
+           {sql_fdiv('(abs(b - c) - 1) * (abs(b - c) - 1) * 1000000',
+                     'b + c')} AS chi2_cc_micro
+    FROM m
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED classifiers (the right way to
+    compare two models evaluated on the same examples — marginal
+    accuracies hide the disagreement structure): b = A right / B
+    wrong, c = A wrong / B right; χ² = (b−c)²/(b+c), with the
+    continuity-corrected variant alongside.  Two rule classifiers
+    (price threshold vs priority set) against the fulfilment label.
+    Exact integer micro-χ² via floor division — bit-replayable.
+
+    Scale: one scan, one global aggregate of two discordance counts
+    — the statistic never materializes per-row verdicts."""
+    o = load_table(spark, sf_dir, "orders")
+    truth = F.col("o_orderstatus") == "F"
+    a_ok = (F.col("o_totalprice") > 150000) == truth
+    b_ok = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") == truth
+    m = o.select(
+        F.when(a_ok & ~b_ok, 1).otherwise(0).alias("ab"),
+        F.when(~a_ok & b_ok, 1).otherwise(0).alias("ba"),
+    ).agg(
+        F.sum("ab").cast("long").alias("b"),
+        F.sum("ba").cast("long").alias("c"),
+    )
+    d = F.col("b") - F.col("c")
+    return m.select(
+        "b",
+        "c",
+        fdiv(d * d * 1_000_000, F.col("b") + F.col("c")).alias(
+            "chi2_micro"
+        ),
+        fdiv(
+            (F.abs(d) - 1) * (F.abs(d) - 1) * 1_000_000,
+            F.col("b") + F.col("c"),
+        ).alias("chi2_cc_micro"),
+    )

@@ -871,3 +871,69 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rms"),
     )
+
+
+# ------------------------------------------ 8-point DFT bin energies
+
+
+def _dft8_oracle() -> str:
+    from ctgov_ai_etl_spark.operators.multimodal import DFT8_COS, DFT8_SIN
+
+    cos_lit = str(DFT8_COS)
+    sin_lit = str(DFT8_SIN)
+    x = (
+        "(((v * 131 + ((k * ch) + channel) * 7919) % 65536) - 32768)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 2 AS ch,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS v
+      FROM documents
+    ),
+    per_ch AS (
+      SELECT doc_id, ch, v, CAST(c AS INT) AS channel
+      FROM base, unnest(range(ch)) AS t(c)
+    ),
+    bins AS (
+      SELECT doc_id, channel, ch, v, CAST(m AS INT) AS bin
+      FROM per_ch, unnest(range(5)) AS u(m)
+    ),
+    feats AS (
+      SELECT doc_id, channel, bin,
+             CAST(list_aggregate(list_transform(range(0, 8),
+               k -> {x} * ({cos_lit})[bin + 1][k + 1]), 'sum')
+               AS BIGINT) AS re,
+             CAST(list_aggregate(list_transform(range(0, 8),
+               k -> {x} * ({sin_lit})[bin + 1][k + 1]), 'sum')
+               AS BIGINT) AS im
+      FROM bins
+    )
+    SELECT doc_id, channel, bin,
+           CAST(re * re + im * im AS BIGINT) AS energy
+    FROM feats
+    """
+
+
+@query("mm_audio_dft8", oracle=_dft8_oracle())
+def mm_audio_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bin energies of REAL decoded audio: the 8-point DFT
+    over the first 8 PCM frames of each channel, with integer MILLI
+    trig tables (operators/multimodal.py:DFT8_COS/SIN — one source
+    for the numpy dot AND the oracle's literal lists).  re/im are
+    exact int64 dot products of full-range int16 samples; energy =
+    re² + im² stays under 2⁶³ by the milli (not micro) choice — the
+    audio-fingerprinting primitive (Shazam-style constellations,
+    VAD band energy) kept bit-replayable.
+
+    Decode is the real RIFF chunk walk + int16 de-interleave; the
+    oracle replays the synthesized PCM pattern closed-form without
+    touching bytes (the mm_audio_features convention).  One
+    Arrow-batched mapInPandas stage, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        audio_dft8_real,
+        render_test_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_dft8_real(render_test_audio(d, "doc_id"), "doc_id")

@@ -4033,3 +4033,66 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k") * 1000,
         ).alias("intercept_milli"),
     )
+
+
+# --------------------------------------- ANN index recall evaluation
+#
+# Index-quality measurement as a first-class operator: production ANN
+# serving runs a recall audit on every index build (sampled queries →
+# exact top-k vs index top-k → recall@k) before swapping the index
+# in.  Both sides already exist as oracle-checked operators; the eval
+# is a set intersection, so it is exact integer arithmetic.
+
+
+def _ivf_recall_oracle() -> str:
+    # Both operator oracles are full SELECTs (with their own WITH
+    # clauses) — legal as parenthesized CTE bodies in both engines.
+    return f"""
+    WITH exact_tk AS ({_SIM_ORACLE}),
+    approx_tk AS ({_ivf_oracle_sql(_IVF_CENTROIDS, _IVF_NPROBE, 5)})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           {sql_fdiv('count(a.neighbor_id) * 1000000', 'count(*)')}
+             AS recall_ppm
+    FROM exact_tk e
+    LEFT JOIN approx_tk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("sim_ivf_recall_eval", oracle=_ivf_recall_oracle())
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact brute-force
+    neighbors, per query vector — the index-build acceptance gate.
+    Exact integer recall (left join exact→approx on the neighbor
+    pair, count hits, floor-divided ppm).
+
+    Scale: the exact side is the audit's cost and it runs on a QUERY
+    SAMPLE (5 probes here; production samples hundreds against a
+    billion-vector corpus — still one broadcast-join corpus pass);
+    the IVF side probes nprobe/16 of the clusters.  The comparison
+    join is on the tiny top-k frames.  Recall floors for the trained
+    variants are separately pinned in tests/test_semantic.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        e, q, centroids=_IVF_CENTROIDS, k=5, nprobe=_IVF_NPROBE
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left",
+    ).select(exact.query_id.alias("qid"), "a_neighbor")
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("a_neighbor").cast("long").alias("n_hit"),
+        fdiv(F.count("a_neighbor") * 1_000_000, F.count("*")).alias(
+            "recall_ppm"
+        ),
+    )

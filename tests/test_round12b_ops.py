@@ -558,3 +558,72 @@ def test_zipf_slope_negative_and_replayed(spark):
     den = k * sxx - sx * sx
     # floor division semantics match python's // for positive den
     assert r["slope_milli"] == (k * sxy - sx * sy) * 1000 // den
+
+
+# ----------------------------------------------- IVF recall eval
+
+
+def test_ivf_recall_eval_invariants(spark):
+    reg = load_all()
+    rows = reg["sim_ivf_recall_eval"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // r["n_exact"]
+    # the 6/16-probe IVF should find at least half the true
+    # neighbors on average (the trained-variant floor tests pin more)
+    assert sum(r["n_hit"] for r in rows) * 2 >= sum(
+        r["n_exact"] for r in rows
+    )
+
+
+# --------------------------------------------------- McNemar test
+
+
+def test_mcnemar_reference_replay(spark):
+    reg = load_all()
+    r = reg["stat_mcnemar"].fn(spark, SF).collect()[0]
+    b = c = 0
+    for row in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        truth = row["o_orderstatus"] == "F"
+        a_ok = (row["o_totalprice"] > 150000) == truth
+        b_ok = (row["o_orderpriority"] in ("1-URGENT", "2-HIGH")) == truth
+        if a_ok and not b_ok:
+            b += 1
+        if b_ok and not a_ok:
+            c += 1
+    assert (r["b"], r["c"]) == (b, c)
+    assert r["chi2_micro"] == (b - c) * (b - c) * 1_000_000 // (b + c)
+    assert r["chi2_cc_micro"] <= r["chi2_micro"]
+
+
+# ------------------------------------------------- audio DFT bins
+
+
+def test_audio_dft8_reference_replay(spark):
+    import hashlib
+
+    from ctgov_ai_etl_spark.operators.multimodal import DFT8_COS, DFT8_SIN
+
+    reg = load_all()
+    rows = reg["mm_audio_dft8"].fn(spark, SF).collect()
+    got = {
+        (r["doc_id"], r["channel"], r["bin"]): r["energy"] for r in rows
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20).collect()
+    for row in docs:
+        dig = hashlib.md5(row["text"].encode()).digest()
+        ch = 1 + dig[0] % 2
+        v = dig[2]
+        for c in range(ch):
+            x = [
+                ((v * 131 + (k * ch + c) * 7919) % 65536) - 32768
+                for k in range(8)
+            ]
+            for m in range(5):
+                re = sum(x[k] * DFT8_COS[m][k] for k in range(8))
+                im = sum(x[k] * DFT8_SIN[m][k] for k in range(8))
+                assert got[(row["doc_id"], c, m)] == re * re + im * im
+    # DC bin: energy is exactly (1000·Σx)² — sin row is all zero
+    assert all(DFT8_SIN[0][k] == 0 for k in range(8))

@@ -1588,5 +1588,22 @@ CHECKS["text_zipf_slope"] = [
      r"TakeOrderedAndProject"),
 ]
 
+CHECKS["sim_ivf_recall_eval"] = [
+    ("query sample broadcast over the corpus pass",
+     r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ("comparison join runs on the tiny top-k frames (no cartesian)",
+     r"\A(?!.*CartesianProduct)"),
+]
+CHECKS["stat_mcnemar"] = [
+    ("discordance counts partially aggregated", r"partial_sum"),
+    ("single scan, no join", r"\A(?!.*Join)"),
+]
+CHECKS["mm_audio_dft8"] = [
+    ("render and decode are Arrow-batched mapInPandas stages",
+     r"MapInPandas"),
+    ("no shuffle in the codec path",
+     r"\A(?!.*Exchange hashpartitioning)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
