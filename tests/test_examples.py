@@ -119,3 +119,19 @@ def test_eval_harness_pipeline_example(spark):
     assert out["worst_cluster_sil"] is not None
     assert out["levene_w"] >= 0.0
     assert out["n_released_cells"] == 25
+
+
+def test_corpus_selection_pipeline_example(spark):
+    from examples.corpus_selection_pipeline import main
+
+    out = main(SF_SMALL)
+    assert out["n_docs"] == 500
+    assert 0 < out["n_blocked"] < out["n_docs"]
+    assert out["n_dsir_picked"] == 50
+    assert 0 < out["mean_novelty_ppm"] <= 1_000_000
+    assert out["zipf_slope_milli"] < 0
+    assert out["n_seed_reached"] > 0
+    assert 0 <= out["mean_ivf_recall_ppm"] <= 1_000_000
+    assert out["n_cv_folds"] == 4
+    assert 0 <= out["perm_p_ppm"] <= 1_000_000
+    assert out["top_markov_channel"]

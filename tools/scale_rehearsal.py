@@ -66,6 +66,18 @@ EXPENSIVE = [
     "stream_run_semantic_admission",
 ]
 
+# Round-12 continuation wave: the new DATA-SCALE operators (bigram-
+# keyed novelty, hashed-model scoring, blocklist semi-join, window-
+# heavy Markov attribution, iterative personalized PageRank) —
+# measured at 10x like the rest.
+NEW_WAVE = [
+    "text_ngram_novelty",
+    "text_blocklist_filter",
+    "sample_dsir_importance",
+    "attribution_markov_removal",
+    "graph_personalized_pagerank",
+]
+
 HEADLINE = [
     "agg_pricing_summary",
     "join_broadcast_star",
@@ -149,7 +161,7 @@ def main() -> int:
     if "--skip-gen" not in sys.argv:
         print("generating sf1 derivative ...", flush=True)
         generate(spark)
-    names = HEADLINE + EXPENSIVE
+    names = HEADLINE + EXPENSIVE + NEW_WAVE
     print("headline+expensive @ sf0.1 ...", flush=True)
     t01, sp01 = run(spark, registry, SRC, names)
     print("headline+expensive @ sf1 ...", flush=True)
