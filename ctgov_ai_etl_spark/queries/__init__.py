@@ -81,6 +81,7 @@ _PRIORITY = (
     "sim_ivf_recall_eval",
     "stat_mcnemar",
     "mm_audio_dft8",
+    "stat_anova_f",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

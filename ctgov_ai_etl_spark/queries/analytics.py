@@ -5896,3 +5896,103 @@ def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b") + F.col("c"),
         ).alias("chi2_cc_micro"),
     )
+
+
+# ------------------------------------------------ one-way ANOVA F
+#
+# The k-group mean-difference staple (does spend differ by order
+# priority?).  Sufficient statistics only: per group n, Σv, Σv² over
+# EXACT INTEGER DOLLARS (floor of the money value — full cents would
+# push Σv²·scale arithmetic past int64 at sf1; the dollar floor is
+# part of the metric's definition, stated in both engines).  The
+# stat_levene_bf lesson applies: each group's S²/n term is rounded to
+# an INTEGER before the cross-group sum, so SSB/SSW are exact int64
+# and the final F is one fixed-order double expression.
+
+
+@query(
+    "stat_anova_f",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       '100')} AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS q,
+             CAST(round(CAST(sum(v) AS DOUBLE) * sum(v) / count(*))
+                  AS BIGINT) AS sb
+      FROM v GROUP BY grp
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(sb) AS BIGINT) AS sum_sb,
+             CAST(sum(q - sb) AS BIGINT) AS ssw
+      FROM g
+    )
+    SELECT k, nt AS n,
+           CAST(sum_sb - round(CAST(st AS DOUBLE) * st / nt) AS BIGINT)
+             AS ssb,
+           ssw,
+           CAST(round(
+             (CAST(sum_sb - round(CAST(st AS DOUBLE) * st / nt)
+                   AS DOUBLE) / (k - 1))
+             / (CAST(ssw AS DOUBLE) / (nt - k)) * 1000000
+           ) AS BIGINT) AS f_micro
+    FROM m
+    """,
+)
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of order spend across the five
+    priority groups (see the module comment for the exactness
+    contract: integer-dollar values, per-group rounded S²/n terms,
+    exact integer SSB/SSW, one fixed-order double F).
+
+    Scale: ONE data-scale partial-agg groupBy to the 5-row group
+    frame; everything after is algebra on that frame — the same
+    sufficient-statistics contract as ml_logistic_histogram and
+    feature_woe_iv."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        fdiv(cents("o_totalprice"), F.lit(100)).alias("v"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    ).withColumn(
+        "sb",
+        F.round(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).cast("long"),
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("sb").cast("long").alias("sum_sb"),
+        F.sum(F.col("q") - F.col("sb")).cast("long").alias("ssw"),
+    )
+    ssb = (
+        F.col("sum_sb")
+        - F.round(F.col("st").cast("double") * F.col("st") / F.col("nt"))
+    ).cast("long")
+    return m.select(
+        "k",
+        F.col("nt").alias("n"),
+        ssb.alias("ssb"),
+        "ssw",
+        F.round(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (F.col("ssw").cast("double") / (F.col("nt") - F.col("k")))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("f_micro"),
+    )

@@ -627,3 +627,33 @@ def test_audio_dft8_reference_replay(spark):
                 assert got[(row["doc_id"], c, m)] == re * re + im * im
     # DC bin: energy is exactly (1000·Σx)² — sin row is all zero
     assert all(DFT8_SIN[0][k] == 0 for k in range(8))
+
+
+# ------------------------------------------------ one-way ANOVA F
+
+
+def test_anova_f_reference_replay(spark):
+    from collections import defaultdict
+
+    reg = load_all()
+    r = reg["stat_anova_f"].fn(spark, SF).collect()[0]
+    groups = defaultdict(list)
+    for row in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        v = round(row["o_totalprice"] * 100) // 100
+        groups[row["o_orderpriority"]].append(v)
+    k = len(groups)
+    nt = sum(len(g) for g in groups.values())
+    st = sum(sum(g) for g in groups.values())
+    sum_sb = sum(round(sum(g) * sum(g) / len(g)) for g in groups.values())
+    ssw = sum(
+        sum(x * x for x in g) - round(sum(g) * sum(g) / len(g))
+        for g in groups.values()
+    )
+    ssb = sum_sb - round(st * st / nt)
+    assert (r["k"], r["n"]) == (k, nt)
+    assert r["ssb"] == ssb
+    assert r["ssw"] == ssw
+    assert r["f_micro"] == round(
+        (ssb / (k - 1)) / (ssw / (nt - k)) * 1_000_000
+    )
+    assert r["f_micro"] >= 0

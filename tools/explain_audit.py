@@ -1605,5 +1605,11 @@ CHECKS["mm_audio_dft8"] = [
      r"\A(?!.*Exchange hashpartitioning)"),
 ]
 
+CHECKS["stat_anova_f"] = [
+    ("group sufficient statistics partially aggregated",
+     r"partial_sum"),
+    ("single scan, no join", r"\A(?!.*Join)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
