@@ -73,6 +73,10 @@ HEADLINE = [
 #   variant of dedup_semantic_groups (staying, 7.6 s — the same
 #   centroid-blocked cosine + CC floor).
 DEEP_TIER = {
+    # - dedup_lsh_recall_eval composes the two HEADLINE dedup floors
+    #   (dedup_jaccard_pairs exact-PPJoin + dedup_minhash_lsh banding)
+    #   plus tiny pair-frame joins; both floors stay benched alone.
+    "dedup_lsh_recall_eval",
     "dedup_keep_best",
     "dedup_components_star",
     "split_group_aware",

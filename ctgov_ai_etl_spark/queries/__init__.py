@@ -82,6 +82,8 @@ _PRIORITY = (
     "stat_mcnemar",
     "mm_audio_dft8",
     "stat_anova_f",
+    "dedup_lsh_recall_eval",
+    "graph_random_walks",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

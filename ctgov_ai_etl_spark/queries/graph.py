@@ -669,3 +669,153 @@ def graph_personalized_pagerank(
     return personalized_pagerank(
         edges, lambda n: n % 10 == F.lit(0), iters=3
     )
+
+
+# ------------------------------------------ deterministic random walks
+
+
+_WALK_STEPS = 3
+_WALKS_PER_NODE = 2
+_WALK_EDGE_CAP = 6_000  # orders slice -> ~2000-node graph, both engines
+
+
+def _walk_oracle() -> str:
+    edges = f"""SELECT DISTINCT o_orderkey % 2000 AS src,
+           (o_orderkey // 7 + o_custkey) % 2000 AS dst
+    FROM orders WHERE o_orderkey < {_WALK_EDGE_CAP}"""
+    parts = [
+        f"edges AS ({edges})",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "ie AS (SELECT src, dst, CAST(row_number() OVER"
+        " (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx"
+        " FROM edges)",
+        "starts AS (SELECT src AS start FROM deg)",
+        f"w0 AS (SELECT start, CAST(w AS INT) AS walk, start AS n0"
+        f" FROM starts, unnest(range(1, {_WALKS_PER_NODE + 1})) AS t(w))",
+    ]
+    prev, prev_node = "w0", "n0"
+    for t in range(1, _WALK_STEPS + 1):
+        choice = (
+            f"CAST(('0x' || substring(md5('walk:' || CAST(walk AS VARCHAR)"
+            f" || ':{t}:' || CAST({prev_node} AS VARCHAR)), 1, 15))"
+            f" AS BIGINT) % d.outdeg"
+        )
+        parts.append(
+            f"c{t} AS (SELECT p.*, {choice} AS ch{t}"
+            f" FROM {prev} p LEFT JOIN deg d ON d.src = p.{prev_node})"
+        )
+        parts.append(
+            f"w{t} AS (SELECT c.*, e.dst AS n{t} FROM c{t} c"
+            f" LEFT JOIN ie e ON e.src = c.{prev_node}"
+            f" AND e.idx = c.ch{t})"
+        )
+        prev, prev_node = f"w{t}", f"n{t}"
+    cols = ", ".join(f"n{t}" for t in range(1, _WALK_STEPS + 1))
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT start, walk, {cols} FROM {prev}"
+    )
+
+
+@query("graph_random_walks", oracle=_walk_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (Perozzi et al.
+    '14 — the sampling pass that turns a graph into skip-gram
+    training sequences): 2 walks of 3 steps from every node with
+    out-edges, where each step's neighbor choice is a DETERMINISTIC
+    md5 draw (walk, step, node) modulo out-degree — reproducible by
+    any engine, stable under repartitioning, and dead ends propagate
+    null (the walk terminates).
+
+    Scale shape per step: attach out-degree (node-keyed equi-join),
+    compute the draw map-side, then ONE composite-key equi-join on
+    (src, idx) — no per-neighbor fan-out even at power-law hubs,
+    because the index selects exactly one edge row.  The indexed
+    edge table (row_number per src) is built once and reused by all
+    steps; walks scale linearly in walks × steps."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_orderkey") < _WALK_EDGE_CAP)
+        .select(
+            (F.col("o_orderkey") % 2000).alias("src"),
+            ((F.col("o_orderkey") / 7).cast("long") + F.col("o_custkey"))
+            .alias("d0"),
+        )
+        .select("src", (F.col("d0") % 2000).alias("dst"))
+        .distinct()
+    )
+    from ctgov_ai_etl_spark.operators.cache import track
+
+    edges = track(edges)
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    ie = edges.select(
+        "src",
+        "dst",
+        (
+            F.row_number().over(
+                W.partitionBy("src").orderBy("dst")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("idx"),
+    )
+    walks = (
+        deg.select(F.col("src").alias("start"))
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_WALKS_PER_NODE))
+            ).alias("walk"),
+        )
+        .select(
+            "start",
+            F.col("walk").cast("int").alias("walk"),
+            F.col("start").alias("n0"),
+        )
+    )
+    prev_node = "n0"
+    for t in range(1, _WALK_STEPS + 1):
+        d = deg.select(
+            F.col("src").alias("__dn"), F.col("outdeg").alias("__od")
+        )
+        walks = walks.join(
+            d, walks[prev_node] == d["__dn"], "left"
+        ).withColumn(
+            f"ch{t}",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("walk:"),
+                            F.col("walk").cast("string"),
+                            F.lit(f":{t}:"),
+                            F.col(prev_node).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("__od"),
+        ).drop("__dn", "__od")
+        e = ie.select(
+            F.col("src").alias("__es"),
+            F.col("idx").alias("__ei"),
+            F.col("dst").alias(f"n{t}"),
+        )
+        walks = walks.join(
+            e,
+            (walks[prev_node] == e["__es"])
+            & (walks[f"ch{t}"] == e["__ei"]),
+            "left",
+        ).drop("__es", "__ei")
+        prev_node = f"n{t}"
+    return walks.select(
+        "start", "walk", *[f"n{t}" for t in range(1, _WALK_STEPS + 1)]
+    )

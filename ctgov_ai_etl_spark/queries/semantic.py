@@ -4096,3 +4096,97 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# --------------------------------- LSH dedup recall/precision audit
+#
+# The dedup sibling of sim_ivf_recall_eval: before trusting an LSH
+# configuration on a crawl, measure its candidate recall against the
+# EXACT Jaccard pairs at the same threshold (and its precision — the
+# share of candidates that are true pairs).  Both sides are existing
+# oracle-checked operators, so the audit is exact set algebra.
+
+
+def _lsh_recall_oracle() -> str:
+    exact = """
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 9)
+          >= 0.8
+    """
+    lsh = _minhash_oracle_sql(64, 8, 0.8)
+    return f"""
+    WITH true_pairs AS ({exact}),
+    cand_pairs AS (SELECT id_a, id_b FROM ({lsh})),
+    hit AS (
+      SELECT t.id_a FROM true_pairs t
+      JOIN cand_pairs c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_pairs)
+             AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           {sql_fdiv('count(*) * 1000000',
+                     '(SELECT count(*) FROM true_pairs)')} AS recall_ppm,
+           {sql_fdiv('count(*) * 1000000',
+                     '(SELECT count(*) FROM cand_pairs)')}
+             AS precision_ppm
+    FROM hit
+    """
+
+
+@query("dedup_lsh_recall_eval", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of the 64×8 MinHash-LSH candidate set
+    against exact Jaccard ≥ 0.8 pairs — the banding-configuration
+    acceptance gate (the S-curve math in dedup_minhash_lsh's
+    docstring predicts high recall at the knee; this MEASURES it).
+
+    Scale: the exact side is the audit's cost — PPJoin prefix
+    filtering keeps it feasible, and a production audit runs it on a
+    SAMPLE of blocks; the comparison join is on the tiny pair
+    frames.  Exact integer ppm ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    true_pairs = jaccard_token_pairs(
+        d, "doc_id", "text", threshold=0.8
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=8, shingle_k=1,
+        threshold=0.8, shingle="token", hash_method="md5",
+    ).select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
+    )
+    hit = true_pairs.join(
+        cand,
+        (F.col("id_a") == F.col("ca")) & (F.col("id_b") == F.col("cb")),
+    )
+    nt = true_pairs.agg(F.count("*").cast("long").alias("n_true"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        nh.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            fdiv(F.col("n_hit") * 1_000_000, F.col("n_true")).alias(
+                "recall_ppm"
+            ),
+            fdiv(
+                F.col("n_hit") * 1_000_000, F.col("n_candidates")
+            ).alias("precision_ppm"),
+        )
+    )

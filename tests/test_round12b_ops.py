@@ -657,3 +657,59 @@ def test_anova_f_reference_replay(spark):
         (ssb / (k - 1)) / (ssw / (nt - k)) * 1_000_000
     )
     assert r["f_micro"] >= 0
+
+
+# ---------------------------------------------- LSH recall audit
+
+
+def test_lsh_recall_eval_bounds(spark):
+    reg = load_all()
+    r = reg["dedup_lsh_recall_eval"].fn(spark, SF).collect()[0]
+    assert r["n_true"] > 0
+    assert 0 <= r["n_hit"] <= min(r["n_true"], r["n_candidates"])
+    assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // r["n_true"]
+    # at the S-curve knee the 64x8 banding should catch most >=0.8
+    # true pairs
+    assert r["recall_ppm"] >= 600_000
+
+
+# ------------------------------------------------- random walks
+
+
+def test_random_walks_reference_replay(spark):
+    import hashlib
+    from collections import defaultdict
+
+    reg = load_all()
+    rows = reg["graph_random_walks"].fn(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    edges = sorted(
+        {
+            (r["o_orderkey"] % 2000, (r["o_orderkey"] // 7 + r["o_custkey"]) % 2000)
+            for r in orders
+            if r["o_orderkey"] < 6000
+        }
+    )
+    adj = defaultdict(list)
+    for s, t in edges:
+        adj[s].append(t)
+    for s in adj:
+        adj[s].sort()
+
+    def draw(walk, t, node):
+        h = hashlib.md5(f"walk:{walk}:{t}:{node}".encode()).hexdigest()
+        return int(h[:15], 16) % len(adj[node])
+
+    got = {(r["start"], r["walk"]): (r["n1"], r["n2"], r["n3"]) for r in rows}
+    assert len(got) == 2 * len(adj)
+    for start in adj:
+        for w in (1, 2):
+            node, path = start, []
+            for t in (1, 2, 3):
+                node = (
+                    adj[node][draw(w, t, node)]
+                    if node is not None and node in adj
+                    else None
+                )
+                path.append(node)
+            assert got[(start, w)] == tuple(path)

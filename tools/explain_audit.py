@@ -1611,5 +1611,18 @@ CHECKS["stat_anova_f"] = [
     ("single scan, no join", r"\A(?!.*Join)"),
 ]
 
+CHECKS["dedup_lsh_recall_eval"] = [
+    ("exact side keeps the PPJoin prefix-filter shape (token join)",
+     r"hashpartitioning\(tok|SortMergeJoin|ShuffledHashJoin"),
+    ("pair-count totals broadcast (1-row frames)",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+CHECKS["graph_random_walks"] = [
+    ("each step is composite-key equi-joins (no per-neighbor fanout)",
+     r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ("edge indexing on one src shuffle", r"hashpartitioning\(src"),
+    ("no cartesian", r"\A(?!.*CartesianProduct)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
