@@ -84,6 +84,7 @@ _PRIORITY = (
     "stat_anova_f",
     "dedup_lsh_recall_eval",
     "graph_random_walks",
+    "cluster_dbscan_grid",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

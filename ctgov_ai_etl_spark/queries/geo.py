@@ -445,3 +445,198 @@ def geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("long").alias("bal_cents"),
         )
     )
+
+
+# --------------------------------------------------- grid DBSCAN
+#
+# Density clustering at spatial-join scale: DBSCAN restated as three
+# operators the engine already scales — the 9-cell grid epsilon-join
+# (candidate pairs meet in exactly one bucket), a degree count
+# (core test), and min-label connected components over the CORE
+# subgraph — with the deterministic border rule "join the minimum
+# neighboring core component" making the classic border ambiguity
+# bit-replayable.  All geometry is exact int64 (squared Euclidean
+# distance in micro-degrees).
+
+_DBSCAN_EPS = 8_000_000  # 8 degrees in micro-degrees
+_DBSCAN_MINPTS = 4  # neighbors + self
+# Pinned point sample (the geo_geohash_join convention): keeps the
+# clustered slice — and the oracle's recursive-CTE closure, whose
+# reach table is quadratic in component size — SF-invariant.  The
+# PLAN is cap-independent; at 10x density the same eps would grow a
+# giant component and the replay (not the engine) is the bound.
+_DBSCAN_CAP = 2_000
+
+
+def _dbscan_pairs_sql() -> str:
+    e2 = _DBSCAN_EPS * _DBSCAN_EPS
+    return f"""
+    pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM pts a JOIN pts b
+        ON a.k < b.k
+       AND b.lat BETWEEN a.lat - {_DBSCAN_EPS} AND a.lat + {_DBSCAN_EPS}
+       AND b.lng BETWEEN a.lng - {_DBSCAN_EPS} AND a.lng + {_DBSCAN_EPS}
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lng - b.lng) * (a.lng - b.lng) <= {e2}
+    )"""
+
+
+@query(
+    "cluster_dbscan_grid",
+    oracle=f"""
+    WITH RECURSIVE pts0 AS ({_GEO_PTS_SQL}),
+    pts AS (SELECT * FROM pts0 WHERE k <= {_DBSCAN_CAP}),
+    {_dbscan_pairs_sql().strip()},
+    halves AS (
+      SELECT ka AS k, kb AS nbr FROM pairs
+      UNION ALL
+      SELECT kb, ka FROM pairs
+    ),
+    deg AS (
+      SELECT p.k, CAST(count(h.nbr) AS BIGINT) AS n_neighbors
+      FROM pts p LEFT JOIN halves h ON h.k = p.k
+      GROUP BY p.k
+    ),
+    core AS (SELECT k FROM deg WHERE n_neighbors + 1 >= {_DBSCAN_MINPTS}),
+    core_edges AS (
+      SELECT h.k AS src, h.nbr AS dst FROM halves h
+      JOIN core a ON a.k = h.k JOIN core b ON b.k = h.nbr
+    ),
+    reach(k, label) AS (
+      SELECT k, k FROM core
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN core_edges e ON e.src = r.k
+    ),
+    comp AS (SELECT k, min(label) AS component FROM reach GROUP BY k),
+    border AS (
+      SELECT h.k, min(c.component) AS component
+      FROM halves h JOIN comp c ON c.k = h.nbr
+      WHERE h.k NOT IN (SELECT k FROM core)
+      GROUP BY h.k
+    )
+    SELECT d.k, d.n_neighbors,
+           CASE WHEN c.k IS NOT NULL THEN 'core'
+                WHEN b.k IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(c2.component, b.component) AS component
+    FROM deg d
+    LEFT JOIN core c ON c.k = d.k
+    LEFT JOIN comp c2 ON c2.k = d.k
+    LEFT JOIN border b ON b.k = d.k
+    """,
+)
+def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed DBSCAN over the customer point cloud (eps = 8
+    micro-degree-millions Euclidean, minPts = 4): candidate pairs via
+    the 9-cell equality-shuffle epsilon-join (NO cross join — each
+    qualifying pair meets in exactly one bucket), core points by
+    neighbor degree, clusters by min-label connected components over
+    the core-core subgraph (operators/dedup.py:connected_components —
+    the production CC with the star handoff), borders deterministically
+    assigned to their minimum neighboring core component, the rest
+    noise.
+
+    Scale: the epsilon-join is the geo_geohash_join plan (shuffle on
+    cell keys, fanout bounded 9x, skew bounded by eps-cell density);
+    degree and border assignment are pair-keyed partial aggs; CC cost
+    is bounded by CORE edges only.  The oracle replays the closure
+    with a recursive CTE over the identical pair set."""
+    from ctgov_ai_etl_spark.operators.cache import track
+    from ctgov_ai_etl_spark.operators.dedup import connected_components
+
+    pts = _geo_points(spark, sf_dir).filter(F.col("k") <= _DBSCAN_CAP)
+    eps = _DBSCAN_EPS
+    cell_y = fdiv(F.col("lat") + 90_000_000, F.lit(eps))
+    cell_x = fdiv(F.col("lng") + 180_000_000, F.lit(eps))
+    right = pts.select(
+        F.col("k").alias("b_k"),
+        F.col("lat").alias("b_lat"),
+        F.col("lng").alias("b_lng"),
+        cell_y.alias("cy"),
+        cell_x.alias("cx"),
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    left = pts.select(
+        F.col("k").alias("a_k"),
+        F.col("lat").alias("a_lat"),
+        F.col("lng").alias("a_lng"),
+        cell_y.alias("ay"),
+        cell_x.alias("ax"),
+        offs,
+    ).select(
+        "a_k",
+        "a_lat",
+        "a_lng",
+        (F.col("ay") + F.col("o.dy")).alias("cy"),
+        (F.col("ax") + F.col("o.dx")).alias("cx"),
+    )
+    dlat = F.col("a_lat") - F.col("b_lat")
+    dlng = F.col("a_lng") - F.col("b_lng")
+    pairs = track(
+        left.join(right, ["cy", "cx"])
+        .filter(
+            (F.col("a_k") < F.col("b_k"))
+            & (F.abs(dlat) <= eps)
+            & (F.abs(dlng) <= eps)
+            & (dlat * dlat + dlng * dlng <= eps * eps)
+        )
+        .select(F.col("a_k").alias("ka"), F.col("b_k").alias("kb"))
+    )
+    halves = pairs.select(
+        F.col("ka").alias("k"), F.col("kb").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("kb").alias("k"), F.col("ka").alias("nbr"))
+    )
+    deg = (
+        pts.select("k")
+        .join(halves, "k", "left")
+        .groupBy("k")
+        .agg(F.count("nbr").cast("long").alias("n_neighbors"))
+    )
+    core = deg.filter(
+        F.col("n_neighbors") + 1 >= _DBSCAN_MINPTS
+    ).select("k")
+    core_edges = (
+        halves.join(core.withColumnRenamed("k", "ck"), halves.k == F.col("ck"))
+        .drop("ck")
+        .join(
+            core.withColumnRenamed("k", "cn"), halves.nbr == F.col("cn")
+        )
+        .select(F.col("k").alias("id_a"), F.col("nbr").alias("id_b"))
+    )
+    comp = connected_components(
+        core.withColumnRenamed("k", "id"), core_edges, id_col="id"
+    ).select(F.col("id").alias("k"), "component")
+    border = (
+        halves.join(
+            comp.select(F.col("k").alias("nbr"), "component"), "nbr"
+        )
+        .join(core.withColumnRenamed("k", "ck"), halves.k == F.col("ck"), "left_anti")
+        .groupBy("k")
+        .agg(F.min("component").alias("b_component"))
+    )
+    return (
+        deg.join(core.withColumn("is_core", F.lit(True)), "k", "left")
+        .join(comp.withColumnRenamed("component", "c_component"), "k", "left")
+        .join(border, "k", "left")
+        .select(
+            "k",
+            "n_neighbors",
+            F.when(F.col("is_core"), "core")
+            .when(F.col("b_component").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("c_component"), F.col("b_component")).alias(
+                "component"
+            ),
+        )
+    )

@@ -713,3 +713,66 @@ def test_random_walks_reference_replay(spark):
                 )
                 path.append(node)
             assert got[(start, w)] == tuple(path)
+
+
+# ---------------------------------------------------- grid DBSCAN
+
+
+def test_dbscan_reference_replay(spark):
+    """Pure-python DBSCAN with the same deterministic rules must
+    match exactly (roles AND component labels)."""
+    from collections import defaultdict
+
+    from ctgov_ai_etl_spark.queries.geo import (
+        _DBSCAN_CAP,
+        _DBSCAN_EPS,
+        _DBSCAN_MINPTS,
+        _geo_points,
+    )
+
+    reg = load_all()
+    rows = {r["k"]: r for r in reg["cluster_dbscan_grid"].fn(spark, SF).collect()}
+    pts = {
+        r["k"]: (r["lat"], r["lng"])
+        for r in _geo_points(spark, SF).collect()
+        if r["k"] <= _DBSCAN_CAP
+    }
+    nbrs = defaultdict(set)
+    ks = sorted(pts)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            dlat = pts[a][0] - pts[b][0]
+            dlng = pts[a][1] - pts[b][1]
+            if dlat * dlat + dlng * dlng <= _DBSCAN_EPS * _DBSCAN_EPS:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    core = {k for k in pts if len(nbrs[k]) + 1 >= _DBSCAN_MINPTS}
+    # components over core subgraph (min label)
+    comp = {}
+    for k in sorted(core):
+        if k in comp:
+            continue
+        stack, seen = [k], {k}
+        while stack:
+            u = stack.pop()
+            for v in nbrs[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        for u in seen:
+            comp[u] = min(seen)
+    assert set(rows) == set(pts)
+    for k in pts:
+        r = rows[k]
+        assert r["n_neighbors"] == len(nbrs[k])
+        if k in core:
+            assert r["role"] == "core" and r["component"] == comp[k]
+        else:
+            cands = [comp[v] for v in nbrs[k] if v in core]
+            if cands:
+                assert r["role"] == "border"
+                assert r["component"] == min(cands)
+            else:
+                assert r["role"] == "noise" and r["component"] is None
+    assert core, "fixture eps/minPts must produce cores"
+    assert any(rows[k]["role"] == "noise" for k in pts)

@@ -1624,5 +1624,14 @@ CHECKS["graph_random_walks"] = [
     ("no cartesian", r"\A(?!.*CartesianProduct)"),
 ]
 
+CHECKS["cluster_dbscan_grid"] = [
+    ("epsilon-join is an equality join on cell keys (AQE broadcasts"
+     " the small side at test SF; shuffles on cells at scale)",
+     r"BroadcastHashJoin|hashpartitioning\((cy|cx)"),
+    ("no cartesian anywhere", r"\A(?!.*CartesianProduct)"),
+    ("degree and border assignment partially aggregated",
+     r"partial_(count|min)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
