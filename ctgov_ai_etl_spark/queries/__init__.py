@@ -85,6 +85,8 @@ _PRIORITY = (
     "dedup_lsh_recall_eval",
     "graph_random_walks",
     "cluster_dbscan_grid",
+    "emb_matryoshka_recall",
+    "udf_arrow_scalar",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

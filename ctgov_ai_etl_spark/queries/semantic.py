@@ -4190,3 +4190,85 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
+
+
+# ------------------------------ Matryoshka truncation recall audit
+#
+# Matryoshka representation learning (Kusupati et al. '22) serves
+# ANN from a PREFIX of each embedding (16 of 64 dims here) and
+# re-ranks with the full vector only for finalists — the storage/
+# recall tradeoff every modern vector store tunes.  Before shipping
+# a truncation width, measure what the prefix alone retrieves
+# against the full-vector truth: the same audit shape as
+# sim_ivf_recall_eval, exact integer ppm.
+
+_MRL_DIMS = 16
+
+
+def _mrl_sim_sql(dims: str) -> str:
+    emb = f"CAST(embedding{dims} AS DOUBLE[])"
+    return f"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product({emb.replace('embedding', 'q.embedding')},
+                                      {emb.replace('embedding', 'c.embedding')})
+                     / (sqrt(list_dot_product({emb.replace('embedding', 'q.embedding')},
+                                              {emb.replace('embedding', 'q.embedding')}))
+                        * sqrt(list_dot_product({emb.replace('embedding', 'c.embedding')},
+                                                {emb.replace('embedding', 'c.embedding')}))),
+                     6) AS cosine_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5
+      )
+    ) WHERE rank <= 5
+    """
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH full_tk AS ({_mrl_sim_sql('')}),
+    prefix_tk AS ({_mrl_sim_sql(f'[1:{_MRL_DIMS}]')})
+    SELECT f.query_id,
+           CAST(count(*) AS BIGINT) AS n_full,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+           {sql_fdiv('count(p.neighbor_id) * 1000000', 'count(*)')}
+             AS recall_ppm
+    FROM full_tk f
+    LEFT JOIN prefix_tk p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of {_MRL_DIMS}-dim PREFIX cosine search against the
+    full 64-dim truth, per query — the truncation-width acceptance
+    gate for Matryoshka-style serving.  Both sides are the exact
+    brute-force operator (one on sliced vectors — `F.slice` is
+    map-side, so the prefix index needs 4x less bandwidth per probe);
+    the audit join is on the tiny top-k frames, exact ppm.
+
+    Scale: same contract as sim_ivf_recall_eval — the audit runs on
+    a query sample, one broadcast corpus pass per side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    trunc = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice(F.col("embedding"), 1, _MRL_DIMS).alias("embedding")
+    )
+    full = brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    prefix = brute_force_topk(trunc(e), trunc(q), k=5).select(
+        F.col("query_id").alias("pq"), F.col("neighbor_id").alias("pn")
+    )
+    joined = full.join(
+        prefix,
+        (full.query_id == prefix.pq) & (full.neighbor_id == prefix.pn),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_full"),
+        F.count("pn").cast("long").alias("n_hit"),
+        fdiv(F.count("pn") * 1_000_000, F.count("*")).alias("recall_ppm"),
+    )

@@ -319,3 +319,32 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         return f"{event_type[::-1].upper()}#{event_id % 97}"
 
     return ev.select("event_id", tag("event_id", "event_type").alias("tag"))
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT event_id,
+           upper(reverse(event_type)) || '#' || CAST(event_id % 97 AS VARCHAR)
+             AS tag
+    FROM events
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME arbitrary-Python function as udf_python_scalar, but
+    registered with ``useArrow=True`` (Spark 3.5+'s Arrow-optimized
+    Python UDF): the signature stays scalar row-at-a-time — no pandas
+    rewrite — while the exchange with the worker becomes Arrow
+    batches instead of per-row pickles.  The drop-in migration path
+    for legacy UDF code: same semantics (identical oracle as the
+    pickled twin), ArrowEvalPython in the plan instead of
+    BatchEvalPython, and the per-row serialization tax gone.  The
+    preference order in udf_python_scalar's docstring gains a rung:
+    built-ins > pandas UDFs > THIS > pickled UDFs."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+
+    @F.udf("string", useArrow=True)
+    def tag(event_id: int, event_type: str) -> str:
+        return f"{event_type[::-1].upper()}#{event_id % 97}"
+
+    return ev.select("event_id", tag("event_id", "event_type").alias("tag"))

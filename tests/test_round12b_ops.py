@@ -776,3 +776,25 @@ def test_dbscan_reference_replay(spark):
                 assert r["role"] == "noise" and r["component"] is None
     assert core, "fixture eps/minPts must produce cores"
     assert any(rows[k]["role"] == "noise" for k in pts)
+
+
+# ------------------------------------------- Matryoshka / Arrow UDF
+
+
+def test_matryoshka_recall_bounds(spark):
+    reg = load_all()
+    rows = reg["emb_matryoshka_recall"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_full"] == 5
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // 5
+    # a 16/64 prefix keeps SOME signal on random-ish embeddings
+    assert sum(r["n_hit"] for r in rows) > 0
+
+
+def test_arrow_udf_matches_pickled_twin(spark):
+    reg = load_all()
+    a = {tuple(r) for r in reg["udf_arrow_scalar"].fn(spark, SF).collect()}
+    b = {tuple(r) for r in reg["udf_python_scalar"].fn(spark, SF).collect()}
+    assert a == b

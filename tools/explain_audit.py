@@ -1633,5 +1633,17 @@ CHECKS["cluster_dbscan_grid"] = [
      r"partial_(count|min)"),
 ]
 
+CHECKS["emb_matryoshka_recall"] = [
+    ("query sample broadcast over the corpus pass",
+     r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ("prefix slicing is map-side (no extra exchange class)",
+     r"\A(?!.*CartesianProduct)"),
+]
+CHECKS["udf_arrow_scalar"] = [
+    ("Arrow-optimized scalar UDF boundary (NOT pickled rows)",
+     r"ArrowEvalPython"),
+    ("no pickled-row boundary", r"\A(?!.*BatchEvalPython)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
