@@ -87,6 +87,7 @@ _PRIORITY = (
     "cluster_dbscan_grid",
     "emb_matryoshka_recall",
     "udf_arrow_scalar",
+    "pipeline_select_corpus",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -4272,3 +4272,161 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pn").cast("long").alias("n_hit"),
         fdiv(F.count("pn") * 1_000_000, F.count("*")).alias("recall_ppm"),
     )
+
+
+# ----------------------------- corpus-selection pipeline (e2e query)
+#
+# The continuation wave's gates composed into ONE oracle-checked
+# query (the examples/corpus_selection_pipeline.py flow as a single
+# dataflow): admit documents that (1) pass the blocklist, (2) score
+# target-like under DSIR, (3) bring enough novel bigrams — emitting
+# the admitted corpus with its audit columns.  Every stage reuses
+# the standalone operator's exact algebra, so the composition
+# hash-checks end to end.
+
+# 1% novel bigrams: the synthetic corpus shares one 31-token
+# vocabulary, so document-level novelty is structurally low — the
+# floor is calibrated to admit a meaningful slice while still
+# cutting pure-rehash documents.
+_SELECT_NOVELTY_FLOOR_PPM = 10_000
+
+
+def _select_corpus_oracle() -> str:
+    from ctgov_ai_etl_spark.queries.product import _DSIR_CTES
+
+    return f"""
+    WITH {_DSIR_CTES},
+    blk AS (
+      SELECT d.doc_id,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, count(DISTINCT tok) AS n_hit
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN {_BLOCKLIST_TERMS!r}
+        GROUP BY doc_id
+      ) h ON h.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT DISTINCT doc_id, bg
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(toks)),
+                 j -> toks[j] || ' ' || toks[j + 1])) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+      )
+    ),
+    nov AS (
+      SELECT p.doc_id,
+             {sql_fdiv(
+                 "sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)"
+                 " * 1000000",
+                 "count(*)")} AS novelty_ppm
+      FROM per p
+      JOIN (SELECT bg, min(doc_id) AS first_doc FROM per GROUP BY bg) f
+        ON f.bg = p.bg
+      GROUP BY p.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.log_w_micro, nov.novelty_ppm, blk.n_hit
+    FROM scored s
+    JOIN documents d ON d.doc_id = s.doc_id
+    JOIN blk ON blk.doc_id = s.doc_id
+    JOIN nov ON nov.doc_id = s.doc_id
+    WHERE blk.n_hit < {_BLOCKLIST_MIN_HITS}
+      AND s.log_w_micro >= 0
+      AND nov.novelty_ppm >= {_SELECT_NOVELTY_FLOOR_PPM}
+    """
+
+
+@query("pipeline_select_corpus", oracle=_select_corpus_oracle())
+def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus selection: blocklist gate ∧ DSIR
+    target-likeness ∧ bigram-novelty floor, one dataflow emitting the
+    admitted documents with all three audit columns.  Each gate is
+    the standalone operator's exact algebra (text_blocklist_filter,
+    sample_dsir_importance's scoring, text_ngram_novelty), joined on
+    doc_id — so Catalyst shares the token-explode scan across gates
+    where profitable and the whole composition stays hash-checkable.
+
+    Scale: three doc-keyed partial-agg frames joined on doc_id — the
+    gates add NO new shuffle classes beyond their standalone plans;
+    at 100 TB this one-pass composition replaces three corpus
+    sweeps."""
+    from ctgov_ai_etl_spark.operators.limits import hash_bucket
+    from ctgov_ai_etl_spark.queries.product import _DSIR_BUCKETS
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    d = load_table(spark, sf_dir, "documents")
+    blk = REGISTRY["text_blocklist_filter"].fn(spark, sf_dir).select(
+        "doc_id", "n_hit"
+    )
+    nov = REGISTRY["text_ngram_novelty"].fn(spark, sf_dir).select(
+        "doc_id", "novelty_ppm"
+    )
+    # DSIR scoring (full frame, not the top-k cut the sampling query
+    # applies): model + dot product exactly as sample_dsir_importance
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        hash_bucket(F.col("t"), _DSIR_BUCKETS).cast("int").alias("b"),
+    )
+    raw = tok.groupBy("b").agg(F.count("*").cast("long").alias("r_b"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("t_b"))
+    )
+    tots = raw.agg(F.sum("r_b").cast("long").alias("rt")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("t_b").cast("long").alias("tt")))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        * (F.col("rt") + _DSIR_BUCKETS).cast("double")
+                    )
+                    / (
+                        (F.col("r_b") + 1).cast("double")
+                        * (F.col("tt") + _DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    scored = (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lr_micro"))
+            .cast("long")
+            .alias("log_w_micro")
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .join(blk, "doc_id")
+        .join(nov, "doc_id")
+        .filter(
+            (F.col("n_hit") < _BLOCKLIST_MIN_HITS)
+            & (F.col("log_w_micro") >= 0)
+            & (F.col("novelty_ppm") >= _SELECT_NOVELTY_FLOOR_PPM)
+        )
+        .select("doc_id", "lang", "log_w_micro", "novelty_ppm", "n_hit")
+    )

@@ -1645,5 +1645,12 @@ CHECKS["udf_arrow_scalar"] = [
     ("no pickled-row boundary", r"\A(?!.*BatchEvalPython)"),
 ]
 
+CHECKS["pipeline_select_corpus"] = [
+    ("gate frames joined on doc_id (one exchange family)",
+     r"hashpartitioning\(doc_id"),
+    ("32-row DSIR model broadcast", r"BroadcastHashJoin"),
+    ("no cartesian", r"\A(?!.*CartesianProduct)"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
