@@ -88,6 +88,8 @@ _PRIORITY = (
     "emb_matryoshka_recall",
     "udf_arrow_scalar",
     "pipeline_select_corpus",
+    "ts_max_drawdown",
+    "sample_neyman_allocation",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -5996,3 +5996,84 @@ def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_micro"),
     )
+
+
+# ------------------------------------------------ maximum drawdown
+#
+# Peak-to-trough risk metric over each user's cumulative spend curve
+# (the portfolio/SLA form: how far below its running peak did the
+# series fall, and when).  Pure window algebra — cumulative sum,
+# running max, max gap — all exact integer cents.
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE -CAST(round(value * 100) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS bal
+      FROM events WHERE ts IS NOT NULL
+    ),
+    peaks AS (
+      SELECT user_id, event_id, bal,
+             CAST(max(bal) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+      FROM cum
+    )
+    SELECT user_id,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(min(CASE WHEN peak - bal
+                         = (SELECT max(p2.peak - p2.bal) FROM peaks p2
+                            WHERE p2.user_id = peaks.user_id)
+                    THEN event_id END) AS BIGINT) AS trough_event_id
+    FROM peaks
+    GROUP BY user_id
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the signed cumulative spend curve
+    (purchases credit, everything else debits): the largest
+    peak-to-trough fall in exact integer cents, the peak itself, and
+    the deterministic (min event_id) trough row.
+
+    Scale: ONE window shuffle on user_id carries the cumulative sum
+    AND the running max (same partition/order — one exchange, two
+    frames), then a per-user partial aggregate.  The trough witness
+    uses a window-max comparison, not a self-join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    signed = F.when(
+        F.col("event_type") == "purchase", cents("value")
+    ).otherwise(-cents("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(signed).over(w).cast("long").alias("bal"),
+        F.max(F.sum(signed).over(w)).over(w).cast("long").alias("peak"),
+    )
+    dd = cum.withColumn("gap", F.col("peak") - F.col("bal"))
+    wmax = W.partitionBy("user_id")
+    dd = dd.withColumn("max_gap", F.max("gap").over(wmax))
+    return dd.groupBy("user_id").agg(
+        F.max("gap").cast("long").alias("max_drawdown_cents"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.min(
+            F.when(F.col("gap") == F.col("max_gap"), F.col("event_id"))
+        )
+        .cast("long")
+        .alias("trough_event_id"),
+    )

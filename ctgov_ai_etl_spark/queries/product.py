@@ -4632,3 +4632,134 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp") * F.col("tn"),
         ).alias("iv_contrib_micro"),
     )
+
+
+# --------------------------- Neyman-optimal stratified allocation
+
+
+_NEYMAN_TOTAL = 500
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             {sql_fdiv('CAST(round(o_totalprice * 100) AS BIGINT)',
+                       '100')} AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS q
+      FROM v GROUP BY grp
+    ),
+    sd AS (
+      SELECT grp, nh,
+             CAST(round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
+                              / nh) / nh) * 1000) AS BIGINT) AS sd_milli
+      FROM g
+    ),
+    alloc AS (
+      SELECT grp, nh, sd_milli,
+             {sql_fdiv(f'{_NEYMAN_TOTAL} * nh * sd_milli',
+                       '(SELECT sum(nh * sd_milli) FROM sd)')} AS n_target
+      FROM sd
+    ),
+    admitted AS (
+      SELECT v.grp, count(*) AS n_sampled
+      FROM v JOIN alloc a ON a.grp = v.grp
+      WHERE CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                1, 8)) AS BIGINT) % 1000000 AS BIGINT)
+            < {sql_fdiv('a.n_target * 1000000', 'a.nh')}
+      GROUP BY v.grp
+    )
+    SELECT a.grp, a.nh, a.sd_milli, a.n_target,
+           CAST(coalesce(ad.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM alloc a LEFT JOIN admitted ad ON ad.grp = a.grp
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling: allocate a fixed audit
+    budget ({_NEYMAN_TOTAL} rows) across strata proportionally to
+    N_h·σ_h — the textbook variance-minimizing design — then ADMIT
+    rows with the portable md5 rate gate at each stratum's computed
+    rate.  σ_h is one milli-rounded sqrt of exact integer moments
+    (IEEE sqrt is correctly rounded, so it is bit-identical across
+    engines — unlike ln/exp it needs no measure-zero caveat);
+    everything else is exact integer floor division, including the
+    realized per-stratum sample counts.
+
+    Scale: the design is fitted from one partial-agg groupBy
+    (sufficient statistics, as stat_anova_f); admission is map-side
+    hash arithmetic against the broadcast 5-row allocation — no
+    second shuffle, reproducible under any partitioning (the
+    hash_bucket contract)."""
+    from ctgov_ai_etl_spark.operators.sketches import portable_hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        fdiv(cents("o_totalprice"), F.lit(100)).alias("v"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    sd = g.select(
+        "grp",
+        "nh",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("nh")
+                )
+                / F.col("nh")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("sd_milli"),
+    )
+    tot = sd.agg(
+        F.sum(F.col("nh") * F.col("sd_milli")).cast("long").alias("w")
+    )
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "nh",
+        "sd_milli",
+        fdiv(
+            F.lit(_NEYMAN_TOTAL) * F.col("nh") * F.col("sd_milli"),
+            F.col("w"),
+        ).alias("n_target"),
+    )
+    rate_gate = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    admitted = (
+        v.join(F.broadcast(alloc), "grp")
+        .filter(
+            rate_gate
+            < fdiv(F.col("n_target") * 1_000_000, F.col("nh"))
+        )
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return alloc.join(admitted, "grp", "left").select(
+        "grp",
+        "nh",
+        "sd_milli",
+        "n_target",
+        F.coalesce(F.col("n_sampled"), F.lit(0))
+        .cast("long")
+        .alias("n_sampled"),
+    )

@@ -798,3 +798,55 @@ def test_arrow_udf_matches_pickled_twin(spark):
     a = {tuple(r) for r in reg["udf_arrow_scalar"].fn(spark, SF).collect()}
     b = {tuple(r) for r in reg["udf_python_scalar"].fn(spark, SF).collect()}
     assert a == b
+
+
+# ----------------------------------------- drawdown / Neyman design
+
+
+def test_max_drawdown_reference_replay(spark):
+    from collections import defaultdict
+
+    reg = load_all()
+    rows = {r["user_id"]: r for r in reg["ts_max_drawdown"].fn(spark, SF).collect()}
+    ev = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        if r["ts"] is None:
+            continue
+        c = round(r["value"] * 100)
+        ev[r["user_id"]].append(
+            (r["ts"], r["event_id"], c if r["event_type"] == "purchase" else -c)
+        )
+    for uid, evs in ev.items():
+        evs.sort()
+        bal = peak = 0
+        best = (0, None)
+        first = True
+        for _, eid, d in evs:
+            bal += d
+            peak = bal if first else max(peak, bal)
+            first = False
+            gap = peak - bal
+            if best[1] is None or gap > best[0]:
+                best = (gap, eid)
+        r = rows[uid]
+        assert r["max_drawdown_cents"] == best[0]
+        if best[0] > 0:
+            assert r["trough_event_id"] == best[1]
+
+
+def test_neyman_allocation_properties(spark):
+    reg = load_all()
+    rows = reg["sample_neyman_allocation"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    total_target = sum(r["n_target"] for r in rows)
+    assert total_target <= 500  # floors never overshoot the budget
+    assert total_target >= 490
+    for r in rows:
+        assert r["sd_milli"] > 0
+        assert 0 <= r["n_target"] <= r["nh"]
+        # md5 admission realizes the rate within binomial noise
+        rate = r["n_target"] / r["nh"]
+        import math
+
+        tol = 4 * math.sqrt(max(rate * (1 - rate) * r["nh"], 1.0)) + 1
+        assert abs(r["n_sampled"] - r["n_target"]) <= tol

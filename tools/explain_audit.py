@@ -1652,5 +1652,17 @@ CHECKS["pipeline_select_corpus"] = [
     ("no cartesian", r"\A(?!.*CartesianProduct)"),
 ]
 
+CHECKS["ts_max_drawdown"] = [
+    ("cumsum and running max share ONE user_id exchange",
+     r"hashpartitioning\(user_id"),
+    ("no self-join for the trough witness", r"\A(?!.*SortMergeJoin)"),
+]
+CHECKS["sample_neyman_allocation"] = [
+    ("design fitted from partially-aggregated sufficient statistics",
+     r"partial_sum"),
+    ("admission is map-side against the broadcast 5-row allocation",
+     r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
