@@ -4310,14 +4310,14 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.
     NeurIPS'23): rank raw-corpus documents by how target-like their
     hashed n-gram profile is.  The target is the ``lang = 'en'``
-    slice; features are unigrams hashed into {_DSIR_BUCKETS} buckets
+    slice; features are unigrams hashed into 32 buckets
     (the portable md5 convention), the per-bucket log importance
     ratio uses add-1 smoothing, and a document's log weight is the
     EXACT integer dot product of its bucket term frequencies with
     the micro-rounded log ratios — so the top-k selection (desc
     weight, doc_id tie-break) hash-checks bit-for-bit.
 
-    Scale: the fitted model is a {_DSIR_BUCKETS}-row frame (two
+    Scale: the fitted model is a 32-row frame (two
     bucket-keyed partial aggregations over the token stream — the
     hashed featurization means NO vocabulary table at any corpus
     size); scoring is a broadcast join + one doc-keyed partial-agg
@@ -4682,7 +4682,7 @@ _NEYMAN_TOTAL = 500
 )
 def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified sampling: allocate a fixed audit
-    budget ({_NEYMAN_TOTAL} rows) across strata proportionally to
+    budget (500 rows) across strata proportionally to
     N_h·σ_h — the textbook variance-minimizing design — then ADMIT
     rows with the portable md5 rate gate at each stratum's computed
     rate.  σ_h is one milli-rounded sqrt of exact integer moments

@@ -4244,7 +4244,7 @@ def _mrl_sim_sql(dims: str) -> str:
     """,
 )
 def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of {_MRL_DIMS}-dim PREFIX cosine search against the
+    """Recall@5 of the 16-dim PREFIX cosine search against the
     full 64-dim truth, per query — the truncation-width acceptance
     gate for Matryoshka-style serving.  Both sides are the exact
     brute-force operator (one on sliced vectors — `F.slice` is
