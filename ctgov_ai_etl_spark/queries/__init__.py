@@ -90,6 +90,7 @@ _PRIORITY = (
     "pipeline_select_corpus",
     "ts_max_drawdown",
     "sample_neyman_allocation",
+    "graph_walk_skipgram_pairs",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

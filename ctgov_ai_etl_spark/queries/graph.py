@@ -819,3 +819,81 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.select(
         "start", "walk", *[f"n{t}" for t in range(1, _WALK_STEPS + 1)]
     )
+
+
+# ------------------------------------ skip-gram pairs from the walks
+
+
+@query(
+    "graph_walk_skipgram_pairs",
+    oracle=f"""
+    WITH walks AS ({_walk_oracle()}),
+    seqs AS (
+      SELECT [CAST(start AS BIGINT), n1, n2, n3] AS seq FROM walks
+    ),
+    pairs AS (
+      SELECT seq[i + 1] AS center, seq[j + 1] AS context
+      FROM seqs,
+           unnest(range(4)) AS a(i),
+           unnest(range(4)) AS b(j)
+      WHERE i <> j AND abs(i - j) <= 2
+        AND seq[i + 1] IS NOT NULL AND seq[j + 1] IS NOT NULL
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    HAVING count(*) > 1
+    """,
+)
+def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the DeepWalk recipe: turn the random-walk
+    sequences into skip-gram (center, context) training pairs with a
+    window of 2, counted across the corpus (pairs seen more than
+    once).  Pair construction is MAP-SIDE array algebra over each
+    walk row (no self-join — the walk is already a row); the count
+    is one partial-agg shuffle.  Feeding these counts to a
+    hashing-trick featurizer + logistic steps (both in this catalog)
+    is word2vec-style graph embedding, assembled entirely from
+    audited operators."""
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    walks = REGISTRY["graph_random_walks"].fn(spark, sf_dir)
+    seq = F.array(
+        F.col("start").cast("long"),
+        F.col("n1"),
+        F.col("n2"),
+        F.col("n3"),
+    )
+    pairs = walks.select(seq.alias("seq")).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda i: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(3)),
+                            lambda j: F.struct(
+                                F.element_at(F.col("seq"), i + 1).alias(
+                                    "center"
+                                ),
+                                F.element_at(F.col("seq"), j + 1).alias(
+                                    "context"
+                                ),
+                                (
+                                    (i != j)
+                                    & (F.abs(i - j) <= 2)
+                                ).alias("keep"),
+                            ),
+                        ),
+                        lambda s: s["keep"]
+                        & s["center"].isNotNull()
+                        & s["context"].isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") > 1)
+    )

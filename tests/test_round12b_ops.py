@@ -850,3 +850,24 @@ def test_neyman_allocation_properties(spark):
 
         tol = 4 * math.sqrt(max(rate * (1 - rate) * r["nh"], 1.0)) + 1
         assert abs(r["n_sampled"] - r["n_target"]) <= tol
+
+
+def test_skipgram_pairs_reference_replay(spark):
+    from collections import Counter
+
+    reg = load_all()
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in reg["graph_walk_skipgram_pairs"].fn(spark, SF).collect()
+    }
+    walks = reg["graph_random_walks"].fn(spark, SF).collect()
+    cnt = Counter()
+    for w in walks:
+        seq = [w["start"], w["n1"], w["n2"], w["n3"]]
+        for i in range(4):
+            for j in range(4):
+                if i != j and abs(i - j) <= 2:
+                    if seq[i] is not None and seq[j] is not None:
+                        cnt[(seq[i], seq[j])] += 1
+    want = {k: v for k, v in cnt.items() if v > 1}
+    assert got == want

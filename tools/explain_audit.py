@@ -1664,5 +1664,11 @@ CHECKS["sample_neyman_allocation"] = [
      r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
 ]
 
+CHECKS["graph_walk_skipgram_pairs"] = [
+    ("pair construction is map-side array algebra (no self-join of"
+     " the walk table)", r"\A(?!.*SortMergeJoin \[seq)"),
+    ("pair counts partially aggregated", r"partial_count"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
