@@ -91,6 +91,7 @@ _PRIORITY = (
     "ts_max_drawdown",
     "sample_neyman_allocation",
     "graph_walk_skipgram_pairs",
+    "ml_offpolicy_ips",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -6077,3 +6077,135 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trough_event_id"),
     )
+
+
+# ----------------------------------- off-policy evaluation (IPS)
+#
+# Counterfactual policy evaluation (Horvitz-Thompson / IPS): score a
+# target policy on logged interactions REWEIGHTED by the logging
+# policy's propensities.  The realistic twist that keeps the
+# estimator non-trivial: propensities are fitted on the FIRST half
+# of the log (the stale policy that generated traffic) and applied
+# to second-half rewards — exactly the drift situation production
+# off-policy eval faces.  Everything is exact integers: propensities
+# are ppm floor divisions, each row's reweighted reward is one fdiv,
+# and sums of per-row integers are order-free.
+
+_IPS_SPLIT_DAYS = 15
+_IPS_POLICY = {0: "click", 1: "view", 2: "signup", 3: "purchase"}
+
+
+def _ips_policy_sql() -> str:
+    arms = " ".join(
+        f"WHEN {c} THEN '{a}'" for c, a in _IPS_POLICY.items()
+    )
+    return f"CASE user_id % 4 {arms} END"
+
+
+@query(
+    "ml_offpolicy_ips",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id % 4 AS ctx, event_type AS action,
+             CAST(round(value * 100) AS BIGINT) AS r,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d0 AS (SELECT min(day) AS day0 FROM ev),
+    logged AS (
+      SELECT ctx, action, CAST(count(*) AS BIGINT) AS n_ca
+      FROM ev CROSS JOIN d0
+      WHERE day < day0 + {_IPS_SPLIT_DAYS}
+      GROUP BY ctx, action
+    ),
+    prop AS (
+      SELECT ctx, action,
+             {sql_fdiv('n_ca * 1000000',
+                       'sum(n_ca) OVER (PARTITION BY ctx)')} AS p_ppm
+      FROM logged
+    ),
+    target AS (
+      SELECT ev.ctx, ev.action, ev.r
+      FROM ev CROSS JOIN d0
+      WHERE day >= day0 + {_IPS_SPLIT_DAYS}
+    ),
+    n2 AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n FROM target GROUP BY ctx),
+    matched AS (
+      SELECT t.ctx,
+             CAST(count(*) AS BIGINT) AS n_match,
+             CAST(sum({sql_fdiv('t.r * 1000000', 'p.p_ppm')}) AS BIGINT)
+               AS sw
+      FROM target t
+      JOIN prop p ON p.ctx = t.ctx AND p.action = t.action
+      WHERE t.action = ({_ips_policy_sql().replace('user_id % 4', 't.ctx')})
+      GROUP BY t.ctx
+    )
+    SELECT m.ctx,
+           ({_ips_policy_sql().replace('user_id % 4', 'm.ctx')})
+             AS pi_action,
+           n2.n AS n_log,
+           m.n_match,
+           {sql_fdiv('m.sw', 'n2.n')} AS v_ips_cents
+    FROM matched m JOIN n2 ON n2.ctx = m.ctx
+    """,
+)
+def ml_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-score evaluation of a fixed target policy
+    (context = user_id mod 4 → one preferred action each): logging
+    propensities fitted on days 0-14, second-half rewards reweighted
+    by 1/p and averaged over ALL second-half rows (the standard IPS
+    estimator — unmatched rows contribute zero).  Per-row reweighting
+    is one exact floor division; the per-context sums are order-free
+    integers, so the estimate hash-checks.
+
+    Scale: two partial-agg passes over the log (propensity fit,
+    reweighted sum) + a broadcast of the context×action propensity
+    frame — no per-row state, no shuffle beyond the context keys."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        (F.col("user_id") % 4).alias("ctx"),
+        F.col("event_type").alias("action"),
+        cents("value").alias("r"),
+        fdiv(
+            F.unix_micros(F.col("ts")), F.lit(86_400_000_000)
+        ).alias("day"),
+    )
+    d0 = ev.agg(F.min("day").alias("day0"))
+    ev = ev.crossJoin(F.broadcast(d0))
+    first = ev.filter(F.col("day") < F.col("day0") + _IPS_SPLIT_DAYS)
+    second = ev.filter(F.col("day") >= F.col("day0") + _IPS_SPLIT_DAYS)
+    logged = first.groupBy("ctx", "action").agg(
+        F.count("*").cast("long").alias("n_ca")
+    )
+    prop = logged.select(
+        "ctx",
+        "action",
+        fdiv(
+            F.col("n_ca") * 1_000_000,
+            F.sum("n_ca").over(W.partitionBy("ctx")),
+        ).alias("p_ppm"),
+    )
+    policy = F.col("ctx")
+    pi = F.when(policy == 0, "click")
+    for c, a in list(_IPS_POLICY.items())[1:]:
+        pi = pi.when(policy == c, a)
+    n2 = second.groupBy("ctx").agg(F.count("*").cast("long").alias("n_log"))
+    matched = (
+        second.filter(F.col("action") == pi)
+        .join(F.broadcast(prop), ["ctx", "action"])
+        .groupBy("ctx")
+        .agg(
+            F.count("*").cast("long").alias("n_match"),
+            F.sum(fdiv(F.col("r") * 1_000_000, F.col("p_ppm")))
+            .cast("long")
+            .alias("sw"),
+        )
+    )
+    return matched.join(n2, "ctx").select(
+        "ctx",
+        pi.alias("pi_action"),
+        "n_log",
+        "n_match",
+        fdiv(F.col("sw"), F.col("n_log")).alias("v_ips_cents"),
+    )

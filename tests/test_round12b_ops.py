@@ -871,3 +871,38 @@ def test_skipgram_pairs_reference_replay(spark):
                         cnt[(seq[i], seq[j])] += 1
     want = {k: v for k, v in cnt.items() if v > 1}
     assert got == want
+
+
+def test_offpolicy_ips_reference_replay(spark):
+    from collections import defaultdict
+
+    reg = load_all()
+    rows = {r["ctx"]: r for r in reg["ml_offpolicy_ips"].fn(spark, SF).collect()}
+    policy = {0: "click", 1: "view", 2: "signup", 3: "purchase"}
+    ev = []
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        if r["ts"] is None:
+            continue
+        day = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        ev.append((r["user_id"] % 4, r["event_type"], round(r["value"] * 100), day))
+    day0 = min(e[3] for e in ev)
+    n_ca = defaultdict(int)
+    n_c = defaultdict(int)
+    for c, a, _, d in ev:
+        if d < day0 + 15:
+            n_ca[(c, a)] += 1
+            n_c[c] += 1
+    for c in rows:
+        sw = n2 = nm = 0
+        for cc, a, r, d in ev:
+            if cc != c or d < day0 + 15:
+                continue
+            n2 += 1
+            if a == policy[c]:
+                p = n_ca[(c, a)] * 1_000_000 // n_c[c]
+                sw += r * 1_000_000 // p
+                nm += 1
+        row = rows[c]
+        assert row["pi_action"] == policy[c]
+        assert row["n_log"] == n2 and row["n_match"] == nm
+        assert row["v_ips_cents"] == sw // n2

@@ -1670,5 +1670,11 @@ CHECKS["graph_walk_skipgram_pairs"] = [
     ("pair counts partially aggregated", r"partial_count"),
 ]
 
+CHECKS["ml_offpolicy_ips"] = [
+    ("propensity frame broadcast onto the reward stream",
+     r"BroadcastHashJoin"),
+    ("reweighted sums partially aggregated", r"partial_sum"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
