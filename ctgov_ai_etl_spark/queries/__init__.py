@@ -92,6 +92,7 @@ _PRIORITY = (
     "sample_neyman_allocation",
     "graph_walk_skipgram_pairs",
     "ml_offpolicy_ips",
+    "anomaly_volume_days",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

@@ -6209,3 +6209,88 @@ def ml_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_match",
         fdiv(F.col("sw"), F.col("n_log")).alias("v_ips_cents"),
     )
+
+
+# ------------------------------------------ volume control chart
+#
+# Pipeline-health staple: flag days whose EVENT VOLUME sits more
+# than 2 sigma from the corpus mean — the ingest-monitoring alarm
+# that catches dead upstreams and replay storms before models train
+# on a hole.  Mean and sigma live in milli-units from exact integer
+# moments (IEEE sqrt is correctly rounded → bit-identical), and the
+# flag comparison is pure integer milli algebra.
+
+
+@query(
+    "anomaly_volume_days",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS q
+      FROM d
+    ),
+    z AS (
+      SELECT day, n, k, s,
+             CAST((s * 1000 - (s * 1000 % k)) // k AS BIGINT)
+               AS mean_milli,
+             CAST(round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
+                              / k) / k) * 1000) AS BIGINT) AS sd_milli
+      FROM d CROSS JOIN m
+    )
+    SELECT CAST(day AS BIGINT) AS day, n, mean_milli, sd_milli,
+           abs(n * 1000 - mean_milli) > 2 * sd_milli AS flagged
+    FROM z
+    """,
+)
+def anomaly_volume_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume control chart: per-day counts vs the
+    corpus mean ± 2σ, all exact milli-unit integers (see module
+    comment).  One data-scale partial-agg groupBy to the bounded
+    day frame; the 1-row moment frame broadcasts; flags are map-side
+    integer compares."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        fdiv(F.unix_micros(F.col("ts")), F.lit(86_400_000_000)).alias(
+            "day"
+        )
+    ).agg(F.count("*").cast("long").alias("n"))
+    m = d.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("q"),
+    )
+    z = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        fdiv(F.col("s") * 1000, F.col("k")).alias("mean_milli"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("k")
+                )
+                / F.col("k")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("sd_milli"),
+    )
+    return z.select(
+        F.col("day").cast("long").alias("day"),
+        "n",
+        "mean_milli",
+        "sd_milli",
+        (
+            F.abs(F.col("n") * 1000 - F.col("mean_milli"))
+            > 2 * F.col("sd_milli")
+        ).alias("flagged"),
+    )

@@ -1676,5 +1676,11 @@ CHECKS["ml_offpolicy_ips"] = [
     ("reweighted sums partially aggregated", r"partial_sum"),
 ]
 
+CHECKS["anomaly_volume_days"] = [
+    ("day counts partially aggregated", r"partial_count"),
+    ("1-row moment frame broadcast",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+
 if __name__ == "__main__":
     sys.exit(main())
