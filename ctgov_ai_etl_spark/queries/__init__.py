@@ -93,6 +93,7 @@ _PRIORITY = (
     "graph_walk_skipgram_pairs",
     "ml_offpolicy_ips",
     "anomaly_volume_days",
+    "stream_run_volume_alert",
     # -- block 2: never driver-sampled (alphabetical)
     "agg_corr_exact",
     "agg_percentile_disc",

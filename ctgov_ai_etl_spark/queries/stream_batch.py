@@ -2043,3 +2043,95 @@ def _patch_stream_dsir_oracle() -> None:
 
 
 _patch_stream_dsir_oracle()
+
+
+# ---------------------------------- streaming volume control chart
+
+
+@query(
+    "stream_run_volume_alert",
+    oracle=None,  # patched below: shares anomaly_volume_days' oracle
+)
+def stream_run_volume_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-volume monitor: per-day event counts as a
+    genuine micro-batch streaming aggregation (one long of state per
+    day — the counting monoid merges across batches), then the
+    control-chart verdict against the corpus mean ± 2σ thresholds.
+    The moment frame is fitted batch-side from the static corpus
+    (production fits it on trailing history) and joined onto the
+    drained day counts — alerts are map-side integer milli compares.
+    Complete-mode memory sink on the finite source ==> result equals
+    the batch chart anomaly_volume_days, whose oracle this twin
+    shares."""
+    from ctgov_ai_etl_spark.functions.exact import fdiv
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from ctgov_ai_etl_spark.tables import load_table as _lt
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
+    day = fdiv(F.unix_micros("ts"), 86_400_000_000).alias("day")
+    counts = ev.select(day).groupBy("day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # ~30 day keys
+    try:
+        drained = run_stream_to_memory(counts, mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    b = _lt(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = b.groupBy(
+        fdiv(F.unix_micros(F.col("ts")), F.lit(86_400_000_000)).alias(
+            "day"
+        )
+    ).agg(F.count("*").cast("long").alias("n"))
+    m = d.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("q"),
+    )
+    z = drained.crossJoin(F.broadcast(m)).select(
+        F.col("day").cast("long").alias("day"),
+        "n",
+        fdiv(F.col("s") * 1000, F.col("k")).alias("mean_milli"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("k")
+                )
+                / F.col("k")
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("sd_milli"),
+    )
+    return z.select(
+        "day",
+        "n",
+        "mean_milli",
+        "sd_milli",
+        (
+            F.abs(F.col("n") * 1000 - F.col("mean_milli"))
+            > 2 * F.col("sd_milli")
+        ).alias("flagged"),
+    )
+
+
+def _patch_stream_volume_oracle() -> None:
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    import ctgov_ai_etl_spark.queries.analytics  # noqa: F401
+
+    spec = REGISTRY["stream_run_volume_alert"]
+    twin = REGISTRY.get("anomaly_volume_days")
+    if twin is not None and spec.oracle is None:
+        REGISTRY["stream_run_volume_alert"] = type(spec)(
+            name=spec.name, fn=spec.fn, oracle=twin.oracle, doc=spec.doc
+        )
+
+
+_patch_stream_volume_oracle()
