@@ -906,3 +906,70 @@ def test_offpolicy_ips_reference_replay(spark):
         assert row["pi_action"] == policy[c]
         assert row["n_log"] == n2 and row["n_match"] == nm
         assert row["v_ips_cents"] == sw // n2
+
+
+# --------------------------- property tests (random instances)
+
+
+def test_polygon_raycast_random_convex(spark):
+    """Random star-shaped polygons (angle-sorting random vertices
+    around their centroid always yields a simple ring): the
+    shared-dialect crossing expression must agree with the
+    pure-python ray-cast reference on random integer probes."""
+    import math
+
+    from ctgov_ai_etl_spark.queries.geo import _crossings_expr
+
+    rng = random.Random(23)
+    for trial in range(6):
+        n = rng.randrange(3, 8)
+        pts = [
+            (rng.randrange(-80, 81) * 1_000_000, rng.randrange(-80, 81) * 1_000_000)
+            for _ in range(n)
+        ]
+        cx = sum(p[0] for p in pts) / n
+        cy = sum(p[1] for p in pts) / n
+        ring = tuple(
+            sorted(set(pts), key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+        )
+        if len(ring) < 3:
+            continue
+        probes = [
+            (rng.randrange(-90, 91) * 1_000_000, rng.randrange(-85, 86) * 1_000_000)
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(probes, ["lng", "lat"])
+        got = {
+            (r["lng"], r["lat"])
+            for r in df.filter(
+                F.expr(_crossings_expr("lng", "lat", ring)) % 2 == 1
+            ).collect()
+        }
+        want = {(x, y) for x, y in probes if _ray_cast(x, y, ring)}
+        assert got == want
+
+
+def test_dtw_symmetry_and_shift_invariance(spark):
+    from ctgov_ai_etl_spark.queries.analytics import (
+        _DTW_BAND,
+        _DTW_N,
+        _dtw_cells,
+    )
+
+    rng = random.Random(31)
+    a = [rng.randrange(0, 5000) for _ in range(_DTW_N)]
+    b = [rng.randrange(0, 5000) for _ in range(_DTW_N)]
+    shift = 7777
+
+    def dtw(x, y):
+        row = {f"a{k+1}": x[k] for k in range(_DTW_N)}
+        row.update({f"b{k+1}": y[k] for k in range(_DTW_N)})
+        df = spark.createDataFrame([tuple(row.values())], list(row))
+        for col, expr in _dtw_cells():
+            df = df.withColumn(col, F.expr(expr))
+        return df.collect()[0][f"c_{_DTW_N}_{_DTW_N}"]
+
+    d_ab = dtw(a, b)
+    assert d_ab == dtw(b, a)  # band is symmetric
+    assert d_ab == dtw([v + shift for v in a], [v + shift for v in b])
+    assert d_ab == _dtw_ref(a, b, _DTW_BAND)
