@@ -52,18 +52,26 @@ def sql_avg_money(expr: str) -> str:
 
 
 def fdiv(a: Column, b: Column | int) -> Column:
-    """Exact integer FLOOR division over the FULL int64 range.
+    """Exact integer FLOOR division over the FULL int64 range, ANY
+    sign of either operand.
 
-    ``a - pmod(a, b)`` is an exact int64 multiple of ``b`` (Spark's
-    pmod is always non-negative, so this floors for negative
-    dividends too); the final division runs in DECIMAL, not double —
-    a double division is only exact while the multiple stays under
+    ``a - r`` with ``r = ((a % b) + b) % b`` (the sign-of-divisor
+    remainder — Python's ``%``) is the exact int64 multiple of ``b``
+    below-or-at ``a/b``, so the quotient is a true floor for every
+    sign combination.  (The previous ``pmod`` form floored only for
+    positive divisors: Spark's pmod is always NON-NEGATIVE, so for
+    b < 0 it truncated toward zero while the DuckDB mirror floored —
+    a latent cross-engine trap caught by the tri-engine differential
+    test; no catalog call site ever passes b < 0, so no result
+    changed.)  The final division runs in DECIMAL, not double — a
+    double division is only exact while the multiple stays under
     2^53, and ppm numerators like ``cents * 1_000_000`` blow past
     that at sf0.1 already (the agg_ratio_to_report ±1 incident).
     The decimal quotient of an exact multiple has zero fraction, so
     its scale rounding can never flip the integer."""
     bb = F.lit(b) if isinstance(b, int) else b
-    mult = (a - F.pmod(a, bb)).cast("decimal(38,0)")
+    r = ((a % bb) + bb) % bb
+    mult = (a - r).cast("decimal(38,0)")
     return (mult / bb.cast("decimal(38,0)")).cast("long")
 
 

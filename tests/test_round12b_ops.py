@@ -973,3 +973,39 @@ def test_dtw_symmetry_and_shift_invariance(spark):
     assert d_ab == dtw(b, a)  # band is symmetric
     assert d_ab == dtw([v + shift for v in a], [v + shift for v in b])
     assert d_ab == _dtw_ref(a, b, _DTW_BAND)
+
+
+# ----------------------- fdiv / sql_fdiv foundational differential
+
+
+def test_fdiv_matches_python_floor_and_duckdb(spark):
+    """The repo's entire exactness story leans on fdiv == Python
+    floor division == sql_fdiv-in-DuckDB, across signs and above
+    2^53 where double division breaks.  Differential-test all three
+    on adversarial and random operands."""
+    import duckdb
+
+    from ctgov_ai_etl_spark.functions.exact import fdiv, sql_fdiv
+
+    rng = random.Random(41)
+    cases = [
+        (7, 3), (-7, 3), (7, -3), (-7, -3), (0, 5), (6, 3), (-6, 3),
+        (2**62, 997), (-(2**62), 997), (2**53 + 1, 2), (10**18, 10**9),
+    ]
+    cases += [
+        (rng.randrange(-(2**62), 2**62), rng.choice([1, 2, 3, 97, 10**6, -5]))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["q"]
+        for r in df.select("a", "b", fdiv(F.col("a"), F.col("b")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        want = a // b
+        assert got[(a, b)] == want, (a, b)
+        duck = con.sql(
+            f"SELECT {sql_fdiv(f'CAST({a} AS BIGINT)', f'CAST({b} AS BIGINT)')} AS q"
+        ).fetchone()[0]
+        assert duck == want, (a, b, duck)
