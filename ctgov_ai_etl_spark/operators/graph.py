@@ -147,8 +147,18 @@ def hits(
     shape as :func:`pagerank`.  Nodes with no in-edges settle at
     authority 0, no out-edges at hub 0 (standard for the
     fixed-iteration formulation; the SQL oracle replays both).
+
+    Lineage control (the :func:`kcore` rule): the edge set is eagerly
+    localCheckpoint-ed once — every iteration joins the materialized
+    copy, not the upstream scan — and each half-step's raw score frame
+    is checkpointed before max-normalization, because ``_norm`` reads
+    its input twice (the max-aggregate branch plus the rescale branch)
+    and without truncation that doubling compounds per iteration into
+    an exponentially growing physical plan.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -173,14 +183,14 @@ def hits(
             .select(F.col("dst").alias("node"), F.col("h"))
             .groupBy("node")
             .agg(F.sum("h").cast("long").alias("a"))
-        )
+        ).localCheckpoint(eager=True)
         auth = _norm(araw, "a")
         hraw = (
             e.join(auth, e.dst == auth.node)
             .select(F.col("src").alias("node"), F.col("a"))
             .groupBy("node")
             .agg(F.sum("a").cast("long").alias("h"))
-        )
+        ).localCheckpoint(eager=True)
         hubs = _norm(hraw, "h")
     return (
         nodes.join(auth, "node", "left")

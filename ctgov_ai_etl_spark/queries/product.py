@@ -3421,15 +3421,13 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
 
-    from ctgov_ai_etl_spark.operators import cache as _cache
-
     c0 = v.filter(F.col("vec_id") == 0).select(F.col("iv").alias("civ"))
-    dist = _cache.track(
+    dist = (
         v.crossJoin(F.broadcast(c0))
         .select(
             "vec_id", "iv", sq_dist(F.col("iv"), F.col("civ")).alias("mind")
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # fully lazy farthest-first traversal: each round's argmax is a
     # 1-row TakeOrdered frame that CARRIES the center's vector, so the
@@ -3445,7 +3443,15 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for r in range(1, _KC_ROUNDS):
-        pick = dist.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+        # eager 1-row checkpoint: keeps every later frame that embeds
+        # this pick (the next dist round AND the final union) a flat
+        # scan-of-materialized-rows instead of nesting the full
+        # TakeOrdered subtree k times over
+        pick = (
+            dist.orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         picks.append(
             pick.select(
                 F.lit(r).cast("int").alias("round"),
@@ -3462,11 +3468,13 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("mind"), sq_dist(F.col("iv"), F.col("civ"))
                 ).alias("mind"),
             )
-            # tracked persist per round: without it, round r's argmax
-            # AND every later round re-evaluate the whole distance
-            # chain from scratch (O(k^2) recomputation — billed 4.9 s
-            # at sf0.1 for a 500-row frame; r11 bench)
-            dist = _cache.track(dist.persist())
+            # eager localCheckpoint per round, NOT persist: persist
+            # bounds recompute but leaves the full nested logical plan
+            # in place — the final k-way union of picks composed an
+            # 801k-line formatted plan at k=8 (r12 audit), exponential
+            # in rounds.  Checkpointing truncates lineage so analysis
+            # cost is linear in k; runtime and hash unchanged.
+            dist = dist.localCheckpoint(eager=True)
     out = picks[0]
     for p_ in picks[1:]:
         out = out.unionAll(p_)
