@@ -68,10 +68,27 @@ def fdiv(a: Column, b: Column | int) -> Column:
     2^53, and ppm numerators like ``cents * 1_000_000`` blow past
     that at sf0.1 already (the agg_ratio_to_report ±1 incident).
     The decimal quotient of an exact multiple has zero fraction, so
-    its scale rounding can never flip the integer."""
+    its scale rounding can never flip the integer.
+
+    Overflow discipline: the sign-of-divisor remainder is built by
+    adding ``b`` to ``a % b`` ONLY when the truncated remainder is
+    nonzero and opposite-signed to ``b`` — that branch can never
+    overflow (the operands have opposite signs), unlike the
+    unconditional ``((a % b) + b) % b`` double-mod, whose inner add
+    blows int64 whenever ``|a % b + b| > 2^63 - 1`` (any ``|b| >
+    2^62`` with same-signed operands: ARITHMETIC_OVERFLOW under ANSI,
+    silently wrong without).  The multiple ``a - r`` is formed in
+    DECIMAL so ``a`` at int64 min minus a positive remainder cannot
+    wrap either.  The one unrepresentable combination is
+    ``fdiv(-2^63, -1)`` = 2^63, which exceeds int64 itself — the
+    long cast overflows there by necessity, matching DuckDB's own
+    BIGINT cast failure."""
     bb = F.lit(b) if isinstance(b, int) else b
-    r = ((a % bb) + bb) % bb
-    mult = (a - r).cast("decimal(38,0)")
+    m = a % bb
+    r = F.when(
+        (m != F.lit(0)) & ((m < F.lit(0)) != (bb < F.lit(0))), m + bb
+    ).otherwise(m)
+    mult = a.cast("decimal(38,0)") - r
     return (mult / bb.cast("decimal(38,0)")).cast("long")
 
 
@@ -86,8 +103,18 @@ def sql_fdiv(a: str, b: str) -> str:
     divided with ``//`` (exact on an exact multiple, any sign);
     (3) the final CAST keeps a HUGEINT-widened window-sum divisor out
     of the result schema (the r8 seq_transition_matrix / dq_benford
-    driver failures).  DuckDB ``%`` follows the dividend's sign, so
-    the double-mod normalizes it to Spark's non-negative pmod."""
+    driver failures).  DuckDB ``%`` follows the dividend's sign; the
+    conditional ``+ b`` (only when the truncated remainder is nonzero
+    and opposite-signed to ``b``) normalizes it to the sign-of-divisor
+    remainder without the double-mod's int64 add overflow — mirroring
+    the Spark form's overflow discipline exactly."""
     bb = f"CAST(({b}) AS BIGINT)"
-    pm = f"((({a}) % {bb}) + {bb}) % {bb}"
-    return f"CAST((({a}) - ({pm})) // {bb} AS BIGINT)"
+    m = f"(({a}) % {bb})"
+    pm = (
+        f"(CASE WHEN {m} <> 0 AND ({m} < 0) <> ({bb} < 0)"
+        f" THEN {m} + {bb} ELSE {m} END)"
+    )
+    return (
+        f"CAST((CAST(({a}) AS HUGEINT) - ({pm}))"
+        f" // CAST({bb} AS HUGEINT) AS BIGINT)"
+    )

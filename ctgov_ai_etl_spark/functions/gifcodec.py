@@ -16,9 +16,12 @@ Decoder surface (``decode_gif`` / ``decode_gif_frames``):
 - LZW: LSB-first variable-width codes (start min+1 bits, grow at
   2^width, cap 12), CLEAR resets the dictionary, the KwKwK corner
   case handled per the spec, END terminates.
-- Frames composite onto the logical screen (disposal method 1 /
-  unspecified semantics: draw over previous); transparency index
-  leaves the underlying pixel.
+- Frames composite onto the logical screen with the full GIF89a
+  disposal state machine: 0/1 draw-over, 2 restore-to-background
+  (region cleared to the background color after display; black when
+  no opaque background is in scope), 3 restore-to-previous (region
+  reverts to its pre-draw pixels); transparency index leaves the
+  underlying pixel.
 
 Encoder surface (``encode_gif``): full-frame grayscale-or-color
 palette frames with REAL LZW compression (dictionary up to 4096 with
@@ -205,6 +208,11 @@ def decode_gif_frames(data: bytes):
     bg_rgb = gct[bg] if (gct is not None and bg < len(gct)) else None
     frames = []
     transparent = None
+    disposal = 0
+    # post-display disposal of the PREVIOUS image block, applied just
+    # before the next block draws: (method, left, top, iw, ih,
+    # saved_region_rows) — saved rows only captured for method 3
+    pending: tuple | None = None
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -219,17 +227,6 @@ def decode_gif_frames(data: bytes):
             if label == 0xF9 and len(body) >= 4:
                 flags = body[0]
                 disposal = (flags >> 2) & 0x07
-                if disposal in (2, 3):
-                    # restore-to-background / restore-to-previous
-                    # compositing is a different state machine than
-                    # draw-over; silently treating it as draw-over
-                    # yields wrong luma features, so keep the honest
-                    # NotImplementedError seam (same contract as the
-                    # native-lib codec formats).
-                    raise NotImplementedError(
-                        f"GIF disposal method {disposal} "
-                        "(restore to background/previous) not supported"
-                    )
                 transparent = body[3] if flags & 0x01 else None
             continue
         if block != 0x2C:
@@ -263,6 +260,39 @@ def decode_gif_frames(data: bytes):
         # composite the fill into the output.
         if not frames and bg_rgb is not None and transparent is None:
             screen[:] = bytes(bg_rgb) * (w * h)
+        # Apply the PREVIOUS frame's post-display disposal now, before
+        # this block draws (GIF89a §23): method 2 restores its region
+        # to the background color (black when no opaque background is
+        # in scope — the deterministic no-alpha analogue of a
+        # transparent clear), method 3 restores the pre-draw pixels.
+        if pending is not None:
+            pd, pl, pt, pw_, ph_, saved = pending
+            if pd == 2:
+                fill = bytes(bg_rgb) if bg_rgb is not None else b"\0\0\0"
+                for y in range(ph_):
+                    if pt + y >= h:
+                        break
+                    row = ((pt + y) * w + pl) * 3
+                    ncols = min(pw_, w - pl)
+                    if ncols > 0:
+                        screen[row : row + 3 * ncols] = fill * ncols
+            elif pd == 3 and saved is not None:
+                for y, row_bytes in saved:
+                    row = (y * w + pl) * 3
+                    screen[row : row + len(row_bytes)] = row_bytes
+            pending = None
+        saved_rows = None
+        if disposal == 3:
+            saved_rows = []
+            for y in range(ih):
+                if top + y >= h:
+                    break
+                row = ((top + y) * w + left) * 3
+                ncols = min(iw, w - left)
+                if ncols > 0:
+                    saved_rows.append(
+                        (top + y, bytes(screen[row : row + 3 * ncols]))
+                    )
         for y in range(ih):
             for x in range(iw):
                 c = idx[y * iw + x]
@@ -274,7 +304,10 @@ def decode_gif_frames(data: bytes):
                 if top + y < h and left + x < w:
                     screen[px : px + 3] = bytes(ct[c])
         frames.append(bytes(screen))
+        if disposal in (2, 3):
+            pending = (disposal, left, top, iw, ih, saved_rows)
         transparent = None
+        disposal = 0
     if not frames:
         raise GifError("no image block found")
     return w, h, frames
@@ -303,13 +336,18 @@ def encode_gif(
     palette: list[tuple[int, int, int]],
     interlace: bool = False,
     delay_cs: int | None = None,
+    disposals: list[int] | None = None,
 ) -> bytes:
     """GIF89a with REAL LZW: ``frames`` are full-size index rasters
     (one byte per pixel into ``palette``); multi-frame input emits an
     animation (one graphic-control extension per frame when
-    ``delay_cs`` is given)."""
+    ``delay_cs`` or ``disposals`` is given).  ``disposals`` sets each
+    frame's GIF89a disposal method (0/1 draw-over, 2 restore to
+    background, 3 restore to previous) in the graphic-control flags."""
     if not frames:
         raise ValueError("need at least one frame")
+    if disposals is not None and len(disposals) != len(frames):
+        raise ValueError("disposals length must match frames")
     npal = len(palette)
     if npal < 2 or npal > 256 or npal & (npal - 1):
         raise ValueError("palette size must be a power of two in [2,256]")
@@ -324,9 +362,18 @@ def encode_gif(
     for r, g, b in palette:
         out += bytes((r, g, b))
     mcs = max(2, depth)
-    for f in frames:
-        if delay_cs is not None:
-            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+    for fi, f in enumerate(frames):
+        disp = disposals[fi] if disposals is not None else None
+        if delay_cs is not None or disp is not None:
+            if disp is not None and not 0 <= disp <= 3:
+                raise ValueError("disposal method must be 0..3")
+            flags = ((disp or 0) & 0x07) << 2
+            out += (
+                b"\x21\xf9\x04"
+                + bytes([flags])
+                + struct.pack("<H", delay_cs or 0)
+                + b"\x00\x00"
+            )
         ipk = 0x40 if interlace else 0x00
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipk)
         raster = _interlace(f, width, height) if interlace else f

@@ -536,7 +536,20 @@ def personalized_pagerank(
     seed-indicator base term (``base`` for seeds, 0 elsewhere) and
     the seed-concentrated initial distribution (``scale`` on seeds,
     0 elsewhere) — both map-side expressions on the node frame, so
-    personalization adds ZERO shuffles."""
+    personalization adds ZERO shuffles.
+
+    Teleport normalization — intentional deviation: EVERY seed gets
+    the full ``(100 - damping) * scale`` teleport base rather than
+    the conventional PPR split of one unit of teleport mass across
+    the seed set.  Total injected mass therefore grows with
+    ``|seeds|``, and ``rank_micro`` values are comparable only
+    between runs with the SAME seed set (for cross-seed-set
+    comparisons, divide by the seed count — a post-hoc scalar, since
+    the recursion is linear in the teleport vector).  The
+    unnormalized form keeps every score an exact integer multiple of
+    the same base regardless of seed count, which is what the
+    bit-exact cross-engine oracle pins; both engines implement this
+    same semantic."""
     e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -913,6 +913,12 @@ def audio_dft8_real(
                 arr = np.asarray(samples, dtype=np.int64)
                 for c in range(ch):
                     x = arr[c::ch][:8]
+                    if x.size < 8:
+                        # zero-pad short clips: the DFT of a
+                        # zero-padded frame is well-defined, and the
+                        # fixed (5,8) table would otherwise raise a
+                        # shape mismatch in the executor (ADVICE r12)
+                        x = np.pad(x, (0, 8 - x.size))
                     re = cos @ x
                     im = sin @ x
                     e = re * re + im * im

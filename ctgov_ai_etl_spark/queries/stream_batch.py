@@ -1995,13 +1995,32 @@ def stream_run_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_micro"),
         )
     )
-    # Pack as a MAP keyed by the actual bucket id: only occupied
-    # buckets exist in the model frame (empty buckets cannot occur in
-    # the scored stream either — same corpus, same hash).
-    packed = model.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("b", "lr_micro"))
-        ).alias("lr")
+    # Pack as a MAP keyed by the actual bucket id, alongside the
+    # add-1-smoothing floor for buckets the fitted model never saw
+    # (t_b = r_b = 0): in this harness the stream replays the fitting
+    # corpus so every bucket hits the map, but on genuinely new data
+    # an absent bucket must score at the smoothing floor, not NULL —
+    # a NULL would null the document's whole aggregate and silently
+    # drop it at the >= 0 gate (ADVICE r12).
+    packed = (
+        model.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "lr_micro"))
+            ).alias("lr")
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "lr",
+            F.round(
+                F.log(
+                    (F.col("rt") + _DSIR_BUCKETS).cast("double")
+                    / (F.col("tt") + _DSIR_BUCKETS).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_floor"),
+        )
     )
     stream = _read_documents_stream(spark, sf_dir)
     buckets = F.transform(
@@ -2015,7 +2034,10 @@ def stream_run_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 buckets,
                 F.lit(0).cast("long"),
-                lambda acc, b: acc + F.element_at(F.col("lr"), b),
+                lambda acc, b: acc
+                + F.coalesce(
+                    F.element_at(F.col("lr"), b), F.col("lr_floor")
+                ),
             ).alias("log_w_micro"),
         )
         .filter(F.col("log_w_micro") >= 0)

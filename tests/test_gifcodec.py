@@ -115,27 +115,154 @@ def test_transparency_leaves_underlying_pixel():
     )
 
 
-def test_disposal_restore_methods_raise():
-    """Disposal 2/3 (restore-to-background/previous) is a different
-    compositing state machine — the codec keeps the honest
-    NotImplementedError seam instead of silently drawing over."""
+def _build_gif(w, h, pal, bg, frame_specs):
+    """Hand-built GIF89a with per-frame region/disposal/transparency —
+    the test-side writer the disposal state machine is differential-
+    tested against.  Each spec: (left, top, iw, ih, idx_bytes,
+    disposal, transparent_or_None)."""
     import struct
 
-    for disposal in (2, 3):
-        out = bytearray(b"GIF89a")
-        out += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
-        for rgb in [(0, 0, 0), (10, 10, 10), (20, 20, 20), (0, 0, 0)]:
-            out += bytes(rgb)
-        out += b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
-        lzw = _lzw_encode(2, bytes([1]) * 4)
-        out += bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
-        with pytest.raises(NotImplementedError):
-            decode_gif_frames(bytes(out))
-    # disposal 0/1 still decodes
-    ok = bytearray(out)
-    ok[13 + 12 + 3] = 1 << 2
-    assert decode_gif_frames(bytes(ok))[2]
+    depth = len(pal).bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), bg, 0)
+    for rgb in pal:
+        out += bytes(rgb)
+    mcs = max(2, depth)
+    for left, top, iw, ih, idx, disposal, transparent in frame_specs:
+        flags = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            flags |= 0x01
+            tidx = transparent
+        out += b"\x21\xf9\x04" + bytes([flags]) + b"\x00\x00" + bytes([tidx]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        lzw = _lzw_encode(mcs, idx)
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _reference_composite(w, h, pal, bg, frame_specs):
+    """Independent GIF89a compositor (numpy 2D, spec §23): returns
+    the per-frame composited RGB rasters."""
+    screen = np.zeros((h, w, 3), dtype=np.uint8)
+    first = frame_specs[0]
+    if first[6] is None:  # opaque first frame: background fill shows
+        screen[:, :] = pal[bg]
+    frames = []
+    pending = None  # (disposal, region slice, saved copy)
+    for left, top, iw, ih, idx, disposal, transparent in frame_specs:
+        if pending is not None:
+            pd, (ys, xs), saved = pending
+            if pd == 2:
+                screen[ys, xs] = pal[bg]
+            elif pd == 3:
+                screen[ys, xs] = saved
+            pending = None
+        ys = slice(top, min(top + ih, h))
+        xs = slice(left, min(left + iw, w))
+        saved = screen[ys, xs].copy() if disposal == 3 else None
+        for y in range(ih):
+            for x in range(iw):
+                c = idx[y * iw + x]
+                if transparent is not None and c == transparent:
+                    continue
+                if top + y < h and left + x < w:
+                    screen[top + y, left + x] = pal[c]
+        frames.append(screen.tobytes())
+        if disposal in (2, 3):
+            pending = (disposal, (ys, xs), saved)
+    return frames
+
+
+def test_disposal_restore_to_previous():
+    """A disposal-3 frame's region reverts to its pre-draw pixels
+    before the next frame draws: an all-transparent third frame must
+    re-expose the FIRST frame's screen, not the second's."""
+    pal = [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+    f1 = (0, 0, 2, 2, bytes([1, 1, 1, 1]), 0, None)
+    f2 = (0, 0, 2, 2, bytes([2, 2, 2, 2]), 3, None)
+    f3 = (0, 0, 2, 2, bytes([0, 0, 0, 0]), 0, 0)  # all transparent
+    g = _build_gif(2, 2, pal, 0, [f1, f2, f3])
+    _, _, frames = decode_gif_frames(g)
+    assert frames[0] == bytes([10, 10, 10] * 4)
+    assert frames[1] == bytes([20, 20, 20] * 4)
+    assert frames[2] == frames[0]  # restored, NOT draw-over
+
+
+def test_disposal_restore_to_background_region():
+    """A disposal-2 frame's REGION (only) clears to the background
+    color after display; pixels outside the region keep the prior
+    frame's composite."""
+    pal = [(5, 5, 5), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+    f1 = (0, 0, 2, 2, bytes([1, 1, 1, 1]), 0, None)
+    f2 = (1, 0, 1, 2, bytes([2, 2]), 2, None)  # right column, disposal 2
+    f3 = (0, 0, 2, 2, bytes([0] * 4), 0, 0)  # all transparent
+    g = _build_gif(2, 2, pal, 0, [f1, f2, f3])
+    _, _, frames = decode_gif_frames(g)
+    assert frames[1] == bytes([10, 10, 10, 20, 20, 20] * 2)
+    # right column restored to bg color (5,5,5), left keeps frame 1
+    assert frames[2] == bytes([10, 10, 10, 5, 5, 5] * 2)
+
+
+def test_disposal_differential_random_animations():
+    """Random multi-frame animations with random sub-regions,
+    disposals 0-3 and transparency must match the independent
+    reference compositor frame-for-frame."""
+    rng = np.random.default_rng(1234)
+    pal = PAL16
+    for _ in range(25):
+        w = int(rng.integers(2, 9))
+        h = int(rng.integers(2, 9))
+        specs = []
+        for fi in range(int(rng.integers(2, 6))):
+            if fi == 0 or rng.random() < 0.3:
+                left = top = 0
+                iw, ih = w, h
+            else:
+                left = int(rng.integers(0, w))
+                top = int(rng.integers(0, h))
+                iw = int(rng.integers(1, w - left + 1))
+                ih = int(rng.integers(1, h - top + 1))
+            idx = bytes(rng.integers(0, 16, size=iw * ih, dtype=np.uint8))
+            disposal = int(rng.integers(0, 4))
+            transparent = (
+                int(rng.integers(0, 16)) if (fi > 0 and rng.random() < 0.5)
+                else None
+            )
+            specs.append((left, top, iw, ih, idx, disposal, transparent))
+        g = _build_gif(w, h, pal, 0, specs)
+        got = decode_gif_frames(g)[2]
+        want = _reference_composite(w, h, pal, 0, specs)
+        assert got == want
+
+
+def test_disposal_free_unchanged_vs_draw_over():
+    """Property vs the draw-over baseline: on disposal-free (0/1)
+    animations the new state machine is a no-op — every composited
+    frame equals plain draw-over compositing."""
+    rng = np.random.default_rng(77)
+    for _ in range(10):
+        w, h = int(rng.integers(2, 7)), int(rng.integers(2, 7))
+        n = int(rng.integers(2, 5))
+        rasters = [
+            bytes(rng.integers(0, 16, size=w * h, dtype=np.uint8))
+            for _ in range(n)
+        ]
+        disposals = [int(rng.integers(0, 2)) for _ in range(n)]
+        g = encode_gif(w, h, rasters, PAL16, disposals=disposals)
+        plain = encode_gif(w, h, rasters, PAL16)
+        assert decode_gif_frames(g)[2] == decode_gif_frames(plain)[2]
+        # draw-over reference: each frame independently expanded
+        # (full-frame opaque rasters overwrite everything)
+        assert decode_gif_frames(g)[2] == [
+            _expand(PAL16, r) for r in rasters
+        ]
 
 
 def test_lzw_min_code_size_spec_cap():

@@ -991,6 +991,14 @@ def test_fdiv_matches_python_floor_and_duckdb(spark):
     cases = [
         (7, 3), (-7, 3), (7, -3), (-7, -3), (0, 5), (6, 3), (-6, 3),
         (2**62, 997), (-(2**62), 997), (2**53 + 1, 2), (10**18, 10**9),
+        # |b| > 2^62: the unconditional ((a % b) + b) % b inner add
+        # overflows int64 on every one of these (ADVICE r12) — the
+        # conditional-add form must stay exact
+        (2**62 + 1, 2**62 + 2), (-(2**62) - 5, 2**62 + 3),
+        (2**62 + 7, -(2**62) - 9), (-(2**62) - 11, -(2**62) - 13),
+        (2**63 - 1, 2**63 - 1), (-(2**63), 2**63 - 1),
+        (-(2**63), -(2**63)), (2**63 - 1, -(2**63)),
+        (5, 2**63 - 1), (-5, 2**63 - 1), (5, -(2**63)), (-5, -(2**63)),
     ]
     cases += [
         (rng.randrange(-(2**62), 2**62), rng.choice([1, 2, 3, 97, 10**6, -5]))
@@ -1009,3 +1017,30 @@ def test_fdiv_matches_python_floor_and_duckdb(spark):
             f"SELECT {sql_fdiv(f'CAST({a} AS BIGINT)', f'CAST({b} AS BIGINT)')} AS q"
         ).fetchone()[0]
         assert duck == want, (a, b, duck)
+
+
+def test_audio_dft8_zero_pads_short_clips(spark):
+    """A WAV with fewer than 8 frames per channel must produce the
+    DFT of the zero-padded window, not an executor shape-mismatch
+    (ADVICE r12): pad-with-zeros equals summing only the live
+    samples."""
+    import struct
+
+    from ctgov_ai_etl_spark.functions.imagecodec import encode_wav
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        DFT8_COS,
+        DFT8_SIN,
+        audio_dft8_real,
+    )
+
+    vals = [100, -200, 300]  # 3 mono frames < 8
+    blob = encode_wav(8000, 1, struct.pack("<3h", *vals))
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    rows = audio_dft8_real(df, "doc_id").collect()
+    got = {(r["channel"], r["bin"]): r["energy"] for r in rows}
+    x = vals + [0] * 5
+    for m in range(5):
+        re = sum(x[k] * DFT8_COS[m][k] for k in range(8))
+        im = sum(x[k] * DFT8_SIN[m][k] for k in range(8))
+        assert got[(0, m)] == re * re + im * im
+    assert len(rows) == 5

@@ -19,6 +19,16 @@ from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
+# Plan-size budget (VERDICT r12 item 2): a formatted physical plan
+# larger than this is treated as a lineage-control bug even when the
+# answers are correct — the two real offenders caught at r12 were
+# graph_hits (47,476 lines: un-truncated iterative loop) and
+# sample_kcenter_coreset (801,551 lines: persist-not-checkpoint in a
+# k-round traversal).  Every audited query is checked; `--sizes-all`
+# walks the ENTIRE registry (construction + formatted explain, no
+# execution) so new iterative operators can't regress silently.
+PLAN_LINE_BUDGET = 5_000
+
 # query -> list of (property, regex that must match the plan)
 #
 # Negative properties ("no shuffle", "no single-reducer window") MUST
@@ -823,6 +833,54 @@ def plan_of(df) -> str:
     return executed + "\n\n" + formatted
 
 
+def formatted_plan_of(df) -> str:
+    """Formatted explain WITHOUT executing the frame — sufficient for
+    the size budget (the 801k-line r12 offender was visible in the
+    pre-execution formatted plan)."""
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def sizes_all() -> int:
+    """Walk the FULL registry and fail any query whose formatted plan
+    exceeds PLAN_LINE_BUDGET lines.  Writes PLANSIZE.json."""
+    import json
+
+    registry = load_all()
+    spark = get_spark("explain_audit_sizes")
+    sizes: dict[str, int] = {}
+    over: list[str] = []
+    for name in sorted(registry):
+        try:
+            df = registry[name].fn(spark, SF)
+            n = formatted_plan_of(df).count("\n") + 1
+        except Exception as exc:  # construction failure is a failure
+            print(f"ERR   {name}: {exc}")
+            over.append(name)
+            continue
+        sizes[name] = n
+        if n > PLAN_LINE_BUDGET:
+            over.append(name)
+            print(f"OVER  {name}: {n} lines (> {PLAN_LINE_BUDGET})")
+    top = sorted(sizes.items(), key=lambda kv: -kv[1])[:10]
+    with open("PLANSIZE.json", "w") as fh:
+        json.dump(
+            {
+                "budget_lines": PLAN_LINE_BUDGET,
+                "queries": len(sizes),
+                "over_budget": over,
+                "top10": top,
+            },
+            fh,
+            indent=1,
+        )
+    print(f"\n{len(sizes)} plans sized; {len(over)} over budget; "
+          f"largest: {top[0] if top else None}; PLANSIZE.json written")
+    return 1 if over else 0
+
+
 def main() -> int:
     registry = load_all()
     spark = get_spark("explain_audit")
@@ -840,6 +898,16 @@ def main() -> int:
         df = registry[name].fn(spark, SF)
         plan = plan_of(df)
         lines.append(f"## {name}\n")
+        nlines = plan.count("\n") + 1
+        size_ok = nlines <= PLAN_LINE_BUDGET
+        if not size_ok:
+            failures += 1
+        lines.append(
+            f"- {'✅' if size_ok else '✗'} plan within size budget"
+            f" ({nlines} lines, budget {PLAN_LINE_BUDGET})"
+        )
+        print(f"{'PASS' if size_ok else 'FAIL'}  {name}: "
+              f"plan size {nlines} lines")
         for prop, pattern in checks:
             ok = re.search(pattern, plan, re.MULTILINE | re.DOTALL) is not None
             mark = "✅" if ok else "✗"
@@ -1682,5 +1750,26 @@ CHECKS["anomaly_volume_days"] = [
      r"BroadcastNestedLoopJoin|BroadcastExchange"),
 ]
 
+CHECKS["graph_hits"] = [
+    # r12's 47k-line / 2304-scan offender: the loop now eagerly
+    # localCheckpoints the edge set and each half-step's raw scores,
+    # so the final plan reads materialized RDDs instead of replaying
+    # three rounds of joins twice over (the max-normalize double-read)
+    ("loop lineage truncated (checkpoint scan, not replay)",
+     r"Scan ExistingRDD"),
+    ("no cartesian beyond the broadcast 1-row max frames",
+     r"\A(?!.*CartesianProduct)"),
+]
+CHECKS["sample_kcenter_coreset"] = [
+    # r12's 801k-line offender: per-round eager localCheckpoint on
+    # dist AND the 1-row pick keeps the k-way union flat
+    ("farthest-first rounds checkpointed (no nested replay)",
+     r"Scan ExistingRDD"),
+    ("center updates ride broadcast 1-row joins",
+     r"BroadcastNestedLoopJoin|BroadcastExchange"),
+]
+
 if __name__ == "__main__":
+    if "--sizes-all" in sys.argv:
+        sys.exit(sizes_all())
     sys.exit(main())
