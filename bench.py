@@ -33,6 +33,17 @@ from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
 
+# Catalog-total performance line (VERDICT r12 item 4): the r11 "hold
+# <= 360 s" line was structurally exceeded by catalog growth (+42
+# queries billed ~68 s while the r11-common set got FASTER, 356.2 ->
+# 345.8 s), so the re-baselined budget is <= 450 s of summed per-query
+# time for a catalog of <= 420 benched queries, same no-silent-skips
+# rule (every skip is listed in tail_skipped and flagged on stderr;
+# DEEP_TIER deferrals each name their still-benched floor above).
+# The bench emits `catalog_total` so the line is checkable from the
+# JSON artifact alone.
+CATALOG_TOTAL_TARGET_S = 450.0
+
 # Headline set: the scan/join/agg/window spine plus one of each
 # LLM-pipeline operator family (dedup, similarity, text, classify,
 # streaming-window) — the queries whose plans carry the 100 TB story.
@@ -211,6 +222,8 @@ def main() -> None:
         "queries": timings,
         "headline_runs": headline_runs,
         "sf": sf,
+        "catalog_total": round(sum(timings.values()), 3),
+        "catalog_total_target": CATALOG_TOTAL_TARGET_S,
     }
     if tail_runs:
         out["tail_runs"] = tail_runs

@@ -34,71 +34,23 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # changed/new) is driver-green in CORRECTNESS_r10.json and rotates
 # out to the registry tail.
 _PRIORITY = (
-    # Round-12 priority.  The r11 verdict asked for an almost-pure
-    # stale-refresh head (item 1): 25 registered queries had NEVER
-    # been driver-sampled, 23 still carried r4 evidence, 42 carried
-    # r5 (all F11-green in the local full sweep, so this is evidence
-    # freshness, not correctness risk).  The codified rule still
-    # leads with reds (none) and changed-this-round, then the stale
-    # cohorts: never-sampled > r4 > r5.
-    # -- block 0: CHANGED by the r12 ADVICE fixes (CUPED exact
-    #    per-variant integer sums; GIF disposal/transparency guards;
-    #    attribution join-frame aliases)
-    "stat_cuped",
-    "mm_decode_gif",
-    "attribution_time_decay",
-    # -- block 1: NEW in round 12 (names appended as each lands —
-    #    the ghost assertion below keeps the list honest)
-    "stream_run_decontam",
+    # Round-13 priority.  The r12 verdict (item 3) asked to finish the
+    # evidence rotation for real: after the r12 window consumed 47
+    # never-sampled names, 21 r9-wave queries remained never
+    # driver-sampled and 23+42 still carried r4/r5 evidence (all
+    # F12-green in the local full sweep at three SFs — freshness, not
+    # correctness risk).  Codified rule: reds (none) > changed this
+    # round > never-sampled > stalest cohort first.
+    # -- block 0: CHANGED by the r13 fixes (graph_hits/kcenter loop
+    #    lineage truncation; GIF disposal 2/3 state machine; DSIR
+    #    smoothing-floor coalesce; audio DFT zero-pad)
     "graph_hits",
-    "ml_ndcg_mrr",
-    "ts_sax_symbols",
-    "ml_naive_bayes",
-    "mm_audio_features",
-    "feature_hash_vectorize",
-    "gov_dp_histogram",
-    "stat_bh_fdr",
-    "stat_levene_bf",
-    "cluster_silhouette",
-    # -- block 1b: NEW in the round-12 continuation session (same
-    #    rule: new-this-round queries lead the stale cohorts)
-    "text_blocklist_filter",
-    "stream_run_blocklist",
-    "text_ngram_novelty",
-    "sample_dsir_importance",
-    "split_time_series_cv",
-    "graph_personalized_pagerank",
-    "ml_gbdt_stumps",
-    "geo_polygon_contains",
-    "ts_dtw_pairs",
-    "dq_entropy_profile",
+    "sample_kcenter_coreset",
+    "mm_decode_gif",
     "stream_run_dsir_gate",
-    "attribution_markov_removal",
-    "ml_logistic_histogram",
-    "feature_woe_iv",
-    "stat_permutation_test",
-    "text_zipf_slope",
-    "sim_ivf_recall_eval",
-    "stat_mcnemar",
     "mm_audio_dft8",
-    "stat_anova_f",
-    "dedup_lsh_recall_eval",
-    "graph_random_walks",
-    "cluster_dbscan_grid",
-    "emb_matryoshka_recall",
-    "udf_arrow_scalar",
-    "pipeline_select_corpus",
-    "ts_max_drawdown",
-    "sample_neyman_allocation",
-    "graph_walk_skipgram_pairs",
-    "ml_offpolicy_ips",
-    "anomaly_volume_days",
-    "stream_run_volume_alert",
-    # -- block 2: never driver-sampled (alphabetical)
-    "agg_corr_exact",
-    "agg_percentile_disc",
-    "agg_ratio_to_report",
-    "dq_skew_report",
+    # -- block 1: never driver-sampled (the r12 verdict's 21,
+    #    alphabetical)
     "feature_scale_robust",
     "fn_regex_family",
     "gov_right_to_erasure",
@@ -120,7 +72,7 @@ _PRIORITY = (
     "ts_max_concurrency",
     "win_rolling_corr",
     "win_streak_longest",
-    # -- block 3: stalest driver evidence (r4), alphabetical
+    # -- block 2: stalest driver evidence (r4), alphabetical
     "join_anti",
     "join_bucket_colocated",
     "join_cross",
@@ -144,7 +96,7 @@ _PRIORITY = (
     "ts_resample_ffill",
     "when_otherwise_buckets",
     "win_rank_family",
-    # -- block 4: r5-latest driver evidence, alphabetical
+    # -- block 3: r5-latest driver evidence, alphabetical
     "agg_filtered_conditional",
     "agg_global",
     "agg_percentiles",
