@@ -5,11 +5,15 @@ decodable with nothing beyond the standard library:
 
 - **PPM/PGM (netpbm P6/P5)** — a header + raw raster; the lingua
   franca of codec test suites.
-- **PNG** — 8-bit greyscale / RGB / RGBA, all five scanline filters
-  (None/Sub/Up/Average/Paeth), non-interlaced; IDAT inflates with
-  ``zlib`` (stdlib).  This is a genuine decoder: a wrong Paeth
-  predictor or a missed filter byte corrupts every pixel after it,
-  and the oracle-checked mean-luma would miss.
+- **PNG** — the FULL spec matrix (round 13): greyscale 1/2/4/8/16,
+  palette 1/2/4/8 (PLTE resolved to RGB), grey+alpha and
+  truecolor(+alpha) 8/16, all five scanline filters (None/Sub/Up/
+  Average/Paeth), and Adam7 interlacing (seven independently
+  filtered sub-images); IDAT inflates with ``zlib`` (stdlib).
+  16-bit samples decimate to the high byte, sub-byte greys scale by
+  255/(2^d-1).  This is a genuine decoder: a wrong Paeth predictor
+  or a missed filter byte corrupts every pixel after it, and the
+  oracle-checked mean-luma would miss.
 - **WAV (RIFF PCM-16)** — chunk-stream walk (unknown chunks skipped,
   odd-size RIFF padding honored), little-endian int16 frames; the
   audio leg of the multimodal family (``mm_decode_audio``).
@@ -39,8 +43,23 @@ import re
 import struct
 import zlib
 
-# number of color channels per PNG color type (alpha included)
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# samples per pixel per PNG color type (alpha included)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# channels in the decoded OUTPUT raster (alpha dropped, palette -> RGB)
+_PNG_COLOR_CH = {0: 1, 2: 3, 3: 3, 4: 1, 6: 3}
+# legal bit depths per color type (PNG spec table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7: per-pass (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -112,23 +131,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, int]:
-    """Decode an 8-bit non-interlaced greyscale/RGB/RGBA PNG.
-
-    Walks the chunk stream (IHDR → IDAT* → IEND), inflates, and
-    reverses the per-scanline filter (all five types).  Returns
-    ``(width, height, luma_sum, n_samples)`` over the COLOR samples
-    (alpha bytes excluded — luma is a color statistic).
-    """
+def _png_parse(data: bytes):
+    """Chunk walk shared by the decoders: returns
+    ``(w, h, depth, color_type, interlace, palette, inflated_idat)``.
+    Raises on anything the spec forbids (bad depth/type combination,
+    unknown compression/filter method, missing PLTE for type 3)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = [tuple(body[i : i + 3]) for i in range(0, length, 3)]
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -137,91 +157,137 @@ def decode_png(data: bytes) -> tuple[int, int, int, int]:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
-    ch = _PNG_CHANNELS[color_type]
-    color_ch = ch - 1 if color_type == 6 else ch  # drop alpha
-    lines = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
-    luma_sum = n = 0
-    for line in lines:
-        for px in range(w):
-            base = px * ch
-            for k in range(color_ch):
-                luma_sum += line[base + k]
-                n += 1
-    return w, h, luma_sum, n
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal bit depth {depth} for color type {color_type}"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+    return w, h, depth, color_type, interlace, plte, zlib.decompress(
+        b"".join(idat)
+    )
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> list:
-    """Reverse the per-scanline filters (all five types) — the
-    load-bearing walk shared by the sum and pixel decoders."""
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("decompressed size mismatch")
-    prev = bytearray(stride)
-    lines = []
-    for y in range(h):
-        off = y * (stride + 1)
+def _unfilter_rows(raw, off: int, row_bytes: int, nrows: int, bpp: int):
+    """Reverse the per-scanline filters (all five types) for one
+    (sub-)image of ``nrows`` rows of ``row_bytes`` bytes, starting at
+    ``off`` in the inflated stream; ``bpp`` is the filter's pixel
+    distance in BYTES (max(1, channels*depth/8) per the spec, so
+    sub-byte depths filter at distance 1).  Returns (rows, new_off)."""
+    prev = bytearray(row_bytes)
+    rows = []
+    for _ in range(nrows):
+        if off + 1 + row_bytes > len(raw):
+            raise ValueError("decompressed size mismatch")
         ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
+        line = bytearray(raw[off + 1 : off + 1 + row_bytes])
+        off += 1 + row_bytes
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
-            for i in range(stride):
+            for i in range(row_bytes):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad filter type {ftype}")
-        lines.append(line)
+        rows.append(line)
         prev = line
-    return lines
+    return rows, off
+
+
+def _row_samples(line, depth: int, nsamp: int):
+    """Unpack one unfiltered scanline into ``nsamp`` integer samples:
+    big-endian 16-bit pairs, whole bytes at 8, MSB-first bit fields
+    below 8 (trailing pad bits ignored per the spec)."""
+    if depth == 8:
+        return list(line[:nsamp])
+    if depth == 16:
+        return [
+            (line[2 * i] << 8) | line[2 * i + 1] for i in range(nsamp)
+        ]
+    out = []
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for i in range(nsamp):
+        b = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out.append((b >> shift) & mask)
+    return out
 
 
 def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """Like :func:`decode_png` but returns the raw color raster
-    ``(width, height, color_channels, raster_bytes)`` with alpha
-    dropped — the input to pixel-level kernels (resize, crop)."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("bad PNG signature")
-    pos, idat, ihdr = 8, [], None
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + body + crc
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported color type {color_type}")
-    ch = _PNG_CHANNELS[color_type]
-    color_ch = ch - 1 if color_type == 6 else ch
-    lines = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
-    out = bytearray()
-    for line in lines:
-        for px in range(w):
-            base = px * ch
-            out += line[base : base + color_ch]
-    return w, h, color_ch, bytes(out)
+    """Full-spec PNG decode to an 8-bit color raster: every legal
+    (color type, bit depth) combination — greyscale 1/2/4/8/16,
+    palette 1/2/4/8, grey+alpha and truecolor(+alpha) 8/16 — plus
+    Adam7 interlacing (7 independently-filtered sub-images placed on
+    the pixel lattice).  Returns ``(width, height, color_channels,
+    raster)`` with alpha dropped and the palette resolved to RGB;
+    16-bit samples decimate to their high byte, sub-byte greys scale
+    by 255/(2^d - 1) — both the standard 8-bit presentations."""
+    w, h, depth, ct, interlace, plte, raw = _png_parse(data)
+    ch = _PNG_CHANNELS[ct]
+    cch = _PNG_COLOR_CH[ct]
+    maxv = (1 << depth) - 1
+    out = bytearray(w * h * cch)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        row_bytes = (pw * ch * depth + 7) // 8
+        bpp = max(1, ch * depth // 8)
+        rows, off = _unfilter_rows(raw, off, row_bytes, ph, bpp)
+        for ry, line in enumerate(rows):
+            samp = _row_samples(line, depth, pw * ch)
+            y = y0 + ry * dy
+            for px in range(pw):
+                base = px * ch
+                dst = (y * w + x0 + px * dx) * cch
+                if ct == 3:
+                    idx = samp[base]
+                    if idx >= len(plte):
+                        raise ValueError("palette index out of range")
+                    out[dst : dst + 3] = bytes(plte[idx])
+                elif ct in (0, 4):
+                    v = samp[base]
+                    if depth == 16:
+                        v >>= 8
+                    elif depth < 8:
+                        v = v * 255 // maxv
+                    out[dst] = v
+                else:  # 2, 6
+                    for k in range(3):
+                        v = samp[base + k]
+                        out[dst + k] = (v >> 8) if depth == 16 else v
+    if off != len(raw):
+        raise ValueError("decompressed size mismatch")
+    return w, h, cch, bytes(out)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, int]:
+    """Decode any legal PNG (see :func:`decode_png_pixels`) to the
+    shared feature contract ``(width, height, luma_sum, n_samples)``
+    over the 8-bit COLOR samples (alpha excluded, palette resolved —
+    luma is a color statistic)."""
+    w, h, cch, raster = decode_png_pixels(data)
+    return w, h, sum(raster), w * h * cch
 
 
 def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
@@ -296,7 +362,7 @@ def decode_image_bytes(data: bytes) -> tuple[int, int, float]:
             return w, h, round(s / n / 255.0, 6)
     raise NotImplementedError(
         "no codec for this payload in the stdlib-only environment "
-        "(PPM/PGM and 8-bit PNG are supported; install PIL/turbojpeg "
+        "(PPM/PGM and full-spec PNG are supported; install PIL/turbojpeg "
         "on the executors and register the format in _DISPATCH)"
     )
 
@@ -327,35 +393,20 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    color_type: int = 0,
-    filter_per_row=None,
-) -> bytes:
-    """8-bit non-interlaced PNG encoder.  ``pixels`` is the unfiltered
-    raster (w*h*channels bytes).  ``filter_per_row(y) -> 0..4`` picks
-    the scanline filter — the tests and the oracle query deliberately
-    cycle through ALL FIVE so the decoder's unfilter path (Sub/Up/
-    Average/Paeth predictors) is exercised end-to-end, not just the
-    trivial filter-0 case."""
-    ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
-    if len(pixels) != stride * height:
-        raise ValueError("raster size mismatch")
-    pick = filter_per_row or (lambda y: 0)
+def _filter_pass(rows, bpp: int, pick) -> bytearray:
+    """Apply the chosen per-row filter to one (sub-)image's rows —
+    each pass starts with a zero prior row, per the spec."""
     out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
+    prev = bytes(len(rows[0])) if rows else b""
+    for y, line in enumerate(rows):
         ftype = pick(y)
-        filt = bytearray(stride)
-        for i in range(stride):
+        n = len(line)
+        filt = bytearray(n)
+        for i in range(n):
             x = line[i]
-            a = line[i - ch] if i >= ch else 0
+            a = line[i - bpp] if i >= bpp else 0
             b = prev[i]
-            c = prev[i - ch] if i >= ch else 0
+            c = prev[i - bpp] if i >= bpp else 0
             if ftype == 0:
                 v = x
             elif ftype == 1:
@@ -372,10 +423,79 @@ def encode_png(
         out.append(ftype)
         out.extend(filt)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return out
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filter_per_row=None,
+    interlace: bool = False,
+    bit_depth: int = 8,
+    palette=None,
+) -> bytes:
+    """PNG encoder: 8- or 16-bit greyscale / grey+alpha / RGB / RGBA,
+    8-bit palette (``palette`` = RGB triple list, ``pixels`` = index
+    bytes, forces color type 3), optional Adam7 interlacing (each of
+    the 7 sub-images filtered independently).  ``pixels`` is the
+    unfiltered raster — w*h*channels bytes at depth 8, big-endian
+    2-byte samples at depth 16.  ``filter_per_row(y) -> 0..4`` picks
+    the scanline filter — the tests and the oracle query deliberately
+    cycle through ALL FIVE so the decoder's unfilter path (Sub/Up/
+    Average/Paeth predictors) is exercised end-to-end, not just the
+    trivial filter-0 case."""
+    if palette is not None:
+        color_type = 3
+        if bit_depth != 8:
+            raise ValueError("palette encoder writes depth 8 only")
+        npal = len(palette)
+        if not 1 <= npal <= 256:
+            raise ValueError("palette must have 1..256 entries")
+        if pixels and max(pixels) >= npal:
+            raise ValueError("index outside palette")
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise ValueError("encoder supports depth 8 or 16 (8 for palette)")
+    ch = _PNG_CHANNELS[color_type]
+    sb = bit_depth // 8
+    px_bytes = ch * sb
+    stride = width * px_bytes
+    if len(pixels) != stride * height:
+        raise ValueError("raster size mismatch")
+    pick = filter_per_row or (lambda y: 0)
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = []
+            for ry in range(ph):
+                y = y0 + ry * dy
+                line = bytearray()
+                for px in range(pw):
+                    base = (y * width + x0 + px * dx) * px_bytes
+                    line += pixels[base : base + px_bytes]
+                rows.append(bytes(line))
+            out += _filter_pass(rows, px_bytes, pick)
+    else:
+        rows = [
+            pixels[y * stride : (y + 1) * stride] for y in range(height)
+        ]
+        out += _filter_pass(rows, px_bytes, pick)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
+    )
+    png = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _chunk(
+            b"PLTE", b"".join(bytes(rgb) for rgb in palette)
+        )
     return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
+        png
         + _chunk(b"IDAT", zlib.compress(bytes(out)))
         + _chunk(b"IEND", b"")
     )

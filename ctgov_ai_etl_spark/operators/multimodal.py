@@ -90,6 +90,86 @@ def render_test_images(
     )
 
 
+# Fixed 16-entry palette for the PNG-matrix fixture: arithmetic in
+# i so a SQL oracle replays the RGB sums closed-form.
+PNG_MATRIX_PALETTE = [
+    ((i * 7) % 256, (i * 13) % 256, (i * 29) % 256) for i in range(16)
+]
+
+
+def render_png_matrix(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize the FULL-SPEC PNG matrix (round 13) deterministically
+    from a text column — the fixture generator for the generalized
+    decoder: variant = id % 5 renders
+    0: 8-bit palette, Adam7 interlaced;  1: 16-bit greyscale;
+    2: 16-bit RGB, Adam7 interlaced;     3: 8-bit grey+alpha;
+    4: 8-bit palette, non-interlaced —
+    every one with scanline filters cycling through all five types.
+    Sample construction keeps the DECODED 8-bit raster closed-form:
+    16-bit samples carry (v+j)%256 in the HIGH byte (decimation
+    target) and a different series in the low byte so a decoder that
+    read the wrong byte fails the oracle; alpha bytes likewise differ
+    from the grey series so a decoder that averaged alpha in fails."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.imagecodec import encode_png
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+    pal = PNG_MATRIX_PALETTE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, variants, blobs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                w, h, v = 1 + dig[0] % 16, 1 + dig[1] % 16, dig[2]
+                variant = int(rid) % 5
+                cyc = lambda y: y % 5  # noqa: E731
+                if variant in (0, 4):
+                    idx = bytes((v + j) % 16 for j in range(w * h))
+                    blob = encode_png(
+                        w, h, idx, palette=pal,
+                        interlace=(variant == 0), filter_per_row=cyc,
+                    )
+                elif variant == 1:
+                    raw = b"".join(
+                        bytes(((v + j) % 256, (v + 5 * j) % 256))
+                        for j in range(w * h)
+                    )
+                    blob = encode_png(
+                        w, h, raw, 0, bit_depth=16, filter_per_row=cyc
+                    )
+                elif variant == 2:
+                    raw = b"".join(
+                        bytes(((v + j) % 256, (v + 5 * j) % 256))
+                        for j in range(w * h * 3)
+                    )
+                    blob = encode_png(
+                        w, h, raw, 2, bit_depth=16, interlace=True,
+                        filter_per_row=cyc,
+                    )
+                else:
+                    raw = b"".join(
+                        bytes(((v + j) % 256, (v + 3 * j + 1) % 256))
+                        for j in range(w * h)
+                    )
+                    blob = encode_png(w, h, raw, 4, filter_per_row=cyc)
+                ids.append(rid)
+                variants.append(variant)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {id_col: ids, "variant": variants, "blob": blobs}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, variant int, blob binary"
+    )
+
+
 def render_test_jpegs(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -49,6 +49,8 @@ _PRIORITY = (
     "mm_decode_gif",
     "stream_run_dsir_gate",
     "mm_audio_dft8",
+    # -- block 0b: NEW in round 13 (full-spec PNG matrix)
+    "mm_decode_png_matrix",
     # -- block 1: never driver-sampled (the r12 verdict's 21,
     #    alphabetical)
     "feature_scale_robust",

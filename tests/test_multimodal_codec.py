@@ -164,13 +164,13 @@ def test_png_malformed_inputs():
         decode_png(b"not a png at all")
     with pytest.raises(ValueError, match="missing IHDR"):
         decode_png(sig + _chunk(b"IEND", b""))
-    # 16-bit depth unsupported
-    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
-    with pytest.raises(ValueError, match="8-bit"):
-        decode_png(sig + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b""))
-    # palette color type unsupported
+    # illegal depth/type combination (16-bit palette is spec-illegal)
+    ihdr16p = struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        decode_png(sig + _chunk(b"IHDR", ihdr16p) + _chunk(b"IEND", b""))
+    # palette image without a PLTE chunk
     ihdr_pal = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
-    with pytest.raises(ValueError, match="color type"):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(sig + _chunk(b"IHDR", ihdr_pal) + _chunk(b"IEND", b""))
     # truncated IDAT -> decompressed size mismatch (or zlib error)
     good_raw = bytes([0, 10, 20])  # filter0 + 2 px
@@ -546,3 +546,138 @@ def test_y4m_per_frame_sums():
     bad[bad.index(b"FRAME", 20)] = ord("X")
     with pytest.raises(ValueError, match="FRAME"):
         decode_y4m_frames(bytes(bad))
+
+
+# ----------------------- full-spec PNG matrix (round 13)
+
+
+def test_png_16bit_and_interlace_roundtrip():
+    """16-bit samples decimate to the high byte; Adam7 passes place
+    every pixel exactly once — round-trip through the encoder for
+    grey/RGB/RGBA at depths 8/16, interlaced and not."""
+    import random
+
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = random.Random(99)
+    for ct, ch in ((0, 1), (2, 3), (6, 4), (4, 2)):
+        cch = 1 if ct in (0, 4) else 3
+        for depth in (8, 16):
+            for interlace in (False, True):
+                w = rng.randrange(1, 13)
+                h = rng.randrange(1, 13)
+                sb = depth // 8
+                pix = bytes(
+                    rng.randrange(256) for _ in range(w * h * ch * sb)
+                )
+                g = encode_png(
+                    w, h, pix, ct,
+                    filter_per_row=lambda y: y % 5,
+                    interlace=interlace, bit_depth=depth,
+                )
+                W, H, CH, r = decode_png_pixels(g)
+                assert (W, H, CH) == (w, h, cch)
+                want = bytearray()
+                for p in range(w * h):
+                    base = p * ch * sb
+                    for k in range(cch):
+                        want.append(pix[base + k * sb])  # hi byte at 16
+                assert r == bytes(want), (ct, depth, interlace, w, h)
+
+
+def test_png_palette_roundtrip_and_subbyte_grey():
+    """Palette images resolve indices through PLTE; sub-byte greys
+    (1/2/4-bit, MSB-first bit packing, per-row byte padding) scale by
+    255/(2^d - 1) — hand-built filtered streams, since the encoder
+    writes depth 8/16 only."""
+    import random
+    import struct
+    import zlib
+
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        _PNG_SIG,
+        _chunk,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = random.Random(7)
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(32)
+    ]
+    for interlace in (False, True):
+        w, h = 11, 6
+        idx = bytes(rng.randrange(32) for _ in range(w * h))
+        g = encode_png(
+            w, h, idx, palette=pal, interlace=interlace,
+            filter_per_row=lambda y: (y + 1) % 5,
+        )
+        W, H, CH, r = decode_png_pixels(g)
+        assert (W, H, CH) == (w, h, 3)
+        assert r == b"".join(bytes(pal[i]) for i in idx)
+    # sub-byte grey: depth-2, 5 px/row -> 10 bits -> 2 bytes + pad
+    for depth, vals in ((1, [1, 0, 1, 1, 0]), (2, [0, 1, 2, 3, 2]),
+                        (4, [0, 5, 10, 15, 7])):
+        w, h = 5, 3
+        per_byte = 8 // depth
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)  # filter None
+            acc, nb, line = 0, 0, bytearray()
+            for x in range(w):
+                v = vals[(x + y) % 5]
+                acc = (acc << depth) | v
+                nb += depth
+                if nb == 8:
+                    line.append(acc)
+                    acc, nb = 0, 0
+            if nb:
+                line.append(acc << (8 - nb))
+            rows += line
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        g = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+             + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+             + _chunk(b"IEND", b""))
+        W, H, CH, r = decode_png_pixels(g)
+        maxv = (1 << depth) - 1
+        want = bytes(
+            vals[(x + y) % 5] * 255 // maxv
+            for y in range(h) for x in range(w)
+        )
+        assert (W, H, CH) == (w, h, 1) and r == want, depth
+
+
+def test_png_subbyte_palette_with_sub_filter():
+    """Depth-4 palette rows filter at byte distance 1 (bpp floor),
+    exercising the Sub predictor across packed index pairs."""
+    import struct
+    import zlib
+
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        _PNG_SIG,
+        _chunk,
+        decode_png_pixels,
+    )
+
+    pal = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    w, h = 4, 2
+    idx_rows = [[1, 2, 3, 4], [5, 6, 7, 8]]
+    packed = [bytes([(r[0] << 4) | r[1], (r[2] << 4) | r[3]])
+              for r in idx_rows]
+    rows = bytearray()
+    for pr in packed:
+        rows.append(1)  # Sub filter
+        rows.append(pr[0])
+        rows.append((pr[1] - pr[0]) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in pal)
+    g = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+         + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+         + _chunk(b"IEND", b""))
+    W, H, CH, r = decode_png_pixels(g)
+    want = b"".join(bytes(pal[i]) for row in idx_rows for i in row)
+    assert (W, H, CH) == (w, h, 3) and r == want

@@ -78,6 +78,16 @@ NEW_WAVE = [
     "graph_personalized_pagerank",
 ]
 
+# Round-13 (VERDICT r12 item 6): the lineage-fixed iterative graph
+# family — rehearse post-fix so the checkpoint-truncated plans carry
+# measured 10x evidence too.
+GRAPH_FIXED = [
+    "graph_hits",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "sample_kcenter_coreset",
+]
+
 HEADLINE = [
     "agg_pricing_summary",
     "join_broadcast_star",
@@ -161,7 +171,7 @@ def main() -> int:
     if "--skip-gen" not in sys.argv:
         print("generating sf1 derivative ...", flush=True)
         generate(spark)
-    names = HEADLINE + EXPENSIVE + NEW_WAVE
+    names = HEADLINE + EXPENSIVE + NEW_WAVE + GRAPH_FIXED
     print("headline+expensive @ sf0.1 ...", flush=True)
     t01, sp01 = run(spark, registry, SRC, names)
     print("headline+expensive @ sf1 ...", flush=True)
@@ -189,7 +199,7 @@ def main() -> int:
         "ratio": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
     }
     print(json.dumps(out))
-    with open("SCALE_REHEARSAL_r12.json", "w") as fh:
+    with open("SCALE_REHEARSAL_r13.json", "w") as fh:
         json.dump(out, fh, indent=1)
     return 0
 
