@@ -102,24 +102,53 @@ def render_png_matrix(
 ) -> DataFrame:
     """Synthesize the FULL-SPEC PNG matrix (round 13) deterministically
     from a text column — the fixture generator for the generalized
-    decoder: variant = id % 5 renders
+    decoder: variant = id % 6 renders
     0: 8-bit palette, Adam7 interlaced;  1: 16-bit greyscale;
     2: 16-bit RGB, Adam7 interlaced;     3: 8-bit grey+alpha;
-    4: 8-bit palette, non-interlaced —
-    every one with scanline filters cycling through all five types.
+    4: 8-bit palette, non-interlaced;    5: 4-bit greyscale
+    (hand-packed MSB-first nibbles with per-row byte padding — the
+    encoder writes 8/16 only, so the sub-byte stream is built here
+    chunk by chunk) — variants 0-4 with scanline filters cycling
+    through all five types.
     Sample construction keeps the DECODED 8-bit raster closed-form:
     16-bit samples carry (v+j)%256 in the HIGH byte (decimation
     target) and a different series in the low byte so a decoder that
     read the wrong byte fails the oracle; alpha bytes likewise differ
     from the grey series so a decoder that averaged alpha in fails."""
     import hashlib as _hl
+    import struct as _st
+    import zlib as _zl
 
-    from ctgov_ai_etl_spark.functions.imagecodec import encode_png
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        _PNG_SIG,
+        _chunk,
+        encode_png,
+    )
     from ctgov_ai_etl_spark.session import ship_package
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
     pal = PNG_MATRIX_PALETTE
+
+    def _grey4(w: int, h: int, v: int) -> bytes:
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)  # filter None
+            acc, nb = 0, 0
+            for x in range(w):
+                acc = (acc << 4) | ((v + y * w + x) % 16)
+                nb += 4
+                if nb == 8:
+                    rows.append(acc)
+                    acc, nb = 0, 0
+            if nb:
+                rows.append(acc << 4)
+        ihdr = _st.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0)
+        return (
+            _PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _zl.compress(bytes(rows)))
+            + _chunk(b"IEND", b"")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,7 +156,7 @@ def render_png_matrix(
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 dig = _hl.md5(str(text).encode("utf-8")).digest()
                 w, h, v = 1 + dig[0] % 16, 1 + dig[1] % 16, dig[2]
-                variant = int(rid) % 5
+                variant = int(rid) % 6
                 cyc = lambda y: y % 5  # noqa: E731
                 if variant in (0, 4):
                     idx = bytes((v + j) % 16 for j in range(w * h))
@@ -152,12 +181,14 @@ def render_png_matrix(
                         w, h, raw, 2, bit_depth=16, interlace=True,
                         filter_per_row=cyc,
                     )
-                else:
+                elif variant == 3:
                     raw = b"".join(
                         bytes(((v + j) % 256, (v + 3 * j + 1) % 256))
                         for j in range(w * h)
                     )
                     blob = encode_png(w, h, raw, 4, filter_per_row=cyc)
+                else:
+                    blob = _grey4(w, h, v)
                 ids.append(rid)
                 variants.append(variant)
                 blobs.append(blob)

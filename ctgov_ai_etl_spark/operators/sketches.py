@@ -158,3 +158,44 @@ def kmv_union_intersection(
             F.col("n_both").cast("double") / F.col("k_eff") * est_union, 6
         ).alias("est_inter"),
     )
+
+
+def hll_registers(
+    keys: DataFrame,
+    key_col: str,
+    group_col: str,
+    m: int = 64,
+    hash_bits: int = 48,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. '07), exact and
+    mergeable: per (group, bucket) the MAX leading-zero rank rho of a
+    portable 48-bit md5 hash — ``bucket`` is the hash's first byte mod
+    ``m``, ``rho = hash_bits - bit_length(rest) + 1`` (zero hash ->
+    ``hash_bits + 1``), computed engine-portably as
+    ``(hash_bits + 1) - length(bin(rest))`` since both Spark and
+    DuckDB render ``bin()`` without leading zeros (and ``bin(0)`` as
+    the 1-char '0', which the CASE folds to the same sentinel).
+
+    Registers ARE the sketch: per-shard register tables merge by
+    cell-wise MAX (the HLL union), and the estimator
+    ``alpha_m * m^2 / sum(2^-M_j)`` is a client-side fold over the m
+    rows — kept OUT of the frame so every emitted value is an exact
+    integer the SQL oracle replays bit-for-bit (IEEE division order
+    would otherwise leak in).  Scale: one partial-aggregated shuffle
+    keyed (group, bucket) — at most |groups| * m cells regardless of
+    input size; the map side collapses everything else."""
+    hx = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    bucket = (
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % m
+    ).alias("bucket")
+    rest = F.conv(F.substring(hx, 3, hash_bits // 4), 16, 10).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(hash_bits + 1))
+        .otherwise(F.lit(hash_bits + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return (
+        keys.select(F.col(group_col).alias("grp"), bucket, rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )

@@ -49,8 +49,11 @@ _PRIORITY = (
     "mm_decode_gif",
     "stream_run_dsir_gate",
     "mm_audio_dft8",
-    # -- block 0b: NEW in round 13 (full-spec PNG matrix)
+    # -- block 0b: NEW in round 13 (full-spec PNG matrix, HLL
+    #    register sketch)
     "mm_decode_png_matrix",
+    "sketch_hll_registers",
+    "stream_run_hll",
     # -- block 1: never driver-sampled (the r12 verdict's 21,
     #    alphabetical)
     "feature_scale_robust",

@@ -4430,3 +4430,53 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "log_w_micro", "novelty_ppm", "n_hit")
     )
+
+
+@query(
+    "sketch_hll_registers",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS grp,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                   1, 2)) AS INT) % 64 AS bucket,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                   3, 12)) AS BIGINT) AS rest
+      FROM events
+    ),
+    r AS (
+      SELECT grp, CAST(bucket AS INT) AS bucket,
+             CAST(max(CASE WHEN rest = 0 THEN 49
+                           ELSE 49 - length(bin(rest)) END) AS INT)
+               AS register
+      FROM h GROUP BY grp, bucket
+    )
+    SELECT grp, bucket, register FROM r
+    UNION ALL
+    SELECT '__merged' AS grp, bucket, CAST(max(register) AS INT) AS register
+    FROM r GROUP BY bucket
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register tables per event_type PLUS their cell-wise
+    MAX merge (the HLL union — the property that makes HLL the
+    distinct-count sketch for 100 TB: per-shard/per-day register
+    tables combine without rescanning).  Registers are exact
+    integers from a portable md5 rank (operators/sketches.py:
+    hll_registers), so unlike the bound-only approx_count_distinct
+    check the ENTIRE sketch state hash-checks bit-for-bit against
+    DuckDB; the float estimator alpha_m*m^2/sum(2^-M) is a documented
+    client-side fold over the 64 rows.  Complements sketch_kmv_*
+    (cardinality via k minimum values) and sketch_cms_freq
+    (frequency): together the three classic mergeable sketches.
+    Scale: one partial-aggregated shuffle keyed (type, bucket) —
+    at most |types| * 64 cells regardless of input size."""
+    from ctgov_ai_etl_spark.operators.sketches import hll_registers
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_registers(e, "user_id", "event_type")
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+        .select(F.lit("__merged").alias("grp"), "bucket", "register")
+    )
+    return regs.unionByName(merged)

@@ -2157,3 +2157,51 @@ def _patch_stream_volume_oracle() -> None:
 
 
 _patch_stream_volume_oracle()
+
+
+@query(
+    "stream_run_hll",
+    oracle=None,  # patched below: shares sketch_hll_registers' oracle
+)
+def stream_run_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog register maintenance: the production
+    shape of the sketch — registers updated continuously as events
+    arrive, one int of state per (type, bucket) cell (the MAX monoid
+    merges across micro-batches exactly like the batch build's
+    partial aggregation), drained in complete mode and unioned with
+    the cell-wise-MAX merge row set.  State is bounded at
+    |types| * 64 cells FOREVER regardless of stream volume — the
+    whole point of sketching an unbounded stream.  Finite source +
+    complete mode ==> registers equal the batch build
+    (sketch_hll_registers), whose oracle this twin replays."""
+    from ctgov_ai_etl_spark.operators.sketches import hll_registers
+    from ctgov_ai_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    e = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    regs = hll_registers(e, "user_id", "event_type")
+    drained = run_stream_to_memory(regs, mode="complete")
+    merged = (
+        drained.groupBy("bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+        .select(F.lit("__merged").alias("grp"), "bucket", "register")
+    )
+    return drained.unionByName(merged)
+
+
+def _patch_stream_hll_oracle() -> None:
+    from ctgov_ai_etl_spark.queries.registry import REGISTRY
+
+    import ctgov_ai_etl_spark.queries.semantic  # noqa: F401
+
+    spec = REGISTRY["stream_run_hll"]
+    twin = REGISTRY.get("sketch_hll_registers")
+    if twin is not None and spec.oracle is None:
+        REGISTRY["stream_run_hll"] = type(spec)(
+            name=spec.name, fn=spec.fn, oracle=twin.oracle, doc=spec.doc
+        )
+
+
+_patch_stream_hll_oracle()

@@ -1044,3 +1044,58 @@ def test_audio_dft8_zero_pads_short_clips(spark):
         im = sum(x[k] * DFT8_SIN[m][k] for k in range(8))
         assert got[(0, m)] == re * re + im * im
     assert len(rows) == 5
+
+
+def test_hll_registers_reference_replay_and_estimate(spark):
+    """Registers match a pure-Python HLL replay bit-for-bit; the merge
+    row is the cell-wise max; and the documented client-side estimator
+    over the merged registers lands within 3 standard errors
+    (1.04/sqrt(64) relative) of the true distinct count."""
+    import hashlib
+    import math
+
+    reg = load_all()
+    rows = reg["sketch_hll_registers"].fn(spark, SF).collect()
+    got = {}
+    for r in rows:
+        got[(r["grp"], r["bucket"])] = r["register"]
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+    want: dict = {}
+    users = set()
+    for r in ev:
+        users.add(r["user_id"])
+        hx = hashlib.md5(f"hll:{r['user_id']}".encode()).hexdigest()
+        bucket = int(hx[:2], 16) % 64
+        rest = int(hx[2:14], 16)
+        rho = 49 if rest == 0 else 49 - rest.bit_length()
+        k = (r["event_type"], bucket)
+        want[k] = max(want.get(k, 0), rho)
+    for (g, b), rho in want.items():
+        assert got[(g, b)] == rho, (g, b)
+        assert got[("__merged", b)] >= rho
+    merged = {b: v for (g, b), v in got.items() if g == "__merged"}
+    assert merged == {
+        b: max(v for (_, b2), v in want.items() if b2 == b)
+        for b in {b2 for (_, b2) in want}
+    }
+    # client-side estimator (the docstring's documented fold)
+    m = 64
+    z = sum(2.0 ** -merged.get(b, 0) for b in range(m))
+    alpha = 0.709  # alpha_64 per Flajolet et al.
+    est = alpha * m * m / z
+    v = sum(1 for b in range(m) if merged.get(b, 0) == 0)
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    true = len(users)
+    assert abs(est - true) / true < 3 * 1.04 / math.sqrt(m)
+
+
+def test_hll_stream_twin_matches_batch(spark):
+    reg = load_all()
+    batch = {
+        tuple(r) for r in reg["sketch_hll_registers"].fn(spark, SF).collect()
+    }
+    stream = {tuple(r) for r in reg["stream_run_hll"].fn(spark, SF).collect()}
+    assert batch == stream
