@@ -54,6 +54,7 @@ _PRIORITY = (
     "mm_decode_png_matrix",
     "sketch_hll_registers",
     "stream_run_hll",
+    "maintenance_hilbert_order",
     # -- block 1: never driver-sampled (the r12 verdict's 21,
     #    alphabetical)
     "feature_scale_robust",

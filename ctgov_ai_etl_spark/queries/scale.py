@@ -678,3 +678,75 @@ def maintenance_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_summary(fa, "orderkey_files").unionAll(
         layout_summary(fb, "shipdate_weeks")
     )
+
+
+_HILBERT_ORDER = 8
+_H_DAY_SQL = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+
+
+def _hilbert_oracle() -> str:
+    from ctgov_ai_etl_spark.functions.hilbert import sql_hilbert_cte
+
+    return sql_hilbert_cte(
+        source_sql=(
+            "SELECT o_custkey & 255 AS hx_in, "
+            f"({_H_DAY_SQL}) & 255 AS hy_in FROM orders"
+        ),
+        x_expr="hx_in",
+        y_expr="hy_in",
+        order=_HILBERT_ORDER,
+        carried=["hx_in", "hy_in"],
+        final_select="""
+    SELECT CAST(hd // 256 AS BIGINT) AS hbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(hx_in) AS BIGINT) AS min_cust,
+           CAST(max(hx_in) AS BIGINT) AS max_cust,
+           CAST(min(hy_in) AS BIGINT) AS min_day,
+           CAST(max(hy_in) AS BIGINT) AS max_day
+    FROM hfin GROUP BY 1""",
+    )
+
+
+@query("maintenance_hilbert_order", oracle=_hilbert_oracle())
+def maintenance_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout maintenance (functions/hilbert.py) — the
+    strictly-better sibling of maintenance_zorder: index (custkey,
+    epoch-day) on an order-8 Hilbert curve (256x256 grid, masked
+    coordinates) and report, per 256-cell curve bucket (the would-be
+    output file), the row count and min/max RECTANGLE in both
+    dimensions.  Because consecutive Hilbert positions are ALWAYS
+    unit-adjacent cells (no Z-jumps), the per-bucket rectangles are
+    tighter than Morton's at equal file counts — better parquet
+    min/max pruning for range predicates on EITHER clustered column.
+    In production this ordering feeds ``repartitionByRange(hd)
+    .sortWithinPartitions(hd).write``; here the bucket id is the
+    curve prefix itself (hd // 256) so the check is
+    layout-deterministic and hash-verifiable.  The whole index is
+    ``order`` levels of codegen CASE/shift algebra — zero shuffles
+    before the one partial-aggregated rollup, zero Python; the
+    oracle replays the identical level chain as a generated CTE
+    ladder."""
+    from ctgov_ai_etl_spark.functions.hilbert import with_hilbert_d2
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    base = o.select(
+        F.col("o_custkey").bitwiseAND(F.lit(255)).alias("hx_in"),
+        day.cast("long").bitwiseAND(F.lit(255)).alias("hy_in"),
+    )
+    hd = with_hilbert_d2(
+        base, F.col("hx_in"), F.col("hy_in"), _HILBERT_ORDER
+    )
+    return (
+        hd.select(F.expr("hd div 256").alias("hbucket"), "hx_in", "hy_in")
+        .groupBy("hbucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("hx_in").cast("long").alias("min_cust"),
+            F.max("hx_in").cast("long").alias("max_cust"),
+            F.min("hy_in").cast("long").alias("min_day"),
+            F.max("hy_in").cast("long").alias("max_day"),
+        )
+    )
