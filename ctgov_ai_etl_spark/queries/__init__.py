@@ -55,6 +55,7 @@ _PRIORITY = (
     "sketch_hll_registers",
     "stream_run_hll",
     "maintenance_hilbert_order",
+    "seq_pattern_match",
     # -- block 1: never driver-sampled (the r12 verdict's 21,
     #    alphabetical)
     "feature_scale_robust",

@@ -6294,3 +6294,74 @@ def anomaly_volume_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * F.col("sd_milli")
         ).alias("flagged"),
     )
+
+
+@query(
+    "seq_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+             AS n_funnels,
+           seq LIKE '%e%' AS has_error,
+           CAST(length(seq) - length(replace(seq, 'p', ''))
+                AS BIGINT) AS n_purchases
+    FROM seqs
+    """,
+)
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern detection — the SQL:2016
+    row-pattern operator Spark lacks natively, re-expressed Spark-
+    first: each user's event history collapses to a SYMBOL STRING
+    (first letter of event_type — the five fixture types map to
+    distinct symbols s/c/p/e/v, ordered by (ts, event_id) for a total
+    order), and patterns become ordinary regular expressions over
+    that string — here the funnel ``view (click)* purchase``
+    ('vc*p'), counted non-overlapping leftmost-first, which Java's
+    regex engine and DuckDB's RE2 agree on for this pattern class.
+
+    The reduction is the scale story: ONE partial-aggregated shuffle
+    on user_id builds the ordered symbol strings (array_sort of
+    (ts, id, sym) structs — no window, no per-user sort spill), then
+    every pattern evaluates map-side at codegen speed; adding more
+    patterns costs zero additional shuffles.  At 100 TB a per-user
+    history is KBs — the string form is smaller than the rows it
+    replaces."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id",
+                     F.substring("event_type", 1, 1).alias("sym")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["sym"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count(F.col("seq"), F.lit("vc*p"))
+        .cast("long")
+        .alias("n_funnels"),
+        F.col("seq").contains("e").alias("has_error"),
+        (
+            F.length("seq")
+            - F.length(F.regexp_replace("seq", "p", ""))
+        )
+        .cast("long")
+        .alias("n_purchases"),
+    )

@@ -1099,3 +1099,28 @@ def test_hll_stream_twin_matches_batch(spark):
     }
     stream = {tuple(r) for r in reg["stream_run_hll"].fn(spark, SF).collect()}
     assert batch == stream
+
+
+def test_seq_pattern_match_reference_replay(spark):
+    """Symbol strings, funnel regex counts, and purchase tallies match
+    a pure-Python replay over (ts, event_id)-sorted events."""
+    import re
+
+    reg = load_all()
+    got = {r["user_id"]: r for r in reg["seq_pattern_match"].fn(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    for r in ev:
+        if r["ts"] is None:
+            continue
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"][0])
+        )
+    assert set(got) == set(seqs)
+    for uid, items in seqs.items():
+        s = "".join(sym for _, _, sym in sorted(items))
+        r = got[uid]
+        assert r["n_events"] == len(s)
+        assert r["n_funnels"] == len(re.findall("vc*p", s))
+        assert r["has_error"] == ("e" in s)
+        assert r["n_purchases"] == s.count("p")

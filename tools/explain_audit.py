@@ -1795,6 +1795,14 @@ CHECKS["sketch_hll_registers"] = [
     ("no Python boundary",
      r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
 ]
+CHECKS["seq_pattern_match"] = [
+    ("ONE partial-aggregated user_id shuffle builds the symbol strings",
+     r"hashpartitioning\(user_id"),
+    ("no window, no per-user sort spill (array_sort inside the agg)",
+     r"\A(?!.*Window)"),
+    ("patterns evaluate map-side (no Python boundary)",
+     r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+]
 CHECKS["mm_decode_png_matrix"] = [
     ("render and decode are Arrow-batched mapInPandas stages",
      r"MapInPandas"),
