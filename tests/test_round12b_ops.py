@@ -1124,3 +1124,72 @@ def test_seq_pattern_match_reference_replay(spark):
         assert r["n_funnels"] == len(re.findall("vc*p", s))
         assert r["has_error"] == ("e" in s)
         assert r["n_purchases"] == s.count("p")
+
+
+# ------------------------- fdiv full-domain property (hypothesis)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_I64 = st.integers(-(2**63), 2**63 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=_I64, b=_I64.filter(lambda v: v != 0))
+def test_fdiv_sql_full_int64_domain(a, b):
+    """sql_fdiv == Python floor division over the FULL int64 domain
+    (the DuckDB mirror side is cheap enough to property-test; the
+    Spark side is pinned by the case-table differential test).  The
+    single unrepresentable combination (-2^63 // -1 = 2^63) must
+    raise DuckDB's own BIGINT cast error, not return garbage."""
+    import duckdb
+
+    from ctgov_ai_etl_spark.functions.exact import sql_fdiv
+
+    con = duckdb.connect()
+    expr = sql_fdiv(f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)")
+    if a == -(2**63) and b == -1:
+        import pytest
+
+        with pytest.raises(Exception):
+            con.sql(f"SELECT {expr} AS q").fetchone()
+        return
+    got = con.sql(f"SELECT {expr} AS q").fetchone()[0]
+    assert got == a // b, (a, b, got)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 14),
+    h=st.integers(1, 14),
+    ct=st.sampled_from([0, 2, 4, 6]),
+    depth=st.sampled_from([8, 16]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_fullspec_roundtrip_property(w, h, ct, depth, interlace, seed):
+    """Any raster round-trips exactly through the full-spec encoder/
+    decoder for every (color type, depth, interlace) combination the
+    encoder writes — high-byte decimation at 16, alpha dropped."""
+    import numpy as np
+
+    from ctgov_ai_etl_spark.functions.imagecodec import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    cch = {0: 1, 2: 3, 4: 1, 6: 3}[ct]
+    sb = depth // 8
+    rng = np.random.default_rng(seed)
+    pix = bytes(rng.integers(0, 256, size=w * h * ch * sb, dtype=np.uint8))
+    g = encode_png(
+        w, h, pix, ct, filter_per_row=lambda y: y % 5,
+        interlace=interlace, bit_depth=depth,
+    )
+    W, H, CH, r = decode_png_pixels(g)
+    want = bytes(
+        pix[(p * ch + k) * sb] for p in range(w * h) for k in range(cch)
+    )
+    assert (W, H, CH) == (w, h, cch) and r == want
