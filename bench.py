@@ -224,7 +224,16 @@ def main() -> None:
         "sf": sf,
         "catalog_total": round(sum(timings.values()), 3),
         "catalog_total_target": CATALOG_TOTAL_TARGET_S,
+        "catalog_over_target": sum(timings.values()) > CATALOG_TOTAL_TARGET_S,
     }
+    if out["catalog_over_target"]:
+        print(
+            f"WARNING: catalog_total {out['catalog_total']:.1f}s exceeds "
+            f"the {CATALOG_TOTAL_TARGET_S:.0f}s performance line "
+            "(bench.py CATALOG_TOTAL_TARGET_S) — investigate regressions "
+            "with tools/bench_diff.py or re-baseline explicitly.",
+            file=sys.stderr,
+        )
     if tail_runs:
         out["tail_runs"] = tail_runs
     if not deep:

@@ -189,7 +189,16 @@ def _read_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
 def decode_gif_frames(data: bytes):
     """Full decode: ``(width, height, [composited_frame, ...])`` where
     each composited frame is a bytes raster of w*h*3 RGB samples (the
-    logical screen after drawing that frame)."""
+    logical screen after drawing that frame).
+
+    Disposal contract (per-function restatement of the module-level
+    note): method 2 restores the disposed region to the OPAQUE
+    background color from the logical-screen descriptor (black when
+    the GCT has none) — the GIF89a spec reading.  Most browser
+    renderers instead clear to transparent, so animations that rely on
+    a transparent restore will show background-colored rectangles in
+    later frames' luma features here.  Deterministic by design; callers
+    needing browser parity must composite transparency themselves."""
     if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (
         b"7a",
         b"9a",

@@ -183,7 +183,24 @@ def hll_registers(
     integer the SQL oracle replays bit-for-bit (IEEE division order
     would otherwise leak in).  Scale: one partial-aggregated shuffle
     keyed (group, bucket) — at most |groups| * m cells regardless of
-    input size; the map side collapses everything else."""
+    input size; the map side collapses everything else.
+
+    Parameter domain (validated): ``bucket = first-hash-byte % m`` is
+    uniform only when 256 % m == 0, and ``rest`` takes exactly
+    hash_bits//4 hex chars, so hash_bits must be a multiple of 4 and
+    fit a signed 64-bit ``conv`` (<= 60 bits).  Out-of-domain values
+    would yield a silently biased or truncated sketch — rejected here
+    instead."""
+    if m < 2 or 256 % m != 0:
+        raise ValueError(
+            f"hll_registers: m={m} must divide 256 (bucket = first hash "
+            "byte % m is only uniform then)"
+        )
+    if hash_bits % 4 != 0 or not (4 <= hash_bits <= 60):
+        raise ValueError(
+            f"hll_registers: hash_bits={hash_bits} must be a multiple of 4 "
+            "in [4, 60] (hex-substring width and signed-64 conv range)"
+        )
     hx = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
     bucket = (
         F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % m

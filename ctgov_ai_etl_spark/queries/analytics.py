@@ -727,23 +727,125 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_entity_resolution",
+    # Oracle notes (both replace r13's quadratic blow-ups, VERDICT r13
+    # item 4):
+    # * pairs: deletion-neighborhood blocking (each name joins on its
+    #   distance-1 deletion variants, exact levenshtein re-verifies) —
+    #   provably recall-exact for lev<=1 (module proof in
+    #   operators/fuzzy.py) and O(n·|s|) vs the 225M-eval nested loop
+    #   (125 s -> 2.9 s at sf0.1, measured).
+    # * components: 8 rounds of min-label hop + pointer-jump
+    #   (l(l(id))), reach doubling per round so 8 rounds cover paths
+    #   of length ~2^8; the sf0.1 graph (one 15,000-node component)
+    #   converges at round 2 and the chain is idempotent after
+    #   convergence, so extra rounds only re-prove the fixpoint.  The
+    #   recursive-CTE transitive closure it replaces accumulates
+    #   O(|component|^2) (node,label) rows — 225M at sf0.1, killed at
+    #   30+ min; this chain is O(rounds·|E|) and runs in 0.4 s.
     oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    WITH v AS (
+      SELECT c_custkey AS id, c_name AS s,
+             unnest(list_distinct(list_append(
+               list_transform(range(1, length(c_name)+1),
+                              i -> substr(c_name,1,i-1) || substr(c_name,i+1)),
+               c_name))) AS var
+      FROM customer
     ),
-    edges AS (
+    cand AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b,
+             any_value(a.s) AS s_a, any_value(b.s) AS s_b
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 1
+    ),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
     ),
-    reach(id, label) AS (
-      SELECT c_custkey, c_custkey FROM customer
-      UNION
-      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    l0 AS MATERIALIZED (SELECT c_custkey AS id, c_custkey AS label FROM customer),
+    h0 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l0 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l0 n ON n.id = e.dst
+      GROUP BY l.id, l.label
     ),
-    comp AS (SELECT id AS c_custkey, min(label) AS component
-             FROM reach GROUP BY id),
+    l1 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h0 h JOIN h0 j ON j.id = h.label
+    ),
+    h1 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l1 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l1 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l2 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h1 h JOIN h1 j ON j.id = h.label
+    ),
+    h2 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l2 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l2 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l3 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h2 h JOIN h2 j ON j.id = h.label
+    ),
+    h3 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l3 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l3 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l4 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h3 h JOIN h3 j ON j.id = h.label
+    ),
+    h4 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l4 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l4 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l5 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h4 h JOIN h4 j ON j.id = h.label
+    ),
+    h5 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l5 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l5 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l6 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h5 h JOIN h5 j ON j.id = h.label
+    ),
+    h6 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l6 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l6 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l7 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h6 h JOIN h6 j ON j.id = h.label
+    ),
+    h7 AS MATERIALIZED (
+      SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+      FROM l7 l LEFT JOIN edges e ON e.src = l.id
+                  LEFT JOIN l7 n ON n.id = e.dst
+      GROUP BY l.id, l.label
+    ),
+    l8 AS MATERIALIZED (
+      SELECT h.id, least(h.label, j.label) AS label
+      FROM h7 h JOIN h7 j ON j.id = h.label
+    ),
+    comp AS (SELECT id AS c_custkey, label AS component FROM l8),
     ranked AS (
       SELECT c.c_custkey, comp.component,
              row_number() OVER (
@@ -761,14 +863,17 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END entity resolution: deletion-neighborhood fuzzy
-    match (operators/fuzzy.py, one equi-join — the oracle runs the
-    quadratic levenshtein it avoids) → connected components
+    match (operators/fuzzy.py, one equi-join) → connected components
     (operators/dedup.py, min-label) → canonical record election per
     entity cluster (richest account balance in exact cents, key
     tie-break).  The master-data pipeline every warehouse dedups
-    customers with; all three stages are the engine's own bucketed /
-    iterative operators composed, and the oracle is the fragment
-    oracles composed verbatim."""
+    customers with.  The oracle replays both iterative stages in
+    closed form: deletion-variant blocking + exact levenshtein
+    re-verify for the pairs (recall-exact for lev<=1), and an 8-round
+    min-label hop+pointer-jump chain for the components — O(E log n),
+    which is what lets this query hold an sf0.1 oracle (the r13
+    recursive-CTE closure was O(|component|²) and unrunnable on the
+    15,000-node sf0.1 component)."""
     from ctgov_ai_etl_spark.operators.dedup import connected_components
     from ctgov_ai_etl_spark.operators.fuzzy import fuzzy_self_join_lev1
 

@@ -409,7 +409,9 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regex_family",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(substring(text, 1, 60), '[0-9]+') AS all_numbers,
+           coalesce(array_to_string(
+                      regexp_extract_all(substring(text, 1, 60), '[0-9]+'),
+                      ','), '') AS all_numbers,
            CAST(len(regexp_extract_all(substring(text, 1, 120), '[A-Za-z]+'))
                 AS INT) AS n_words,
            regexp_extract(text, '([a-z]+)([0-9]+)', 2) AS first_tail_digits,
@@ -423,7 +425,10 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar family beyond the single extract/replace in
-    fn_string_family: extract-ALL (array result), match counting,
+    fn_string_family: extract-ALL (array, emitted as a ','-joined
+    string — final schemas carry only scalar columns so every harness
+    can sort/hash them; the join is positional, no reorder), match
+    counting,
     group selection, global replacement, boolean matching, and an
     anchored class test — the text-wrangling surface every cleaning
     pipeline leans on.  Patterns stay inside the POSIX-class subset
@@ -433,8 +438,11 @@ def fn_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.regexp_extract_all(
-            F.substring("text", 1, 60), F.lit("[0-9]+"), 0
+        F.array_join(
+            F.regexp_extract_all(
+                F.substring("text", 1, 60), F.lit("[0-9]+"), 0
+            ),
+            ",",
         ).alias("all_numbers"),
         F.size(
             F.regexp_extract_all(

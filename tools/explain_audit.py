@@ -843,27 +843,53 @@ def formatted_plan_of(df) -> str:
     return jdf.queryExecution().explainString(mode)
 
 
+def _nonportable_fields(schema) -> list[str]:
+    """Columns whose type a generic result harness cannot sort/hash.
+
+    The driver's canonicalizer pandas-sorts every column; list/dict
+    cells raise ``TypeError: unhashable type`` (the fn_regex_family
+    r13 incident).  Convention: final schemas carry only scalar
+    columns — arrays/maps/structs must be joined/serialized before
+    they leave a query."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def sizes_all() -> int:
-    """Walk the FULL registry and fail any query whose formatted plan
-    exceeds PLAN_LINE_BUDGET lines.  Writes PLANSIZE.json."""
+    """Walk the FULL registry; fail any query whose formatted plan
+    exceeds PLAN_LINE_BUDGET lines, whose final schema carries a
+    non-scalar (array/map/struct) column, or that fails to construct.
+    Writes PLANSIZE.json with the three failure modes kept separate
+    (errors vs over_budget vs nonportable)."""
     import json
 
     registry = load_all()
     spark = get_spark("explain_audit_sizes")
     sizes: dict[str, int] = {}
     over: list[str] = []
+    errors: dict[str, str] = {}
+    nonportable: dict[str, list[str]] = {}
     for name in sorted(registry):
         try:
             df = registry[name].fn(spark, SF)
             n = formatted_plan_of(df).count("\n") + 1
         except Exception as exc:  # construction failure is a failure
             print(f"ERR   {name}: {exc}")
-            over.append(name)
+            errors[name] = str(exc)[:500]
             continue
         sizes[name] = n
         if n > PLAN_LINE_BUDGET:
             over.append(name)
             print(f"OVER  {name}: {n} lines (> {PLAN_LINE_BUDGET})")
+        bad = _nonportable_fields(df.schema)
+        if bad:
+            nonportable[name] = bad
+            print(f"NONPORTABLE  {name}: array/map/struct columns {bad}")
     top = sorted(sizes.items(), key=lambda kv: -kv[1])[:10]
     with open("PLANSIZE.json", "w") as fh:
         json.dump(
@@ -871,14 +897,18 @@ def sizes_all() -> int:
                 "budget_lines": PLAN_LINE_BUDGET,
                 "queries": len(sizes),
                 "over_budget": over,
+                "errors": errors,
+                "nonportable": nonportable,
                 "top10": top,
             },
             fh,
             indent=1,
         )
     print(f"\n{len(sizes)} plans sized; {len(over)} over budget; "
-          f"largest: {top[0] if top else None}; PLANSIZE.json written")
-    return 1 if over else 0
+          f"{len(errors)} construction errors; {len(nonportable)} "
+          f"non-portable schemas; largest: {top[0] if top else None}; "
+          f"PLANSIZE.json written")
+    return 1 if (over or errors or nonportable) else 0
 
 
 def main() -> int:

@@ -72,12 +72,19 @@ def _gate_plansize_cached() -> bool:
     with open(path) as fh:
         d = json.load(fh)
     over = d.get("over_budget", [])
-    ok = not over
+    errors = d.get("errors", {})
+    nonportable = d.get("nonportable", {})
+    ok = not (over or errors or nonportable)
     print(f"{'PASS' if ok else 'FAIL'}  plan sizes (cached): "
           f"{d.get('queries')} plans, {len(over)} over "
-          f"{d.get('budget_lines')}-line budget")
+          f"{d.get('budget_lines')}-line budget, {len(errors)} errors, "
+          f"{len(nonportable)} non-portable schemas")
     if over:
         print(f"  over budget: {over}")
+    if errors:
+        print(f"  construction errors: {sorted(errors)}")
+    if nonportable:
+        print(f"  non-portable (array/map/struct) outputs: {nonportable}")
     return ok
 
 
