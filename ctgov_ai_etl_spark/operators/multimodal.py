@@ -1050,3 +1050,92 @@ def audio_dft8_real(
     return src.mapInPandas(
         run, schema=f"{id_col} long, channel int, bin int, energy long"
     )
+
+
+def render_test_mp3(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL MPEG-1 Layer III frame sequences (CBR, real
+    4-byte headers, deterministic padding pattern, optional ID3v2.3
+    envelope) from md5(text) — the MP3 sibling of render_test_audio.
+    Parameters (all md5-derived so a SQL oracle replays them in closed
+    form): bitrate index 1+d0%14, sample-rate index d1%3, frame count
+    5+d2%20, padding seed d3 (frame j padded iff (d3+j)%2==1), ID3v2
+    present iff d4%2==0 with a d5-byte opaque payload."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.mp3meta import encode_mp3_cbr
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                dig = _hl.md5(str(text).encode("utf-8")).digest()
+                id3 = (
+                    bytes((k * 17) % 256 for k in range(dig[5]))
+                    if dig[4] % 2 == 0
+                    else None
+                )
+                blobs.append(
+                    encode_mp3_cbr(
+                        bitrate_index=1 + dig[0] % 14,
+                        sample_rate_index=dig[1] % 3,
+                        n_frames=5 + dig[2] % 20,
+                        pad_seed=dig[3],
+                        id3_payload=id3,
+                    )
+                )
+                ids.append(rid)
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def mp3_meta_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL MP3 metadata extraction: ID3v2 syncsafe skip + length-
+    driven frame-header walk (functions/mp3meta.py), Arrow-batched.
+    Emits exact integers only (duration in integer microseconds) so
+    the closed-form oracle hash-checks the whole walk — frame-length
+    math, padding bits, envelope skip — end to end.  Zero shuffle."""
+    from ctgov_ai_etl_spark.functions.mp3meta import parse_mp3_meta
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    id_col,
+                    "id3_bytes",
+                    "n_frames",
+                    "bitrate_kbps",
+                    "sample_rate",
+                    "total_bytes",
+                    "n_padded",
+                    "duration_us",
+                )
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                m = parse_mp3_meta(bytes(data))
+                rows[id_col].append(rid)
+                for k, v in m.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, id3_bytes int, n_frames int,"
+            " bitrate_kbps int, sample_rate int, total_bytes int,"
+            " n_padded int, duration_us long"
+        ),
+    )

@@ -34,76 +34,32 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # changed/new) is driver-green in CORRECTNESS_r10.json and rotates
 # out to the registry tail.
 _PRIORITY = (
-    # Round-13 priority.  The r12 verdict (item 3) asked to finish the
-    # evidence rotation for real: after the r12 window consumed 47
-    # never-sampled names, 21 r9-wave queries remained never
-    # driver-sampled and 23+42 still carried r4/r5 evidence (all
-    # F12-green in the local full sweep at three SFs — freshness, not
-    # correctness risk).  Codified rule: reds (none) > changed this
-    # round > never-sampled > stalest cohort first.
-    # -- block 0: CHANGED by the r13 fixes (graph_hits/kcenter loop
-    #    lineage truncation; GIF disposal 2/3 state machine; DSIR
-    #    smoothing-floor coalesce; audio DFT zero-pad)
-    "graph_hits",
-    "sample_kcenter_coreset",
-    "mm_decode_gif",
-    "stream_run_dsir_gate",
-    "mm_audio_dft8",
-    # -- block 0b: NEW in round 13 (full-spec PNG matrix, HLL
-    #    register sketch)
-    "mm_decode_png_matrix",
+    # Round-14 priority.  Codified rule (r9 lesson): previously-
+    # DRIVER-RED (fixed, awaiting driver re-confirmation) > changed
+    # this round > new this round > stalest driver evidence, oldest
+    # cohort first.  The r13 window consumed the 21 never-sampled
+    # names and 19 of the r4 cohort; what remains stale is 4 r4
+    # stragglers + the 42-name r5 cohort — this window consumes all of
+    # them, moving the stale-evidence floor to r6.  Every r13 block
+    # (driver-green in CORRECTNESS_r13.json) rotates to the tail.
+    # -- block 0: the r13 driver-RED, fixed this round (raw
+    #    array<string> output joined to a portable CSV string)
+    "fn_regex_family",
+    # -- block 1: CHANGED this round (pipeline_entity_resolution:
+    #    oracle rewritten to deletion-blocking + pointer-jump CC;
+    #    sketch_hll_registers / stream_run_hll: hll_registers now
+    #    validates its parameter domain — same default behavior)
+    "pipeline_entity_resolution",
     "sketch_hll_registers",
     "stream_run_hll",
-    "maintenance_hilbert_order",
-    "seq_pattern_match",
-    # -- block 1: never driver-sampled (the r12 verdict's 21,
-    #    alphabetical)
-    "feature_scale_robust",
-    "fn_regex_family",
-    "gov_right_to_erasure",
-    "join_asof_tolerance",
-    "join_null_safe",
-    "mm_decode_audio",
-    "mm_decode_video",
-    "ops_rate_limit",
-    "pipeline_churn_digest",
-    "seq_audience_overlap",
-    "set_union_by_name",
-    "stream_run_rate_limit",
-    "tpch_q13_custdist",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue",
-    "ts_forecast_seasonal_naive",
-    "ts_max_concurrency",
-    "win_rolling_corr",
-    "win_streak_longest",
-    # -- block 2: stalest driver evidence (r4), alphabetical
-    "join_anti",
-    "join_bucket_colocated",
-    "join_cross",
-    "join_full_outer",
-    "join_right_outer",
-    "join_semi",
-    "limit_offset",
-    "llm_classify_bucket_cap",
-    "parquet_schema_evolution",
-    "proj_rename_nested",
-    "scan_project_filter",
-    "set_except_all",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sim_topk_ivf_trained",
-    "sim_topk_pq",
-    "sort_limit_deterministic",
-    "sort_nulls_ordering",
+    # -- block 2: NEW in round 14 (MP3 frame-header metadata)
+    "mm_audio_mp3_meta",
+    # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",
     "when_otherwise_buckets",
     "win_rank_family",
-    # -- block 3: r5-latest driver evidence, alphabetical
+    # -- block 4: r5-latest driver evidence (whole cohort, alphabetical)
     "agg_filtered_conditional",
     "agg_global",
     "agg_percentiles",

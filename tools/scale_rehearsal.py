@@ -165,6 +165,49 @@ def run(spark, registry, sf_dir: str, names) -> tuple[dict, dict]:
     return times, spines
 
 
+# Pair-count observability (VERDICT r13 item 6): the super-linear
+# dedup entries (dedup_minhash_lsh 5.19x, dedup_semantic_groups 3.14x
+# at 10x data in r13) are CLAIMED duplicate-driven — the 10x-verbatim
+# corpus has ~quadratically more real duplicate pairs, so more output
+# is more work with the same plan.  Measure it: per SF, count
+# (a) verbatim-duplicate pairs (Σ C(g,2) over identical-payload
+# groups — the closed-form driver of the quadratic growth) and
+# (b) the query's emitted pair/group rows.  If the result-row ratio
+# tracks the verbatim-pair ratio while wall stays far below it, the
+# super-linearity is data-induced, measured rather than inferred.
+PAIR_PROBED = {
+    # query -> (table, payload column for the verbatim-group count)
+    "dedup_minhash_lsh": ("documents", "text"),
+    "dedup_jaccard_pairs": ("documents", "text"),
+    "dedup_semantic_groups": ("embeddings", "embedding"),
+}
+
+
+def pair_counts(spark, registry, sf_dir: str) -> dict:
+    out: dict[str, dict] = {}
+    for name, (table, col) in PAIR_PROBED.items():
+        t = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        verbatim = (
+            t.groupBy(
+                F.md5(F.col(col).cast("string")).alias("k")
+            )
+            .count()
+            .filter(F.col("count") >= 2)
+            .select(
+                F.sum(
+                    (F.col("count") * (F.col("count") - 1) / 2).cast("long")
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+            or 0
+        )
+        rows = registry[name].fn(spark, sf_dir).count()
+        out[name] = {"verbatim_pairs": int(verbatim), "result_rows": rows}
+        print(f"  pairs {name}: verbatim={verbatim} result_rows={rows}",
+              flush=True)
+    return out
+
+
 def main() -> int:
     spark = get_spark("scale_rehearsal", cpus="32")
     registry = load_all()
@@ -176,6 +219,9 @@ def main() -> int:
     t01, sp01 = run(spark, registry, SRC, names)
     print("headline+expensive @ sf1 ...", flush=True)
     t1, sp1 = run(spark, registry, DST, names)
+    print("pair-count probes ...", flush=True)
+    pc01 = pair_counts(spark, registry, SRC)
+    pc1 = pair_counts(spark, registry, DST)
     per_query = {
         n: {
             "sf0.1": t01[n],
@@ -197,9 +243,27 @@ def main() -> int:
         "total_sf0.1": round(sum(t01.values()), 3),
         "total_sf1": round(sum(t1.values()), 3),
         "ratio": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
+        "pair_counts": {
+            n: {
+                "sf0.1": pc01[n],
+                "sf1": pc1[n],
+                "verbatim_ratio": round(
+                    pc1[n]["verbatim_pairs"]
+                    / max(pc01[n]["verbatim_pairs"], 1),
+                    2,
+                ),
+                "result_ratio": round(
+                    pc1[n]["result_rows"] / max(pc01[n]["result_rows"], 1), 2
+                ),
+                "wall_ratio": round(t1[n] / max(t01[n], 1e-9), 2)
+                if n in t1
+                else None,
+            }
+            for n in PAIR_PROBED
+        },
     }
     print(json.dumps(out))
-    with open("SCALE_REHEARSAL_r13.json", "w") as fh:
+    with open("SCALE_REHEARSAL_r14.json", "w") as fh:
         json.dump(out, fh, indent=1)
     return 0
 
