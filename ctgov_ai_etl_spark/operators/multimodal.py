@@ -1139,3 +1139,102 @@ def mp3_meta_real(
             " n_padded int, duration_us long"
         ),
     )
+
+
+def render_test_warc(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL WARC/1.0 container payloads deterministically
+    from md5(text) (functions/warc.py:build_warc): n = 2+d0%4 records
+    per document; record j is an HTTP 'response' iff (d1+j)%3>0 (else
+    a raw 'resource'), status [200,301,404,503][(d2+j)%4], and its
+    body is the text slice [j*23, j*23 + 17+((d3+j)%11)) — ASCII, so a
+    SQL oracle computes every body length (including the truncated and
+    empty overflow cases) closed-form."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.warc import build_warc, http_envelope
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                t = str(text)
+                d = _hl.md5(t.encode("utf-8")).digest()
+                recs = []
+                for j in range(2 + d[0] % 4):
+                    body = t[j * 23 : j * 23 + 17 + ((d[3] + j) % 11)]
+                    if (d[1] + j) % 3 > 0:
+                        status = (200, 301, 404, 503)[(d[2] + j) % 4]
+                        wtype = "response"
+                        content = http_envelope(status) + body.encode()
+                    else:
+                        wtype = "resource"
+                        content = body.encode()
+                    recs.append(
+                        (
+                            wtype,
+                            f"urn:doc{rid}-{j}",
+                            f"http://ex.com/{rid}/{j}",
+                            content,
+                        )
+                    )
+                ids.append(rid)
+                blobs.append(build_warc(recs))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def warc_records_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL WARC record walk (functions/warc.py:parse_warc_records):
+    Content-Length-driven framing, case-insensitive header parse,
+    HTTP status-line triage for response records — exploded one row
+    per record with the byte offset each record starts at, so the
+    oracle's closed-form offset arithmetic hash-checks the entire
+    byte layout.  Arrow-batched, zero shuffle: CDX-style index
+    extraction distributes embarrassingly over a 100 TB crawl."""
+    from ctgov_ai_etl_spark.functions.warc import parse_warc_records
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    id_col,
+                    "rec_idx",
+                    "offset",
+                    "warc_type",
+                    "target_uri",
+                    "http_status",
+                    "content_length",
+                )
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                for j, rec in enumerate(parse_warc_records(bytes(data))):
+                    rows[id_col].append(rid)
+                    rows["rec_idx"].append(j)
+                    rows["offset"].append(rec["offset"])
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["http_status"].append(rec["http_status"])
+                    rows["content_length"].append(rec["content_length"])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, rec_idx int, offset int, warc_type string,"
+            " target_uri string, http_status int, content_length int"
+        ),
+    )

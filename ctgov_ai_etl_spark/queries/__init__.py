@@ -52,8 +52,10 @@ _PRIORITY = (
     "pipeline_entity_resolution",
     "sketch_hll_registers",
     "stream_run_hll",
-    # -- block 2: NEW in round 14 (MP3 frame-header metadata)
+    # -- block 2: NEW in round 14 (MP3 frame-header metadata, WARC
+    #    container walk)
     "mm_audio_mp3_meta",
+    "warc_scan_records",
     # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",
