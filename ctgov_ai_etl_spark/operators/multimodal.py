@@ -12,9 +12,13 @@ canonical Huffman, restart markers, successive approximation, and
 the 8x8 IDCT (``functions/jpegcodec.py``, rounds 10-11), and
 animated GIF with real LZW and interlacing
 (``functions/gifcodec.py``, round 11) — dispatched by magic bytes in
-``decode_image_real``; formats with no pure-Python decoder (H.264,
-MP3, AVIF ...) still raise ``NotImplementedError`` from the
-dispatcher, keeping the seam honest.
+``decode_image_real``; formats with no pure-Python decoder (H.264
+slice data, MP3 PCM, AVIF ...) still raise ``NotImplementedError``
+from the dispatcher, keeping the seam honest — but their METADATA
+layers are parsed for real since r14: MP3 frame headers + ID3v2
+(``functions/mp3meta.py``), H.264 Annex-B NAL walk + Exp-Golomb SPS
+(``functions/h264meta.py``), and WARC/1.0 record framing
+(``functions/warc.py``), each with a closed-form byte-layout oracle.
 ``decode_image_features`` remains the sha-derived deterministic fake
 whose oracle needs no codec at all.
 """
@@ -1236,5 +1240,117 @@ def warc_records_real(
         schema=(
             f"{id_col} long, rec_idx int, offset int, warc_type string,"
             " target_uri string, http_status int, content_length int"
+        ),
+    )
+
+
+def render_test_h264(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL H.264 Annex-B streams deterministically from
+    md5(text) (functions/h264meta.py): a baseline-profile SPS with
+    md5-derived geometry/level/cropping, a PPS, then 1+d5%3 IDR and
+    d6%4 non-IDR slice NALs with deterministic zero-free payload
+    bytes (no start-code emulation inside slice data, so the walk's
+    correctness is isolated to the framing logic the query checks).
+    The SPS itself DOES exercise emulation prevention when its
+    Exp-Golomb zeros pack into 00 00 0x runs."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.h264meta import (
+        NAL_IDR,
+        NAL_NON_IDR,
+        NAL_PPS,
+        NAL_SPS,
+        build_annexb,
+        build_sps,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                d = _hl.md5(str(text).encode("utf-8")).digest()
+                sps = build_sps(
+                    width_mbs=1 + d[0] % 16,
+                    height_mbs=1 + d[1] % 16,
+                    level_idc=(10, 20, 30, 40, 50)[d[2] % 5],
+                    crop_right=d[3] % 2,
+                    crop_bottom=d[4] % 2,
+                )
+                nals = [(NAL_SPS, sps), (NAL_PPS, b"\xc8\x42")]
+                for j in range(1 + d[5] % 3):
+                    nals.append(
+                        (NAL_IDR,
+                         bytes(17 + ((j * 29 + k * 11) % 200)
+                               for k in range(6 + (d[7] + j) % 9)))
+                    )
+                for j in range(d[6] % 4):
+                    nals.append(
+                        (NAL_NON_IDR,
+                         bytes(17 + ((j * 31 + k * 13) % 200)
+                               for k in range(6 + (d[7] + j) % 9)))
+                    )
+                ids.append(rid)
+                blobs.append(build_annexb(nals))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def h264_meta_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL H.264 metadata extraction: Annex-B start-code walk + SPS
+    Exp-Golomb decode with emulation-prevention stripping
+    (functions/h264meta.py), Arrow-batched.  Per stream emits the
+    triage row a video curation pass filters on — dimensions (crop
+    rule §7.4.2.1.1 applied), profile/level, NAL/IDR/non-IDR counts —
+    all exact integers.  Zero shuffle."""
+    from ctgov_ai_etl_spark.functions.h264meta import (
+        NAL_IDR,
+        NAL_NON_IDR,
+        parse_annexb,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    id_col, "profile_idc", "level_idc", "width",
+                    "height", "n_nals", "n_idr", "n_non_idr",
+                )
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                recs = parse_annexb(bytes(data))
+                sps = next(r for r in recs if "width" in r)
+                rows[id_col].append(rid)
+                rows["profile_idc"].append(sps["profile_idc"])
+                rows["level_idc"].append(sps["level_idc"])
+                rows["width"].append(sps["width"])
+                rows["height"].append(sps["height"])
+                rows["n_nals"].append(len(recs))
+                rows["n_idr"].append(
+                    sum(1 for r in recs if r["nal_type"] == NAL_IDR)
+                )
+                rows["n_non_idr"].append(
+                    sum(1 for r in recs if r["nal_type"] == NAL_NON_IDR)
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, profile_idc int, level_idc int, width int,"
+            " height int, n_nals int, n_idr int, n_non_idr int"
         ),
     )

