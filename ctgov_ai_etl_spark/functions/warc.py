@@ -68,7 +68,7 @@ def build_warc(records: list[tuple[str, str, str, bytes]]) -> bytes:
     return b"".join(build_record(*r) for r in records)
 
 
-def parse_warc_records(data: bytes) -> list[dict]:
+def parse_warc_records(data: bytes, include_body: bool = False) -> list[dict]:
     """Length-driven record walk.  Per record returns exact integers
     and short strings only:
 
@@ -78,7 +78,11 @@ def parse_warc_records(data: bytes) -> list[dict]:
     ``content_length`` — declared (and consumed) payload bytes,
     ``http_status``    — status code parsed from the embedded HTTP
                          status line for response records, None
-                         otherwise.
+                         otherwise,
+    ``body``           — only when ``include_body``: the payload bytes
+                         AFTER the HTTP envelope for response records
+                         (raw payload for other types) — the text a
+                         crawl-ingest pipeline curates.
 
     Headers are parsed case-insensitively (the spec allows any case);
     unknown headers are skipped, missing mandatory ones raise.  The
@@ -124,21 +128,30 @@ def parse_warc_records(data: bytes) -> list[dict]:
             raise WarcError(f"missing record terminator at byte {pos}")
         pos += 4
         status = None
+        body = content
         if wtype == "response":
             if not content.startswith(b"HTTP/1.1 "):
                 raise WarcError(
                     f"response record at byte {offset} lacks HTTP envelope"
                 )
             status = int(content[9:12])
-        out.append(
-            {
-                "offset": offset,
-                "warc_type": wtype,
-                "target_uri": uri,
-                "content_length": clen,
-                "http_status": status,
-            }
-        )
+            sep = content.find(_CRLF + _CRLF)
+            if sep < 0:
+                raise WarcError(
+                    f"response record at byte {offset} has no header/body "
+                    "separator"
+                )
+            body = content[sep + 4 :]
+        rec = {
+            "offset": offset,
+            "warc_type": wtype,
+            "target_uri": uri,
+            "content_length": clen,
+            "http_status": status,
+        }
+        if include_body:
+            rec["body"] = body
+        out.append(rec)
     if not out:
         raise WarcError("no WARC records found")
     return out

@@ -1354,3 +1354,39 @@ def h264_meta_real(
             " height int, n_nals int, n_idr int, n_non_idr int"
         ),
     )
+
+
+def warc_response_texts(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """Extract the HTTP-200 response BODIES from WARC payloads — the
+    text-acquisition stage of crawl ingest (functions/warc.py with
+    include_body; the envelope/body split is part of the parse, so a
+    wrong separator scan truncates or pollutes the text and fails the
+    composite oracle).  Emits (id, rec_idx, body) for status-200
+    response records only; other records and statuses are triaged out
+    here, before any curation cost.  Arrow-batched, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.warc import parse_warc_records
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, bodies = [], [], []
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                for j, rec in enumerate(
+                    parse_warc_records(bytes(data), include_body=True)
+                ):
+                    if rec["http_status"] == 200:
+                        ids.append(rid)
+                        idxs.append(j)
+                        bodies.append(rec["body"].decode("ascii"))
+            yield pd.DataFrame(
+                {id_col: ids, "rec_idx": idxs, "body": bodies}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, rec_idx int, body string"
+    )

@@ -57,6 +57,7 @@ _PRIORITY = (
     "mm_audio_mp3_meta",
     "warc_scan_records",
     "mm_video_h264_meta",
+    "pipeline_crawl_ingest",
     # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",

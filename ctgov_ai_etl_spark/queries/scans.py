@@ -525,3 +525,76 @@ def warc_scan_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "content_length",
     )
+
+
+@query(
+    "pipeline_crawl_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS d2,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS d3
+      FROM documents
+    ),
+    recs AS (
+      SELECT doc_id, text, d1, d2, d3, CAST(i AS INT) AS j
+      FROM base, unnest(range(2 + d0 % 4)) AS t(i)
+    ),
+    resp AS (
+      SELECT doc_id, j,
+             substr(text, j * 23 + 1, 17 + ((d3 + j) % 11)) AS body
+      FROM recs
+      WHERE (d1 + j) % 3 > 0 AND (d2 + j) % 4 = 0
+    ),
+    ok AS (SELECT * FROM resp WHERE length(body) >= 20),
+    g AS (
+      SELECT body, count(*) AS n_copies,
+             min(doc_id * 100 + j) AS keeper_key
+      FROM ok GROUP BY body
+    )
+    SELECT sha256(body) AS body_sha,
+           CAST(length(body) AS INT) AS body_len,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(keeper_key // 100 AS BIGINT) AS keeper_doc_id,
+           CAST(keeper_key % 100 AS INT) AS keeper_rec_idx
+    FROM g
+    """,
+)
+def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl ingest over the r14 WARC source: WARC payloads
+    → Content-Length record walk → HTTP-200 response triage → body
+    extraction (the envelope/body CRLFCRLF split is part of the parse)
+    → length quality gate (>= 20 chars) → exact dedup by body with a
+    deterministic keeper (min (doc_id, rec_idx), packed into one
+    integer key so both engines elect identically).  This is the
+    acquisition half of a training-data pipeline — the curation chain
+    (pipeline_curate etc.) starts from exactly this shape.  The oracle
+    rebuilds the bodies closed-form as text slices and replays the
+    filter/dedup in SQL, so a wrong status parse, a shifted body
+    split, or an off-by-one in the slice shows up as a hash miss.
+    Scale: the parse stages are zero-shuffle mapInPandas; the only
+    exchange is the dedup groupBy on the body (bounded <= 27 chars
+    here; a real corpus would group on the sha — same single
+    shuffle)."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_warc,
+        warc_response_texts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    texts = warc_response_texts(render_test_warc(d, "doc_id"), "doc_id")
+    ok = texts.filter(F.length("body") >= 20)
+    key = (F.col("doc_id") * 100 + F.col("rec_idx")).cast("long")
+    g = ok.withColumn("k", key).groupBy("body").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("k").alias("keeper_key"),
+    )
+    return g.select(
+        F.sha2(F.col("body"), 256).alias("body_sha"),
+        F.length("body").cast("int").alias("body_len"),
+        "n_copies",
+        (F.col("keeper_key") / 100).cast("long").alias("keeper_doc_id"),
+        F.pmod(F.col("keeper_key"), 100).cast("int").alias("keeper_rec_idx"),
+    )

@@ -112,3 +112,20 @@ def test_content_length_walk_not_sync_hunt():
 def test_empty_payload_rejected():
     with pytest.raises(WarcError):
         parse_warc_records(b"")
+
+
+def test_include_body_splits_http_envelope():
+    recs = parse_warc_records(_sample(), include_body=True)
+    assert recs[0]["body"] == b"hello world"
+    assert recs[1]["body"] == b"raw bytes"  # resource: raw payload
+    assert recs[2]["body"] == b""
+    # without the flag, no body key at all
+    assert "body" not in parse_warc_records(_sample())[0]
+
+
+def test_response_missing_separator_raises():
+    rec = build_record(
+        "response", "urn:x", "http://e/x", b"HTTP/1.1 200 S\r\nno-sep"
+    )
+    with pytest.raises(WarcError, match="separator"):
+        parse_warc_records(rec, include_body=True)
