@@ -132,3 +132,50 @@ def test_scaling_matrix_rejected_loudly():
     w.u(1, 1)  # seq_scaling_matrix_present_flag -> unsupported
     with pytest.raises(H264Error, match="scaling"):
         parse_sps(rbsp_to_ebsp(w.rbsp_trailing()))
+
+
+# --------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=100_000), min_size=1,
+                max_size=40))
+def test_exp_golomb_ue_sequence_roundtrip(values):
+    """Any ue(v) sequence round-trips through one RBSP — bit
+    alignment never drifts across values."""
+    w = BitWriter()
+    for v in values:
+        w.ue(v)
+    r = BitReader(w.rbsp_trailing())
+    assert [r.ue() for _ in values] == values
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_emulation_prevention_total_roundtrip(rbsp):
+    """rbsp->ebsp->rbsp is the identity for ARBITRARY payloads, and
+    the ebsp never contains a start-code or a bare 00 00 03 that the
+    decoder would mis-strip."""
+    ebsp = rbsp_to_ebsp(rbsp)
+    assert ebsp_to_rbsp(ebsp) == rbsp
+    assert b"\x00\x00\x00" not in ebsp
+    assert b"\x00\x00\x01" not in ebsp
+    assert b"\x00\x00\x02" not in ebsp
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=256),
+    st.integers(min_value=1, max_value=256),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+)
+def test_sps_dimension_rule_property(wm, hm, lvl, cr, cb):
+    m = parse_sps(build_sps(wm, hm, lvl, crop_right=cr, crop_bottom=cb))
+    assert m["width"] == wm * 16 - 2 * cr
+    assert m["height"] == hm * 16 - 2 * cb
+    assert m["level_idc"] == lvl

@@ -124,3 +124,29 @@ def test_filler_bytes_never_fake_a_sync():
     for i in range(len(blob)):
         if blob[i] == 0xFF:
             assert i in header_offsets
+
+
+# --------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=0, max_value=255),
+    st.one_of(st.none(), st.binary(min_size=0, max_size=300)),
+)
+def test_mp3_meta_total_roundtrip(bidx, sidx, nf, seed, id3):
+    blob = encode_mp3_cbr(bidx, sidx, nf, seed, id3_payload=id3)
+    m = parse_mp3_meta(blob)
+    assert m["n_frames"] == nf
+    assert m["bitrate_kbps"] == BITRATE_KBPS[bidx]
+    assert m["sample_rate"] == SAMPLE_RATE[sidx]
+    assert m["total_bytes"] == len(blob)
+    assert m["id3_bytes"] == (0 if id3 is None else 10 + len(id3))
+    assert m["n_padded"] == sum((seed + j) % 2 for j in range(nf))
+    assert m["duration_us"] == nf * 1152 * 1_000_000 // SAMPLE_RATE[sidx]

@@ -13,10 +13,13 @@ Gates:
 2. Registry integrity: every query has an oracle (no rows-only
    entries), every ``_PRIORITY`` name exists (the load_all ghost
    assertion), entry() importable.
-3. Plan-size budget: ``--full`` sweeps the whole registry via
-   ``tools/explain_audit.py --sizes-all`` (5k-line budget); the fast
-   path just re-checks the committed PLANSIZE.json for over-budget
-   entries.
+3. Plan-size + portable-output budget: ``--full`` sweeps the whole
+   registry via ``tools/explain_audit.py --sizes-all`` (5k-line plan
+   budget; final schemas must be scalar-only — any array/map/struct
+   output column fails, since the driver harness cannot sort/hash
+   list cells: the fn_regex_family r13 incident); the fast path
+   re-checks the committed PLANSIZE.json for over-budget entries,
+   construction errors, and non-portable schemas.
 4. ``--full`` also re-verifies the 90 stalest-evidence queries
    against the DuckDB oracle (``tools/check_oracle.py --stalest 90``).
 
