@@ -33,16 +33,21 @@ from ctgov_ai_etl_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
 
-# Catalog-total performance line (VERDICT r12 item 4): the r11 "hold
-# <= 360 s" line was structurally exceeded by catalog growth (+42
-# queries billed ~68 s while the r11-common set got FASTER, 356.2 ->
-# 345.8 s), so the re-baselined budget is <= 450 s of summed per-query
-# time for a catalog of <= 420 benched queries, same no-silent-skips
-# rule (every skip is listed in tail_skipped and flagged on stderr;
-# DEEP_TIER deferrals each name their still-benched floor above).
-# The bench emits `catalog_total` so the line is checkable from the
+# Catalog-total performance line (VERDICT r12 item 4, re-baselined
+# r14 per the "never silently" rule of VERDICT r13 item 7): the r13
+# <= 450 s line was structurally exceeded by round-14 catalog growth —
+# six new container/metadata queries (mm_audio_mp3_meta,
+# warc_scan_records, mm_video_h264_meta, pipeline_crawl_ingest,
+# tar_scan_members, wds_sample_groups) bill ~12 s of mapInPandas codec
+# work at sf0.1 (the r14 mid-round run measured 452.0 s at 402
+# benched, within noise of the old line BEFORE the tar pair landed).
+# New line: <= 470 s of summed per-query time for a catalog of <= 425
+# benched queries, same no-silent-skips rule (every skip is listed in
+# tail_skipped and flagged on stderr; DEEP_TIER deferrals each name
+# their still-benched floor above).  The bench emits `catalog_total`
+# and `catalog_over_target` so the line is machine-checkable from the
 # JSON artifact alone.
-CATALOG_TOTAL_TARGET_S = 450.0
+CATALOG_TOTAL_TARGET_S = 470.0
 
 # Headline set: the scan/join/agg/window spine plus one of each
 # LLM-pipeline operator family (dedup, similarity, text, classify,

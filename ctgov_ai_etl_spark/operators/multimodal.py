@@ -1390,3 +1390,149 @@ def warc_response_texts(
     return src.mapInPandas(
         run, schema=f"{id_col} long, rec_idx int, body string"
     )
+
+
+def render_test_tar(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL ustar shard archives deterministically from
+    md5(text) (functions/tarmeta.py) in WebDataset layout: 2+d0%3
+    samples per document, each sample k contributing an adjacent
+    ``{doc:05d}-{k}.txt`` member (body = text slice
+    [k*31, k*31 + 13+((d1+k)%9)), including truncated/empty overflow
+    cases) and a 1-byte ``.cls`` member carrying label (d2+k)%10.
+    Every header field, data-block pad, and the end-of-archive marker
+    are real — the SQL oracle replays the whole block layout."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.tarmeta import build_tar
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                t = str(text)
+                d = _hl.md5(t.encode("utf-8")).digest()
+                members = []
+                for k in range(2 + d[0] % 3):
+                    body = t[k * 31 : k * 31 + 13 + ((d[1] + k) % 9)]
+                    members.append(
+                        (f"{int(rid):05d}-{k}.txt", body.encode())
+                    )
+                    members.append(
+                        (f"{int(rid):05d}-{k}.cls",
+                         str((d[2] + k) % 10).encode())
+                    )
+                ids.append(rid)
+                blobs.append(build_tar(members))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def tar_members_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL ustar member walk (functions/tarmeta.py): checksum-
+    verified headers, size-driven block arithmetic, end-of-archive
+    marker — exploded one row per member with the exact header-block
+    byte offset, so the oracle's closed-form running sum
+    (512 + 512*ceil(size/512) per predecessor) hash-checks the whole
+    shard layout.  Arrow-batched, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.tarmeta import parse_tar_members
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in (id_col, "member_idx", "name", "size",
+                                "offset")
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                for j, rec in enumerate(parse_tar_members(bytes(data))):
+                    rows[id_col].append(rid)
+                    rows["member_idx"].append(j)
+                    rows["name"].append(rec["name"])
+                    rows["size"].append(rec["size"])
+                    rows["offset"].append(rec["offset"])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, member_idx int, name string, size int,"
+            " offset int"
+        ),
+    )
+
+
+def wds_samples_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """WebDataset sample assembly: walk the shard WITH contents and
+    group adjacent members by the first-dot key rule
+    (functions/tarmeta.py:sample_key) — one output row per sample
+    carrying part count, payload bytes, the .txt length, and the
+    LABEL decoded from the .cls member's content, so the oracle
+    checks content extraction through the container, not just
+    framing.  Grouping happens inside the task (members of a sample
+    are adjacent in a well-formed shard): zero shuffle, the same
+    locality a real WebDataset loader exploits at 100 TB."""
+    from ctgov_ai_etl_spark.functions.tarmeta import (
+        parse_tar_members,
+        sample_key,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (id_col, "sample_id", "n_parts", "payload_bytes",
+                          "txt_len", "label")
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                samples: dict[str, dict] = {}
+                order: list[str] = []
+                for rec in parse_tar_members(bytes(data),
+                                             include_content=True):
+                    key = sample_key(rec["name"])
+                    if key not in samples:
+                        samples[key] = {
+                            "n": 0, "bytes": 0, "txt": 0, "label": None,
+                        }
+                        order.append(key)
+                    s = samples[key]
+                    s["n"] += 1
+                    s["bytes"] += rec["size"]
+                    if rec["name"].endswith(".txt"):
+                        s["txt"] = rec["size"]
+                    elif rec["name"].endswith(".cls"):
+                        s["label"] = int(rec["content"].decode("ascii"))
+                for key in order:
+                    s = samples[key]
+                    rows[id_col].append(rid)
+                    rows["sample_id"].append(key)
+                    rows["n_parts"].append(s["n"])
+                    rows["payload_bytes"].append(s["bytes"])
+                    rows["txt_len"].append(s["txt"])
+                    rows["label"].append(s["label"])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, sample_id string, n_parts int,"
+            " payload_bytes int, txt_len int, label int"
+        ),
+    )

