@@ -69,11 +69,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         f"{stats['unique_bodies']} unique ({stats['dup_groups']} dup groups)"
     )
 
-    # 3. audio triage: keep >= 15 s AND >= 96 kbps — metadata only,
-    #    zero decodes spent on the rejects
+    # 3. audio triage: keep >= 0.5 s AND >= 96 kbps — metadata only,
+    #    zero decodes spent on the rejects (the synthetic clips run
+    #    0.12-0.86 s, so the gate bites; a real corpus would use
+    #    15 s+)
     audio = reg["mm_audio_mp3_meta"].fn(spark, sf_dir)
     audio_kept = audio.filter(
-        (F.col("duration_us") >= 15_000_000) & (F.col("bitrate_kbps") >= 96)
+        (F.col("duration_us") >= 500_000) & (F.col("bitrate_kbps") >= 96)
     )
     a_tot, a_keep = audio.count(), audio_kept.count()
     out["audio_triage"] = {"total": a_tot, "kept": a_keep}
