@@ -1536,3 +1536,108 @@ def wds_samples_real(
             " payload_bytes int, txt_len int, label int"
         ),
     )
+
+
+def render_test_warcgz(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL ``.warc.gz`` payloads: the SAME record
+    parameters as render_test_warc (md5-derived types/statuses/body
+    slices), but each record compressed as its OWN gzip member and
+    the members concatenated — the ISO 28500 annex framing actual web
+    archives use so records are seekable without inflating the whole
+    file.  functions/gzipmeta.py + functions/warc.py."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.gzipmeta import build_gzip_members
+    from ctgov_ai_etl_spark.functions.warc import build_record, http_envelope
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                t = str(text)
+                d = _hl.md5(t.encode("utf-8")).digest()
+                recs = []
+                for j in range(2 + d[0] % 4):
+                    body = t[j * 23 : j * 23 + 17 + ((d[3] + j) % 11)]
+                    if (d[1] + j) % 3 > 0:
+                        status = (200, 301, 404, 503)[(d[2] + j) % 4]
+                        content = http_envelope(status) + body.encode()
+                        wtype = "response"
+                    else:
+                        content = body.encode()
+                        wtype = "resource"
+                    recs.append(
+                        build_record(
+                            wtype,
+                            f"urn:doc{rid}-{j}",
+                            f"http://ex.com/{rid}/{j}",
+                            content,
+                        )
+                    )
+                ids.append(rid)
+                blobs.append(build_gzip_members(recs))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def warcgz_records_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL ``.warc.gz`` walk: split the concatenated gzip members
+    (CRC-32/ISIZE re-verified per member — functions/gzipmeta.py),
+    inflate each, and require it to hold EXACTLY ONE well-formed WARC
+    record (the seekability contract archives rely on; a member
+    holding zero or two records fails loudly).  Emits the CDX row per
+    member plus ``record_bytes``, the inflated record length — which,
+    unlike the compressed offsets, IS closed-form replayable, so the
+    oracle still pins the byte layout of every record through the
+    compression layer.  Arrow-batched, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.gzipmeta import parse_gzip_members
+    from ctgov_ai_etl_spark.functions.warc import WarcError, parse_warc_records
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    id_col, "member_idx", "warc_type", "target_uri",
+                    "http_status", "content_length", "record_bytes",
+                )
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                for j, m in enumerate(parse_gzip_members(bytes(data))):
+                    recs = parse_warc_records(m["body"])
+                    if len(recs) != 1:
+                        raise WarcError(
+                            f"gzip member {j} holds {len(recs)} WARC "
+                            "records; .warc.gz requires exactly one"
+                        )
+                    r = recs[0]
+                    rows[id_col].append(rid)
+                    rows["member_idx"].append(j)
+                    rows["warc_type"].append(r["warc_type"])
+                    rows["target_uri"].append(r["target_uri"])
+                    rows["http_status"].append(r["http_status"])
+                    rows["content_length"].append(r["content_length"])
+                    rows["record_bytes"].append(m["n_bytes"])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, member_idx int, warc_type string,"
+            " target_uri string, http_status int, content_length int,"
+            " record_bytes int"
+        ),
+    )

@@ -60,6 +60,7 @@ _PRIORITY = (
     "pipeline_crawl_ingest",
     "tar_scan_members",
     "wds_sample_groups",
+    "warcgz_scan_records",
     # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",

@@ -712,3 +712,82 @@ def wds_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sample_id", "n_parts", "payload_bytes", "txt_len",
         "label",
     )
+
+
+@query(
+    "warcgz_scan_records",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS L,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS d2,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS d3
+      FROM documents
+    ),
+    recs AS (
+      SELECT doc_id, L, d1, d2, d3, CAST(i AS INT) AS j
+      FROM base, unnest(range(2 + d0 % 4)) AS t(i)
+    ),
+    sized AS (
+      SELECT doc_id, j,
+             (d1 + j) % 3 > 0 AS is_resp,
+             CASE WHEN (d1 + j) % 3 > 0
+                  THEN list_extract([200, 301, 404, 503],
+                                    ((d2 + j) % 4) + 1)
+                  END AS status,
+             greatest(0, least(L - j * 23, 17 + ((d3 + j) % 11)))
+               + CASE WHEN (d1 + j) % 3 > 0 THEN 44 ELSE 0 END AS clen
+      FROM recs
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS member_idx,
+           CASE WHEN is_resp THEN 'response' ELSE 'resource' END
+             AS warc_type,
+           'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/'
+             || CAST(j AS VARCHAR) AS target_uri,
+           CAST(status AS INT) AS http_status,
+           CAST(clen AS INT) AS content_length,
+           -- inflated record length: version(10) + Type(21) +
+           -- Record-ID(27 + digits(doc_id)) + Target-URI(35 +
+           -- digits(doc_id)) + Content-Length(18 + digits(clen)) +
+           -- blank(2) + content + terminator(4)
+           CAST(10 + 21
+                + 27 + 2 * length(CAST(doc_id AS VARCHAR))
+                + 35
+                + 18 + length(CAST(clen AS VARCHAR))
+                + 2 + clen + 4 AS INT) AS record_bytes
+    FROM sized
+    """,
+)
+def warcgz_scan_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``.warc.gz`` walk, hash-checked through the compression
+    layer: the same md5-derived records as warc_scan_records, but
+    each compressed as its own gzip member (the ISO 28500 annex
+    framing real archives use for seekability) — the engine splits
+    members by driving the inflater and reading ``unused_data``,
+    re-verifies every RFC 1952 trailer (CRC-32 + ISIZE), requires
+    exactly one WARC record per member, and re-parses it.  Compressed
+    offsets are deflate-dependent (not SQL-replayable), so the oracle
+    pins what IS invariant: the full CDX row per member plus the
+    INFLATED record length, recomputed closed-form from the header
+    arithmetic — a corrupted trailer, a mis-split member, or a
+    framing bug upstream of the inflater all fail loudly Spark-side,
+    and any surviving corruption shifts record_bytes and fails the
+    hash.  Two Arrow-batched mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_warcgz,
+        warcgz_records_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    r = warcgz_records_real(render_test_warcgz(d, "doc_id"), "doc_id")
+    return r.select(
+        "doc_id",
+        "member_idx",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_length",
+        "record_bytes",
+    )

@@ -1850,6 +1850,7 @@ for _name in (
     "mm_video_h264_meta",
     "tar_scan_members",
     "wds_sample_groups",
+    "warcgz_scan_records",
 ):
     CHECKS[_name] = [
         ("synthesize and parse are Arrow-batched mapInPandas stages",
