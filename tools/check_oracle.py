@@ -203,8 +203,11 @@ def main() -> int:
         import re as _re
 
         last_seen: dict[str, int] = {}
-        for f in sorted(_glob.glob("CORRECTNESS_r0*.json")):
-            rnd = int(_re.search(r"r0(\d+)", f).group(1))
+        # r01-r09 are zero-padded, r10+ are not — match both (the
+        # r0*-only glob silently ignored r10+ evidence and mis-ranked
+        # anything re-sampled since r9 as stale; found in r14).
+        for f in sorted(_glob.glob("CORRECTNESS_r[0-9]*.json")):
+            rnd = int(_re.search(r"_r0?(\d+)\.json$", f).group(1))
             for n in _json.load(open(f)):
                 if n in registry:
                     last_seen[n] = max(last_seen.get(n, 0), rnd)
