@@ -1641,3 +1641,80 @@ def warcgz_records_real(
             " record_bytes int"
         ),
     )
+
+
+def render_test_zip(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL STORED-method ZIP archives deterministically
+    from md5(text) (functions/zipmeta.py): 2+d0%4 entries per
+    document named ``{doc:05d}-{k}.txt``, bodies the text slices
+    [k*27, k*27 + 14+((d1+k)%12)) including truncated/empty overflow
+    cases — local headers, central directory, EOCD, and real CRC-32s
+    all written byte-exactly so the SQL oracle replays the layout."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.zipmeta import build_zip
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                t = str(text)
+                d = _hl.md5(t.encode("utf-8")).digest()
+                entries = [
+                    (
+                        f"{int(rid):05d}-{k}.txt",
+                        t[k * 27 : k * 27 + 14 + ((d[1] + k) % 12)].encode(),
+                    )
+                    for k in range(2 + d[0] % 4)
+                ]
+                ids.append(rid)
+                blobs.append(build_zip(entries))
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def zip_entries_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL ZIP walk (functions/zipmeta.py): EOCD located from the
+    end, central directory parsed, every entry cross-checked against
+    its local header and CRC-32-verified — exploded one row per entry
+    with the local-header byte offset the oracle recomputes as a
+    running sum (STORED members make the layout closed-form).
+    Arrow-batched, zero shuffle."""
+    from ctgov_ai_etl_spark.functions.zipmeta import parse_zip_entries
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (id_col, "entry_idx", "name", "n_bytes",
+                          "local_offset")
+            }
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                for j, rec in enumerate(parse_zip_entries(bytes(data))):
+                    rows[id_col].append(rid)
+                    rows["entry_idx"].append(j)
+                    rows["name"].append(rec["name"])
+                    rows["n_bytes"].append(rec["n_bytes"])
+                    rows["local_offset"].append(rec["local_offset"])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, entry_idx int, name string, n_bytes int,"
+            " local_offset int"
+        ),
+    )

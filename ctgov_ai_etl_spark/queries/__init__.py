@@ -61,6 +61,7 @@ _PRIORITY = (
     "tar_scan_members",
     "wds_sample_groups",
     "warcgz_scan_records",
+    "zip_scan_entries",
     # -- block 3: r4-latest driver evidence (the 4 stragglers)
     "stream_run_upsert",
     "ts_resample_ffill",

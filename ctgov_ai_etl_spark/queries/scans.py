@@ -791,3 +791,58 @@ def warcgz_scan_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         "record_bytes",
     )
+
+
+@query(
+    "zip_scan_entries",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, length(text) AS L,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, CAST(i AS INT) AS k,
+             greatest(0, least(L - CAST(i AS INT) * 27,
+                               14 + ((d1 + CAST(i AS INT)) % 12)))
+               AS size
+      FROM base, unnest(range(2 + d0 % 4)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS entry_idx,
+           printf('%05d-%d.txt', doc_id, k) AS name,
+           CAST(size AS INT) AS n_bytes,
+           -- STORED local header is 30 bytes + the 11-char name,
+           -- then the content verbatim: offsets are a running sum
+           CAST(coalesce(sum(41 + size) OVER (
+                  PARTITION BY doc_id ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS INT) AS local_offset
+    FROM e
+    """,
+)
+def zip_scan_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ZIP central-directory walk, hash-checked to the byte:
+    synthesize STORED-method archives from md5-derived parameters
+    (functions/zipmeta.py — cross-validated against the stdlib
+    zipfile reader in both directions in tests), then re-extract the
+    entry index END-FIRST: locate the EOCD record, parse the central
+    directory, cross-check every entry's local header (magic + name)
+    and CRC-32.  STORED members make the entire layout closed-form,
+    so the oracle replays local-header offsets as a running sum of
+    41 + size — a wrong header length, a bad EOCD scan, or a stale
+    CRC fails the hash (DEFLATE members are the gzip walk's regime
+    and are rejected loudly here).  Completes the container matrix:
+    WARC, .warc.gz, tar/WebDataset, ZIP.  Two Arrow-batched
+    mapInPandas stages, zero shuffle."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_zip,
+        zip_entries_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = zip_entries_real(render_test_zip(d, "doc_id"), "doc_id")
+    return e.select(
+        "doc_id", "entry_idx", "name", "n_bytes", "local_offset"
+    )

@@ -1851,6 +1851,7 @@ for _name in (
     "tar_scan_members",
     "wds_sample_groups",
     "warcgz_scan_records",
+    "zip_scan_entries",
 ):
     CHECKS[_name] = [
         ("synthesize and parse are Arrow-batched mapInPandas stages",
