@@ -91,7 +91,7 @@ def encode_mp3_cbr(
 ) -> bytes:
     """Constant-bitrate MPEG-1 Layer III frame sequence with a
     deterministic padding pattern (frame j padded iff
-    (pad_seed + j) % 2 == 0) and deterministic filler bytes, optionally
+    (pad_seed + j) % 2 == 1) and deterministic filler bytes, optionally
     wrapped in an ID3v2.3 envelope.  Real headers, fake audio payload —
     exactly what metadata parsing is and isn't sensitive to."""
     out = bytearray()

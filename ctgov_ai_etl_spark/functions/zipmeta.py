@@ -119,10 +119,20 @@ def parse_zip_entries(data: bytes, include_content: bool = False) -> list[dict]:
     for _ in range(n_total):
         if data[p : p + 4] != CD_MAGIC:
             raise ZipError(f"bad central-directory magic at byte {p}")
+        if p + 46 > len(data):
+            raise ZipError(
+                f"central-directory entry at byte {p} truncated "
+                "(fixed header overruns the archive)"
+            )
         (
             _vm, _vn, _fl, method, _t, _dt, crc, csize, usize,
             nlen, elen, clen_, _dn, _ia, _ea, loff,
         ) = struct.unpack("<HHHHHHIIIHHHHHII", data[p + 4 : p + 46])
+        if p + 46 + nlen > len(data):
+            raise ZipError(
+                f"central-directory entry at byte {p} truncated "
+                "(file name overruns the archive)"
+            )
         name = data[p + 46 : p + 46 + nlen].decode()
         p += 46 + nlen + elen + clen_
         if method != 0:

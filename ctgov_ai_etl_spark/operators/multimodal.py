@@ -1356,6 +1356,96 @@ def h264_meta_real(
     )
 
 
+def render_test_mp4(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL ISO-BMFF (MP4) files deterministically from
+    md5(text) (functions/mp4meta.py): ftyp, moov{mvhd,
+    trak{tkhd,mdia{mdhd,hdlr}} x 1-2}, free, mdat — with md5-derived
+    timescale/duration/geometry/language, v0 or v1 full boxes, an
+    optional second (audio) trak, and the 64-bit largesize mdat
+    framing on half the corpus.  Real box framing, filler payload —
+    exactly what a container walk is and isn't sensitive to."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.mp4meta import (
+        LANG_CHOICES,
+        TIMESCALE_CHOICES,
+        build_mp4,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                d = _hl.md5(str(text).encode("utf-8")).digest()
+                ids.append(rid)
+                blobs.append(
+                    build_mp4(
+                        movie_timescale=TIMESCALE_CHOICES[d[0] % 4],
+                        duration=1 + ((d[1] << 8) | d[2]) % 100000,
+                        width=(1 + d[3] % 64) * 16,
+                        height=(1 + d[4] % 64) * 16,
+                        n_samples=1 + d[5] % 50,
+                        sample_size=100 + d[6] % 156,
+                        mdat_large=bool(d[7] % 2),
+                        free_pad=d[8] % 32,
+                        n_traks=1 + d[9] % 2,
+                        lang=LANG_CHOICES[d[10] % 5],
+                        version=1 if d[11] % 4 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def mp4_meta_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL ISO-BMFF metadata extraction: recursive length-prefixed
+    box walk (largesize / size==0 / unknown-box-skip per §4.2) plus
+    mvhd/tkhd/mdhd full-box field decode
+    (functions/mp4meta.py:parse_mp4_meta), Arrow-batched.  Per file
+    emits the triage row video curation filters on — duration,
+    geometry, language, payload size — all exact integers.  Zero
+    shuffle."""
+    from ctgov_ai_etl_spark.functions.mp4meta import parse_mp4_meta
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+    fields = (
+        "n_boxes", "n_traks", "box_version", "movie_timescale",
+        "movie_duration_ms", "width", "height", "media_lang",
+        "mdat_bytes", "mdat_large", "total_bytes",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (id_col, *fields)}
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                meta = parse_mp4_meta(bytes(data))
+                rows[id_col].append(rid)
+                for k in fields:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_boxes int, n_traks int, box_version int,"
+            " movie_timescale int, movie_duration_ms long, width int,"
+            " height int, media_lang string, mdat_bytes long,"
+            " mdat_large int, total_bytes long"
+        ),
+    )
+
+
 def warc_response_texts(
     df: DataFrame, id_col: str, blob_col: str = "blob"
 ) -> DataFrame:
@@ -1382,7 +1472,15 @@ def warc_response_texts(
                     if rec["http_status"] == 200:
                         ids.append(rid)
                         idxs.append(j)
-                        bodies.append(rec["body"].decode("ascii"))
+                        # UTF-8, matching body.encode() in the WARC
+                        # renderer.  NOTE the closed-form length
+                        # oracles equate DuckDB character length(text)
+                        # with the Content-Length BYTE count, which
+                        # holds only for ASCII corpora (the generated
+                        # documents table is verified ASCII-only);
+                        # non-ASCII text would desync char-vs-byte
+                        # lengths in the oracle, not crash here.
+                        bodies.append(rec["body"].decode("utf-8"))
             yield pd.DataFrame(
                 {id_col: ids, "rec_idx": idxs, "body": bodies}
             )

@@ -34,74 +34,27 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # changed/new) is driver-green in CORRECTNESS_r10.json and rotates
 # out to the registry tail.
 _PRIORITY = (
-    # Round-14 priority.  Codified rule (r9 lesson): previously-
+    # Round-15 priority.  Codified rule (r9 lesson): previously-
     # DRIVER-RED (fixed, awaiting driver re-confirmation) > changed
     # this round > new this round > stalest driver evidence, oldest
-    # cohort first.  The r13 window consumed the 21 never-sampled
-    # names and 19 of the r4 cohort; what remains stale is 4 r4
-    # stragglers + the 42-name r5 cohort — this window consumes all of
-    # them, moving the stale-evidence floor to r6.  Every r13 block
-    # (driver-green in CORRECTNESS_r13.json) rotates to the tail.
-    # -- block 0: the r13 driver-RED, fixed this round (raw
-    #    array<string> output joined to a portable CSV string)
-    "fn_regex_family",
-    # -- block 1: CHANGED this round (pipeline_entity_resolution:
-    #    oracle rewritten to deletion-blocking + pointer-jump CC;
-    #    sketch_hll_registers / stream_run_hll: hll_registers now
-    #    validates its parameter domain — same default behavior)
-    "pipeline_entity_resolution",
-    "sketch_hll_registers",
-    "stream_run_hll",
-    # -- block 2: NEW in round 14 (MP3 frame-header metadata, WARC
-    #    container walk, H.264 Annex-B/SPS metadata)
-    "mm_audio_mp3_meta",
-    "warc_scan_records",
-    "mm_video_h264_meta",
-    "pipeline_crawl_ingest",
-    "tar_scan_members",
-    "wds_sample_groups",
-    "warcgz_scan_records",
+    # cohort first.  No driver-reds this round (r14 sample 50/50
+    # green).  The r14 window consumed the r4 stragglers and 34 of
+    # the r5 cohort; the stale floor is the 8-name r5 remainder,
+    # then the 45-name r6 cohort — this window leads with the two
+    # changed oracles, the one new query, the r5 remainder, and as
+    # much of r6 as fits the driver's ~50-name sample (the last few
+    # r6 names roll to r16).  Every r14 block (driver-green in
+    # CORRECTNESS_r14.json) rotates to the tail.
+    # -- block 0: CHANGED this round (zip/warcgz oracles: local-
+    #    header stride now computed as 30 + len(name) + size instead
+    #    of the hardcoded 41, ADVICE r14; same answers on current
+    #    fixtures — re-confirm under the driver's DuckDB)
     "zip_scan_entries",
-    # -- block 3: r4-latest driver evidence (the 4 stragglers)
-    "stream_run_upsert",
-    "ts_resample_ffill",
-    "when_otherwise_buckets",
-    "win_rank_family",
-    # -- block 4: r5-latest driver evidence (whole cohort, alphabetical)
-    "agg_filtered_conditional",
-    "agg_global",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_stats_moments",
-    "csv_scan_roundtrip",
-    "ctgov_flatten_parity",
-    "ctgov_pipeline_e2e",
-    "dedup_exact_group",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "fn_datetime_family",
-    "join_broadcast_star",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_range_nonequi",
-    "llm_classify_cost_cap",
-    "llm_classify_documents",
-    "maintenance_zorder",
-    "merge_upsert_orders",
-    "mm_binary_plumbing",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "orc_scan_roundtrip",
-    "partition_pruned_scan",
-    "pipeline_curate",
-    "sample_stratified",
-    "search_bm25",
-    "search_hybrid_rrf",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "skew_salted_agg",
-    "skew_salted_join",
+    "warcgz_scan_records",
+    # -- block 1: NEW in round 15 (ISO-BMFF box walk)
+    "mm_video_mp4_boxes",
+    # -- block 2: r5-latest driver evidence (the 8-name remainder
+    #    the r14 window didn't reach)
     "text_fingerprint",
     "text_langid_quality",
     "text_pack_sequences",
@@ -110,6 +63,54 @@ _PRIORITY = (
     "text_top_tokens",
     "udtf_tokenize",
     "win_topk_per_group",
+    # -- block 3: r6-latest driver evidence (whole cohort,
+    #    alphabetical; the tail past the driver's window rolls to
+    #    the r16 head)
+    "agg_hll_sketch_merge",
+    "binary_file_scan",
+    "cdc_time_travel",
+    "dedup_semantic_incremental",
+    "dedup_semantic_prune",
+    "dedup_snm_multipass",
+    "dedup_sorted_neighborhood",
+    "embed_random_projection",
+    "essie_search_nested_struct",
+    "fn_json_map_family",
+    "fn_try_family",
+    "fn_variant_family",
+    "graph_triangle_count",
+    "join_asof",
+    "json_corrupt_records",
+    "json_scan_roundtrip",
+    "lm_bigram_score",
+    "pipeline_curate_semantic",
+    "pivot_status_matrix",
+    "quality_linear_score",
+    "sample_reservoir",
+    "sample_temperature",
+    "scd2_history",
+    "set_intersect_all",
+    "shuffle_training_order",
+    "sim_topk_ivfpq",
+    "stream_run_quality_filter",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_boilerplate_lines",
+    "text_gopher_rules",
+    "text_hash_embedding",
+    "text_pii_redact",
+    "text_scan_roundtrip",
+    "text_token_bpe",
+    "udf_grouped_agg",
+    "udf_map_in_arrow",
+    "udf_pandas_scalar",
+    "unpivot_stack",
+    "win_first_last",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_sliding_frame",
+    "xml_scan_roundtrip",
 )
 _PRIORITY_POS = {n: i for i, n in enumerate(_PRIORITY)}
 

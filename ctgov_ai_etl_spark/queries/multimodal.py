@@ -1145,3 +1145,98 @@ def mm_video_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_idr",
         "n_non_idr",
     )
+
+
+@query(
+    "mm_video_mp4_boxes",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS d2,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS d3,
+             CAST(('0x' || substr(md5(text), 9, 2)) AS INT) AS d4,
+             CAST(('0x' || substr(md5(text), 11, 2)) AS INT) AS d5,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS INT) AS d6,
+             CAST(('0x' || substr(md5(text), 15, 2)) AS INT) AS d7,
+             CAST(('0x' || substr(md5(text), 17, 2)) AS INT) AS d8,
+             CAST(('0x' || substr(md5(text), 19, 2)) AS INT) AS d9,
+             CAST(('0x' || substr(md5(text), 21, 2)) AS INT) AS d10,
+             CAST(('0x' || substr(md5(text), 23, 2)) AS INT) AS d11
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             list_extract([600, 1000, 90000, 48000], d0 % 4 + 1) AS ts,
+             1 + (d1 * 256 + d2) % 100000 AS dur,
+             (1 + d3 % 64) * 16 AS w,
+             (1 + d4 % 64) * 16 AS h,
+             (1 + d5 % 50) * (100 + d6 % 156) AS mdat_payload,
+             d7 % 2 AS large,
+             d8 % 32 AS pad,
+             1 + d9 % 2 AS ntr,
+             list_extract(['und', 'eng', 'fra', 'deu', 'jpn'],
+                          d10 % 5 + 1) AS lang,
+             CASE WHEN d11 % 4 = 0 THEN 1 ELSE 0 END AS v1
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(5 + 5 * ntr AS INT) AS n_boxes,
+           CAST(ntr AS INT) AS n_traks,
+           CAST(v1 AS INT) AS box_version,
+           CAST(ts AS INT) AS movie_timescale,
+           CAST(dur AS BIGINT) * 1000 // ts AS movie_duration_ms,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           lang AS media_lang,
+           CAST(mdat_payload AS BIGINT) AS mdat_bytes,
+           CAST(large AS INT) AS mdat_large,
+           -- ftyp(32) + moov(8 + mvhd + ntr*trak) + free(8+pad)
+           -- + mdat header; full-box v1 widens each header by 12
+           CAST(32
+                + 8 + (108 + v1 * 12)
+                + ntr * (8 + (92 + v1 * 12) + 8 + (32 + v1 * 12) + 45)
+                + 8 + pad
+                + mdat_payload + CASE WHEN large = 1 THEN 16 ELSE 8 END
+             AS BIGINT) AS total_bytes
+    FROM q
+    """,
+)
+def mm_video_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) container walk, hash-checked end to end —
+    the container completing the matrix (WARC, .warc.gz, ZIP,
+    tar/WebDataset, now MP4), and the file format that CARRIES the
+    H.264 streams mm_video_h264_meta reads: synthesize minimal-but-
+    real MP4 files from md5-derived parameters (ftyp, nested
+    moov/trak/mdia full-box tree, free, mdat; v0 AND v1 full boxes;
+    32-bit and 64-bit largesize mdat framing; 1 or 2 traks), then
+    re-extract movie timescale/duration, 16.16 track geometry, packed
+    ISO-639 language, box/trak counts, and payload/total sizes by
+    recursively walking real length-prefixed boxes
+    (functions/mp4meta.py).  The oracle replays every parameter and
+    the v0/v1 header-size arithmetic closed-form in SQL, never
+    touching bytes — a wrong box stride, a missed largesize header,
+    or a bad fixed-point shift breaks the hash.  Codec payload decode
+    stays behind the documented native-codec seam.  Two Arrow-batched
+    mapInPandas stages, zero shuffle: container triage distributes
+    embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        mp4_meta_real,
+        render_test_mp4,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return mp4_meta_real(render_test_mp4(d, "doc_id"), "doc_id").select(
+        "doc_id",
+        "n_boxes",
+        "n_traks",
+        "box_version",
+        "movie_timescale",
+        "movie_duration_ms",
+        "width",
+        "height",
+        "media_lang",
+        "mdat_bytes",
+        "mdat_large",
+        "total_bytes",
+    )

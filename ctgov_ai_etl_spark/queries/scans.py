@@ -813,9 +813,11 @@ def warcgz_scan_records(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k AS INT) AS entry_idx,
            printf('%05d-%d.txt', doc_id, k) AS name,
            CAST(size AS INT) AS n_bytes,
-           -- STORED local header is 30 bytes + the 11-char name,
+           -- STORED local header is 30 bytes + the name (length
+           -- computed, not hardcoded: %05d widens past doc_id 99999),
            -- then the content verbatim: offsets are a running sum
-           CAST(coalesce(sum(41 + size) OVER (
+           CAST(coalesce(sum(30 + length(printf('%05d-%d.txt', doc_id, k))
+                             + size) OVER (
                   PARTITION BY doc_id ORDER BY k
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                 0) AS INT) AS local_offset
@@ -831,7 +833,7 @@ def zip_scan_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory, cross-check every entry's local header (magic + name)
     and CRC-32.  STORED members make the entire layout closed-form,
     so the oracle replays local-header offsets as a running sum of
-    41 + size — a wrong header length, a bad EOCD scan, or a stale
+    30 + len(name) + size — a wrong header length, a bad EOCD scan, or a stale
     CRC fails the hash (DEFLATE members are the gzip walk's regime
     and are rejected loudly here).  Completes the container matrix:
     WARC, .warc.gz, tar/WebDataset, ZIP.  Two Arrow-batched

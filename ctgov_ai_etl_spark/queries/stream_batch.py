@@ -1384,13 +1384,12 @@ def stream_run_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sentinels close every real window.  Same fixed-cost state
     partitioning note as the inner twin (8 partitions here)."""
     import os
-    import tempfile
 
-    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory
+    from ctgov_ai_etl_spark.streaming.events import run_stream_to_memory, scratch_dir
     from ctgov_ai_etl_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    stage = tempfile.mkdtemp(prefix="ssjo_")
+    stage = scratch_dir("ssjo_")
     b1 = os.path.join(stage, "batch1")
     # ONE file → ONE trigger for the whole real-event slice.  With
     # the default multi-file write, maxFilesPerTrigger=1 turned every

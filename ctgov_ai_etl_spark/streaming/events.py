@@ -23,6 +23,29 @@ from ctgov_ai_etl_spark.schemas import EVENTS
 from ctgov_ai_etl_spark.tables import ensure_session_confs
 
 
+def scratch_dir(prefix: str) -> str:
+    """Scratch directory for streaming checkpoints / state stores,
+    RAM-backed when possible.
+
+    Stream-stream joins commit four state stores per partition per
+    micro-batch; on a contended disk that commit cost dominates the
+    query (measured 4-8x wall swings on the shared bench host).  The
+    state here is bounded (one watermark window per stream) and the
+    checkpoints are single-run throwaways, so tmpfs is the right
+    medium.  Resolution order: ``$SPARK_GRAFT_SCRATCH`` if set, then
+    ``/dev/shm`` when present and writable, else the system tempdir
+    (the prior behavior).  On a real cluster the equivalent knob is
+    pointing the state store at local SSD / RocksDB, not HDFS.
+    """
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not base and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    try:
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    except OSError:
+        return tempfile.mkdtemp(prefix=prefix)
+
+
 def stream_table_reader(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
     """File-source stream over ``<sf_dir>/<table>.parquet`` handling
     BOTH storage layouts: a single parquet FILE (the testdata shape —
@@ -274,7 +297,7 @@ def stream_upsert_snapshot(
 
     ensure_session_confs(spark)
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="upsert_stream_")
+    work = scratch_dir("upsert_stream_")
     src_dir = os.path.join(work, "shards")
     target_dir = os.path.join(work, "target")
     ev.repartition(n_shards).write.parquet(src_dir)
@@ -343,7 +366,7 @@ def run_stream_to_memory_until_done(
     ``processAllAvailable()``, which loops micro-batches until the
     source's offset stops advancing (the reader's ``done`` state)."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = scratch_dir(f"ckpt_{name}_")
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")
@@ -372,7 +395,7 @@ def run_stream_to_memory(
     — the tail would be withheld forever.
     """
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = scratch_dir(f"ckpt_{name}_")
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")

@@ -68,6 +68,25 @@ def test_truncated_cd_rejected():
         parse_zip_entries(cut)
 
 
+def test_truncated_last_cd_entry_raises_ziperror_not_struct_error():
+    """A central directory whose cd_size lies but whose LAST entry's
+    fixed header (or name) runs past the archive end must fail with
+    the module's ZipError, not leak struct.error / silent short
+    slices (ADVICE r14)."""
+    blob = bytearray(build_zip([("a.txt", b"x"), ("b.txt", b"yy")]))
+    # EOCD is the last 22 bytes; cd_size is the 4 bytes at EOCD+12.
+    # Inflate cd_size so the walk expects a third entry starting in
+    # the EOCD region: its fixed 46-byte header overruns the blob.
+    import struct as _s
+
+    eocd = len(blob) - 22
+    (cd_size,) = _s.unpack("<I", blob[eocd + 12 : eocd + 16])
+    blob[eocd + 8 : eocd + 12] = _s.pack("<HH", 3, 3)  # n_here/n_total: 2 -> 3
+    with pytest.raises(ZipError, match="truncated|magic"):
+        parse_zip_entries(bytes(blob))
+    assert cd_size > 0
+
+
 def test_name_mismatch_rejected():
     blob = bytearray(build_zip([("abc.txt", b"x")]))
     blob[30:33] = b"zzz"  # local header name; CD still says abc
