@@ -178,6 +178,30 @@ def main() -> None:
     # property of the code again (VERDICT r9 #4).  The tail stays
     # single-run: its job is spotting gross per-query regressions,
     # not powering the round-over-round metric.
+    if "--deep-only" in sys.argv:
+        # VERDICT r14 #4: the DEEP_TIER queries are the engine's most
+        # expensive plans and the only registry entries with no
+        # recorded wall-time in any BENCH_FULL — this mode gives them
+        # a dedicated artifact (median-of-3 each, idle host, same
+        # timing harness) without re-inflating the catalog sweep they
+        # were deferred from.
+        deep_runs: dict[str, list[float]] = {}
+        deep_med: dict[str, float] = {}
+        for name in sorted(DEEP_TIER):
+            runs = [_run(registry[name].fn, spark) for _ in range(3)]
+            deep_runs[name] = runs
+            deep_med[name] = sorted(runs)[1]
+        out = {
+            "metric": "deep_tier_total_runtime",
+            "value": round(sum(deep_med.values()), 3),
+            "unit": "sec",
+            "queries": deep_med,
+            "deep_runs": deep_runs,
+            "sf": sf,
+        }
+        print(json.dumps(out))
+        return
+
     headline_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs = [_run(registry[name].fn, spark) for _ in range(3)]

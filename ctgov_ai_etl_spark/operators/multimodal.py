@@ -1446,6 +1446,90 @@ def mp4_meta_real(
     )
 
 
+def render_test_wav(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE files deterministically from
+    md5(text) (functions/wavmeta.py): PCM fmt chunk with md5-derived
+    rate/channels/depth, an optional fact chunk, a nested LIST(INFO)
+    with an odd-or-even INAM text (exercising the RIFF pad-byte
+    rule), and a filler data payload.  Real chunk framing, fake
+    samples — exactly what container triage is and isn't sensitive
+    to."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.wavmeta import (
+        BITS_CHOICES,
+        RATE_CHOICES,
+        build_wav,
+    )
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                d = _hl.md5(str(text).encode("utf-8")).digest()
+                ids.append(rid)
+                blobs.append(
+                    build_wav(
+                        sample_rate=RATE_CHOICES[d[0] % 5],
+                        channels=1 + d[1] % 2,
+                        bits=BITS_CHOICES[d[2] % 4],
+                        n_samples=1 + ((d[3] << 8) | d[4]) % 20000,
+                        info_len=1 + d[5] % 40,
+                        with_fact=bool(d[6] % 2),
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def wav_meta_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL RIFF/WAVE metadata extraction: pad-aware chunk walk with
+    LIST recursion plus PCM fmt decode with derived-field
+    cross-checks (functions/wavmeta.py:parse_wav_meta),
+    Arrow-batched.  Per file emits the audio triage row — channels /
+    rate / depth / exact integer-microsecond duration — all before
+    any sample is touched.  Zero shuffle."""
+    from ctgov_ai_etl_spark.functions.wavmeta import parse_wav_meta
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+    fields = (
+        "n_chunks", "channels", "sample_rate", "bits_per_sample",
+        "block_align", "byte_rate", "n_samples", "data_bytes",
+        "duration_us", "total_bytes",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (id_col, *fields)}
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                meta = parse_wav_meta(bytes(data))
+                rows[id_col].append(rid)
+                for k in fields:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_chunks int, channels int, sample_rate int,"
+            " bits_per_sample int, block_align int, byte_rate int,"
+            " n_samples long, data_bytes long, duration_us long,"
+            " total_bytes long"
+        ),
+    )
+
+
 def warc_response_texts(
     df: DataFrame, id_col: str, blob_col: str = "blob"
 ) -> DataFrame:

@@ -1240,3 +1240,88 @@ def mm_video_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mdat_large",
         "total_bytes",
     )
+
+
+@query(
+    "mm_audio_wav_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS d2,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS d3,
+             CAST(('0x' || substr(md5(text), 9, 2)) AS INT) AS d4,
+             CAST(('0x' || substr(md5(text), 11, 2)) AS INT) AS d5,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS INT) AS d6
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          d0 % 5 + 1) AS rate,
+             1 + d1 % 2 AS ch,
+             list_extract([8, 16, 24, 32], d2 % 4 + 1) AS bits,
+             1 + (d3 * 256 + d4) % 20000 AS n,
+             1 + d5 % 40 AS info_len,
+             d6 % 2 AS fact
+      FROM p
+    ), r AS (
+      SELECT doc_id, rate, ch, bits, n, info_len, fact,
+             ch * bits // 8 AS ba
+      FROM q
+    )
+    SELECT doc_id,
+           CAST(4 + fact AS INT) AS n_chunks,
+           CAST(ch AS INT) AS channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(bits AS INT) AS bits_per_sample,
+           CAST(ba AS INT) AS block_align,
+           CAST(rate * ba AS INT) AS byte_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * ba AS BIGINT) AS data_bytes,
+           CAST(n AS BIGINT) * 1000000 // rate AS duration_us,
+           -- RIFF(12) + fmt(24) + fact(12?) + LIST hdr(8) + 'INFO'(4)
+           -- + INAM hdr(8) + text + sub-pad, + data hdr(8) + payload
+           -- + data-pad; pad bytes are NOT counted in chunk sizes
+           CAST(12 + 24 + fact * 12
+                + 20 + info_len + info_len % 2
+                + 8 + n * ba + (n * ba) % 2
+             AS BIGINT) AS total_bytes
+    FROM r
+    """,
+)
+def mm_audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE container walk, hash-checked end to end — the
+    audio container sibling of mm_video_mp4_boxes (MP3's bare frame
+    walk is mm_audio_mp3_meta; WAV is the uncompressed-PCM other
+    half of crawl audio): synthesize minimal-but-real WAVE files
+    from md5-derived parameters (PCM fmt, optional fact, nested
+    LIST/INFO with odd-length INAM exercising the RIFF pad-byte
+    rule, filler data payload), then re-extract channels / rate /
+    depth / exact integer-microsecond duration / chunk and byte
+    counts by walking real pad-aware little-endian chunks with
+    derived-field cross-checks (functions/wavmeta.py).  The oracle
+    replays every parameter and the pad arithmetic closed-form in
+    SQL, never touching bytes — a missed pad byte, a wrong LIST
+    recursion, or a block-align desync breaks the hash.  Two
+    Arrow-batched mapInPandas stages, zero shuffle: audio-corpus
+    triage distributes embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        render_test_wav,
+        wav_meta_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return wav_meta_real(render_test_wav(d, "doc_id"), "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "block_align",
+        "byte_rate",
+        "n_samples",
+        "data_bytes",
+        "duration_us",
+        "total_bytes",
+    )

@@ -46,6 +46,25 @@ def scratch_dir(prefix: str) -> str:
         return tempfile.mkdtemp(prefix=prefix)
 
 
+#: When set to a list by the plan-audit harness, every stream runner
+#: appends the EXECUTED micro-batch plan (``explainInternal``) of each
+#: query it drives.  The batch frame a stream query returns is just a
+#: memory-sink scan — the streaming physical properties worth
+#: asserting (state-store partition counts, StreamingSymmetricHashJoin
+#: vs cartesian, broadcast static side) exist only on the streaming
+#: query's own executed plan, which this hook exposes to
+#: tools/explain_audit.py without changing any runtime behavior.
+STREAM_PLAN_CAPTURE: list | None = None
+
+
+def _capture_stream_plan(q) -> None:
+    if STREAM_PLAN_CAPTURE is not None:
+        try:
+            STREAM_PLAN_CAPTURE.append(q._jsq.explainInternal(True))
+        except Exception as exc:  # surfaced as a failing assertion
+            STREAM_PLAN_CAPTURE.append(f"<explain failed: {exc}>")
+
+
 def stream_table_reader(spark: SparkSession, sf_dir: str, table: str, schema) -> DataFrame:
     """File-source stream over ``<sf_dir>/<table>.parquet`` handling
     BOTH storage layouts: a single parquet FILE (the testdata shape —
@@ -351,6 +370,7 @@ def stream_upsert_snapshot(
             .start()
         )
         q.awaitTermination()
+        _capture_stream_plan(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(latest[-1])
@@ -377,6 +397,7 @@ def run_stream_to_memory_until_done(
     )
     try:
         q.processAllAvailable()
+        _capture_stream_plan(q)
     finally:
         q.stop()
     return df.sparkSession.table(name)
@@ -405,6 +426,7 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+    _capture_stream_plan(q)
     return df.sparkSession.table(name)
 
 
