@@ -1530,6 +1530,85 @@ def wav_meta_real(
     )
 
 
+def render_test_pdf(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Synthesize REAL PDF skeletons deterministically from md5(text)
+    (functions/pdfmeta.py): Catalog→Pages→Page tree with 1-3 pages,
+    md5-derived MediaBox geometry and per-page content-stream
+    lengths, a fixed-width xref table whose offsets are real, and a
+    trailer.  Every parameter is fixed-width by construction so the
+    whole byte layout is closed-form for the oracle."""
+    import hashlib as _hl
+
+    from ctgov_ai_etl_spark.functions.pdfmeta import build_pdf
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                d = _hl.md5(str(text).encode("utf-8")).digest()
+                k = 1 + d[0] % 3
+                ids.append(rid)
+                blobs.append(
+                    build_pdf(
+                        n_pages=k,
+                        width=100 + ((d[1] << 8) | d[2]) % 900,
+                        height=100 + ((d[3] << 8) | d[4]) % 900,
+                        lengths=[
+                            100 + ((d[5 + 2 * i] << 8) | d[6 + 2 * i]) % 900
+                            for i in range(k)
+                        ],
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "blob": blobs})
+
+    return src.mapInPandas(run, schema=f"{id_col} long, blob binary")
+
+
+def pdf_meta_real(
+    df: DataFrame, id_col: str, blob_col: str = "blob"
+) -> DataFrame:
+    """REAL PDF skeleton extraction: startxref resolution, fixed-
+    width xref walk with per-entry offset verification, /Length vs
+    stream-span re-verification, Catalog→Pages→Page traversal
+    (functions/pdfmeta.py:parse_pdf_meta), Arrow-batched.  Per file
+    emits the document triage row — pages / geometry / content
+    volume / structural integrity.  Zero shuffle."""
+    from ctgov_ai_etl_spark.functions.pdfmeta import parse_pdf_meta
+    from ctgov_ai_etl_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, blob_col)
+    fields = (
+        "pdf_version", "n_objects", "n_pages", "media_w", "media_h",
+        "total_content_bytes", "xref_offset", "total_bytes",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (id_col, *fields)}
+            for rid, data in zip(pdf[id_col], pdf[blob_col]):
+                meta = parse_pdf_meta(bytes(data))
+                rows[id_col].append(rid)
+                for k in fields:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, pdf_version string, n_objects int,"
+            " n_pages int, media_w int, media_h int,"
+            " total_content_bytes long, xref_offset long, total_bytes long"
+        ),
+    )
+
+
 def warc_response_texts(
     df: DataFrame, id_col: str, blob_col: str = "blob"
 ) -> DataFrame:

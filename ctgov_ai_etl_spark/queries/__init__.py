@@ -51,9 +51,11 @@ _PRIORITY = (
     #    fixtures — re-confirm under the driver's DuckDB)
     "zip_scan_entries",
     "warcgz_scan_records",
-    # -- block 1: NEW in round 15 (ISO-BMFF box walk, RIFF/WAVE walk)
+    # -- block 1: NEW in round 15 (ISO-BMFF box walk, RIFF/WAVE walk,
+    #    PDF xref/object walk)
     "mm_video_mp4_boxes",
     "mm_audio_wav_meta",
+    "doc_pdf_meta",
     # -- block 2: r5-latest driver evidence (the 8-name remainder
     #    the r14 window didn't reach)
     "text_fingerprint",

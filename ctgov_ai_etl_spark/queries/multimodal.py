@@ -1325,3 +1325,93 @@ def mm_audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_us",
         "total_bytes",
     )
+
+
+@query(
+    "doc_pdf_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS d2,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS d3,
+             CAST(('0x' || substr(md5(text), 9, 2)) AS INT) AS d4,
+             CAST(('0x' || substr(md5(text), 11, 2)) AS INT) AS d5,
+             CAST(('0x' || substr(md5(text), 13, 2)) AS INT) AS d6,
+             CAST(('0x' || substr(md5(text), 15, 2)) AS INT) AS d7,
+             CAST(('0x' || substr(md5(text), 17, 2)) AS INT) AS d8,
+             CAST(('0x' || substr(md5(text), 19, 2)) AS INT) AS d9,
+             CAST(('0x' || substr(md5(text), 21, 2)) AS INT) AS d10
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             1 + d0 % 3 AS k,
+             100 + (d1 * 256 + d2) % 900 AS w,
+             100 + (d3 * 256 + d4) % 900 AS h,
+             (100 + (d5 * 256 + d6) % 900)
+               + CASE WHEN 1 + d0 % 3 >= 2
+                      THEN 100 + (d7 * 256 + d8) % 900 ELSE 0 END
+               + CASE WHEN 1 + d0 % 3 >= 3
+                      THEN 100 + (d9 * 256 + d10) % 900 ELSE 0 END
+               AS content
+      FROM p
+    ), r AS (
+      -- object region: header(9) + catalog(49) + pages(51 + 6k)
+      -- + k pages(87 each) + k streams(51 each + payload)
+      SELECT doc_id, k, w, h, content,
+             109 + 144 * k + content AS xref_off
+      FROM q
+    )
+    SELECT doc_id,
+           '1.4' AS pdf_version,
+           CAST(2 + 2 * k AS INT) AS n_objects,
+           CAST(k AS INT) AS n_pages,
+           CAST(w AS INT) AS media_w,
+           CAST(h AS INT) AS media_h,
+           CAST(content AS BIGINT) AS total_content_bytes,
+           CAST(xref_off AS BIGINT) AS xref_offset,
+           -- + xref header(9) + 20 per entry incl. the free entry
+           -- + trailer fixed(50) + the startxref offset's own digits
+           CAST(xref_off + 9 + 20 * (3 + 2 * k) + 50
+                + length(CAST(xref_off AS VARCHAR))
+             AS BIGINT) AS total_bytes
+    FROM r
+    """,
+)
+def doc_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF skeleton walk, hash-checked end to end — the
+    document-container member of the walk family (WARC/.warc.gz,
+    ZIP, tar/WebDataset, MP4, WAV): synthesize minimal-but-real PDFs
+    from md5-derived parameters (Catalog→Pages→Page tree with 1-3
+    pages, fixed-width xref whose offsets are REAL byte positions,
+    /Length-annotated content streams, trailer), then re-extract
+    page count / MediaBox geometry / content volume / xref offset by
+    resolving startxref, walking the 20-byte xref entries, verifying
+    every in-use offset lands on its `N 0 obj` header, and
+    re-verifying each /Length against the actual stream span
+    (functions/pdfmeta.py).  Every parameter is fixed-width by
+    construction, so the oracle replays the ENTIRE byte layout —
+    object sizes, xref offsets, even the startxref offset's own
+    digit count — closed-form in SQL; a wrong object size or a
+    misplaced xref breaks the hash.  Text/font/filter decode is out
+    of scope by design (content streams are opaque payload, like
+    mdat to the MP4 walk).  Two Arrow-batched mapInPandas stages,
+    zero shuffle: PDF triage distributes embarrassingly at 100 TB."""
+    from ctgov_ai_etl_spark.operators.multimodal import (
+        pdf_meta_real,
+        render_test_pdf,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return pdf_meta_real(render_test_pdf(d, "doc_id"), "doc_id").select(
+        "doc_id",
+        "pdf_version",
+        "n_objects",
+        "n_pages",
+        "media_w",
+        "media_h",
+        "total_content_bytes",
+        "xref_offset",
+        "total_bytes",
+    )
