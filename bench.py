@@ -41,13 +41,19 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
 # tar_scan_members, wds_sample_groups) bill ~12 s of mapInPandas codec
 # work at sf0.1 (the r14 mid-round run measured 452.0 s at 402
 # benched, within noise of the old line BEFORE the tar pair landed).
-# New line: <= 470 s of summed per-query time for a catalog of <= 425
+# r14 line: <= 470 s of summed per-query time for a catalog of <= 425
 # benched queries, same no-silent-skips rule (every skip is listed in
 # tail_skipped and flagged on stderr; DEEP_TIER deferrals each name
 # their still-benched floor above).  The bench emits `catalog_total`
 # and `catalog_over_target` so the line is machine-checkable from the
 # JSON artifact alone.
-CATALOG_TOTAL_TARGET_S = 470.0
+# Re-baselined 470 -> 480 s in r15 (explicitly, per the never-silently
+# rule): three new container-walk queries (mm_video_mp4_boxes,
+# mm_audio_wav_meta, doc_pdf_meta) bill ~6-8 s of vectorized
+# mapInPandas codec work at sf0.1; the streaming tier's move to tmpfs
+# scratch (VERDICT r14 #1) funds part of that but the r14 line had no
+# headroom for catalog growth.
+CATALOG_TOTAL_TARGET_S = 480.0
 
 # Headline set: the scan/join/agg/window spine plus one of each
 # LLM-pipeline operator family (dedup, similarity, text, classify,

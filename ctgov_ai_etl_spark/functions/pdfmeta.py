@@ -83,7 +83,10 @@ def _page_obj(oid: int, width: int, height: int, content_oid: int) -> bytes:
 def _content_obj(oid: int, length: int) -> bytes:
     if not 100 <= length <= 999:
         raise PdfError("stream length must be 3-digit (closed-form contract)")
-    payload = bytes(32 + (7 * k + oid) % 95 for k in range(length))
+    # 32 + (7k + oid) % 95 has period 95 in k: tile one cycle
+    # (aligned to oid's phase) instead of a per-byte Python loop
+    cycle = bytes(32 + (7 * k + oid) % 95 for k in range(95))
+    payload = (cycle * (length // 95 + 1))[:length]
     return (
         f"{oid} 0 obj\n<< /Length {length} >>\nstream\n".encode("ascii")
         + payload
