@@ -283,7 +283,8 @@ def ts_clamped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped running balance (credits for purchase/signup, debits
     otherwise, balance pinned to [0, $25]) — the value-dependent
     prefix scan no window expression can state (operators/balance.py).
-    Per-key applyInPandas strategy; oracle is the literal per-row
+    Per-key sequential scan (keyed_scan_input flat layout, one
+    user_id shuffle); oracle is the literal per-row
     recurrence as a DuckDB recursive CTE."""
     ev = load_table(spark, sf_dir, "events")
     return clamped_balance(ev, _BALANCE_CAP_CENTS)

@@ -1856,7 +1856,7 @@ def ops_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     admit decision branches on the bucket's own state, so no window
     or monoid fold expresses it (contrast ts_clamped_cumsum_chunked)
     — this is the honest per-key sequential class: one user_id
-    shuffle, applyInPandas scan per key; oracle = the recurrence as a
+    shuffle, flat keyed_scan_input scan; oracle = the recurrence as a
     recursive CTE.  Exact int64 pico-token arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     return token_bucket_scan(ev, _TB_CAP, _TB_REFILL, _TB_COST)
@@ -2887,15 +2887,18 @@ def gov_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes every downstream link, so one string per user certifies
     the whole history.
 
-    The chain is inherently sequential per key — the sanctioned
-    grouped-map Python boundary (same class as ts_clamped_cumsum),
-    one Arrow batch per user, md5 being the engine-portable hash.
-    Oracle: the recursive-CTE replay.  One user_id exchange; state
-    is one 32-char digest regardless of history length."""
+    The chain is inherently sequential per key — the per-key scan
+    class (same as ts_clamped_cumsum), laid out flat via
+    ``keyed_scan_input`` (one user_id shuffle, contiguous ordered
+    runs, state carried across Arrow batches — guide §4: no per-group
+    Python dispatch), md5 being the engine-portable hash.  Oracle:
+    the recursive-CTE replay.  State is one 32-char digest regardless
+    of history length."""
     import hashlib
 
     import pandas as pd
 
+    from ctgov_ai_etl_spark.operators.balance import keyed_scan_input
     from ctgov_ai_etl_spark.session import ship_package
 
     ship_package(spark)
@@ -2907,22 +2910,32 @@ def gov_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        h = "genesis"
-        n = 0
-        for eid in pdf["event_id"]:
-            h = hashlib.md5(f"{h}:{int(eid)}".encode()).hexdigest()
-            n += 1
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [n],
-                "final_hash": [h],
-            }
-        )
+    def chain(batches):
+        uid, h, n = None, "genesis", 0
+        for pdf in batches:
+            us = pdf["user_id"].to_numpy()
+            eids = pdf["event_id"].to_numpy()
+            out_u, out_n, out_h = [], [], []
+            for i in range(len(pdf)):
+                u = int(us[i])
+                if uid is not None and u != uid:
+                    out_u.append(uid)
+                    out_n.append(n)
+                    out_h.append(h)
+                    h, n = "genesis", 0
+                uid = u
+                h = hashlib.md5(f"{h}:{int(eids[i])}".encode()).hexdigest()
+                n += 1
+            if out_u:
+                yield pd.DataFrame(
+                    {"user_id": out_u, "n_events": out_n, "final_hash": out_h}
+                )
+        if uid is not None:
+            yield pd.DataFrame(
+                {"user_id": [uid], "n_events": [n], "final_hash": [h]}
+            )
 
-    return ev.groupBy("user_id").applyInPandas(
+    return keyed_scan_input(ev, "user_id", ["ts_us", "event_id"]).mapInPandas(
         chain, schema="user_id long, n_events long, final_hash string"
     )
 

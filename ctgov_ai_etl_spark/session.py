@@ -44,6 +44,26 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+def _local_scratch() -> str:
+    """Directory for spark.local.dir (shuffle files, spills).
+
+    $SPARK_GRAFT_LOCAL_DIR > /dev/shm (RAM-backed, when writable) >
+    the platform default tempdir.  Must be decided before the
+    SparkContext exists, hence a builder-time helper rather than a
+    runtime conf."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        d = "/dev/shm/spark_local"
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:
+            pass
+    return tempfile.gettempdir()
+
+
 def get_spark(app_name: str = "ctgov_ai_etl_spark", cpus: str | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
@@ -62,6 +82,16 @@ def get_spark(app_name: str = "ctgov_ai_etl_spark", cpus: str | None = None) -> 
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # Shuffle/spill scratch on the fastest local medium available
+        # (guide: shuffle files live on executor-local disk; on a real
+        # cluster this is the local-NVMe mount, here the RAM-backed
+        # tempfs when present).  Parameterised: $SPARK_GRAFT_LOCAL_DIR
+        # wins, else /dev/shm when writable, else Spark's default
+        # (/tmp).  Same medium rationale as the streaming state-store
+        # scratch (streaming/events.py:scratch_dir, VERDICT r14 #1) —
+        # the bench host's virtual disk shows bursty multi-second I/O
+        # stalls that swing shuffle-heavy queries 4-8x.
+        .config("spark.local.dir", _local_scratch())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

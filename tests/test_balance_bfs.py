@@ -288,3 +288,63 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         (3, "2024-01-02"): 99.0,   # replaced
         (4, "2024-01-03"): 40.0,   # sibling partitions intact
     }
+
+
+def test_flat_scan_state_carries_across_arrow_batches(spark):
+    """The keyed_scan_input + mapInPandas layout must be exact when a
+    single key's contiguous run spans MANY Arrow batches: force
+    7-row batches (vs ~70-row user histories at sf0.001) and replay
+    the recurrences in the driver as the reference."""
+    from ctgov_ai_etl_spark.operators.balance import token_bucket_scan
+
+    ev = load_table(spark, SF_SMALL, "events")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        bal = {
+            (r.user_id, r.event_id): r.balance_cents
+            for r in clamped_balance(ev, CAP).collect()
+        }
+        cap, refill, cost = 3_000_000_000_000, 17, 1_000_000_000_000
+        tb = {
+            (r.user_id, r.event_id): (r.allowed, r.tokens_after)
+            for r in token_bucket_scan(ev, cap, refill, cost).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    # driver-side reference: per-user ordered replay
+    rows = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (
+                F.round(F.col("value") * 100).cast("long")
+                * F.when(
+                    F.col("event_type").isin("purchase", "signup"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias("delta"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts_us, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(bal) == len(rows) and len(tb) == len(rows)
+    for uid, evs in by_user.items():
+        b = 0
+        tokens, last = None, None
+        for r in evs:
+            b = min(CAP, max(0, b + r.delta))
+            assert bal[(uid, r.event_id)] == b
+            avail = (
+                cap
+                if tokens is None
+                else min(cap, tokens + (r.ts_us - last) * refill)
+            )
+            ok = avail >= cost
+            tokens = avail - cost if ok else avail
+            last = r.ts_us
+            assert tb[(uid, r.event_id)] == (ok, tokens)
