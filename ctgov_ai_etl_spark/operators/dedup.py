@@ -19,6 +19,7 @@ O(Σ bucket²) with a single shuffle, the standard MinHash-LSH layout
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -38,6 +39,14 @@ _SEED = 42
 # comparable to the dictionary broadcast the encode join already
 # plans; beyond it the distributed global_rank takes over.
 _VOCAB_DRIVER_CAP = 1_000_000
+
+#: Edge budget for the driver union-find tier of
+#: :func:`connected_components` — same bounded-probe-with-distributed-
+#: fallback idiom as the vocabulary dictionary above.  500k edges of
+#: two 8-byte ids ≈ tens of MB collected, the ballpark every broadcast
+#: in this engine already implies; graphs past the cap take the
+#: distributed label-prop/star path unchanged.
+_CC_DRIVER_CAP = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_CAP", "500000"))
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -818,6 +827,7 @@ def connected_components(
     max_iters: int = 50,
     star_handoff: int = 4,
     observation=None,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise matches into duplicate CLUSTERS (pairs are not
@@ -890,6 +900,80 @@ def connected_components(
         .select("v", "nbr")
         .localCheckpoint(eager=True)
     )
+    # ---- bounded driver tier (the vocab-probe idiom): near-dup pair
+    # graphs are tiny relative to their corpora (most documents are
+    # singletons — the sf0.1 semantic block graph is 981 edges for a
+    # 2,000-vector corpus), yet the iterative path pays
+    # 3 + rounds + handoff full job barriers to resolve them.  When
+    # the (already endpoint-filtered, checkpointed) edge list fits the
+    # same driver budget every dictionary/broadcast in this engine
+    # already implies, resolve it with one collect + union-find and
+    # ship the (vertex → min-id component) map back as one tiny
+    # DataFrame — identical labels (UTF-8 byte order == code-point
+    # order, so Python ``min`` agrees with Spark's string ordering;
+    # exact for integral ids trivially), metrics report lp_rounds=0.
+    # A graph past ``driver_cap`` (env SPARK_GRAFT_CC_DRIVER_CAP)
+    # takes the distributed loop below unchanged — at 100 TB the pair
+    # graph of a duplicate-heavy crawl has billions of edges and this
+    # probe costs one cheap count on checkpointed blocks.
+    if driver_cap is None:
+        driver_cap = _CC_DRIVER_CAP
+    use_driver = driver_cap > 0 and e0.count() <= driver_cap
+    if use_driver:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in e0.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        mins: dict = {}
+        for x in parent:
+            r = find(x)
+            if r not in mins or x < mins[r]:
+                mins[r] = x
+        id_type = e0.schema["v"].dataType
+        from pyspark.sql import types as T
+
+        map_schema = T.StructType(
+            [T.StructField("v", id_type), T.StructField("component", id_type)]
+        )
+        labels = vertices.sparkSession.createDataFrame(
+            [(x, mins[find(x)]) for x in parent], map_schema
+        )
+        rounds_run, converged = 0, True
+        singles = (
+            vertices.select(F.col(id_col).alias("v"))
+            .join(labels.select("v"), "v", "left_anti")
+            .select("v", F.col("v").alias("component"))
+        )
+        out = labels.unionByName(singles).select(
+            F.col("v").alias(id_col), "component"
+        )
+        if observation is not None:
+            out = out.observe(
+                observation,
+                F.max(F.lit(rounds_run)).alias("lp_rounds"),
+                F.max(F.lit(1)).alias("lp_converged"),
+                F.max(F.lit(0)).alias("star_handoff_used"),
+                F.count("*").alias("n_vertices"),
+                F.approx_count_distinct("component").alias(
+                    "n_components_approx"
+                ),
+            )
+        return out
     sym = (
         e0.unionByName(e0.select(F.col("nbr").alias("v"), F.col("v").alias("nbr")))
         .dropDuplicates(["v", "nbr"])

@@ -3911,9 +3911,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigrams are built map-side from the token array
     (transform over the sliced array — no posexplode self-join, no
     extra shuffle); first-occurrence is one bigram-keyed partial-agg
-    min; the attribution join is keyed on the same bigram column, so
-    it reuses the exchange; the final per-doc rollup is the only
-    other shuffle.  No global order, no windows — min(doc_id) IS the
+    min.  The novelty ATTRIBUTION then never touches the wide bigram
+    rows again: a document's novel count is just how many bigrams
+    name it as their first_doc, so the (bg, first_doc) table rolls
+    up by first_doc (partial-agg compressed to one row per doc) and
+    joins the equally compressed per-doc distinct-bigram counts on
+    doc_id — both sides exit their aggregations already partitioned
+    on that key, so the join adds no exchange.  The bg-keyed pair
+    join of the naive form (every exploded row
+    re-shuffled and sort-merged against the first-occurrence table)
+    is gone, which is what bounds this at 100 TB: both shuffles
+    carry partial aggregates, no full-width row survives past its
+    map stage.  No global order, no windows — min(doc_id) IS the
     corpus-order semantics, computed commutatively."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -3925,16 +3934,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(bigrams)).alias("bg")
     )
     first = per.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    n_novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("nn")
     )
+    n_bg = per.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
+    novel = F.coalesce(F.col("nn"), F.lit(0))
     return (
-        per.join(first, "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
+        n_bg.join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
             novel.cast("long").alias("n_novel"),
-            fdiv(novel * 1_000_000, F.count("*")).alias("novelty_ppm"),
+            fdiv(novel * 1_000_000, F.col("n_bigrams")).alias("novelty_ppm"),
         )
     )
 

@@ -12,6 +12,7 @@ batch-equivalence is the correctness story (run both, compare).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -44,6 +45,42 @@ def scratch_dir(prefix: str) -> str:
         return tempfile.mkdtemp(prefix=prefix, dir=base)
     except OSError:
         return tempfile.mkdtemp(prefix=prefix)
+
+
+@contextlib.contextmanager
+def _stream_shuffle_parts(spark):
+    """Bound the state-store partition count of a stream run.
+
+    A stateful streaming query creates one state-store instance per
+    shuffle partition and commits every one of them per micro-batch;
+    at the session default (= core count) a tiny-state query pays 32
+    store commits + 32-task stateful stages per batch for state that
+    fits in a handful of partitions.  Several queries already size
+    this to their real key volume by hand (stream-stream joins: 8,
+    upsert merges: 4); this manager gives every run through the
+    shared runners the same treatment: lower to
+    ``$SPARK_GRAFT_STREAM_SHUFFLE`` (default 8) unless the caller
+    already set something at or below it (their sizing wins).  On a
+    production cluster the env knob sizes state partitions to state
+    volume — the standard sizing rule for state stores, independent
+    of core count.  Restores the caller's value on exit; the conf is
+    read once at query start, so the restore cannot affect the
+    running query.
+    """
+    target = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    lowered = False
+    try:
+        if int(prev) > target:
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
+            lowered = True
+    except (TypeError, ValueError):
+        pass
+    try:
+        yield
+    finally:
+        if lowered:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 #: When set to a list by the plan-audit harness, every stream runner
@@ -387,20 +424,22 @@ def run_stream_to_memory_until_done(
     source's offset stops advancing (the reader's ``done`` state)."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(f"ckpt_{name}_")
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        _capture_stream_plan(q)
-    finally:
-        q.stop()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    with _stream_shuffle_parts(spark):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+    return spark.table(name)
 
 
 def run_stream_to_memory(
@@ -417,17 +456,19 @@ def run_stream_to_memory(
     """
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(f"ckpt_{name}_")
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = df.sparkSession
+    with _stream_shuffle_parts(spark):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _capture_stream_plan(q)
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def stateful_capped_sessions(

@@ -51,8 +51,16 @@ def test_connected_components_matches_union_find(spark, vertices, raw_edges):
     edf = spark.createDataFrame(raw or [(0, 0)], "id_a long, id_b long")
     if not raw:
         edf = edf.limit(0)
-    got = {r.id: r.component for r in connected_components(vdf, edf).collect()}
-    assert got == _python_components(vertices, edges)
+    expected = _python_components(vertices, edges)
+    # both physical tiers must agree with the union-find oracle:
+    # driver_cap=0 forces the distributed label-prop/star path,
+    # the default takes the bounded driver union-find tier
+    for cap in (0, None):
+        got = {
+            r.id: r.component
+            for r in connected_components(vdf, edf, driver_cap=cap).collect()
+        }
+        assert got == expected, f"driver_cap={cap}" 
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
@@ -77,9 +85,13 @@ def test_components_drop_foreign_endpoints(spark):
     vertices={5,7} with edges (1,5),(5,7) → both label 5, not 1."""
     vdf = spark.createDataFrame([(5,), (7,)], "id long")
     edf = spark.createDataFrame([(1, 5), (5, 7)], "id_a long, id_b long")
-    for fn in (connected_components, connected_components_star):
-        got = {r.id: r.component for r in fn(vdf, edf).collect()}
-        assert got == {5: 5, 7: 5}, fn.__name__
+    for fn, kw in (
+        (connected_components, {"driver_cap": 0}),
+        (connected_components, {}),
+        (connected_components_star, {}),
+    ):
+        got = {r.id: r.component for r in fn(vdf, edf, **kw).collect()}
+        assert got == {5: 5, 7: 5}, (fn.__name__, kw)
 
 
 def test_label_prop_deep_chain_star_handoff(spark):
@@ -94,7 +106,9 @@ def test_label_prop_deep_chain_star_handoff(spark):
     )
     got = {
         r.id: r.component
-        for r in connected_components(vdf, edf, star_handoff=3).collect()
+        for r in connected_components(
+            vdf, edf, star_handoff=3, driver_cap=0
+        ).collect()
     }
     assert got == {v: 0 for v in range(n + 1)}
 
@@ -210,10 +224,17 @@ def test_components_observation_metrics(spark):
         [(0, 1), (1, 2), (3, 4), (4, 5)], "id_a long, id_b long"
     )
     obs = Observation()
-    connected_components(vdf, edf, observation=obs).collect()
+    connected_components(vdf, edf, observation=obs, driver_cap=0).collect()
     m = obs.get
     assert m["lp_converged"] == 1 and m["star_handoff_used"] == 0
     assert 1 <= m["lp_rounds"] <= 8 and m["n_vertices"] == 6
+
+    # driver union-find tier: converged by construction, zero rounds
+    obs_d = Observation()
+    connected_components(vdf, edf, observation=obs_d).collect()
+    md = obs_d.get
+    assert md["lp_converged"] == 1 and md["star_handoff_used"] == 0
+    assert md["lp_rounds"] == 0 and md["n_vertices"] == 6
 
     n = 60
     vdeep = spark.createDataFrame([(v,) for v in range(n + 1)], "id long")
@@ -224,7 +245,7 @@ def test_components_observation_metrics(spark):
     got = {
         r.id: r.component
         for r in connected_components(
-            vdeep, edeep, star_handoff=3, observation=obs2
+            vdeep, edeep, star_handoff=3, observation=obs2, driver_cap=0
         ).collect()
     }
     assert got == {v: 0 for v in range(n + 1)}

@@ -42,6 +42,24 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    if any(n.startswith("stream_") or n.startswith("ctgov_") for n in args.names):
+        # same streaming warm-up as bench.py so the first stream query
+        # isn't billed for the Structured Streaming machinery spawn
+        import shutil
+
+        from ctgov_ai_etl_spark.streaming.events import scratch_dir
+
+        warm_ckpt = scratch_dir("qtime_warm_ckpt_")
+        q = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", warm_ckpt)
+            .start()
+        )
+        if not q.awaitTermination(30):
+            q.stop()
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
 
     out: dict[str, dict] = {}
     for name in args.names:
