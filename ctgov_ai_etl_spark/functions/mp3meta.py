@@ -94,6 +94,8 @@ def encode_mp3_cbr(
     (pad_seed + j) % 2 == 1) and deterministic filler bytes, optionally
     wrapped in an ID3v2.3 envelope.  Real headers, fake audio payload —
     exactly what metadata parsing is and isn't sensitive to."""
+    import numpy as np
+
     out = bytearray()
     if id3_payload is not None:
         out += encode_id3v2(id3_payload)
@@ -105,8 +107,17 @@ def encode_mp3_cbr(
         out += encode_mp3_header(bitrate_index, sample_rate_index, padding)
         body = flen - 4
         # deterministic non-0xFF filler so a sloppy sync scan that
-        # ignores frame lengths cannot accidentally resync correctly
-        out += bytes(((j * 31 + k * 7) % 251) for k in range(body))
+        # ignores frame lengths cannot accidentally resync correctly —
+        # numpy broadcast of the same (j*31 + k*7) % 251 formula (byte-
+        # identical to the per-byte loop it replaces: values < 251 fit
+        # uint8 exactly; verified against the old generator), because a
+        # ~1 KB-per-frame Python byte loop dominated the whole query at
+        # sf0.1 (the same renderer-loop bug fixed for WAV/MP4/PDF).
+        out += (
+            ((j * 31 + 7 * np.arange(body, dtype=np.int64)) % 251)
+            .astype(np.uint8)
+            .tobytes()
+        )
     return bytes(out)
 
 

@@ -1075,12 +1075,16 @@ def render_test_mp3(
     src = df.select(id_col, text_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, blobs = [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 dig = _hl.md5(str(text).encode("utf-8")).digest()
                 id3 = (
-                    bytes((k * 17) % 256 for k in range(dig[5]))
+                    ((17 * np.arange(dig[5], dtype=np.int64)) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                     if dig[4] % 2 == 0
                     else None
                 )

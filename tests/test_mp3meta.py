@@ -150,3 +150,26 @@ def test_mp3_meta_total_roundtrip(bidx, sidx, nf, seed, id3):
     assert m["id3_bytes"] == (0 if id3 is None else 10 + len(id3))
     assert m["n_padded"] == sum((seed + j) % 2 for j in range(nf))
     assert m["duration_us"] == nf * 1152 * 1_000_000 // SAMPLE_RATE[sidx]
+
+
+def test_frame_filler_vectorization_bit_identical():
+    """The numpy-broadcast filler must reproduce the original per-byte
+    generator exactly (renderer vectorization, r15): same (j*31+k*7)
+    % 251 frame bodies, same (k*17) % 256 ID3 payload bytes."""
+    import numpy as np
+
+    for j in (0, 1, 7, 23):
+        for body in (0, 1, 413, 1440):
+            old = bytes(((j * 31 + k * 7) % 251) for k in range(body))
+            new = (
+                ((j * 31 + 7 * np.arange(body, dtype=np.int64)) % 251)
+                .astype(np.uint8)
+                .tobytes()
+            )
+            assert old == new
+    for n in (0, 1, 137, 255):
+        assert bytes((k * 17) % 256 for k in range(n)) == (
+            ((17 * np.arange(n, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .tobytes()
+        )
