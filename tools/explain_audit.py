@@ -537,8 +537,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         # assert it costs exactly one shuffle before the boundary.
         ("per-key scan rides one user_id shuffle",
          r"hashpartitioning\(user_id"),
-        ("grouped-map Python boundary (the strategy under audit)",
-         r"FlatMapGroupsInPandas"),
+        # r15: flat keyed_scan_input layout — ONE partition-level
+        # Arrow pass (MapInPandas over sorted runs), not a per-group
+        # dispatch (FlatMapGroupsInPandas).
+        ("flat partition-level Python boundary", r"MapInPandas"),
+        ("ordered runs established in-partition", r"Sort \[user_id"),
     ],
     "ts_clamped_cumsum_chunked": [
         ("NO Python boundary (monoid fold is pure JVM)",
@@ -997,8 +1000,9 @@ CHECKS["seq_user_churn"] = [
 CHECKS["ops_rate_limit"] = [
     ("per-key scan on ONE user_id shuffle",
      r"hashpartitioning\(user_id"),
-    ("Arrow-batched python boundary (FlatMapGroupsInPandas)",
-     r"FlatMapGroupsInPandas"),
+    # r15: flat keyed_scan_input layout (see ts_clamped_cumsum)
+    ("flat partition-level Python boundary", r"MapInPandas"),
+    ("ordered runs established in-partition", r"Sort \[user_id"),
 ]
 
 CHECKS["agg_percentile_disc"] = [
@@ -1181,8 +1185,9 @@ CHECKS["mm_dedup_phash"] = [
 CHECKS["gov_audit_chain"] = [
     ("per-user chain on ONE user_id exchange",
      r"hashpartitioning\(user_id"),
-    ("sanctioned grouped-map boundary (Arrow batch per user)",
-     r"FlatMapGroupsInPandas"),
+    # r15: flat keyed_scan_input layout (see ts_clamped_cumsum)
+    ("flat partition-level Python boundary", r"MapInPandas"),
+    ("ordered runs established in-partition", r"Sort \[user_id"),
 ]
 
 CHECKS["mm_video_scene_cuts"] = [
@@ -1615,7 +1620,10 @@ CHECKS["text_ngram_novelty"] = [
      r"Generate explode"),
     ("no positional self-join path", r"\A(?!.*posexplode)"),
     ("first-occurrence min partially aggregated", r"partial_min"),
-    ("attribution join keyed on the bigram", r"hashpartitioning\(bg"),
+    # r15: the bg-keyed join of exploded rows is GONE — attribution
+    # rolls up (bg, first_doc) by doc and joins doc-level counts.
+    ("per-doc rollups joined on doc_id", r"hashpartitioning\(doc_id"),
+    ("novel counts partially aggregated", r"partial_count"),
 ]
 CHECKS["sample_dsir_importance"] = [
     ("32-row model broadcast onto the tf frame", r"BroadcastHashJoin"),
@@ -1874,11 +1882,12 @@ CHECKS["pipeline_crawl_ingest"] = [
 # Top-50-by-cost coverage (VERDICT r14 #5): batch queries that were in
 # the r14 cost top-50 without per-plan assertions.
 CHECKS["dedup_components"] = [
-    ("iterative rounds truncated by checkpoint (bounded lineage)",
-     r"Scan ExistingRDD"),
-    ("edge/component joins keyed on vertex ids",
-     r"hashpartitioning\((u|v|doc_id|component)"),
-    ("convergence counts partially aggregated", r"partial_"),
+    # r15: below the driver union-find cap the component map arrives
+    # as one small local relation (the bounded-probe tier); past the
+    # cap the loop's checkpoints appear as the same node class.
+    ("component labels from a bounded local relation / checkpointed"
+     " rounds (no unbounded lineage)", r"Scan ExistingRDD|LocalTableScan"),
+    ("cluster-size rollup partially aggregated", r"partial_count"),
     ("no cartesian", r"\A(?!.*CartesianProduct)"),
 ]
 CHECKS["udf_grouped_map"] = [
