@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -439,6 +440,7 @@ def run_stream_to_memory_until_done(
             _capture_stream_plan(q)
         finally:
             q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -468,6 +470,10 @@ def run_stream_to_memory(
         )
         q.awaitTermination()
     _capture_stream_plan(q)
+    # The memory sink holds the results; the single-run checkpoint is
+    # dead weight once the query terminated — drop it so long catalog
+    # sessions don't accumulate hundreds of scratch dirs on tmpfs.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
