@@ -90,8 +90,27 @@ def keyed_scan_input(rows: DataFrame, key: str, order_cols: list[str]) -> DataFr
     group changes and Arrow-batch boundaries (a key's run never spans
     partitions, but it MAY span adjacent batches of one partition —
     Arrow batches preserve partition order, so carrying (key, state)
-    across the iterator is exact."""
+    across the iterator is exact.
+
+    CONTRACT (ADVICE r15): the key column must be NON-NULL.  Consumers
+    detect run boundaries with ``u != prev_uid`` on numpy values; a
+    NULL key surfaces as NaN there and NaN != NaN is always True, so
+    state would silently reset per null row (where the old
+    ``groupBy().applyInPandas`` grouped nulls together).  Every
+    consumer asserts this per batch (one vectorized ``isna`` check);
+    the events feeds are non-null by schema today."""
     return rows.repartition(F.col(key)).sortWithinPartitions(key, *order_cols)
+
+
+def assert_keys_non_null(pdf, key: str) -> None:
+    """Cheap per-batch guard for the :func:`keyed_scan_input` non-null
+    key contract (one vectorized pass; see the docstring above)."""
+    if pdf[key].isna().any():
+        raise ValueError(
+            f"keyed_scan_input contract violated: NULL values in key "
+            f"column {key!r} (per-key scan state would silently reset "
+            "on every null row)"
+        )
 
 
 def clamped_balance(events: DataFrame, cap_cents: int) -> DataFrame:
@@ -106,6 +125,7 @@ def clamped_balance(events: DataFrame, cap_cents: int) -> DataFrame:
     def scan(batches):
         prev_uid, bal = None, 0
         for pdf in batches:
+            assert_keys_non_null(pdf, "user_id")
             uids = pdf["user_id"].to_numpy()
             deltas = pdf["delta"].to_numpy()
             out = []
@@ -397,6 +417,7 @@ def token_bucket_scan(
         prev_uid = None
         tokens, last = 0, 0
         for pdf in batches:
+            assert_keys_non_null(pdf, "user_id")
             uids = pdf["user_id"].to_numpy()
             tss = pdf["ts_us"].to_numpy()
             allowed, after = [], []

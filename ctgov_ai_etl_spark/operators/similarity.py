@@ -24,6 +24,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -39,6 +41,40 @@ _IVF_LAYOUT_CACHE: dict[tuple, str] = {}
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _centroid_dots_udf(centroids: list[list[float]]):
+    """pandas UDF: the array of raw dot products of each row's vector
+    against every centroid (same order as the centroid list).
+
+    Replaces the k interpreted dot folds per row inside
+    :func:`_assign_frame` (k=64 centroids × 64 dims = 4096 interpreted
+    ops/row) with k vectorized numpy passes per Arrow batch.  Rounding
+    and the norm division stay JVM-side.
+
+    BIT-IDENTICAL to the JVM fold in :func:`dot`: each product is one
+    exact IEEE multiply either way, and ``np.cumsum`` accumulates
+    strictly left-to-right (out[i] = out[i-1] + in[i]) so its last
+    prefix sum evaluates the identical left-associated double sequence
+    — a BLAS matmul would be faster but reorders the summation, and
+    bit-equality against the SQL oracles is the contract here (pinned
+    by tests/test_r16_vectorized.py)."""
+    from pyspark.sql import types as T
+
+    cmat = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def cdots(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy())
+        k = len(cmat)
+        out = np.empty((x.shape[0], k), dtype=np.float64)
+        for j in range(k):
+            out[:, j] = np.cumsum(x * np.asarray(cmat[j]), axis=1)[:, -1]
+        return pd.Series(list(out))
+
+    return cdots
 
 
 def norm(a: Column) -> Column:
@@ -533,20 +569,30 @@ def _assign_frame(
 
     ``dot/(nv·nc)`` evaluates the exact double sequence of
     ``dot/(sqrt(fold)·sqrt(fold))``, so rounded sims hash-match the
-    SQL replay unchanged."""
-    cent_lit = _planes_literal(centroids)
+    SQL replay unchanged.
+
+    r16 (guide §4.2, VERDICT r15 #3): the k raw dot products per row
+    — the dominant interpreted-expression cost of every consumer
+    (k=64 centroids × 64 dims = 4096 interpreted multiply-adds/row;
+    measured as ~the whole cost of the semantic dedup family at
+    sf0.1) — moved to ONE vectorized numpy batch per Arrow chunk
+    (:func:`_centroid_dots_udf`, bit-identical by the sequential-
+    cumsum argument).  The norm hoist, the rounding, and the division
+    remain JVM expressions, so every rounded sim is the same double
+    as before and the SQL replays still hash-match."""
     norms_lit = F.array(*[F.lit(n) for n in _centroid_norms(centroids)])
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__nv", norm(F.col("__v")))
-    sims = F.zip_with(
-        cent_lit,
-        norms_lit,
-        lambda c, nc: F.round(
-            dot(F.col("__v"), c) / (F.col("__nv") * nc), round_digits
-        ),
+    base = base.withColumn(
+        "__dots", _centroid_dots_udf(centroids)(F.col("__v"))
     )
-    return base.withColumn("__sims", sims)
+    sims = F.zip_with(
+        F.col("__dots"),
+        norms_lit,
+        lambda d, nc: F.round(d / (F.col("__nv") * nc), round_digits),
+    )
+    return base.withColumn("__sims", sims).drop("__dots")
 
 
 def centroid_assign(
@@ -796,6 +842,13 @@ def blocked_cosine_pairs(
     vb = df.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
     ).select("id_b", "vb", norm(F.col("vb")).alias("nb"))
+    # The verify dot stays a JVM fold: an Arrow/numpy batch variant
+    # (VERDICT r15 #3) was built and MEASURED in r16 — candidate
+    # volume after blocking is tiny at bench scale (981 pairs at
+    # sf0.1), so the Python stage's fixed boundary cost regressed
+    # dedup_semantic_groups 3.7 → 4.7 s and was reverted; the
+    # map-side ASSIGNMENT pass was the real cost and is vectorized
+    # instead (see _assign_frame / _centroid_dots_udf).
     sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
     return (
         cand.join(va, "id_a")
@@ -948,7 +1001,16 @@ def semantic_prune(
     of the corpus against the dominated-id set.  Deterministic given
     the centroids, so the full cluster→pair→prune pipeline is
     SQL-replayable (``semantic_prune_oracle_sql``)."""
-    asg = centroid_assign_with_sim(df, centroids, id_col, vec_col, round_digits)
+    # Persist the (id, cid, centroid_sim) assignment: THREE branches
+    # reference it (both keep-policy join sides + the final anti-join),
+    # and since r16 the per-row centroid dots run through one Arrow
+    # batch stage (_centroid_dots_udf) — without the persist each
+    # branch would re-run that whole map pass (narrow rows; the same
+    # rationale as blocked_cosine_pairs' internal assignment persist).
+    asg = track(
+        centroid_assign_with_sim(df, centroids, id_col, vec_col, round_digits)
+        .persist()
+    )
     pairs = blocked_cosine_pairs(
         df, centroids, threshold, id_col, vec_col, round_digits
     )

@@ -5629,9 +5629,18 @@ def attribution_markov_removal(
         for t in tuple(_MKV_CHANNELS) + ("conv",)
     ]
     frame = p.agg(*pivots)
+    # ONE projection per horizon, not one withColumn per scenario
+    # column: every horizon-h expression references only horizon-(h-1)
+    # and p_* columns, so the 21 columns of a horizon land in a single
+    # select.  The chained-withColumn form re-analyzed a growing plan
+    # 147 times (7 horizons × 21 columns) — pure driver-side Catalyst
+    # time, measured as the dominant cost of this query (guide §7.3:
+    # very large plans; same fix class as the r13 simhash fold).
     for h in range(_MKV_H + 1):
-        for col, expr in _mkv_horizon_exprs(h, "div"):
-            frame = frame.withColumn(col, F.expr(expr))
+        frame = frame.select(
+            "*",
+            *[F.expr(e).alias(c) for c, e in _mkv_horizon_exprs(h, "div")],
+        )
     arms = [
         F.struct(
             F.lit(c).alias("channel"),

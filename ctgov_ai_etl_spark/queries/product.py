@@ -476,7 +476,13 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism via the (part_a, part_b) tie-break —
     TakeOrderedAndProject, no global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # The distinct basket table feeds FOUR consumers (order count,
+    # part counts, both self-join sides): persist the narrow
+    # (orderkey, partkey) rows so the scan+distinct runs once, not
+    # per branch (r16; the _materialize rule from operators/dedup.py).
+    from ctgov_ai_etl_spark.operators.cache import track
+
+    basket = track(li.select("l_orderkey", "l_partkey").distinct().persist())
     n_orders = basket.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n")
     )
@@ -2911,8 +2917,11 @@ def gov_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def chain(batches):
+        from ctgov_ai_etl_spark.operators.balance import assert_keys_non_null
+
         uid, h, n = None, "genesis", 0
         for pdf in batches:
+            assert_keys_non_null(pdf, "user_id")
             us = pdf["user_id"].to_numpy()
             eids = pdf["event_id"].to_numpy()
             out_u, out_n, out_h = [], [], []

@@ -44,21 +44,32 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+#: Minimum free bytes /dev/shm must have before it is used as shuffle
+#: scratch (ADVICE r15: spills exist to relieve memory pressure, so a
+#: RAM-backed spill medium is self-defeating when RAM is what's scarce;
+#: a modest-/dev/shm host must fall back to disk, not fail the job
+#: with no-space-left).  8 GiB comfortably covers every shuffle this
+#: engine plans at bench scale while excluding small-tmpfs hosts.
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+
 def _local_scratch() -> str:
     """Directory for spark.local.dir (shuffle files, spills).
 
-    $SPARK_GRAFT_LOCAL_DIR > /dev/shm (RAM-backed, when writable) >
-    the platform default tempdir.  Must be decided before the
-    SparkContext exists, hence a builder-time helper rather than a
-    runtime conf."""
+    $SPARK_GRAFT_LOCAL_DIR > /dev/shm (RAM-backed, when writable AND
+    holding at least ``_SHM_MIN_FREE_BYTES`` free — the free-space
+    gate ADVICE r15 asked for) > the platform default tempdir.  Must
+    be decided before the SparkContext exists, hence a builder-time
+    helper rather than a runtime conf."""
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
         return override
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        d = "/dev/shm/spark_local"
         try:
-            os.makedirs(d, exist_ok=True)
-            return d
+            if shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE_BYTES:
+                d = "/dev/shm/spark_local"
+                os.makedirs(d, exist_ok=True)
+                return d
         except OSError:
             pass
     return tempfile.gettempdir()

@@ -67,6 +67,13 @@ def _stream_shuffle_parts(spark):
     of core count.  Restores the caller's value on exit; the conf is
     read once at query start, so the restore cannot affect the
     running query.
+
+    SINGLE-THREADED assumption (ADVICE r15): this mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the duration
+    of the run, so any batch query planned CONCURRENTLY on the shared
+    session would silently plan with the lowered value.  The harness
+    drives queries sequentially; runners that ever parallelize must
+    scope the conf per query instead.
     """
     target = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -426,21 +433,25 @@ def run_stream_to_memory_until_done(
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(f"ckpt_{name}_")
     spark = df.sparkSession
-    with _stream_shuffle_parts(spark):
-        q = (
-            df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            _capture_stream_plan(q)
-        finally:
-            q.stop()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        with _stream_shuffle_parts(spark):
+            q = (
+                df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                _capture_stream_plan(q)
+            finally:
+                q.stop()
+    finally:
+        # In a finally (ADVICE r15): an exception mid-run must not
+        # leak the single-run checkpoint onto tmpfs.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -459,21 +470,25 @@ def run_stream_to_memory(
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(f"ckpt_{name}_")
     spark = df.sparkSession
-    with _stream_shuffle_parts(spark):
-        q = (
-            df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    _capture_stream_plan(q)
-    # The memory sink holds the results; the single-run checkpoint is
-    # dead weight once the query terminated — drop it so long catalog
-    # sessions don't accumulate hundreds of scratch dirs on tmpfs.
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        with _stream_shuffle_parts(spark):
+            q = (
+                df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        _capture_stream_plan(q)
+    finally:
+        # The memory sink holds the results; the single-run checkpoint
+        # is dead weight once the query terminated — drop it so long
+        # catalog sessions don't accumulate hundreds of scratch dirs on
+        # tmpfs.  In a finally (ADVICE r15): an exception mid-run must
+        # not leak it either.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

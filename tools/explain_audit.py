@@ -252,8 +252,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_semantic_prune": [
         ("pair/prune joins keyed (no cartesian)", r"\A(?!.*CartesianProduct)"),
         ("dominated-id anti-join", r"LeftAnti"),
-        ("no Python boundary",
-         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+        # r16 (VERDICT r15 #3): the centroid-dot pass is DELIBERATELY a
+        # vectorized Arrow batch now (_centroid_dots_udf) — assert it
+        # IS there and that no row-at-a-time Python sneaks in.
+        ("assignment dots vectorized (ArrowEvalPython)", r"ArrowEvalPython"),
+        ("no row-at-a-time Python", r"\A(?!.*BatchEvalPython)"),
     ],
     "lm_bigram_score": [
         ("log-prob table broadcast to the scoring probe",
@@ -306,8 +309,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "pipeline_curate_semantic": [
         ("id-keyed gate joins (no cartesian)", r"\A(?!.*CartesianProduct)"),
         ("LM probe / boilerplate set broadcast", r"BroadcastHashJoin"),
-        ("no Python boundary",
-         r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+        # r16: the semantic gate's centroid-dot pass is a vectorized
+        # Arrow batch by design now (see dedup_semantic_prune).
+        ("assignment dots vectorized (ArrowEvalPython)", r"ArrowEvalPython"),
+        ("no row-at-a-time Python", r"\A(?!.*BatchEvalPython)"),
     ],
     "skew_key_profile": [
         ("per-key counts partially aggregated", r"partial_count"),

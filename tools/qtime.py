@@ -65,13 +65,19 @@ def main() -> None:
     for name in args.names:
         fn = registry[name].fn
         if args.explain:
+            import contextlib
+            import io
+
             os.makedirs(args.explain, exist_ok=True)
             df = fn(spark, args.sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # Public API with stdout capture (ADVICE r15): the private
+            # JVM helper PythonSQLUtils.explainString has shifted
+            # package/arity across Spark versions.
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
             with open(os.path.join(args.explain, f"{name}.txt"), "w") as fh:
-                fh.write(plan)
+                fh.write(buf.getvalue())
         runs = []
         for i in range(args.runs):
             spark.catalog.clearCache()
