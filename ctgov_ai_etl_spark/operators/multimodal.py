@@ -5,7 +5,12 @@ Design: media travels as an opaque ``binary`` column plus a typed
 metadata struct; per-modality ops (decode, feature-extract, resize,
 frame-sample) are Arrow-batched ``mapInPandas`` stages so each task
 amortizes codec init and the bytes never round-trip through Python
-row objects.  Four REAL image codecs back the seam in pure Python —
+row objects.  "No keyed shuffle" throughout this module means: the
+codec path never hash-partitions (codec work has no key); the ONLY
+exchange is ``_spread``'s conditional round-robin repartition of a
+source scan narrower than the core count — a single-file-layout
+rescue that is a no-op at scale, where the file layout already
+provides the parallelism (see ``_spread``).  Four REAL image codecs back the seam in pure Python —
 netpbm (P5/P6) and 8-bit PNG with all five scanline filters
 (``functions/imagecodec.py``), baseline AND progressive JPEG with
 canonical Huffman, restart markers, successive approximation, and
@@ -33,6 +38,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(src: DataFrame) -> DataFrame:
+    """Conditional round-robin spread of a narrow fixture scan before
+    per-row codec work (see :func:`operators.limits.spread_to_parallelism`,
+    the shared helper the dedup/quality/clustering families already
+    use for their CPU-bound signature folds).
+
+    Measured motivation: mm_decode_jpeg's codec work is ~4.6 s
+    single-threaded at sf0.1 and the query timed ~4.9 s — the whole
+    synthesize+parse chain ran as ONE task on the one-row-group bench
+    file.  Applied at the SOURCE stage of each chain only; parse
+    stages inherit the width.  No-op when the file layout already
+    provides ``defaultParallelism`` input files (the 100 TB case).
+
+    OPT-IN (the renderers' ``spread`` flag): locally the exchange plus
+    the 32-task × 2-Python-stage overhead costs ~0.5-0.7 s flat, so
+    spreading only pays for chains whose single-threaded codec work
+    exceeds roughly 1 s.  Every call site's decision is measured, not
+    guessed — the per-query A/B table lives in OPTIMIZATION_r16.md
+    (winners: jpeg 5.1→2.0, wav 2.8→1.2, progressive 2.1→1.4, phash
+    1.8→1.2, mp3 1.4→0.9 …; losers left at default: gif/bmp/h264/pdf/
+    zip/warc and the light audio/video chains, each 0.1-0.5 s worse
+    when spread).
+    """
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    return spread_to_parallelism(src)
+
+
 def attach_blob(df: DataFrame, src_col: str, blob_col: str = "blob") -> DataFrame:
     """Real plumbing: pack a column into binary + typed metadata
     (mime, byte size, checksum) — the storage shape for media at
@@ -48,7 +81,7 @@ def attach_blob(df: DataFrame, src_col: str, blob_col: str = "blob") -> DataFram
 
 
 def render_test_images(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL image payloads deterministically from a text
     column — the fixture generator for the genuine decode path (no
@@ -65,6 +98,8 @@ def render_test_images(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +137,7 @@ PNG_MATRIX_PALETTE = [
 
 
 def render_png_matrix(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize the FULL-SPEC PNG matrix (round 13) deterministically
     from a text column — the fixture generator for the generalized
@@ -132,6 +167,8 @@ def render_png_matrix(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
     pal = PNG_MATRIX_PALETTE
 
     def _grey4(w: int, h: int, v: int) -> bytes:
@@ -206,7 +243,7 @@ def render_png_matrix(
 
 
 def render_test_jpegs(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL baseline-JPEG payloads deterministically from a
     text column (the JPEG sibling of :func:`render_test_images`).
@@ -230,6 +267,8 @@ def render_test_jpegs(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -270,7 +309,7 @@ def render_test_jpegs(
 
 
 def render_test_jpegs_progressive(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL progressive (SOF2) JPEG payloads — the
     successive-approximation sibling of :func:`render_test_jpegs`,
@@ -292,6 +331,8 @@ def render_test_jpegs_progressive(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -472,7 +513,7 @@ def frame_sample(
 
 
 def render_test_audio(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL RIFF/PCM-16 WAV payloads deterministically from
     a text column (the audio sibling of render_test_images): channel
@@ -490,6 +531,8 @@ def render_test_audio(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -561,7 +604,7 @@ def audio_features_real(
     both order-free integers, so the downstream ZCR-rate / RMS
     divisions are single fixed-order expressions a SQL oracle
     replays.  One Arrow-batched mapInPandas stage, one output row
-    per (clip, channel), zero shuffle."""
+    per (clip, channel), no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.imagecodec import decode_wav_samples
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -605,7 +648,7 @@ def audio_features_real(
 
 
 def render_test_video(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL YUV4MPEG2 (Y4M) video payloads deterministically
     from a text column (the video sibling of render_test_images):
@@ -619,6 +662,8 @@ def render_test_video(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -690,7 +735,7 @@ def resize_image_real(
     downscale by ``factor``, and emit the resized geometry plus the
     exact integer luma sum of the RESIZED raster — so a SQL oracle
     replays the kernel as pure index arithmetic over the source
-    pattern.  One Arrow-batched ``mapInPandas`` stage, zero shuffle:
+    pattern.  One Arrow-batched ``mapInPandas`` stage, no keyed shuffle:
     the thumbnail pass of a 100 TB media pipeline distributes
     embarrassingly."""
     from ctgov_ai_etl_spark.functions.imagecodec import (
@@ -742,7 +787,7 @@ def sample_video_frames_real(
     every ``every_n``-th frame, and emit ONE ROW PER SAMPLED FRAME
     with its exact integer luma sum — the explode happens inside the
     task, so a multi-GB stream never materializes as a single row.
-    One Arrow-batched ``mapInPandas`` stage, zero shuffle."""
+    One Arrow-batched ``mapInPandas`` stage, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.imagecodec import decode_y4m_frames
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -787,7 +832,7 @@ def downsample_audio_real(
     keep every ``every_n``-th FRAME (all channels of it), and emit the
     decimated stream's exact loudness integers plus the reduced
     sample rate — the audio leg of the resize/frame-sample kernel
-    family.  One Arrow-batched ``mapInPandas`` stage, zero shuffle."""
+    family.  One Arrow-batched ``mapInPandas`` stage, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.imagecodec import decode_wav_samples
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -839,7 +884,7 @@ def dhash_images_real(
     pixels, dHash it (functions/imagecodec.py:dhash_bits — 9x8
     nearest resample + row-adjacent comparisons, packed as two
     non-negative 32-bit halves).  One Arrow-batched ``mapInPandas``
-    stage, zero shuffle — the fingerprint pass of an image-dedup
+    stage, no keyed shuffle — the fingerprint pass of an image-dedup
     pipeline; the bucket-join on the hash happens downstream exactly
     like every other dedup blocking key in this repo."""
     from ctgov_ai_etl_spark.functions.imagecodec import (
@@ -870,7 +915,7 @@ def dhash_images_real(
 
 
 def render_and_decode_test_gifs(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL animated GIF payloads deterministically from a
     text column and decode them back — the GIF sibling of
@@ -886,7 +931,7 @@ def render_and_decode_test_gifs(
     interlacing on the raster, and this query pins the LZW + palette
     + frame-walk path end to end).  Emits exact integers so the
     closed-form SQL oracle replays the palette sums without touching
-    bytes.  One Arrow-batched mapInPandas stage, zero shuffle."""
+    bytes.  One Arrow-batched mapInPandas stage, no keyed shuffle."""
     import hashlib as _hl
 
     from ctgov_ai_etl_spark.functions.gifcodec import (
@@ -897,6 +942,8 @@ def render_and_decode_test_gifs(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -950,7 +997,7 @@ def render_and_decode_test_gifs(
 
 
 def render_test_bmps(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL 24-bit BMP payloads deterministically from a
     text column (md5 bytes 10-12 so the fixture diverges from the
@@ -967,6 +1014,8 @@ def render_test_bmps(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1009,7 +1058,7 @@ def audio_dft8_real(
     energy = re² + im² is an exact integer a SQL oracle replays
     closed-form.  (A production pipeline strides this window across
     the clip and averages per bin — same algebra, same exactness.)
-    One Arrow-batched mapInPandas stage, zero shuffle."""
+    One Arrow-batched mapInPandas stage, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.imagecodec import decode_wav_samples
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -1057,7 +1106,7 @@ def audio_dft8_real(
 
 
 def render_test_mp3(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL MPEG-1 Layer III frame sequences (CBR, real
     4-byte headers, deterministic padding pattern, optional ID3v2.3
@@ -1073,6 +1122,8 @@ def render_test_mp3(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1150,7 +1201,7 @@ def mp3_meta_real(
 
 
 def render_test_warc(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL WARC/1.0 container payloads deterministically
     from md5(text) (functions/warc.py:build_warc): n = 2+d0%4 records
@@ -1166,6 +1217,8 @@ def render_test_warc(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1206,7 +1259,7 @@ def warc_records_real(
     HTTP status-line triage for response records — exploded one row
     per record with the byte offset each record starts at, so the
     oracle's closed-form offset arithmetic hash-checks the entire
-    byte layout.  Arrow-batched, zero shuffle: CDX-style index
+    byte layout.  Arrow-batched, no keyed shuffle: CDX-style index
     extraction distributes embarrassingly over a 100 TB crawl."""
     from ctgov_ai_etl_spark.functions.warc import parse_warc_records
     from ctgov_ai_etl_spark.session import ship_package
@@ -1249,7 +1302,7 @@ def warc_records_real(
 
 
 def render_test_h264(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL H.264 Annex-B streams deterministically from
     md5(text) (functions/h264meta.py): a baseline-profile SPS with
@@ -1273,6 +1326,8 @@ def render_test_h264(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1361,7 +1416,7 @@ def h264_meta_real(
 
 
 def render_test_mp4(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL ISO-BMFF (MP4) files deterministically from
     md5(text) (functions/mp4meta.py): ftyp, moov{mvhd,
@@ -1381,6 +1436,8 @@ def render_test_mp4(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1451,7 +1508,7 @@ def mp4_meta_real(
 
 
 def render_test_wav(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL RIFF/WAVE files deterministically from
     md5(text) (functions/wavmeta.py): PCM fmt chunk with md5-derived
@@ -1471,6 +1528,8 @@ def render_test_wav(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1535,7 +1594,7 @@ def wav_meta_real(
 
 
 def render_test_pdf(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL PDF skeletons deterministically from md5(text)
     (functions/pdfmeta.py): Catalog→Pages→Page tree with 1-3 pages,
@@ -1550,6 +1609,8 @@ def render_test_pdf(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1622,7 +1683,7 @@ def warc_response_texts(
     wrong separator scan truncates or pollutes the text and fails the
     composite oracle).  Emits (id, rec_idx, body) for status-200
     response records only; other records and statuses are triaged out
-    here, before any curation cost.  Arrow-batched, zero shuffle."""
+    here, before any curation cost.  Arrow-batched, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.warc import parse_warc_records
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -1658,7 +1719,7 @@ def warc_response_texts(
 
 
 def render_test_tar(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL ustar shard archives deterministically from
     md5(text) (functions/tarmeta.py) in WebDataset layout: 2+d0%3
@@ -1675,6 +1736,8 @@ def render_test_tar(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1707,7 +1770,7 @@ def tar_members_real(
     marker — exploded one row per member with the exact header-block
     byte offset, so the oracle's closed-form running sum
     (512 + 512*ceil(size/512) per predecessor) hash-checks the whole
-    shard layout.  Arrow-batched, zero shuffle."""
+    shard layout.  Arrow-batched, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.tarmeta import parse_tar_members
     from ctgov_ai_etl_spark.session import ship_package
 
@@ -1748,7 +1811,7 @@ def wds_samples_real(
     LABEL decoded from the .cls member's content, so the oracle
     checks content extraction through the container, not just
     framing.  Grouping happens inside the task (members of a sample
-    are adjacent in a well-formed shard): zero shuffle, the same
+    are adjacent in a well-formed shard): no keyed shuffle, the same
     locality a real WebDataset loader exploits at 100 TB."""
     from ctgov_ai_etl_spark.functions.tarmeta import (
         parse_tar_members,
@@ -1804,7 +1867,7 @@ def wds_samples_real(
 
 
 def render_test_warcgz(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL ``.warc.gz`` payloads: the SAME record
     parameters as render_test_warc (md5-derived types/statuses/body
@@ -1820,6 +1883,8 @@ def render_test_warcgz(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1863,7 +1928,7 @@ def warcgz_records_real(
     member plus ``record_bytes``, the inflated record length — which,
     unlike the compressed offsets, IS closed-form replayable, so the
     oracle still pins the byte layout of every record through the
-    compression layer.  Arrow-batched, zero shuffle."""
+    compression layer.  Arrow-batched, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.gzipmeta import parse_gzip_members
     from ctgov_ai_etl_spark.functions.warc import WarcError, parse_warc_records
     from ctgov_ai_etl_spark.session import ship_package
@@ -1909,7 +1974,7 @@ def warcgz_records_real(
 
 
 def render_test_zip(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text", spread: bool = False
 ) -> DataFrame:
     """Synthesize REAL STORED-method ZIP archives deterministically
     from md5(text) (functions/zipmeta.py): 2+d0%4 entries per
@@ -1924,6 +1989,8 @@ def render_test_zip(
 
     ship_package(df.sparkSession)
     src = df.select(id_col, text_col)
+    if spread:  # caller measured heavy per-row Python; see _spread
+        src = _spread(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1953,7 +2020,7 @@ def zip_entries_real(
     its local header and CRC-32-verified — exploded one row per entry
     with the local-header byte offset the oracle recomputes as a
     running sum (STORED members make the layout closed-form).
-    Arrow-batched, zero shuffle."""
+    Arrow-batched, no keyed shuffle."""
     from ctgov_ai_etl_spark.functions.zipmeta import parse_zip_entries
     from ctgov_ai_etl_spark.session import ship_package
 

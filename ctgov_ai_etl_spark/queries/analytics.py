@@ -3689,7 +3689,14 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(_BT_K)
         ]
     )
-    base = mat.join(g5, "i")
+    # Materialize the 5-row (wins, g0..g4) frame ONCE: every MM round
+    # references ``base`` twice (the crossJoin and, via ``prow``'s agg
+    # lineage, the previous round's crossJoin), so the lazy plan
+    # replicated the data-scale pair join ~2x per round.  An eager
+    # localCheckpoint truncates that to one pass over the pairs; the
+    # rounds then iterate on a 5-row ExistingRDD (same idiom as the
+    # graph loops' per-iteration checkpoints).
+    base = mat.join(g5, "i").localCheckpoint(eager=True)
     prow = None  # 1-row frame of p0..p4
     cur = None
     for t in range(_BT_ITERS + 1):

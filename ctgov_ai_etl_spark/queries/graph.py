@@ -317,10 +317,19 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     (TakeOrderedAndProject, not a global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    e = (
+    from ctgov_ai_etl_spark.operators.cache import track
+
+    # Persist the deduped bipartite edge list: FOUR consumers (deg,
+    # cdeg, both self-join sides) otherwise re-run the lineitem⋈orders
+    # join + distinct — the query's most expensive subtree (guide §5:
+    # persist exactly the reused narrow intermediate; same idiom as
+    # operators/graph.py's edge localCheckpoint and r15's jaccard
+    # tokenize-once).  ~100k 2-long-col rows at sf0.1.
+    e = track(
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        .persist()
     )
     deg = e.groupBy("s").agg(F.count("*").cast("long").alias("d"))
     cdeg = e.groupBy("c").agg(F.count("*").cast("long").alias("cd"))

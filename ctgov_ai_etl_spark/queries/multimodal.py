@@ -95,7 +95,7 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5-derived geometry and the closed-form raster sum
     ((v+j) % 256 over the raster) in SQL.  mean_luma is two
     fixed-order IEEE divisions over exact integers on both sides.
-    Scale: two Arrow-batched mapInPandas stages, zero shuffle — codec
+    Scale: two Arrow-batched mapInPandas stages, no keyed shuffle — codec
     work distributes embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_image_real,
@@ -167,7 +167,7 @@ def mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt/data layout all sit between encoder and statistic, so any
     codec defect breaks the oracle match.  The oracle replays the
     closed-form PCM pattern in SQL, never touching bytes.  Two
-    Arrow-batched mapInPandas stages, zero shuffle."""
+    Arrow-batched mapInPandas stages, no keyed shuffle."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_audio_real,
         render_test_audio,
@@ -229,7 +229,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v+17b) % 256) in SQL without touching bytes — any defect in the
     Huffman tables, bit reader, predictor resets, or IDCT scaling
     shifts luma_sum and fails the hash.  Two Arrow-batched
-    mapInPandas stages, zero shuffle: codec work distributes
+    mapInPandas stages, no keyed shuffle: codec work distributes
     embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_image_real,
@@ -237,7 +237,9 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    decoded = decode_image_real(render_test_jpegs(d, "doc_id"), "doc_id")
+    decoded = decode_image_real(
+        render_test_jpegs(d, "doc_id", spread=True), "doc_id"
+    )
     return decoded.select(
         "doc_id",
         "rst",
@@ -281,7 +283,7 @@ def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later frame marker — the walk is load-bearing), and report
     per-stream frame count + mean luma.  Oracle replays the
     closed-form Y-plane pattern in SQL.  Two Arrow-batched
-    mapInPandas stages, zero shuffle."""
+    mapInPandas stages, no keyed shuffle."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_video_real,
         render_test_video,
@@ -345,7 +347,7 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((v + j) % 256 at source index ((2r)·w + 2c)·ch + t) — any
     defect in the decoder, the unfilterer, or the sampling stride
     breaks the hash.  Output dims are ceil(dim/2) so 1-pixel images
-    survive.  Two Arrow-batched mapInPandas stages, zero shuffle."""
+    survive.  Two Arrow-batched mapInPandas stages, no keyed shuffle."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         render_test_images,
         resize_image_real,
@@ -441,7 +443,7 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the kept-frame index arithmetic over the
     closed-form PCM pattern — a wrong frame stride, channel
     interleave, or endianness breaks the hash.  Two Arrow-batched
-    mapInPandas stages, zero shuffle."""
+    mapInPandas stages, no keyed shuffle."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         downsample_audio_real,
         render_test_audio,
@@ -512,7 +514,7 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form integer index arithmetic over the md5-derived source
     pattern — any defect in the decoder, the floor index map, or the
     bit packing breaks the hash.  Scale story: fingerprinting is one
-    Arrow-batched mapInPandas stage with zero shuffle; the only
+    Arrow-batched mapInPandas stage with no keyed shuffle; the only
     exchange is the collision window on the 64-bit key (at 100 TB:
     a hash-bucket join, same as dedup_exact_group)."""
     from pyspark.sql import Window as W
@@ -523,7 +525,9 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    hashed = dhash_images_real(render_test_images(d, "doc_id"), "doc_id")
+    hashed = dhash_images_real(
+        render_test_images(d, "doc_id", spread=True), "doc_id"
+    )
     return hashed.select(
         "doc_id",
         "hash_hi",
@@ -587,7 +591,7 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     frames = sample_video_frames_real(
-        render_test_video(d, "doc_id"), "doc_id", every_n=1
+        render_test_video(d, "doc_id", spread=True), "doc_id", every_n=1
     )
     w = W.partitionBy("doc_id").orderBy("frame_idx")
     deltas = frames.select(
@@ -649,7 +653,7 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     or predictor resets shifts luma_sum and fails the hash.  The
     random-AC path is pinned bit-for-bit against the baseline decoder
     in tests/test_jpegcodec.py.  Two Arrow-batched mapInPandas
-    stages, zero shuffle: codec work distributes embarrassingly at
+    stages, no keyed shuffle: codec work distributes embarrassingly at
     100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_image_real,
@@ -664,7 +668,7 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 500
     )
     decoded = decode_image_real(
-        render_test_jpegs_progressive(d, "doc_id"), "doc_id"
+        render_test_jpegs_progressive(d, "doc_id", spread=True), "doc_id"
     )
     return decoded.select(
         "doc_id",
@@ -777,7 +781,7 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the raster sum in SQL.  With netpbm, PNG, baseline
     + progressive JPEG, animated GIF, WAV, and Y4M this completes
     every stdlib-decodable still-image container.  Two Arrow-batched
-    mapInPandas stages, zero shuffle."""
+    mapInPandas stages, no keyed shuffle."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_image_real,
         render_test_bmps,
@@ -929,7 +933,7 @@ def mm_audio_dft8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decode is the real RIFF chunk walk + int16 de-interleave; the
     oracle replays the synthesized PCM pattern closed-form without
     touching bytes (the mm_audio_features convention).  One
-    Arrow-batched mapInPandas stage, zero shuffle."""
+    Arrow-batched mapInPandas stage, no keyed shuffle."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         audio_dft8_real,
         render_test_audio,
@@ -991,7 +995,7 @@ def mm_decode_png_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decoder that reads the wrong byte or averages alpha in fails the
     hash.  The oracle replays the md5-derived geometry and palette
     arithmetic closed-form in SQL, never touching image bytes.
-    Scale: two Arrow-batched mapInPandas stages, zero shuffle — codec
+    Scale: two Arrow-batched mapInPandas stages, no keyed shuffle — codec
     work distributes embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         decode_image_real,
@@ -999,7 +1003,9 @@ def mm_decode_png_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    decoded = decode_image_real(render_png_matrix(d, "doc_id"), "doc_id")
+    decoded = decode_image_real(
+        render_png_matrix(d, "doc_id", spread=True), "doc_id"
+    )
     return decoded.select(
         "doc_id",
         "variant",
@@ -1059,7 +1065,7 @@ def mm_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence, the padding arithmetic, or the envelope skip breaks
     the hash.  This is the metadata half of MP3 — full PCM decode
     stays behind the documented native-codec seam.  Two Arrow-batched
-    mapInPandas stages, zero shuffle: audio-corpus triage (duration /
+    mapInPandas stages, no keyed shuffle: audio-corpus triage (duration /
     bitrate filters before any expensive decode) distributes
     embarrassingly at 100 TB.  total_bytes excludes the ID3 envelope
     on both sides (frames only; id3_bytes reports the envelope)."""
@@ -1069,7 +1075,7 @@ def mm_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    meta = mp3_meta_real(render_test_mp3(d, "doc_id"), "doc_id")
+    meta = mp3_meta_real(render_test_mp3(d, "doc_id", spread=True), "doc_id")
     return meta.select(
         "doc_id",
         "id3_bytes",
@@ -1125,7 +1131,7 @@ def mm_video_h264_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters closed-form, never touching bytes, so a defect in the
     Golomb reader, the 0x03 strip, or the crop arithmetic breaks the
     hash.  Full slice decode stays behind the documented native-codec
-    seam.  Two Arrow-batched mapInPandas stages, zero shuffle —
+    seam.  Two Arrow-batched mapInPandas stages, no keyed shuffle —
     video-corpus triage (resolution/level/IDR-density filters before
     any decode) distributes embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
@@ -1218,7 +1224,7 @@ def mm_video_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching bytes — a wrong box stride, a missed largesize header,
     or a bad fixed-point shift breaks the hash.  Codec payload decode
     stays behind the documented native-codec seam.  Two Arrow-batched
-    mapInPandas stages, zero shuffle: container triage distributes
+    mapInPandas stages, no keyed shuffle: container triage distributes
     embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         mp4_meta_real,
@@ -1226,7 +1232,9 @@ def mm_video_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return mp4_meta_real(render_test_mp4(d, "doc_id"), "doc_id").select(
+    return mp4_meta_real(
+        render_test_mp4(d, "doc_id", spread=True), "doc_id"
+    ).select(
         "doc_id",
         "n_boxes",
         "n_traks",
@@ -1304,7 +1312,7 @@ def mm_audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every parameter and the pad arithmetic closed-form in
     SQL, never touching bytes — a missed pad byte, a wrong LIST
     recursion, or a block-align desync breaks the hash.  Two
-    Arrow-batched mapInPandas stages, zero shuffle: audio-corpus
+    Arrow-batched mapInPandas stages, no keyed shuffle: audio-corpus
     triage distributes embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         render_test_wav,
@@ -1312,7 +1320,9 @@ def mm_audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return wav_meta_real(render_test_wav(d, "doc_id"), "doc_id").select(
+    return wav_meta_real(
+        render_test_wav(d, "doc_id", spread=True), "doc_id"
+    ).select(
         "doc_id",
         "n_chunks",
         "channels",
@@ -1397,7 +1407,7 @@ def doc_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     misplaced xref breaks the hash.  Text/font/filter decode is out
     of scope by design (content streams are opaque payload, like
     mdat to the MP4 walk).  Two Arrow-batched mapInPandas stages,
-    zero shuffle: PDF triage distributes embarrassingly at 100 TB."""
+    no keyed shuffle: PDF triage distributes embarrassingly at 100 TB."""
     from ctgov_ai_etl_spark.operators.multimodal import (
         pdf_meta_real,
         render_test_pdf,

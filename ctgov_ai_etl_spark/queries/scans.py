@@ -652,7 +652,7 @@ def tar_scan_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    m = tar_members_real(render_test_tar(d, "doc_id"), "doc_id")
+    m = tar_members_real(render_test_tar(d, "doc_id", spread=True), "doc_id")
     return m.select(
         "doc_id",
         "member_idx",
@@ -707,7 +707,7 @@ def wds_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    s = wds_samples_real(render_test_tar(d, "doc_id"), "doc_id")
+    s = wds_samples_real(render_test_tar(d, "doc_id", spread=True), "doc_id")
     return s.select(
         "doc_id", "sample_id", "n_parts", "payload_bytes", "txt_len",
         "label",

@@ -743,8 +743,15 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring trees (the measured pipeline_curate lesson), and the
     # curated table feeds two branches (keeper agg + re-join).
     m = gopher_metrics_from_tokens(F.col("lt"))
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    # The scoring map (PII regex chain + tokenize + Gopher metrics) is
+    # the pipeline's CPU and ran as ONE task on the single-row-group
+    # bench file; conditional round-robin spread (no-op at scale).
+    # Only this branch: flag_contaminated spreads its own inputs.
     scored = (
-        d.withColumn("lt", tokens(F.col("text")))
+        spread_to_parallelism(d)
+        .withColumn("lt", tokens(F.col("text")))
         .select(
             "doc_id",
             "source",
@@ -3924,7 +3931,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry partial aggregates, no full-width row survives past its
     map stage.  No global order, no windows — min(doc_id) IS the
     corpus-order semantics, computed commutatively."""
-    d = load_table(spark, sf_dir, "documents")
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    # The bigram build + distinct + explode is the query's CPU (two
+    # consumers re-run it); on the one-row-group bench file it planned
+    # as ONE task.  Conditional round-robin spread (no-op at scale
+    # where the layout is already wide); see spread_to_parallelism.
+    d = spread_to_parallelism(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     bigrams = F.transform(
         F.slice(toks, 1, F.size(toks) - 1),
@@ -4377,14 +4390,28 @@ def pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "novelty_ppm"
     )
     # DSIR scoring (full frame, not the top-k cut the sampling query
-    # applies): model + dot product exactly as sample_dsir_importance
-    tok = d.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
-    ).select(
-        "doc_id",
-        "lang",
-        hash_bucket(F.col("t"), _DSIR_BUCKETS).cast("int").alias("b"),
+    # applies): model + dot product exactly as sample_dsir_importance.
+    # Spread the single-file scan before the token explode (the CPU of
+    # this leg; conditional, no-op at scale) and persist the narrow
+    # (doc_id, lang, b) frame: THREE aggregations consume it (raw,
+    # tgt, tf) and each otherwise re-runs scan → tokenize → hash
+    # (guide §5: persist exactly the reused intermediate — the same
+    # tokenize-once idiom as the r15 jaccard fix).
+    from ctgov_ai_etl_spark.operators.cache import track
+    from ctgov_ai_etl_spark.operators.limits import spread_to_parallelism
+
+    tok = (
+        spread_to_parallelism(d)
+        .select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            hash_bucket(F.col("t"), _DSIR_BUCKETS).cast("int").alias("b"),
+        )
     )
+    tok = track(tok.persist())
     raw = tok.groupBy("b").agg(F.count("*").cast("long").alias("r_b"))
     tgt = (
         tok.filter(F.col("lang") == "en")
