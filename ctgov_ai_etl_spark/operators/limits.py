@@ -18,16 +18,52 @@ per partition.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ctgov_ai_etl_spark.operators.cache import track
 
 _RANK_COL = "__pos"
 _PID_COL = "__pid"
+
+#: Bounded driver tier for the distributed rank (read at CALL time,
+#: like the CC and stream-shuffle knobs): when the rank frame fits
+#: under this many rows, ONE bounded probe + a Python sort + a
+#: broadcast (key → __pos) map replaces the three fixed job barriers
+#: of the distributed tier (range-boundary sampling, per-partition
+#: offset counts, the persist-pinned rank itself) — measured ~1-3 s of
+#: pure scheduling per use at sf0.1 (the same observation that
+#: motivated the r15 vocabulary driver tier, operators/dedup.py).
+#: Corpus-scale rank frames at 100 TB blow the cap on the probe and
+#: fall through to the distributed tier byte-identically.  0 disables.
+_RANK_DRIVER_CAP_DEFAULT = 20_000
+
+#: Key types the driver tier may sort: Python's tuple sort must equal
+#: Spark's multi-column ASC order.  Integral types trivially agree;
+#: str agrees because UTF-8 unsigned-byte order == code-point order.
+#: Floats/timestamps/decimals are EXCLUDED (NaN totalordering and tz
+#: pitfalls) — those keys take the distributed tier.
+_RANK_DRIVER_KEY_TYPES = (
+    T.StringType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.BooleanType,
+)
+
+
+def _rank_driver_cap() -> int:
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_RANK_DRIVER_CAP", str(_RANK_DRIVER_CAP_DEFAULT)
+        )
+    )
 
 
 def global_rank(df: DataFrame, order_cols: Iterable[str]) -> DataFrame:
@@ -66,6 +102,43 @@ def global_rank_with_count(
     """
     spark = df.sparkSession
     cols = [F.col(c) for c in order_cols]
+    order_cols = list(order_cols)
+    cap = _rank_driver_cap()
+    if cap > 0 and all(
+        isinstance(df.schema[c].dataType, _RANK_DRIVER_KEY_TYPES)
+        for c in order_cols
+    ):
+        # Pin the rank input FIRST: the distributed tier's ranged
+        # persist also served as the cache multi-traversal consumers
+        # (e.g. both SNM self-join sides) relied on — dropping it
+        # regressed dedup_snm_multipass 2.5 → 6.1 s before this pin.
+        # The probe doubles as the cache fill.
+        df = track(df.persist(StorageLevel.MEMORY_AND_DISK))
+        # Bounded probe: limit() short-circuits the scan, and only the
+        # NARROW key projection ships — an over-cap frame costs one
+        # truncated pass, then takes the distributed tier.
+        probe = df.select(*order_cols).limit(cap + 1).collect()
+        if len(probe) <= cap:
+            keys = [tuple(r) for r in probe]
+            # The driver order is valid only for unique, non-null keys
+            # (the documented contract anyway: with ties the rank is
+            # partitioning-dependent; NULL ordering differs between
+            # Python and the window).  Anything else → distributed.
+            if len(set(keys)) == len(keys) and all(
+                v is not None for k in keys for v in k
+            ):
+                order = sorted(keys)
+                pos_schema = T.StructType(
+                    [df.schema[c] for c in order_cols]
+                    + [T.StructField(_RANK_COL, T.LongType(), False)]
+                )
+                pos_df = spark.createDataFrame(
+                    [k + (i + 1,) for i, k in enumerate(order)], pos_schema
+                )
+                ranked = df.join(F.broadcast(pos_df), on=order_cols).select(
+                    *df.columns, _RANK_COL
+                )
+                return ranked, len(keys)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = track(
         df.repartitionByRange(nparts, *cols)

